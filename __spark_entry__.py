@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine code lives in ``cassandra_iot_pipeline_spark/``; this module just
+binds named queries to fixture tables. Every computed column is aliased
+identically in the Spark plan and the oracle SQL.
 """
 
 from __future__ import annotations
@@ -13,26 +16,112 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.operators import agg, joins, serving, setops, upsert
+from cassandra_iot_pipeline_spark.sources import json_decode, projections
+
+# Fixed parameters for the parameterized serving reads (stable across
+# runs so the oracle SQL strings below always match).
+POINT_DEVICE = 13
+RANGE_DEVICE = 12
+RANGE_START = "2024-01-05 00:00:00"
+RANGE_END = "2024-01-12 00:00:00"
+CATEGORY = "purchase"
+LATEST_N = 3
+TOP_K = 25
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's hourly
+    per-device rollup (batch form of
+    iot-cassandra-pipeline/src/spark_consumer.py:174-192)."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    return agg.hourly_rollup(events)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def _t(name: str):
+        def loader(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return load_table(spark, sf_dir, name)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return loader
+
+    events = _t("events")
+    return {
+        # --- aggregations (SURVEY §2.E) ---
+        "hourly_rollup": lambda s, d: agg.hourly_rollup(events(s, d)),
+        "rollup_by_type": lambda s, d: agg.rollup_by_type(events(s, d)),
+        "pricing_summary": lambda s, d: agg.pricing_summary(_t("lineitem")(s, d)),
+        "global_count": lambda s, d: agg.global_count(events(s, d)),
+        # --- serving reads (SURVEY §2.C/F/G) ---
+        "point_lookup": lambda s, d: serving.point_lookup(events(s, d), POINT_DEVICE),
+        "range_scan": lambda s, d: serving.range_scan(
+            events(s, d), RANGE_DEVICE, RANGE_START, RANGE_END
+        ),
+        "categorical_filter": lambda s, d: serving.categorical_filter(
+            events(s, d), CATEGORY
+        ),
+        "latest_n_per_device": lambda s, d: serving.latest_n_per_device(
+            events(s, d), LATEST_N
+        ),
+        "top_k_orders": lambda s, d: serving.top_k_orders(_t("orders")(s, d), TOP_K),
+        # --- joins (SURVEY §2.D) ---
+        "enrich_customers": lambda s, d: joins.enrich_customers(
+            _t("customer")(s, d), _t("nation")(s, d), _t("region")(s, d)
+        ),
+        "revenue_by_nation": lambda s, d: joins.revenue_by_nation(
+            _t("orders")(s, d),
+            _t("lineitem")(s, d),
+            _t("customer")(s, d),
+            _t("nation")(s, d),
+        ),
+        "customers_with_orders": lambda s, d: joins.customers_with_orders(
+            _t("customer")(s, d), _t("orders")(s, d)
+        ),
+        "customers_without_orders": lambda s, d: joins.customers_without_orders(
+            _t("customer")(s, d), _t("orders")(s, d)
+        ),
+        "order_fulfillment": lambda s, d: joins.order_fulfillment(
+            _t("orders")(s, d), _t("lineitem")(s, d)
+        ),
+        # --- upsert / PK semantics (SURVEY §2.K K3) ---
+        "last_event_per_user_type": lambda s, d: upsert.last_event_per_user_type(
+            events(s, d)
+        ),
+        # --- set ops (SURVEY §2.H) ---
+        "union_users": lambda s, d: setops.purchase_or_signup_users(events(s, d)),
+        "intersect_users": lambda s, d: setops.purchase_and_error_users(events(s, d)),
+        "except_users": lambda s, d: setops.view_not_purchase_users(events(s, d)),
+        # --- projections / decode (SURVEY §2.B, §2.I) ---
+        "raw_projection": lambda s, d: projections.raw_projection(events(s, d)),
+        "decode_props": lambda s, d: json_decode.decode_props(events(s, d)),
+        "props_bucket_rollup": lambda s, d: json_decode.props_bucket_rollup(
+            events(s, d)
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hourly_rollup": agg.hourly_rollup_oracle(),
+        "rollup_by_type": agg.rollup_by_type_oracle(),
+        "pricing_summary": agg.pricing_summary_oracle(),
+        "global_count": agg.global_count_oracle(),
+        "point_lookup": serving.point_lookup_oracle(POINT_DEVICE),
+        "range_scan": serving.range_scan_oracle(RANGE_DEVICE, RANGE_START, RANGE_END),
+        "categorical_filter": serving.categorical_filter_oracle(CATEGORY),
+        "latest_n_per_device": serving.latest_n_per_device_oracle(LATEST_N),
+        "top_k_orders": serving.top_k_orders_oracle(TOP_K),
+        "enrich_customers": joins.enrich_customers_oracle(),
+        "revenue_by_nation": joins.revenue_by_nation_oracle(),
+        "customers_with_orders": joins.customers_with_orders_oracle(),
+        "customers_without_orders": joins.customers_without_orders_oracle(),
+        "order_fulfillment": joins.order_fulfillment_oracle(),
+        "last_event_per_user_type": upsert.last_event_per_user_type_oracle(),
+        "union_users": setops.purchase_or_signup_users_oracle(),
+        "intersect_users": setops.purchase_and_error_users_oracle(),
+        "except_users": setops.view_not_purchase_users_oracle(),
+        "raw_projection": projections.raw_projection_oracle(),
+        "decode_props": json_decode.decode_props_oracle(),
+        "props_bucket_rollup": json_decode.props_bucket_rollup_oracle(),
+    }

@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (no driver-side
+collect — the timing measures the distributed plan, not Arrow transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from cassandra_iot_pipeline_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "hourly_rollup",
+    "pricing_summary",
+    "revenue_by_nation",
+    "latest_n_per_device",
+    "last_event_per_user_type",
+    "rollup_by_type",
+    "order_fulfillment",
+    "top_k_orders",
+    "point_lookup",
+    "props_bucket_rollup",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE
+    ]
+    # JVM/codegen warmup on the smallest fixture so per-query times
+    # measure the plan, not first-run compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        materialize(qs["hourly_rollup"](spark, warm_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

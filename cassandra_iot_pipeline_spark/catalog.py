@@ -1,0 +1,69 @@
+"""Fixture-table catalog.
+
+Maps logical table names to parquet files under a scale-factor directory
+(``/root/testdata/sf{0.001,0.01,0.1}``) and normalizes physical quirks --
+most importantly the ``events.ts`` column, which the fixtures store as
+parquet TIMESTAMP(NANOS). Spark reads it as epoch-nanos LongType (via
+``spark.sql.legacy.parquet.nanosAsLong``); we convert to a microsecond
+TimestampType here so every downstream operator sees a plain timestamp,
+exactly as DuckDB does when it reads the same file.
+
+The ``events`` fixture stands in for the reference's sensor stream
+(reference: iot-cassandra-pipeline/schemas/SensorEvent.avsc:6-39):
+``user_id`` plays ``device_id``, ``ts`` plays event time, ``value`` plays
+``temperature``. The mapping is recorded in FIXTURES.md §B1.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing nano-timestamp columns.
+
+    All normalization is expressed as Catalyst columns (no UDFs), so
+    column pruning and predicate pushdown still reach the parquet scan.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # epoch-nanos long -> microsecond timestamp (matches DuckDB's
+        # read of the same TIMESTAMP(NANOS) column, which truncates to
+        # micros). Integer DIV keeps this exact — `/ 1000` would go
+        # through double and round the low bits of epoch-nanos values.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

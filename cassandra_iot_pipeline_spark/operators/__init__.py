@@ -1,0 +1,13 @@
+"""Batch operator library — the reference-parity query surface.
+
+Each module maps a section of SURVEY.md §2 to idiomatic, declarative
+DataFrame transformations (Catalyst-optimizable, no Python in the row
+path):
+
+    exactmath  -- cross-engine-exact aggregation arithmetic
+    agg        -- hourly rollup + grouped aggregations (§2.E)
+    serving    -- point/range/latest-N serving reads (§2.C/F/G)
+    joins      -- enrichment + relational join surface (§2.D)
+    upsert     -- PK last-write-wins semantics (§2.K K3)
+    setops     -- union / intersect / except surface (§2.H)
+"""
