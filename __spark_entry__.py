@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cassandra_iot_pipeline_spark.catalog import load_table
 from cassandra_iot_pipeline_spark.operators import agg, joins, serving, setops, upsert
 from cassandra_iot_pipeline_spark.sources import json_decode, projections
+from cassandra_iot_pipeline_spark.streaming import pipeline as streaming_pipeline
 
 # Fixed parameters for the parameterized serving reads (stable across
 # runs so the oracle SQL strings below always match).
@@ -98,6 +99,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_bucket_rollup": lambda s, d: json_decode.props_bucket_rollup(
             events(s, d)
         ),
+        # --- streaming (SURVEY §2.J W1-W8): bounded replay through the
+        # watermarked pipeline + upsert sink; results equal the batch
+        # forms, so both take full SQL oracles ---
+        "streaming_hourly_rollup": streaming_pipeline.streaming_hourly_rollup,
+        "streaming_raw_passthrough": streaming_pipeline.streaming_raw_passthrough,
     }
 
 
@@ -124,4 +130,10 @@ def oracle_sql() -> dict[str, str]:
         "raw_projection": projections.raw_projection_oracle(),
         "decode_props": json_decode.decode_props_oracle(),
         "props_bucket_rollup": json_decode.props_bucket_rollup_oracle(),
+        "streaming_hourly_rollup": agg.hourly_rollup_oracle(),
+        "streaming_raw_passthrough": """
+            SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+                   CAST(value AS DOUBLE) AS value
+            FROM events
+        """,
     }

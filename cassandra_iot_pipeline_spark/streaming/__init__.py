@@ -1,0 +1,9 @@
+"""Structured Streaming layer (SURVEY.md §2.J W1-W8, §2.K sinks).
+
+    pipeline -- the two continuous queries of the reference
+                (raw passthrough + watermarked hourly aggregation)
+    sinks    -- upsert-by-PK parquet sink (Cassandra last-write-wins
+                analogue) + compaction job
+    staging  -- stages fixture tables as time-ordered file sequences so
+                a file source can replay them as micro-batches
+"""

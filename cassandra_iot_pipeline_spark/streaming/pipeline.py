@@ -1,0 +1,211 @@
+"""The reference's two continuous queries, Spark-first (SURVEY §2.J).
+
+Query 1 — raw passthrough: stream -> projection -> upsert sink
+(reference: iot-cassandra-pipeline/src/spark_consumer.py:131-160).
+Query 2 — watermarked hourly aggregation: stream -> withWatermark(1 min)
+-> window(1 hour) -> avg/max/min/count -> upsert sink
+(reference: spark_consumer.py:164-211).
+
+Differences from the reference, by design:
+- **update mode + PK-upsert sink** instead of append mode. The reference
+  relies on Cassandra's last-write-wins PK upsert to make re-emitted
+  rows idempotent (init.cql:25,48); with an upsert sink, update mode
+  gives the same end state *and* serves partial aggregates for the
+  current hour instead of holding them until the watermark closes the
+  window. Append mode (the reference's literal choice) is one flag away.
+- **exact aggregation state**: the windowed sum is kept in integer units
+  (see operators/exactmath.py), so streaming and batch rollups agree
+  bit-for-bit — re-running a checkpoint never drifts the aggregates.
+- **isEmpty guard** instead of the reference's double count()
+  (spark_consumer.py:139+154 — two extra full scans per micro-batch).
+
+Both queries share one source lineage and run concurrently under the
+same SparkSession (W7, awaitAnyTermination), each with its own
+checkpoint (W5).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schemas import EVENTS_FIXTURE_SCHEMA
+from .sinks import ParquetUpsertSink
+
+WATERMARK_DELAY = "1 minute"  # reference: spark_consumer.py:171-172
+WINDOW = "1 hour"  # reference: spark_consumer.py:177
+
+
+def read_event_stream(
+    spark: SparkSession, staged_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """W8/S1: bounded file-source stand-in for the Kafka source. The
+    parquet schema is declared up front (streaming sources require it —
+    same property as the reference's plan-time schema fetch,
+    spark_consumer.py:34-57)."""
+    schema = EVENTS_FIXTURE_SCHEMA
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+
+def raw_passthrough_query(
+    stream: DataFrame,
+    sink: ParquetUpsertSink,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Query 1: decode/project and land every event, PK (user_id, ts,
+    event_id) — the sensor_events table write
+    (reference: spark_consumer.py:137-160)."""
+    projected = stream.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    return (
+        projected.writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hourly_agg_query(
+    stream: DataFrame,
+    sink: ParquetUpsertSink,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> StreamingQuery:
+    """Query 2: watermarked tumbling-window aggregation
+    (reference: spark_consumer.py:171-192).
+
+    State: integer-units sum + count + min/max per (device, window) —
+    bounded by the watermark (W1). Output rows match the batch
+    hourly_rollup contract exactly.
+    """
+    agg = (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(
+            F.col("user_id").alias("device_id"),
+            F.window("ts", WINDOW).alias("hour_window"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_units"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+        .select(
+            "device_id",
+            F.unix_timestamp(F.col("hour_window.start"))
+            .cast("long")
+            .alias("hour_bucket"),
+            (F.col("sum_units") / F.lit(100.0) / F.col("event_count")).alias(
+                "avg_value"
+            ),
+            "max_value",
+            "min_value",
+            "event_count",
+        )
+    )
+    return (
+        agg.writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    staged_dir: str,
+    out_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> dict[str, ParquetUpsertSink]:
+    """W7: both continuous queries concurrently off one source lineage,
+    blocking until the bounded replay completes (availableNow). Returns
+    the two sinks (raw + agg) for reading."""
+    out_dir = out_dir or tempfile.mkdtemp(prefix="spark_graft_pipeline_")
+    raw_sink = ParquetUpsertSink(
+        os.path.join(out_dir, "sensor_events"),
+        pk=("user_id", "ts", "event_id"),
+        sink_options={"consistency_level": "ONE"},  # reference: spark_consumer.py:152
+    )
+    agg_sink = ParquetUpsertSink(
+        os.path.join(out_dir, "hourly_aggregates"),
+        pk=("device_id", "hour_bucket"),
+        sink_options={"consistency_level": "QUORUM"},  # reference: spark_consumer.py:202
+    )
+    q1 = raw_passthrough_query(
+        read_event_stream(spark, staged_dir, max_files_per_trigger),
+        raw_sink,
+        os.path.join(out_dir, "ckpt_raw"),
+    )
+    q2 = hourly_agg_query(
+        read_event_stream(spark, staged_dir, max_files_per_trigger),
+        agg_sink,
+        os.path.join(out_dir, "ckpt_agg"),
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+    return {"raw": raw_sink, "agg": agg_sink}
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing entry: replay the events fixture as micro-batches,
+    run the watermarked streaming rollup through the upsert sink, and
+    return the reconciled result — which must equal the *batch*
+    hourly_rollup (same oracle), proving streaming/batch semantic parity.
+    """
+    from .staging import stage_events_stream
+
+    staged = stage_events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_stream_agg_")
+    sink = ParquetUpsertSink(
+        os.path.join(out_dir, "hourly_aggregates"), pk=("device_id", "hour_bucket")
+    )
+    q = hourly_agg_query(
+        # 4 day-files per micro-batch: same semantics (batches stay
+        # time-ordered and day-disjoint), 4x fewer state-store commits.
+        read_event_stream(spark, staged, max_files_per_trigger=4),
+        sink,
+        os.path.join(out_dir, "ckpt"),
+    )
+    q.awaitTermination()
+    return sink.read(spark)
+
+
+def streaming_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing entry: replayed raw passthrough; equals a batch
+    projection of the source (append mode, no stateful ops -> every row
+    lands exactly once)."""
+    from .staging import stage_events_stream
+
+    staged = stage_events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_stream_raw_")
+    sink = ParquetUpsertSink(
+        os.path.join(out_dir, "sensor_events"), pk=("user_id", "ts", "event_id")
+    )
+    q = raw_passthrough_query(
+        read_event_stream(spark, staged, max_files_per_trigger=8),
+        sink,
+        os.path.join(out_dir, "ckpt"),
+    )
+    q.awaitTermination()
+    return sink.read(spark).select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )

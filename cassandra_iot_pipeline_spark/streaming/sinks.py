@@ -1,0 +1,101 @@
+"""Upsert-by-primary-key sink (SURVEY.md §2.K K1-K3).
+
+Cassandra makes the reference's at-least-once ``foreachBatch`` writes
+idempotent by last-write-wins upserting on the primary key (reference:
+iot-cassandra-pipeline/cassandra/init.cql:25, 48; write path
+spark_consumer.py:147-153, 197-203). A parquet sink gets the same
+semantics the way Cassandra itself does — LSM-style:
+
+- **writes append**: each micro-batch lands as new files stamped with a
+  monotonically increasing ``__epoch`` (the foreachBatch epoch_id);
+- **reads reconcile**: the read path keeps the max-``__epoch`` row per
+  PK (dedup-on-read == Cassandra's read-path reconciliation);
+- **compaction** folds the log back to one row per PK (the analogue of
+  the reference's SizeTiered/Leveled compaction strategies,
+  reference: init.cql:27-31, 50-53).
+
+This is scale-correct: streaming writes stay append-only (no
+read-modify-write in the hot path), reconciliation is one shuffle on
+the PK, and compaction is an idempotent maintenance job.
+
+The production backend for the same interface is the Cassandra Spark
+connector (``org.apache.spark.sql.cassandra``); its per-table
+consistency levels (ONE for raw, QUORUM for aggregates — reference:
+spark_consumer.py:152, 202) are storage-tier metadata carried in
+``sink_options`` and ignored by the parquet backend.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.upsert import latest_by_pk
+
+
+class ParquetUpsertSink:
+    """Append-only parquet sink with PK last-write-wins read semantics."""
+
+    def __init__(
+        self,
+        path: str,
+        pk: Sequence[str],
+        sink_options: dict[str, str] | None = None,
+    ) -> None:
+        self.path = path
+        self.pk = tuple(pk)
+        # storage-tier metadata (e.g. {"consistency_level": "QUORUM"});
+        # pass-through only, like the reference's connector options.
+        self.sink_options = dict(sink_options or {})
+
+    # -- write path (called from foreachBatch) --------------------------
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # Non-empty-batch guard (F4) via isEmpty — the reference used
+        # batch_df.count() twice per batch, triggering two extra scans
+        # (reference: spark_consumer.py:139, 154 — anti-pattern noted in
+        # SURVEY §4.1).
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def foreach_batch(self):
+        return self.write_batch
+
+    # -- read path -------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Reconciled view: latest row per PK (last-write-wins)."""
+        log = spark.read.parquet(self.path)
+        return latest_by_pk(log, pk=self.pk, version_col="__epoch").drop("__epoch")
+
+    def read_log(self, spark: SparkSession) -> DataFrame:
+        """The raw append log, all versions (debug / audit surface)."""
+        return spark.read.parquet(self.path)
+
+    # -- maintenance -------------------------------------------------------
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the log to one row per PK — the small-files/compaction
+        maintenance job (reference's compaction-strategy analogue).
+        Writes to a temp dir then swaps, so a crash never loses data."""
+        tmp = self.path.rstrip("/") + ".compacting"
+        reconciled = latest_by_pk(
+            spark.read.parquet(self.path), pk=self.pk, version_col="__epoch"
+        )
+        reconciled.write.mode("overwrite").parquet(tmp)
+        final = self.path.rstrip("/") + ".old"
+        os.rename(self.path, final)
+        os.rename(tmp, self.path)
+        import shutil
+
+        shutil.rmtree(final)

@@ -1,0 +1,66 @@
+"""Stage fixture tables as time-ordered file sequences for replay.
+
+Spark's file streaming source treats each new file as input; with
+``maxFilesPerTrigger=1`` a sequence of day-partitioned files replays the
+fixture as deterministic micro-batches in event-time order — the test
+stand-in for the reference's Kafka topic (SURVEY §2.A S1: prod uses
+``readStream.format("kafka")``; the engine's decode chain is identical
+either way).
+
+Files are written one day at a time so their modification times increase
+with event time (the file source orders by mtime); day-disjoint batches
+mean a 1-minute watermark never drops fixture rows, keeping the
+streaming result oracle-comparable to the batch rollup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def stage_events_stream(
+    spark: SparkSession, sf_dir: str, base_dir: str = "/tmp/spark_graft_staging"
+) -> str:
+    """Write the events fixture as one parquet file per event-time day,
+    in day order. Idempotent per (sf_dir) — cached by content key."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(base_dir, f"events_{key}")
+    done = os.path.join(out, "_STAGED")
+    if os.path.exists(done):
+        return out
+    events = load_table(spark, sf_dir, "events")
+    days = [
+        r["d"]
+        for r in events.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()
+    ]
+    os.makedirs(out, exist_ok=True)
+    for i, day in enumerate(days):
+        (
+            events.filter(F.to_date("ts") == F.lit(day))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"_day_{i:04d}"))
+        )
+    # flatten: move each part file up with an ordered name + touch mtime order
+    import glob
+    import shutil
+    import time
+
+    for i in range(len(days)):
+        part_dir = os.path.join(out, f"_day_{i:04d}")
+        parts = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        assert len(parts) == 1
+        dst = os.path.join(out, f"batch_{i:04d}.parquet")
+        shutil.move(parts[0], dst)
+        ts = time.time() - (len(days) - i)
+        os.utime(dst, (ts, ts))
+        shutil.rmtree(part_dir)
+    with open(done, "w") as fh:
+        fh.write(",".join(str(d) for d in days))
+    return out
