@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.functions import dedup, multimodal, similarity, text
 from cassandra_iot_pipeline_spark.operators import agg, joins, serving, setops, upsert
 from cassandra_iot_pipeline_spark.sources import json_decode, projections
 from cassandra_iot_pipeline_spark.streaming import pipeline as streaming_pipeline
@@ -30,6 +31,10 @@ RANGE_END = "2024-01-12 00:00:00"
 CATEGORY = "purchase"
 LATEST_N = 3
 TOP_K = 25
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+ANN_QUERIES = 10
+ANN_K = 5
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -104,6 +109,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forms, so both take full SQL oracles ---
         "streaming_hourly_rollup": streaming_pipeline.streaming_hourly_rollup,
         "streaming_raw_passthrough": streaming_pipeline.streaming_raw_passthrough,
+        # --- text analysis (north-star extensions) ---
+        "text_stats": lambda s, d: text.text_stats(_t("documents")(s, d)),
+        "language_guess": lambda s, d: text.language_guess(_t("documents")(s, d)),
+        "fingerprint": lambda s, d: text.fingerprint(_t("documents")(s, d)).drop(
+            "content_hash64"
+        ),
+        # --- deduplication ---
+        "exact_dedup": lambda s, d: dedup.exact_dedup(_t("documents")(s, d)),
+        "blocked_jaccard_pairs": lambda s, d: dedup.blocked_jaccard_pairs(
+            _t("documents")(s, d), JACCARD_THRESHOLD
+        ),
+        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(
+            _t("documents")(s, d), JACCARD_THRESHOLD
+        ),
+        "simhash_near_dup": lambda s, d: dedup.simhash_near_dup_pairs(
+            _t("documents")(s, d), SIMHASH_MAX_HAMMING
+        ),
+        # --- similarity search ---
+        "cosine_topk": lambda s, d: similarity.cosine_topk(
+            _t("embeddings")(s, d), ANN_QUERIES, ANN_K
+        ),
+        "lsh_bucketed_ann": lambda s, d: similarity.lsh_bucketed_ann(
+            _t("embeddings")(s, d), ANN_QUERIES, ANN_K
+        ),
+        # --- multimodal columns ---
+        "media_metadata": lambda s, d: multimodal.media_metadata(
+            _t("documents")(s, d)
+        ),
+        "decode_media": lambda s, d: multimodal.decode_media(_t("documents")(s, d)),
+        "frame_stats": lambda s, d: multimodal.frame_stats(_t("documents")(s, d)),
     }
 
 
@@ -136,4 +171,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(value AS DOUBLE) AS value
             FROM events
         """,
+        "text_stats": text.text_stats_oracle(),
+        "language_guess": text.language_guess_oracle(),
+        "fingerprint": text.fingerprint_oracle(),
+        "exact_dedup": dedup.exact_dedup_oracle(),
+        "blocked_jaccard_pairs": dedup.blocked_jaccard_pairs_oracle(JACCARD_THRESHOLD),
+        # minhash_lsh_pairs / simhash_near_dup / lsh_bucketed_ann are
+        # rows-only: their hash families (xxhash64) have no DuckDB twin;
+        # their exact-verification stages are covered by
+        # blocked_jaccard_pairs and cosine_topk oracles.
+        "cosine_topk": similarity.cosine_topk_oracle(ANN_QUERIES, ANN_K),
+        "media_metadata": multimodal.media_metadata_oracle(),
+        "decode_media": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+                   CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+                   'RGB' AS mode
+            FROM documents
+        """,
+        "frame_stats": multimodal.frame_stats_oracle(),
     }

@@ -1,0 +1,177 @@
+"""Multimodal column handling: image/audio/video as opaque binary.
+
+Design: media payloads ride through the engine as a ``binary`` column
+plus typed metadata columns — the same pattern the reference uses for
+Avro-framed Kafka values (opaque bytes + schema-known fields). The
+Spark-side plumbing is real and tested: schema contracts, partition-safe
+Pandas-UDF batch shapes, frame-sampling fan-out. The *codec* step is a
+stub (the runtime image ships no image/audio libraries): decode raises
+``NotImplementedError`` unless the deterministic fake decoder is
+requested, which derives metadata from the payload bytes so tests and
+oracles stay exact.
+
+Scale: mapInPandas streams Arrow batches per partition — payload bytes
+never serialize through Python row-at-a-time, and nothing collects to
+the driver. Frame sampling fans out rows inside the executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"IMG0"
+FRAME_SIZE = 256  # bytes per synthetic "frame"
+
+
+def attach_binary_payload(documents: DataFrame) -> DataFrame:
+    """Fixture adapter: synthesize a deterministic binary payload per
+    document (magic header + utf-8 bytes) standing in for a real media
+    blob column. In production this column arrives from the source."""
+    return documents.select(
+        "doc_id",
+        (
+            F.concat(F.lit(MAGIC), F.encode(F.col("text"), "utf-8"))
+        ).alias("payload"),
+    )
+
+
+def media_metadata(documents: DataFrame) -> DataFrame:
+    """Typed metadata over the opaque payload — pure Catalyst binary
+    expressions (length, magic sniff, frame count), no Python."""
+    with_payload = attach_binary_payload(documents)
+    n_bytes = F.length(F.col("payload")).cast("long")
+    return with_payload.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.decode(F.col("payload").substr(1, 4), "utf-8").alias("magic"),
+        F.ceil((n_bytes - 4).cast("double") / FRAME_SIZE).cast("long").alias("n_frames"),
+    )
+
+
+def media_metadata_oracle() -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(4 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               'IMG0' AS magic,
+               CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / {FRAME_SIZE})
+                   AS BIGINT) AS n_frames
+        FROM documents
+    """
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+    ]
+)
+
+
+def decode_media(documents: DataFrame, use_fake_codec: bool = True) -> DataFrame:
+    """Decode step behind the codec boundary.
+
+    ``use_fake_codec=True`` (tests): deterministic metadata derived from
+    payload bytes. ``False``: the real-codec path — raises
+    NotImplementedError at execution (no image libs in this runtime);
+    the Spark plumbing (schema, Arrow batches) is identical either way.
+    """
+    payloads = attach_binary_payload(documents)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_codec:
+                raise NotImplementedError(
+                    "real media codec not available in this runtime; "
+                    "install a codec and replace this branch"
+                )
+            body_len = pdf["payload"].map(len) - len(MAGIC)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (body_len % 640 + 1).astype("int32"),
+                    "height": (body_len % 480 + 1).astype("int32"),
+                    "mode": "RGB",
+                }
+            )
+
+    return payloads.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(documents: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame-sampling fan-out: split each payload into FRAME_SIZE-byte
+    frames and keep every ``stride``-th — the video-keyframe plumbing
+    shape (one input row -> many output rows, inside the executor)."""
+    payloads = attach_binary_payload(documents)
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(payload)[len(MAGIC):]
+                frames = [
+                    body[i : i + FRAME_SIZE]
+                    for i in range(0, len(body), FRAME_SIZE)
+                ]
+                for idx in range(0, len(frames), stride):
+                    out_ids.append(doc_id)
+                    out_idx.append(idx)
+                    out_frames.append(frames[idx])
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return payloads.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+def frame_stats(documents: DataFrame, stride: int = 2) -> DataFrame:
+    """Aggregate over the sampled frames (count + bytes per doc) — the
+    oracle-checkable face of the frame-sampling plumbing."""
+    frames = sample_frames(documents, stride)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.length(F.col("frame")).cast("long")).alias("sampled_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def frame_stats_oracle(stride: int = 2) -> str:
+    # mirrored math: n_frames = ceil(len/256); sampled = ceil(n_frames/stride);
+    # bytes = full frames except a possibly-short last frame when sampled.
+    return f"""
+        WITH sizes AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS body,
+                   CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE)
+                        / {FRAME_SIZE}) AS BIGINT) AS n_frames
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(ceil(CAST(n_frames AS DOUBLE) / {stride}) AS BIGINT) AS n_sampled,
+               CAST(
+                 CASE WHEN (n_frames - 1) % {stride} = 0
+                      THEN (ceil(CAST(n_frames AS DOUBLE) / {stride}) - 1) * {FRAME_SIZE}
+                           + (body - (n_frames - 1) * {FRAME_SIZE})
+                      ELSE ceil(CAST(n_frames AS DOUBLE) / {stride}) * {FRAME_SIZE}
+                 END AS BIGINT) AS sampled_bytes
+        FROM sizes
+        ORDER BY doc_id
+    """

