@@ -18,8 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cassandra_iot_pipeline_spark.catalog import load_table
 from cassandra_iot_pipeline_spark.functions import dedup, multimodal, similarity, text
-from cassandra_iot_pipeline_spark.operators import agg, joins, serving, setops, upsert
-from cassandra_iot_pipeline_spark.sources import json_decode, projections
+from cassandra_iot_pipeline_spark.operators import (
+    agg,
+    asof,
+    joins,
+    serving,
+    setops,
+    upsert,
+    windows,
+)
+from cassandra_iot_pipeline_spark.sources import avro_wire, json_decode, projections
 from cassandra_iot_pipeline_spark.streaming import pipeline as streaming_pipeline
 
 # Fixed parameters for the parameterized serving reads (stable across
@@ -139,6 +147,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "decode_media": lambda s, d: multimodal.decode_media(_t("documents")(s, d)),
         "frame_stats": lambda s, d: multimodal.frame_stats(_t("documents")(s, d)),
+        # --- row-window analytics (SURVEY §2.F extended) ---
+        "running_user_totals": lambda s, d: windows.running_user_totals(
+            events(s, d)
+        ),
+        "event_gaps": lambda s, d: windows.event_gaps(events(s, d)),
+        "sessionize": lambda s, d: windows.sessionize(events(s, d)),
+        "session_stats": lambda s, d: windows.session_stats(events(s, d)),
+        "type_pivot": lambda s, d: windows.type_pivot(events(s, d)),
+        # --- as-of join (native-gap operator; DuckDB ASOF is the oracle) ---
+        "latest_order_asof": lambda s, d: asof.latest_order_asof(
+            events(s, d), _t("orders")(s, d)
+        ),
+        # --- Avro wire-format round trip (SURVEY §2.B P1-P3) ---
+        "avro_roundtrip_rollup": lambda s, d: avro_wire.avro_roundtrip_rollup(
+            events(s, d)
+        ),
     }
 
 
@@ -190,4 +214,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "frame_stats": multimodal.frame_stats_oracle(),
+        "running_user_totals": windows.running_user_totals_oracle(),
+        "event_gaps": windows.event_gaps_oracle(),
+        "sessionize": windows.sessionize_oracle(),
+        "session_stats": windows.session_stats_oracle(),
+        "type_pivot": windows.type_pivot_oracle(),
+        "latest_order_asof": asof.latest_order_asof_oracle(),
+        "avro_roundtrip_rollup": avro_wire.avro_roundtrip_rollup_oracle(),
     }

@@ -142,3 +142,78 @@ def decode_sensor_events(frames: DataFrame, value_col: str = "value") -> DataFra
             yield pd.DataFrame(rows, columns=cols)
 
     return stripped.mapInPandas(decode_batches, schema=SENSOR_EVENT_SCHEMA)
+
+
+# --- fixture round trip -------------------------------------------------------
+
+
+def encode_events_as_frames(events: DataFrame) -> DataFrame:
+    """Adapt fixture events to SensorEvent wire frames: user_id becomes
+    the device id, value the temperature (cast to float32 as the Avro
+    contract requires). Encoding runs in Arrow-batched Pandas — the
+    producer side of the codec, used for round-trip verification."""
+    src = events.select(
+        F.col("user_id").cast("string").alias("device_id"),
+        F.unix_millis(F.col("ts")).alias("timestamp"),
+        F.col("value").cast("float").alias("temperature"),
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [
+                encode_sensor_event(
+                    device_id=d, device_name=None, timestamp=int(t),
+                    temperature=float(v), humidity=0.0, location=None,
+                )
+                for d, t, v in zip(
+                    pdf["device_id"], pdf["timestamp"], pdf["temperature"]
+                )
+            ]
+            yield pd.DataFrame({"value": frames})
+
+    return src.mapInPandas(encode_batches, schema="value binary")
+
+
+def avro_roundtrip_rollup(events: DataFrame) -> DataFrame:
+    """End-to-end wire-format proof: events -> Confluent-framed Avro ->
+    header strip -> binary decode -> hourly rollup. Must equal the same
+    rollup computed directly on the fixture (the oracle), so any codec
+    bug — varint, zigzag, float byte order, header math — fails the
+    value hash."""
+    decoded = decode_sensor_events(encode_events_as_frames(events))
+    temp_units = F.round(F.col("temperature").cast("double") * 100).cast("long")
+    return (
+        decoded.groupBy(
+            F.col("device_id"),
+            # integer DIV, not `/` + cast: double division can round up
+            # across the floor boundary on values this large
+            F.expr("timestamp DIV 3600000").alias("hour_idx"),
+        )
+        .agg(
+            F.sum(temp_units).alias("sum_units"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+        .select(
+            "device_id",
+            (F.col("hour_idx") * 3600).alias("hour_bucket"),
+            (F.col("sum_units") / F.lit(100.0) / F.col("event_count")).alias(
+                "avg_value"
+            ),
+            "event_count",
+        )
+    )
+
+
+def avro_roundtrip_rollup_oracle() -> str:
+    # mirrors the float32 narrowing of the Avro contract: value -> REAL
+    # -> DOUBLE -> cents. epoch_ms DIV 3600000 is the same hour floor the
+    # decoded path uses.
+    return """
+        SELECT CAST(user_id AS VARCHAR) AS device_id,
+               (epoch_ms(ts) // 3600000) * 3600 AS hour_bucket,
+               (SUM(CAST(ROUND(CAST(CAST(value AS REAL) AS DOUBLE) * 100) AS BIGINT))
+                    / 100.0 / COUNT(*)) AS avg_value,
+               COUNT(*) AS event_count
+        FROM events
+        GROUP BY 1, 2
+    """

@@ -1,0 +1,87 @@
+"""At-rest physical layout (SURVEY.md §4.2).
+
+Reproduces the intent of the reference's Cassandra storage design in
+parquet terms:
+
+| Cassandra mechanism (reference)                  | Engine equivalent |
+|--------------------------------------------------|-------------------|
+| partition key hashing (init.cql:25)              | partitionBy(event_date) + many files hashed by key |
+| CLUSTERING ORDER BY ts DESC (init.cql:26)        | sortWithinPartitions on write |
+| compaction strategies (init.cql:27-31,50-53)     | compact_small_files maintenance job |
+| token-aware co-located reads                     | bucketBy on the join/group key |
+
+Scale rationale: date partitioning gives partition pruning for the
+time-range serving reads (F2); in-file sort by (device, ts desc) gives
+row-group min/max pruning for device point lookups (F1) — together they
+replace Cassandra's (partition key, clustering key) addressing. Bucketing
+by the join key removes the shuffle from fact-to-fact joins entirely
+(verified by plan assertion in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_events_table(events: DataFrame, path: str) -> None:
+    """Write the raw events table date-partitioned, sorted within files
+    by (user_id, ts desc) — the sensor_events layout."""
+    (
+        events.withColumn("event_date", F.to_date("ts"))
+        .repartition(F.col("event_date"))
+        .sortWithinPartitions(F.col("user_id"), F.col("ts").desc())
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def read_events_table(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.drop("event_date")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: later joins/aggregations on
+    ``bucket_col`` are co-located — no shuffle (SortMergeJoin reads both
+    sides pre-partitioned). The parquet-era answer to Cassandra's
+    token-aware routing."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> None:
+    """Small-file compaction job — the streaming sink's maintenance pass
+    (the engine analogue of the reference's SSTable compaction). Rewrites
+    the dataset with AQE-coalesced partitions sized for ``target_file_mb``.
+    """
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    # Size estimate via file metadata only (driver-side listing, no data
+    # movement).
+    import glob
+    import os
+
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, total // (target_file_mb * 1024 * 1024))
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

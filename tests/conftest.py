@@ -16,8 +16,13 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = build_session("pytest", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    spark = build_session(
+        "pytest",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield spark
 
 
