@@ -39,7 +39,8 @@ RANGE_END = "2024-01-12 00:00:00"
 CATEGORY = "purchase"
 LATEST_N = 3
 TOP_K = 25
-JACCARD_THRESHOLD = 0.5
+JACCARD_THRESHOLD = 0.5  # blocked exact Jaccard (dense on this corpus)
+MINHASH_THRESHOLD = 0.8  # near-dup operating point for MinHash-LSH
 SIMHASH_MAX_HAMMING = 3
 ANN_QUERIES = 10
 ANN_K = 5
@@ -129,7 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("documents")(s, d), JACCARD_THRESHOLD
         ),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(
-            _t("documents")(s, d), JACCARD_THRESHOLD
+            _t("documents")(s, d), MINHASH_THRESHOLD
         ),
         "simhash_near_dup": lambda s, d: dedup.simhash_near_dup_pairs(
             _t("documents")(s, d), SIMHASH_MAX_HAMMING

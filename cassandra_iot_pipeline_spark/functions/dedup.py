@@ -28,8 +28,13 @@ from .text import _oracle_tokens, tokens
 
 SHINGLE_N = 5
 N_HASHES = 64
-LSH_BANDS = 16
-LSH_ROWS = 4  # N_HASHES = LSH_BANDS * LSH_ROWS
+# r=8 rows/band, b=8 bands targets the ~0.8-Jaccard operating point:
+# P(candidate) = 1-(1-j^8)^8 is ~0.79 at j=0.8 but only ~3% at j=0.5 —
+# important on corpora (like the fixtures) where unrelated documents
+# already share ~0.4-0.5 of their shingles.
+LSH_BANDS = 8
+LSH_ROWS = 8
+MERSENNE_P = 2_147_483_647  # 2^31-1, the universal-hash modulus
 
 
 def canonical(col: Column) -> Column:
@@ -124,22 +129,88 @@ def blocked_jaccard_pairs_oracle(threshold: float = 0.5) -> str:
 
 
 def shingles(col: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct character n-gram shingles of the canonical text."""
-    canon = canonical(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(canon) - (n - 1), F.lit(1)))
+    """Distinct character n-gram shingles.
+
+    IMPORTANT: pass a *materialized column* (project ``canonical(text)``
+    into its own column first). Passing the canonicalization expression
+    directly makes Catalyst re-evaluate the regexp once per array
+    element — measured 10x slower on the shingle explode at sf0.1."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
     return F.array_distinct(
-        F.transform(idx, lambda i: canon.substr(i, F.lit(n)))
+        F.transform(idx, lambda i: col.substr(i, F.lit(n)))
     )
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> Column:
-    """MinHash signature: for permutation i, min over shingles of
-    xxhash64(i, shingle). Pure Catalyst array expressions."""
-    return F.array(
+def shingle_rows(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, s): one row per shingle occurrence.
+
+    Explodes the *index* through a Generate node and substrings the
+    materialized canonical column. Inside a ``transform`` lambda the
+    canonicalization regexp is re-evaluated per element (and Catalyst's
+    CollapseProject re-inlines any attempt to pre-project it); through
+    Generate it runs once per document — measured ~10x faster on the
+    shingle scan at sf0.1."""
+    canon_df = documents.select("doc_id", canonical(F.col("text")).alias("canon"))
+    idx = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length("canon") - (n - 1), F.lit(1)))
+    )
+    return canon_df.select("doc_id", "canon", idx.alias("i")).select(
+        "doc_id", F.col("canon").substr(F.col("i"), F.lit(n)).alias("s")
+    )
+
+
+def shingled_docs(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sh): distinct shingle set per document, built from
+    shingle_rows (one aggregation; set semantics via collect_set)."""
+    return shingle_rows(documents, n).groupBy("doc_id").agg(
+        F.collect_set("s").alias("sh")
+    )
+
+
+def _perm_constants(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic multipliers / offsets for the permutation family
+    h_i(x) = a_i * (x & 0xFFFFFFFF) + b_i. Constants stay within 30/31
+    bits so the product never exceeds 2^62 — no 64-bit overflow, which
+    ANSI mode (Spark 4 default) would reject. Derived from a fixed seed
+    so signatures are reproducible everywhere."""
+    import hashlib
+
+    a, b = [], []
+    for i in range(n_hashes):
+        d = hashlib.sha256(f"minhash-{i}".encode()).digest()
+        a.append((int.from_bytes(d[:4], "little") & 0x3FFFFFFF) | 1)  # odd, 30-bit
+        b.append(int.from_bytes(d[4:8], "little") & 0x7FFFFFFF)  # 31-bit
+    return a, b
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash signatures as n_hashes columns m0..m{n-1}.
+
+    Plan: explode shingles -> ONE xxhash64 per shingle -> the i-th
+    permutation is cheap wrapping arithmetic a_i*h+b_i -> n_hashes MIN
+    aggregates in a single hash aggregation (one shuffle on doc_id).
+    An earlier formulation that re-hashed every shingle n_hashes times
+    inside one expression tree was ~20x slower at sf0.1.
+    """
+    a_const, b_const = _perm_constants(n_hashes)
+    # duplicates don't affect MIN — use the raw shingle rows, no set-
+    # collection shuffle on the signature path
+    exploded = shingle_rows(documents).select(
+        "doc_id",
+        F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h"),
+    )
+    # pmod is essential: an affine map WITHOUT the modulus is monotonic
+    # in h, so every "permutation" would select the same min shingle and
+    # all signatures on a shared-vocabulary corpus would collapse into
+    # one LSH bucket (observed: a 2682-doc bucket at sf0.1).
+    return exploded.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(F.lit(i), s))
-            )
+            F.min(
+                F.pmod(
+                    F.col("h") * F.lit(a_const[i]) + F.lit(b_const[i]),
+                    F.lit(MERSENNE_P),
+                )
+            ).alias(f"m{i}")
             for i in range(n_hashes)
         ]
     )
@@ -147,29 +218,30 @@ def minhash_signature(shingle_col: Column, n_hashes: int = N_HASHES) -> Column:
 
 def minhash_lsh_pairs(
     documents: DataFrame,
-    threshold: float = 0.5,
+    threshold: float = 0.8,
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Near-dup candidate generation + verification:
 
-    1. signature: n_hashes MinHash values per doc (narrow, no shuffle);
-    2. banding: hash each band of rows = n_hashes/bands values; explode
-       to (band_idx, band_hash, doc_id);
-    3. bucket join: docs sharing any (band_idx, band_hash) are
-       candidates — the only shuffle, keyed by the band hash;
-    4. verify candidates with exact shingle-set Jaccard >= threshold.
+    1. signatures: one xxhash64 per shingle + arithmetic permutations,
+       minimized per doc in a single aggregation;
+    2. banding: hash each band of rows = n_hashes/bands signature values;
+       explode to (band, bucket, doc_id) — 16 bytes per row, never the
+       shingle arrays;
+    3. bucket join on (band, bucket) -> distinct candidate pairs;
+    4. verification: join the shingle arrays back for the candidates
+       only, exact Jaccard >= threshold.
 
-    Scale: step 3's shuffle carries one 16-byte row per (doc, band) —
-    at 100 TB of text this is the standard near-linear dedup plan.
+    Scale: the only wide operations are keyed by 8-byte hashes, and the
+    heavy payload (shingle sets) moves only for candidate pairs — the
+    standard near-linear web-dedup plan (Broder-style MinHash + LSH).
     """
     rows_per_band = n_hashes // bands
-    docs = documents.select(
-        "doc_id", shingles(F.col("text")).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-    banded = docs.select(
+    sh_df = shingled_docs(documents)
+    sig = minhash_signatures(documents, n_hashes)
+    banded = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -177,7 +249,7 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             *[
-                                F.col("sig").getItem(b * rows_per_band + r)
+                                F.col(f"m{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ]
                         ).alias("bucket"),
@@ -186,7 +258,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -200,16 +272,24 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = (
+        candidates.join(
+            sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = inter.cast("double") / union
     return (
-        candidates.select("doc_a", "doc_b", jac.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
 
