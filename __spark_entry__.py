@@ -24,6 +24,7 @@ from cassandra_iot_pipeline_spark.operators import (
     joins,
     serving,
     setops,
+    stats,
     upsert,
     windows,
 )
@@ -164,7 +165,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip_rollup": lambda s, d: avro_wire.avro_roundtrip_rollup(
             events(s, d)
         ),
+        # --- statistical aggregates / grouping sets ---
+        "value_quantiles": lambda s, d: stats.value_quantiles(events(s, d)),
+        "orders_cube": lambda s, d: stats.orders_cube(_t("orders")(s, d)),
+        "approx_user_count": lambda s, d: stats.approx_user_count(events(s, d)),
+        # --- SQL API path (register_views + spark.sql; same Catalyst
+        # plan as the DataFrame form) ---
+        "sql_revenue_by_segment": _sql_revenue_by_segment,
     }
+
+
+_REVENUE_BY_SEGMENT_SQL = """
+    SELECT c_mktsegment,
+           (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+def _sql_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_iot_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REVENUE_BY_SEGMENT_SQL)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -222,4 +246,8 @@ def oracle_sql() -> dict[str, str]:
         "type_pivot": windows.type_pivot_oracle(),
         "latest_order_asof": asof.latest_order_asof_oracle(),
         "avro_roundtrip_rollup": avro_wire.avro_roundtrip_rollup_oracle(),
+        "value_quantiles": stats.value_quantiles_oracle(),
+        "orders_cube": stats.orders_cube_oracle(),
+        # approx_user_count is rows-only (HLL sketch is engine-specific)
+        "sql_revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
     }
