@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": lambda s, d: windows.sessionize(events(s, d)),
         "session_stats": lambda s, d: windows.session_stats(events(s, d)),
         "type_pivot": lambda s, d: windows.type_pivot(events(s, d)),
+        "session_window_stats": lambda s, d: windows.session_window_stats(
+            events(s, d)
+        ),
         # --- as-of join (native-gap operator; DuckDB ASOF is the oracle) ---
         "latest_order_asof": lambda s, d: asof.latest_order_asof(
             events(s, d), _t("orders")(s, d)
@@ -244,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": windows.sessionize_oracle(),
         "session_stats": windows.session_stats_oracle(),
         "type_pivot": windows.type_pivot_oracle(),
+        "session_window_stats": windows.session_window_stats_oracle(),
         "latest_order_asof": asof.latest_order_asof_oracle(),
         "avro_roundtrip_rollup": avro_wire.avro_roundtrip_rollup_oracle(),
         "value_quantiles": stats.value_quantiles_oracle(),

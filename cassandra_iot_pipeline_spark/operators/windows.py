@@ -183,3 +183,62 @@ def type_pivot_oracle() -> str:
         for t in ["click", "error", "purchase", "signup", "view"]
     )
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
+def session_window_stats(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Native ``session_window`` sessions (the streaming-capable form —
+    the same groupBy works under withWatermark in Structured Streaming).
+
+    Boundary semantics differ from :func:`sessionize` by one epsilon:
+    session_window merges an event iff it lands strictly inside
+    [ts, ts+gap), i.e. a new session starts when the gap is >= gap_s
+    (sessionize uses > gap_s). The oracle mirrors the >= rule. The
+    emitted window end is last_event + gap (Spark's session contract).
+    """
+    units = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), f"{gap_s} seconds").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(units).alias("units"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("start_us"),
+            F.unix_micros(F.col("sw.end")).alias("end_us"),
+            "n_events",
+            (F.col("units") / F.lit(100.0)).alias("session_value"),
+        )
+    )
+
+
+def session_window_stats_oracle(gap_s: int = SESSION_GAP_S) -> str:
+    return f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                           >= {gap_s * 1_000_000}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS start_us,
+               MAX(epoch_us(ts)) + {gap_s * 1_000_000} AS end_us,
+               COUNT(*) AS n_events,
+               (SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0) AS session_value
+        FROM sess
+        GROUP BY user_id, sid
+    """
