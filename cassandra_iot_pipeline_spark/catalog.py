@@ -41,12 +41,39 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_configs(spark: SparkSession) -> None:
+    """Make any SparkSession able to run this engine correctly.
+
+    The driver harness builds its own session, so the configs this
+    engine depends on must be applied at runtime (all of these are
+    runtime-settable, verified on PySpark 4.1):
+
+    - ``nanosAsLong``: the fixtures store TIMESTAMP(NANOS), which the
+      parquet reader otherwise rejects outright;
+    - UTC session timezone: hour-bucket boundaries and epoch conversions
+      must be timezone-invariant to match the ANSI-SQL oracle;
+    - AQE on (runtime re-planning; perf only, not correctness).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            # untouched default: size for local mode (200 is wrong at
+            # both local and fixture scale; AQE coalesces from here)
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing nano-timestamp columns.
 
     All normalization is expressed as Catalyst columns (no UDFs), so
     column pruning and predicate pushdown still reach the parquet scan.
     """
+    ensure_session_configs(spark)
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
