@@ -60,6 +60,22 @@ def main() -> None:
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
+
+    # streaming-pipeline ingest throughput (reference baseline: ~105
+    # events/sec sustained, BASELINE.md) — both continuous queries over
+    # the micro-batch replay, landing in PK-upsert tables.
+    import tempfile
+
+    from cassandra_iot_pipeline_spark.api import IoTEngine
+    from cassandra_iot_pipeline_spark.streaming.staging import stage_events_stream
+
+    staged = stage_events_stream(spark, sf_dir)
+    engine = IoTEngine(spark, tempfile.mkdtemp(prefix="bench_pipeline_"))
+    t0 = time.perf_counter()
+    engine.ingest_stream(staged, max_files_per_trigger=4)
+    pipe_sec = time.perf_counter() - t0
+    n_events = engine.table_counts()["sensor_events"]
+
     print(
         json.dumps(
             {
@@ -68,6 +84,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "pipeline_events_per_sec": round(n_events / pipe_sec, 1),
+                "pipeline_events": n_events,
+                "pipeline_sec": round(pipe_sec, 3),
             }
         )
     )
