@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- statistical aggregates / grouping sets ---
         "value_quantiles": lambda s, d: stats.value_quantiles(events(s, d)),
         "orders_cube": lambda s, d: stats.orders_cube(_t("orders")(s, d)),
+        "orders_rollup_hierarchy": lambda s, d: stats.orders_rollup_hierarchy(
+            _t("orders")(s, d)
+        ),
         "approx_user_count": lambda s, d: stats.approx_user_count(events(s, d)),
         # --- SQL API path (register_views + spark.sql; same Catalyst
         # plan as the DataFrame form) ---
@@ -252,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "avro_roundtrip_rollup": avro_wire.avro_roundtrip_rollup_oracle(),
         "value_quantiles": stats.value_quantiles_oracle(),
         "orders_cube": stats.orders_cube_oracle(),
+        "orders_rollup_hierarchy": stats.orders_rollup_hierarchy_oracle(),
         # approx_user_count is rows-only (HLL sketch is engine-specific)
         "sql_revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
     }

@@ -137,6 +137,23 @@ class IoTEngine:
             rows, "table string, n_files long, n_bytes long, n_rows long, consistency string"
         )
 
+    def latency_probe(self, device_ids: list[int], limit: int = 100) -> DataFrame:
+        """The reference's read-latency probe (reference:
+        monitoring/cassandra_latency_check.py:5-21): time the
+        point-lookup read per device, return (device_id, n_rows,
+        latency_ms). Driver-side timing of an action, like the original
+        perf_counter loop."""
+        import time
+
+        rows = []
+        for device_id in device_ids:
+            t0 = time.perf_counter()
+            n = len(self.latest_events(device_id, limit).collect())
+            rows.append((device_id, n, (time.perf_counter() - t0) * 1000.0))
+        return self.spark.createDataFrame(
+            rows, "device_id long, n_rows long, latency_ms double"
+        )
+
     # --- maintenance -----------------------------------------------------
     def compact(self) -> None:
         for sink in (self.raw_sink, self.agg_sink):

@@ -74,6 +74,36 @@ def orders_cube_oracle() -> str:
     """
 
 
+def orders_rollup_hierarchy(orders: DataFrame) -> DataFrame:
+    """ROLLUP over (status, priority): hierarchical subtotals (status
+    totals + grand total, without priority-only rows) — the other
+    grouping-sets shape, same single-pass Expand plan."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("price_units"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            (F.col("price_units") / F.lit(100.0)).alias("total_price"),
+        )
+    )
+
+
+def orders_rollup_hierarchy_oracle() -> str:
+    return """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+
 def approx_user_count(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     """HyperLogLog++ distinct-user estimate next to the exact count —
     the scale-path sketch (exact count_distinct shuffles every key;

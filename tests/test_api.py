@@ -65,3 +65,25 @@ def test_batch_only_ingest(spark, tmp_path):
     )
     want = sorted(map(tuple, hourly_rollup(events).collect()))
     assert got == want
+
+
+def test_latency_probe(spark, tmp_path):
+    from cassandra_iot_pipeline_spark.catalog import load_table as _lt
+
+    engine = IoTEngine(spark, str(tmp_path / "wh3"))
+    engine.ingest_batch(_lt(spark, SF_DIR, "events"))
+    probe = engine.latency_probe([12, 13], limit=5).collect()
+    assert len(probe) == 2
+    assert all(r.latency_ms > 0 and r.n_rows <= 5 for r in probe)
+
+
+def test_cassandra_sink_options():
+    from cassandra_iot_pipeline_spark.streaming.cassandra import (
+        CassandraUpsertSink,
+    )
+
+    sink = CassandraUpsertSink("sensor_events", consistency_level="ONE")
+    opts = sink.writer_options()
+    assert opts["keyspace"] == "iot_analytics"
+    assert opts["table"] == "sensor_events"
+    assert opts["spark.cassandra.output.consistency.level"] == "ONE"
