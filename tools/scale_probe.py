@@ -1,0 +1,83 @@
+"""Scale probe: run the flagship operators on generated data far beyond
+the fixtures and report throughput. Evidence for the 100 TB design
+claims — every input is produced by the partition-invariant hash
+generator (no driver-side data), so the same harness runs at any size.
+
+Usage: python tools/scale_probe.py [n_events_millions] [n_devices]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cassandra_iot_pipeline_spark.operators.agg import hourly_rollup  # noqa: E402
+from cassandra_iot_pipeline_spark.operators.serving import (  # noqa: E402
+    latest_n_per_device,
+)
+from cassandra_iot_pipeline_spark.operators.skew import (  # noqa: E402
+    salted_hourly_rollup,
+)
+from cassandra_iot_pipeline_spark.operators.upsert import latest_by_pk  # noqa: E402
+from cassandra_iot_pipeline_spark.session import build_session  # noqa: E402
+
+
+def probe_events(spark, n_events: int, n_devices: int):
+    """Synthetic events shaped like the fixture table, hash-derived."""
+    df = spark.range(n_events)
+    return df.select(
+        F.col("id").alias("event_id"),
+        F.timestamp_millis(
+            F.lit(1704067200000) + F.pmod(F.xxhash64(F.lit("t"), F.col("id")), F.lit(30 * 86400)) * 1000
+        ).alias("ts"),
+        F.pmod(F.xxhash64(F.lit("u"), F.col("id")), F.lit(n_devices)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("click", "view", "purchase", "signup", "error")]),
+            (F.pmod(F.xxhash64(F.lit("e"), F.col("id")), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.round(F.pmod(F.xxhash64(F.lit("v"), F.col("id")), F.lit(20000)) / 100, 2)).alias("value"),
+    )
+
+
+def timed(label, df, results):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    results[label] = round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    n_events = int(float(sys.argv[1]) * 1_000_000) if len(sys.argv) > 1 else 20_000_000
+    n_devices = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    spark = build_session("scale-probe")
+    events = probe_events(spark, n_events, n_devices)
+
+    results: dict[str, float] = {}
+    timed("hourly_rollup", hourly_rollup(events), results)
+    timed("salted_hourly_rollup", salted_hourly_rollup(events), results)
+    timed("latest_n_per_device", latest_n_per_device(events, 3), results)
+    timed(
+        "upsert_dedup",
+        latest_by_pk(events, ("user_id", "event_type"), "ts", ("event_id",)),
+        results,
+    )
+    rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
+    print(
+        json.dumps(
+            {
+                "n_events": n_events,
+                "n_devices": n_devices,
+                "timings_sec": results,
+                "hourly_rollup_rows_per_sec": rollup_rows_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
