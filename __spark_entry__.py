@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forms, so both take full SQL oracles ---
         "streaming_hourly_rollup": streaming_pipeline.streaming_hourly_rollup,
         "streaming_raw_passthrough": streaming_pipeline.streaming_raw_passthrough,
+        "streaming_sessionize": streaming_pipeline.streaming_sessionize_bounded,
         # --- text analysis (north-star extensions) ---
         "text_stats": lambda s, d: text.text_stats(_t("documents")(s, d)),
         "language_guess": lambda s, d: text.language_guess(_t("documents")(s, d)),
@@ -225,6 +226,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
                    CAST(value AS DOUBLE) AS value
             FROM events
+        """,
+        "streaming_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts, value,
+                       SUM(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS sid
+                FROM flagged
+            ),
+            stats AS (
+                SELECT user_id, sid,
+                       MIN(epoch_us(ts)) AS start_us,
+                       MAX(epoch_us(ts)) AS end_us,
+                       COUNT(*) AS n_events,
+                       (SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0)
+                           AS session_value
+                FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id, start_us, end_us, n_events, session_value
+            FROM (
+                SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+                FROM stats
+            )
+            WHERE sid < max_sid
         """,
         "text_stats": text.text_stats_oracle(),
         "language_guess": text.language_guess_oracle(),

@@ -166,6 +166,14 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the watermarked streaming rollup through the upsert sink, and
     return the reconciled result — which must equal the *batch*
     hourly_rollup (same oracle), proving streaming/batch semantic parity.
+
+    Stateful-query cost is dominated by state-store commits: one per
+    state partition per micro-batch. For this bounded fixture replay the
+    state partition count is dropped to 8 for the query's lifetime (the
+    checkpoint pins it at first start), and batches carry 8 day-files —
+    ~64 commits instead of the ~960 a naive 32-partition/1-file replay
+    pays. Semantics are identical (batches stay time-ordered and
+    day-disjoint).
     """
     from .staging import stage_events_stream
 
@@ -174,14 +182,17 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = ParquetUpsertSink(
         os.path.join(out_dir, "hourly_aggregates"), pk=("device_id", "hour_bucket")
     )
-    q = hourly_agg_query(
-        # 4 day-files per micro-batch: same semantics (batches stay
-        # time-ordered and day-disjoint), 4x fewer state-store commits.
-        read_event_stream(spark, staged, max_files_per_trigger=4),
-        sink,
-        os.path.join(out_dir, "ckpt"),
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = hourly_agg_query(
+            read_event_stream(spark, staged, max_files_per_trigger=8),
+            sink,
+            os.path.join(out_dir, "ckpt"),
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink.read(spark)
 
 
@@ -209,3 +220,36 @@ def streaming_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+def streaming_sessionize_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing entry for the custom stateful operator
+    (streaming/stateful.py): bounded replay, emits closed sessions.
+    Oracle: the batch sessionization minus each user's open last
+    session."""
+    import uuid
+
+    from .stateful import streaming_sessionize
+    from .staging import stage_events_stream
+
+    staged = stage_events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_stream_sess_")
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_sessionize(
+                read_event_stream(spark, staged, max_files_per_trigger=8)
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
