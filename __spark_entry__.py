@@ -12,6 +12,13 @@ identically in the Spark plan and the oracle SQL.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# the driver may import this file by path with any cwd; the engine
+# package lives next to it
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
