@@ -52,6 +52,9 @@ MINHASH_THRESHOLD = 0.8  # near-dup operating point for MinHash-LSH
 SIMHASH_MAX_HAMMING = 3
 ANN_QUERIES = 10
 ANN_K = 5
+# fixture embeddings are near-random (max pairwise cosine ~0.39);
+# 0.3 yields a meaningful pair set to verify against the oracle
+EMB_DUP_THRESHOLD = 0.3
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -135,6 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- deduplication ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_t("documents")(s, d)),
+        "embedding_near_dups": lambda s, d: similarity.embedding_near_dups(
+            _t("embeddings")(s, d), EMB_DUP_THRESHOLD
+        ),
+        "token_counts": lambda s, d: text.token_counts(_t("documents")(s, d)),
         "blocked_jaccard_pairs": lambda s, d: dedup.blocked_jaccard_pairs(
             _t("documents")(s, d), JACCARD_THRESHOLD
         ),
@@ -271,6 +278,10 @@ def oracle_sql() -> dict[str, str]:
         "language_guess": text.language_guess_oracle(),
         "fingerprint": text.fingerprint_oracle(),
         "exact_dedup": dedup.exact_dedup_oracle(),
+        "embedding_near_dups": similarity.embedding_near_dups_oracle(
+            EMB_DUP_THRESHOLD
+        ),
+        "token_counts": text.token_counts_oracle(),
         "blocked_jaccard_pairs": dedup.blocked_jaccard_pairs_oracle(JACCARD_THRESHOLD),
         # minhash_lsh_pairs / simhash_near_dup / lsh_bucketed_ann are
         # rows-only: their hash families (xxhash64) have no DuckDB twin;

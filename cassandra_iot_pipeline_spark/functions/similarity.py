@@ -226,3 +226,58 @@ def lsh_bucketed_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.9, n_blocks: int = 1
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector tier of the
+    dedup suite (text tiers live in functions/dedup.py).
+
+    Brute-force all-pairs with the exact quantized-cosine arithmetic
+    (bit-identical to the DuckDB oracle). At fixture scale the pair set
+    is tractable as-is; at 100 TB the same verification runs after LSH
+    blocking (lsh_bucketed_ann's bucket join) — this operator IS that
+    verification stage, so correctness of the scale path reduces to it.
+    """
+    base = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    ).withColumn("n2", _dot(F.col("q"), F.col("q")))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+    )
+    cos = _dot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def embedding_near_dups_oracle(threshold: float = 0.9) -> str:
+    quant = (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+        f"{QUANT}) AS BIGINT))"
+    )
+    return f"""
+        WITH norms AS (
+            SELECT vec_id, {quant} AS q,
+                   CAST(list_aggregate(list_transform(list_zip({quant}, {quant}),
+                        p -> p[1] * p[2]), 'sum') AS BIGINT) AS n2
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(CAST(list_aggregate(list_transform(list_zip(a.q, b.q),
+                    p -> p[1] * p[2]), 'sum') AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+        WHERE CAST(CAST(list_aggregate(list_transform(list_zip(a.q, b.q),
+                    p -> p[1] * p[2]), 'sum') AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+              >= {threshold}
+    """

@@ -167,3 +167,38 @@ def fingerprint_oracle() -> str:
                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS canonical_text
         FROM documents
     """
+
+
+# GPT-2-style pretokenizer regex, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookarounds, unicode classes \p{L} / \p{N} only.
+BPE_ISH_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting two ways (the LLM-pipeline accounting operator):
+    whitespace tokens and BPE-ish pretokens (GPT-2-style regex). Both
+    native regexp_extract_all/split — no Python."""
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), F.lit(0)))
+    return documents.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+        (bpe.cast("double") / ws).alias("subword_ratio"),
+    )
+
+
+def token_counts_oracle() -> str:
+    toks = _oracle_tokens("text")
+    # same pattern; DuckDB string literal needs doubled quotes for '
+    bpe_sql = BPE_ISH_RE.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               CAST(len({toks}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{bpe_sql}')) AS BIGINT)
+                   AS bpe_ish_tokens,
+               (CAST(len(regexp_extract_all(text, '{bpe_sql}')) AS DOUBLE)
+                   / len({toks})) AS subword_ratio
+        FROM documents
+    """
