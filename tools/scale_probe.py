@@ -24,6 +24,10 @@ from cassandra_iot_pipeline_spark.operators.skew import (  # noqa: E402
     salted_hourly_rollup,
 )
 from cassandra_iot_pipeline_spark.operators.upsert import latest_by_pk  # noqa: E402
+from cassandra_iot_pipeline_spark.functions.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    simhash_near_dup_pairs,
+)
 from cassandra_iot_pipeline_spark.session import build_session  # noqa: E402
 
 
@@ -41,6 +45,29 @@ def probe_events(spark, n_events: int, n_devices: int):
             (F.pmod(F.xxhash64(F.lit("e"), F.col("id")), F.lit(5)) + 1).cast("int"),
         ).alias("event_type"),
         (F.round(F.pmod(F.xxhash64(F.lit("v"), F.col("id")), F.lit(20000)) / 100, 2)).alias("value"),
+    )
+
+
+def probe_documents(spark, n_docs: int, vocab_size: int = 2000):
+    """Synthetic documents: 40-120 hash-chosen words from a shared
+    vocabulary (mimics the fixture corpus shape at any size)."""
+    vocab = F.array(
+        *[F.format_string("word%04d", F.lit(i)) for i in range(vocab_size)]
+    )
+    n_words = (F.pmod(F.xxhash64(F.lit("n"), F.col("id")), F.lit(80)) + 40).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(F.col("id"), i), F.lit(vocab_size)) + 1).cast("int"),
+        ),
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"),
+        F.lit("syn").alias("lang"),
+        F.lit("probe").alias("source"),
+        F.lit(0).alias("n_chars"),
     )
 
 
@@ -65,6 +92,12 @@ def main() -> None:
         latest_by_pk(events, ("user_id", "event_type"), "ts", ("event_id",)),
         results,
     )
+
+    n_docs = max(20_000, n_events // 1000)
+    docs = probe_documents(spark, n_docs)
+    timed("minhash_lsh_pairs", minhash_lsh_pairs(docs, 0.8), results)
+    timed("simhash_near_dup", simhash_near_dup_pairs(docs, 3), results)
+    results["n_docs"] = n_docs
     rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
     print(
         json.dumps(
