@@ -158,6 +158,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucketed_ann": lambda s, d: similarity.lsh_bucketed_ann(
             _t("embeddings")(s, d), ANN_QUERIES, ANN_K
         ),
+        "ivf_topk": lambda s, d: similarity.ivf_topk(
+            _t("embeddings")(s, d), ANN_QUERIES, ANN_K, n_centroids=16, n_probe=8
+        ),
+        "rolling_fingerprint": lambda s, d: text.rolling_fingerprint(
+            _t("documents")(s, d)
+        ),
         # --- multimodal columns ---
         "media_metadata": lambda s, d: multimodal.media_metadata(
             _t("documents")(s, d)
@@ -288,6 +294,21 @@ def oracle_sql() -> dict[str, str]:
         # their exact-verification stages are covered by
         # blocked_jaccard_pairs and cosine_topk oracles.
         "cosine_topk": similarity.cosine_topk_oracle(ANN_QUERIES, ANN_K),
+        # ivf_topk is rows-only (probe-list recall < 1 by design)
+        "rolling_fingerprint": r"""
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                           string_split_regex(
+                               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                               ''
+                           ),
+                           c -> CAST(ascii(c) AS BIGINT)
+                       )),
+                       (acc, ch) -> (acc * 1000003 + ch) % 2147483647
+                   ) AS rolling_hash
+            FROM documents
+        """,
         "media_metadata": multimodal.media_metadata_oracle(),
         "decode_media": """
             SELECT doc_id,

@@ -69,6 +69,17 @@ def text_stats(documents: DataFrame) -> DataFrame:
         (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
         (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
         (n_chars.cast("double") / n_tokens).alias("mean_token_span"),
+        # composite pretraining-filter score in [0,1]; fixed op order so
+        # the oracle reproduces it bit-for-bit
+        (
+            (alpha_chars.cast("double") / n_chars) * 0.3
+            + F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.3
+            + (n_distinct.cast("double") / n_tokens) * 0.2
+            + F.least(
+                (stop_hits.cast("double") / n_tokens) * 5.0, F.lit(1.0)
+            )
+            * 0.2
+        ).alias("quality_score"),
     )
 
 
@@ -86,7 +97,15 @@ def text_stats_oracle() -> str:
                 / length(text)) AS alpha_ratio,
             (CAST(len(list_filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE)
                 / len({toks})) AS stopword_ratio,
-            (CAST(length(text) AS DOUBLE) / len({toks})) AS mean_token_span
+            (CAST(length(text) AS DOUBLE) / len({toks})) AS mean_token_span,
+            (
+                (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                    / length(text)) * 0.3
+                + LEAST(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0) * 0.3
+                + (CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})) * 0.2
+                + LEAST((CAST(len(list_filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE)
+                    / len({toks})) * 5.0, 1.0) * 0.2
+            ) AS quality_score
         FROM documents
     """
 
@@ -202,3 +221,40 @@ def token_counts_oracle() -> str:
                    / len({toks})) AS subword_ratio
         FROM documents
     """
+
+
+# --- rolling-hash fingerprint -------------------------------------------------
+
+ROLL_BASE = 1_000_003
+ROLL_MOD = 2_147_483_647  # 2^31-1
+
+
+def rolling_fingerprint(documents: DataFrame) -> DataFrame:
+    """Polynomial rolling hash of the canonical text:
+    h = sum_i byte_i * BASE^(n-1-i) mod P, folded left-to-right as
+    h = (h*BASE + byte) mod P — a pure Catalyst aggregate over the
+    character array (no UDF). The classic Rabin-Karp fingerprint;
+    content-defined chunking reuses the same recurrence.
+    Verified against an independent Python implementation in tests.
+    """
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    chars = F.split(canon, "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(
+            acc * ROLL_BASE + F.ascii(ch), F.lit(ROLL_MOD)
+        ),
+    )
+    return documents.select("doc_id", fp.alias("rolling_hash"))
+
+
+def rolling_fingerprint_reference(text: str) -> int:
+    """Driver-side reference implementation (for tests)."""
+    import re
+
+    canon = re.sub(r"\s+", " ", text.lower()).strip()
+    h = 0
+    for ch in canon:
+        h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
+    return h

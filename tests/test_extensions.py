@@ -175,3 +175,29 @@ def test_sample_frames_shapes(spark, documents):
     assert set(pdf[pdf["frame_idx"] == 0]["doc_id"]) == set(
         r.doc_id for r in documents.limit(10).collect()
     )
+
+
+def test_rolling_fingerprint_matches_reference(spark, documents):
+    from cassandra_iot_pipeline_spark.functions.text import (
+        rolling_fingerprint,
+        rolling_fingerprint_reference,
+    )
+
+    sample = documents.limit(20)
+    got = {r.doc_id: r.rolling_hash for r in rolling_fingerprint(sample).collect()}
+    for row in sample.collect():
+        assert got[row.doc_id] == rolling_fingerprint_reference(row.text)
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    from cassandra_iot_pipeline_spark.functions.similarity import ivf_topk
+
+    exact = similarity.cosine_topk(embeddings, n_queries=10, k=5).collect()
+    approx = ivf_topk(embeddings, n_queries=10, k=5, n_centroids=16, n_probe=8).collect()
+    exact_pairs = {(r.query_id, r.cand_id): r.cosine for r in exact}
+    approx_pairs = {(r.query_id, r.cand_id): r.cosine for r in approx}
+    hits = set(exact_pairs) & set(approx_pairs)
+    recall = len(hits) / len(exact_pairs)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+    for pair in hits:
+        assert exact_pairs[pair] == approx_pairs[pair]
