@@ -28,12 +28,16 @@ def stage_events_stream(
     spark: SparkSession, sf_dir: str, base_dir: str = "/tmp/spark_graft_staging"
 ) -> str:
     """Write the events fixture as one parquet file per event-time day,
-    in day order. Idempotent per (sf_dir) — cached by content key."""
+    in day order. Idempotent per (sf_dir) — cached by content key, and
+    safe under concurrent callers: staging happens in a private temp dir
+    that is atomically renamed into place (first writer wins; losers use
+    the winner's copy)."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out = os.path.join(base_dir, f"events_{key}")
+    final = os.path.join(base_dir, f"events_{key}")
+    if os.path.exists(os.path.join(final, "_STAGED")):
+        return final
+    out = f"{final}.tmp-{os.getpid()}"
     done = os.path.join(out, "_STAGED")
-    if os.path.exists(done):
-        return out
     events = load_table(spark, sf_dir, "events")
     days = [
         r["d"]
@@ -63,4 +67,10 @@ def stage_events_stream(
         shutil.rmtree(part_dir)
     with open(done, "w") as fh:
         fh.write(",".join(str(d) for d in days))
-    return out
+    try:
+        os.rename(out, final)  # atomic publish; fails if a winner exists
+    except OSError:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    return final
