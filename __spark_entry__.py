@@ -29,6 +29,7 @@ from cassandra_iot_pipeline_spark.operators import (
     agg,
     asof,
     joins,
+    rangejoin,
     serving,
     setops,
     stats,
@@ -181,6 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": lambda s, d: windows.session_window_stats(
             events(s, d)
         ),
+        # --- range join (native-gap operator; bucketized) ---
+        "conversion_pairs": lambda s, d: rangejoin.conversion_pairs(events(s, d)),
         # --- as-of join (native-gap operator; DuckDB ASOF is the oracle) ---
         "latest_order_asof": lambda s, d: asof.latest_order_asof(
             events(s, d), _t("orders")(s, d)
@@ -325,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "type_pivot": windows.type_pivot_oracle(),
         "session_window_stats": windows.session_window_stats_oracle(),
         "latest_order_asof": asof.latest_order_asof_oracle(),
+        "conversion_pairs": rangejoin.conversion_pairs_oracle(),
         "avro_roundtrip_rollup": avro_wire.avro_roundtrip_rollup_oracle(),
         "value_quantiles": stats.value_quantiles_oracle(),
         "orders_cube": stats.orders_cube_oracle(),

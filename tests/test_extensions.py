@@ -201,3 +201,31 @@ def test_ivf_recall_vs_brute_force(spark, embeddings):
     assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
     for pair in hits:
         assert exact_pairs[pair] == approx_pairs[pair]
+
+
+def test_range_join_boundaries(spark):
+    import datetime as dt
+
+    from cassandra_iot_pipeline_spark.operators.rangejoin import range_join
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0, 100)], "user_id long, lt timestamp, l_id long"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0, 200),                                  # same instant: excluded
+            (1, t0 + dt.timedelta(seconds=3600), 201),     # exactly +1h: included
+            (1, t0 + dt.timedelta(seconds=3601), 202),     # beyond: excluded
+            (1, t0 + dt.timedelta(seconds=1), 203),        # inside: included
+            (2, t0 + dt.timedelta(seconds=5), 204),        # other key: excluded
+        ],
+        "user_id long, rt timestamp, r_id long",
+    )
+    got = {
+        r.r_id
+        for r in range_join(
+            left, right, "user_id", "lt", "rt", 3600, ["l_id"], ["r_id"]
+        ).collect()
+    }
+    assert got == {201, 203}
