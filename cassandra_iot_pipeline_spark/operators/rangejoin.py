@@ -43,7 +43,7 @@ def range_join(
         F.col(left_time).alias("__lt"),
         *[F.col(c) for c in left_cols],
     ).withColumn(
-        "__bucket", F.expr(f"unix_micros({left_time}) DIV {window_s * 1_000_000}")
+        "__bucket", F.expr(f"unix_micros(__lt) DIV {window_s * 1_000_000}")
     )
     r_src = right.select(
         F.col(key).alias("__k2"),
