@@ -175,3 +175,73 @@ def frame_stats_oracle(stride: int = 2) -> str:
         FROM sizes
         ORDER BY doc_id
     """
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumbnail", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    documents: DataFrame, target_w: int = 64, target_h: int = 48
+) -> DataFrame:
+    """Resize step behind the codec boundary: emits a fixed-size
+    "thumbnail" (deterministic byte sampling of the payload standing in
+    for real pixel resampling — the Arrow batch shape, output schema,
+    and executor-side memory profile are what production swaps in a real
+    codec for)."""
+    payloads = attach_binary_payload(documents)
+    n_bytes = target_w * target_h // 8
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for payload in pdf["payload"]:
+                body = bytes(payload)[len(MAGIC):]
+                stride = max(1, len(body) // n_bytes)
+                thumbs.append(body[::stride][:n_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "thumbnail": thumbs,
+                }
+            )
+
+    return payloads.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(documents: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Feature extraction: an n_bins byte-histogram per payload,
+    L1-normalized — the embedding-producing step of a media pipeline
+    (deterministic, numpy-vectorized; production swaps in a model).
+    Output feeds the similarity operators directly."""
+    import numpy as np
+
+    payloads = attach_binary_payload(documents)
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                body = np.frombuffer(bytes(payload)[len(MAGIC):], dtype=np.uint8)
+                hist = np.bincount(body >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[:n_bins]
+                total = hist.sum()
+                feats.append((hist / total).tolist() if total else [0.0] * n_bins)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return payloads.mapInPandas(feat_batches, schema=FEATURES_SCHEMA)

@@ -229,3 +229,19 @@ def test_range_join_boundaries(spark):
         ).collect()
     }
     assert got == {201, 203}
+
+
+def test_resize_media_shapes(spark, documents):
+    out = multimodal.resize_media(documents.limit(10), 64, 48).toPandas()
+    assert (out["width"] == 64).all() and (out["height"] == 48).all()
+    assert out["thumbnail"].map(len).max() <= 64 * 48 // 8
+    # deterministic across runs
+    out2 = multimodal.resize_media(documents.limit(10), 64, 48).toPandas()
+    assert list(out["thumbnail"]) == list(out2["thumbnail"])
+
+
+def test_extract_features_normalized(spark, documents):
+    out = multimodal.extract_features(documents.limit(10), 8).toPandas()
+    for feats in out["features"]:
+        assert len(feats) == 8
+        assert abs(sum(feats) - 1.0) < 1e-9
