@@ -111,6 +111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_fulfillment": lambda s, d: joins.order_fulfillment(
             _t("orders")(s, d), _t("lineitem")(s, d)
         ),
+        "shipping_priority": lambda s, d: joins.shipping_priority(
+            _t("customer")(s, d), _t("orders")(s, d), _t("lineitem")(s, d)
+        ),
+        "forecast_revenue": lambda s, d: joins.forecast_revenue(
+            _t("lineitem")(s, d)
+        ),
         # --- upsert / PK semantics (SURVEY §2.K K3) ---
         "last_event_per_user_type": lambda s, d: upsert.last_event_per_user_type(
             events(s, d)
@@ -237,6 +243,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders": joins.customers_with_orders_oracle(),
         "customers_without_orders": joins.customers_without_orders_oracle(),
         "order_fulfillment": joins.order_fulfillment_oracle(),
+        "shipping_priority": joins.shipping_priority_oracle(),
+        "forecast_revenue": joins.forecast_revenue_oracle(),
         "last_event_per_user_type": upsert.last_event_per_user_type_oracle(),
         "union_users": setops.purchase_or_signup_users_oracle(),
         "intersect_users": setops.purchase_and_error_users_oracle(),

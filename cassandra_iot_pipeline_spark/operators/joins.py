@@ -170,3 +170,81 @@ def order_fulfillment_oracle() -> str:
             GROUP BY l_orderkey
         ) li ON o_orderkey = l_orderkey
     """
+
+
+def shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H Q3 shape: top unshipped orders by revenue for a market
+    segment — selective filters pushed to all three scans, two joins,
+    grouped exact revenue, top-k."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .agg(exact_sum(revenue, 2).alias("rev_units"))
+        .select(
+            "o_orderkey",
+            (F.col("rev_units") / F.lit(100.0)).alias("revenue"),
+            "o_orderdate_s",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def shipping_priority_oracle(k: int = 10) -> str:
+    return f"""
+        SELECT o_orderkey,
+               (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+                   / 100.0) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT {k}
+    """
+
+
+def forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: a pure scan-filter-aggregate (no join) — the
+    predicate-pushdown showcase; all three filters reach the parquet
+    scan."""
+    revenue = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(exact_sum(revenue, 4).alias("rev_units"))
+        .select((F.col("rev_units") / F.lit(10000.0)).alias("forecast_revenue"))
+    )
+
+
+def forecast_revenue_oracle() -> str:
+    return """
+        SELECT (SUM(CAST(ROUND((l_extendedprice * l_discount) * 10000) AS BIGINT))
+                   / 10000.0) AS forecast_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """
