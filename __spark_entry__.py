@@ -33,6 +33,7 @@ from cassandra_iot_pipeline_spark.operators import (
     serving,
     setops,
     stats,
+    subqueries,
     upsert,
     windows,
 )
@@ -116,6 +117,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "forecast_revenue": lambda s, d: joins.forecast_revenue(
             _t("lineitem")(s, d)
+        ),
+        # --- subqueries / pattern filters ---
+        "above_avg_balance": lambda s, d: subqueries.above_avg_balance(
+            _t("customer")(s, d)
+        ),
+        "small_quantity_revenue": lambda s, d: subqueries.small_quantity_revenue(
+            _t("lineitem")(s, d), _t("part")(s, d)
+        ),
+        "part_name_search": lambda s, d: subqueries.part_name_search(
+            _t("part")(s, d)
         ),
         # --- upsert / PK semantics (SURVEY §2.K K3) ---
         "last_event_per_user_type": lambda s, d: upsert.last_event_per_user_type(
@@ -245,6 +256,9 @@ def oracle_sql() -> dict[str, str]:
         "order_fulfillment": joins.order_fulfillment_oracle(),
         "shipping_priority": joins.shipping_priority_oracle(),
         "forecast_revenue": joins.forecast_revenue_oracle(),
+        "above_avg_balance": subqueries.above_avg_balance_oracle(),
+        "small_quantity_revenue": subqueries.small_quantity_revenue_oracle(),
+        "part_name_search": subqueries.part_name_search_oracle(),
         "last_event_per_user_type": upsert.last_event_per_user_type_oracle(),
         "union_users": setops.purchase_or_signup_users_oracle(),
         "intersect_users": setops.purchase_and_error_users_oracle(),
