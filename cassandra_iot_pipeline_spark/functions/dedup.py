@@ -24,8 +24,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-import pandas as pd
-
 from .text import _oracle_tokens, tokens
 
 SHINGLE_N = 5
