@@ -28,6 +28,15 @@ assert rows > 0, "entry returned no rows"
 # hour buckets must be UTC-floored (multiple of 3600)
 sample = df.select("hour_bucket").head(5)
 assert all(r.hour_bucket % 3600 == 0 for r in sample)
+
+# the riskiest query classes must also run on a vanilla session:
+# a streaming replay (state partitions, staging) and Pandas-UDF-backed
+# extension operators
+qs = e.queries()
+sf = "/root/testdata/sf0.001"
+assert qs["streaming_hourly_rollup"](spark, sf).count() > 0
+assert qs["cosine_topk"](spark, sf).count() > 0
+assert qs["minhash_lsh_pairs"](spark, sf).count() >= 0
 print("VANILLA_OK", rows)
 spark.stop()
 """
