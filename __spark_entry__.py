@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t("embeddings")(s, d), EMB_DUP_THRESHOLD
         ),
         "token_counts": lambda s, d: text.token_counts(_t("documents")(s, d)),
+        "word_frequencies": lambda s, d: text.word_frequencies(
+            _t("documents")(s, d)
+        ),
         "blocked_jaccard_pairs": lambda s, d: dedup.blocked_jaccard_pairs(
             _t("documents")(s, d), JACCARD_THRESHOLD
         ),
@@ -313,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
             EMB_DUP_THRESHOLD
         ),
         "token_counts": text.token_counts_oracle(),
+        "word_frequencies": text.word_frequencies_oracle(),
         "blocked_jaccard_pairs": dedup.blocked_jaccard_pairs_oracle(JACCARD_THRESHOLD),
         # minhash_lsh_pairs / simhash_near_dup / lsh_bucketed_ann are
         # rows-only: their hash families (xxhash64) have no DuckDB twin;

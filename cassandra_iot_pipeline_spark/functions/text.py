@@ -258,3 +258,27 @@ def rolling_fingerprint_reference(text: str) -> int:
     for ch in canon:
         h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
     return h
+
+
+def word_frequencies(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus word frequencies, top-k — the canonical explode/aggregate
+    shape (vocabulary building for tokenizer training). One shuffle on
+    the token, heap top-k, deterministic tie-break."""
+    return (
+        documents.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def word_frequencies_oracle(k: int = 50) -> str:
+    toks = _oracle_tokens("text")
+    return f"""
+        SELECT token, COUNT(*) AS n_occurrences
+        FROM (SELECT unnest({toks}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT {k}
+    """
