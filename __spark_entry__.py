@@ -38,6 +38,7 @@ from cassandra_iot_pipeline_spark.operators import (
     windows,
 )
 from cassandra_iot_pipeline_spark.sources import avro_wire, json_decode, projections
+from cassandra_iot_pipeline_spark.streaming import joins as streaming_joins
 from cassandra_iot_pipeline_spark.streaming import pipeline as streaming_pipeline
 
 # Fixed parameters for the parameterized serving reads (stable across
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_rollup": streaming_pipeline.streaming_hourly_rollup,
         "streaming_raw_passthrough": streaming_pipeline.streaming_raw_passthrough,
         "streaming_sessionize": streaming_pipeline.streaming_sessionize_bounded,
+        "streaming_conversion_pairs": streaming_joins.streaming_conversion_pairs,
         # --- text analysis (north-star extensions) ---
         "text_stats": lambda s, d: text.text_stats(_t("documents")(s, d)),
         "language_guess": lambda s, d: text.language_guess(_t("documents")(s, d)),
@@ -355,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_stats": windows.session_window_stats_oracle(),
         "latest_order_asof": asof.latest_order_asof_oracle(),
         "conversion_pairs": rangejoin.conversion_pairs_oracle(),
+        "streaming_conversion_pairs": rangejoin.conversion_pairs_oracle(),
         "avro_roundtrip_rollup": avro_wire.avro_roundtrip_rollup_oracle(),
         "value_quantiles": stats.value_quantiles_oracle(),
         "orders_cube": stats.orders_cube_oracle(),

@@ -1,0 +1,128 @@
+"""Stream-stream join (beyond the reference's surface).
+
+Two watermarked streams over the same event replay: views joined to
+purchases by the same user within (view_ts, view_ts + 1h]. Spark buffers
+both sides in the state store and evicts by the watermark + time-range
+condition — the standard funnel-correlation topology.
+
+For the bounded day-ordered replay the result equals the *batch* range
+join exactly (a buffered view is evicted only once the watermark passes
+view_ts + window, and day-disjoint batches keep every joinable pair's
+buffer alive until its partner arrives), so the driver query carries the
+same full SQL oracle as conversion_pairs. Sink PK (view_event_id,
+purchase_event_id) makes re-delivery idempotent, as everywhere else.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import read_event_stream
+from .sinks import ParquetUpsertSink
+
+WINDOW_S = 3600
+WATERMARK = "1 minute"
+
+
+def conversion_join_query(
+    views_stream: DataFrame,
+    purchases_stream: DataFrame,
+    sink: ParquetUpsertSink,
+    checkpoint_dir: str,
+    window_s: int = WINDOW_S,
+):
+    views = (
+        views_stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    purchases = (
+        purchases_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.unix_micros(F.col("purchase_ts"))
+            <= F.unix_micros(F.col("view_ts")) + window_s * 1_000_000
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        F.unix_micros(F.col("view_ts")).alias("view_us"),
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+        F.floor(
+            (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts")))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("gap_s"),
+        "purchase_value",
+    )
+    return (
+        joined.writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing entry: bounded stream-stream join over the staged
+    replay; equals the batch range join (operators/rangejoin.py) —
+    same oracle."""
+    from .staging import stage_events_stream
+
+    staged = stage_events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_ssjoin_")
+    sink = ParquetUpsertSink(
+        os.path.join(out_dir, "conversions"),
+        pk=("view_event_id", "purchase_event_id"),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = conversion_join_query(
+            read_event_stream(spark, staged, max_files_per_trigger=8),
+            read_event_stream(spark, staged, max_files_per_trigger=8),
+            sink,
+            os.path.join(out_dir, "ckpt"),
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not sink.exists():
+        # no qualifying pairs at this scale — return an empty frame with
+        # the contract schema
+        return spark.createDataFrame(
+            [],
+            "user_id long, view_event_id long, purchase_event_id long, "
+            "view_us long, purchase_us long, gap_s long, purchase_value double",
+        )
+    return sink.read(spark).select(
+        "user_id",
+        "view_event_id",
+        "purchase_event_id",
+        "view_us",
+        "purchase_us",
+        "gap_s",
+        "purchase_value",
+    )
