@@ -245,3 +245,33 @@ def test_extract_features_normalized(spark, documents):
     for feats in out["features"]:
         assert len(feats) == 8
         assert abs(sum(feats) - 1.0) < 1e-9
+
+
+def test_minhash_exact_recall_vs_exhaustive(spark, documents):
+    """Ground-truth check: exhaustive shingle-Jaccard over all pairs vs
+    MinHash-LSH output at the 0.8 operating point. On the fixture corpus
+    every true pair sits at j >= 0.92 where r=8/b=8 detection is
+    near-certain — LSH must find them ALL, with zero false positives
+    (the verification stage guarantees the latter)."""
+    sh = dedup.shingled_docs(documents).cache()
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    brute = {
+        (r.da, r.db)
+        for r in (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+                jac.alias("j"),
+            )
+            .filter(F.col("j") >= 0.8)
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(documents, 0.8).collect()
+    }
+    assert lsh == brute  # recall 1.0 and precision 1.0 on this corpus
