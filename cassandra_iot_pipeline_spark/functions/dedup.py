@@ -132,19 +132,6 @@ def blocked_jaccard_pairs_oracle(threshold: float = 0.5) -> str:
 # --- MinHash + LSH -------------------------------------------------------------
 
 
-def shingles(col: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct character n-gram shingles.
-
-    IMPORTANT: pass a *materialized column* (project ``canonical(text)``
-    into its own column first). Passing the canonicalization expression
-    directly makes Catalyst re-evaluate the regexp once per array
-    element — measured 10x slower on the shingle explode at sf0.1."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: col.substr(i, F.lit(n)))
-    )
-
-
 def shingle_rows(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, s): one row per shingle occurrence.
 
