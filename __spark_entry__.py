@@ -30,6 +30,7 @@ from cassandra_iot_pipeline_spark.operators import (
     asof,
     joins,
     rangejoin,
+    profiles,
     serving,
     setops,
     stats,
@@ -119,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": lambda s, d: joins.forecast_revenue(
             _t("lineitem")(s, d)
         ),
+        # --- device-profile time-series similarity (IoT capstone) ---
+        "similar_devices": lambda s, d: profiles.similar_devices(events(s, d)),
         # --- subqueries / pattern filters ---
         "above_avg_balance": lambda s, d: subqueries.above_avg_balance(
             _t("customer")(s, d)
@@ -261,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "order_fulfillment": joins.order_fulfillment_oracle(),
         "shipping_priority": joins.shipping_priority_oracle(),
         "forecast_revenue": joins.forecast_revenue_oracle(),
+        "similar_devices": profiles.similar_devices_oracle(),
         "above_avg_balance": subqueries.above_avg_balance_oracle(),
         "small_quantity_revenue": subqueries.small_quantity_revenue_oracle(),
         "part_name_search": subqueries.part_name_search_oracle(),
