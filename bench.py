@@ -72,7 +72,7 @@ def main() -> None:
     staged = stage_events_stream(spark, sf_dir)
     engine = IoTEngine(spark, tempfile.mkdtemp(prefix="bench_pipeline_"))
     t0 = time.perf_counter()
-    engine.ingest_stream(staged, max_files_per_trigger=4)
+    engine.ingest_stream(staged, max_files_per_trigger=10)
     pipe_sec = time.perf_counter() - t0
     n_events = engine.table_counts()["sensor_events"]
 

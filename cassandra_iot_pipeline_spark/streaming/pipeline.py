@@ -131,11 +131,20 @@ def run_pipeline(
     staged_dir: str,
     out_dir: str | None = None,
     max_files_per_trigger: int = 1,
+    state_partitions: int | None = 8,
 ) -> dict[str, ParquetUpsertSink]:
     """W7: both continuous queries concurrently off one source lineage,
     blocking until the bounded replay completes (availableNow). Returns
-    the two sinks (raw + agg) for reading."""
+    the two sinks (raw + agg) for reading.
+
+    ``state_partitions`` sizes the stateful shuffle for the bounded
+    replay (state-store commits are per partition per batch — the
+    dominant cost at fixture scale); pass None to keep the session
+    setting (e.g. on a real cluster)."""
     out_dir = out_dir or tempfile.mkdtemp(prefix="spark_graft_pipeline_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     raw_sink = ParquetUpsertSink(
         os.path.join(out_dir, "sensor_events"),
         pk=("user_id", "ts", "event_id"),
@@ -156,8 +165,11 @@ def run_pipeline(
         agg_sink,
         os.path.join(out_dir, "ckpt_agg"),
     )
-    q1.awaitTermination()
-    q2.awaitTermination()
+    try:
+        q1.awaitTermination()
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return {"raw": raw_sink, "agg": agg_sink}
 
 
