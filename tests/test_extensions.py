@@ -275,3 +275,34 @@ def test_minhash_exact_recall_vs_exhaustive(spark, documents):
         for r in dedup.minhash_lsh_pairs(documents, 0.8).collect()
     }
     assert lsh == brute  # recall 1.0 and precision 1.0 on this corpus
+
+
+def test_asof_join_boundaries(spark):
+    import datetime as dt
+
+    from cassandra_iot_pipeline_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [
+            (1, t0, 10),                                 # right row AT t0 visible (<=)
+            (1, t0 - dt.timedelta(hours=2), 11),         # before any right row -> null
+            (2, t0 + dt.timedelta(hours=1), 12),         # other key, later right row
+        ],
+        "k long, lt timestamp, l_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0, 100.0),
+            (1, t0 - dt.timedelta(hours=1), 101.0),
+            (2, t0, 102.0),
+        ],
+        "k long, rt timestamp, payload double",
+    )
+    got = {
+        r.l_id: r.payload
+        for r in asof_join(
+            left, right, "k", "lt", "rt", ["payload"]
+        ).collect()
+    }
+    assert got == {10: 100.0, 11: None, 12: 102.0}
