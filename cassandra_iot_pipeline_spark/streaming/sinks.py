@@ -88,14 +88,18 @@ class ParquetUpsertSink:
         """Fold the log to one row per PK — the small-files/compaction
         maintenance job (reference's compaction-strategy analogue).
         Writes to a temp dir then swaps, so a crash never loses data."""
+        import shutil
+
         tmp = self.path.rstrip("/") + ".compacting"
+        old = self.path.rstrip("/") + ".old"
+        # clear leftovers of an interrupted previous compaction
+        for leftover in (tmp, old):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
         reconciled = latest_by_pk(
             spark.read.parquet(self.path), pk=self.pk, version_col="__epoch"
         )
         reconciled.write.mode("overwrite").parquet(tmp)
-        final = self.path.rstrip("/") + ".old"
-        os.rename(self.path, final)
+        os.rename(self.path, old)
         os.rename(tmp, self.path)
-        import shutil
-
-        shutil.rmtree(final)
+        shutil.rmtree(old)
