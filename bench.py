@@ -26,11 +26,11 @@ HEADLINE = [
     "revenue_by_nation",
     "latest_n_per_device",
     "last_event_per_user_type",
-    "rollup_by_type",
+    "event_type_totals",
     "order_fulfillment",
     "top_k_orders",
     "point_lookup",
-    "props_bucket_rollup",
+    "decode_props",
 ]
 
 
@@ -43,10 +43,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session("bench")
     qs = entrymod.queries()
-    # headline batch queries plus every other *batch* query; streaming
-    # replays are correctness surfaces, not throughput benchmarks.
+    # headline batch queries first, then EVERY other registered query
+    # (including the streaming replays) — bench and registry never
+    # diverge: the driver records a time for each CORRECTNESS name.
     names = [n for n in HEADLINE if n in qs] + [
-        n for n in sorted(qs) if n not in HEADLINE and not n.startswith("streaming_")
+        n for n in sorted(qs) if n not in HEADLINE
     ]
     # JVM/codegen warmup on the smallest fixture so per-query times
     # measure the plan, not first-run compilation.

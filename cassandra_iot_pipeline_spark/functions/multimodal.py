@@ -104,6 +104,31 @@ def decode_media(documents: DataFrame, use_fake_codec: bool = True) -> DataFrame
     return payloads.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+def media_decode(documents: DataFrame, use_fake_codec: bool = True) -> DataFrame:
+    """`media_metadata` + `decode_media` in one driver-checkable plan:
+    typed metadata (pure Catalyst binary expressions) joined to the
+    decoded dimensions (Arrow-batched mapInPandas behind the codec
+    boundary) on doc_id. The join shuffles only the tiny decoded tuples,
+    never the payload bytes."""
+    return media_metadata(documents).join(
+        decode_media(documents, use_fake_codec), "doc_id"
+    )
+
+
+def media_decode_oracle() -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(4 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               'IMG0' AS magic,
+               CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / {FRAME_SIZE})
+                   AS BIGINT) AS n_frames,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+               CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+               'RGB' AS mode
+        FROM documents
+    """
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -141,13 +166,23 @@ def sample_frames(documents: DataFrame, stride: int = 2) -> DataFrame:
 
 def frame_stats(documents: DataFrame, stride: int = 2) -> DataFrame:
     """Aggregate over the sampled frames (count + bytes per doc) — the
-    oracle-checkable face of the frame-sampling plumbing."""
+    oracle-checkable face of the frame-sampling plumbing.
+
+    An empty document produces no frames; the left join back to the
+    document list keeps it in the output with n_sampled = 0, matching
+    the oracle (which emits a row per document unconditionally)."""
     frames = sample_frames(documents, stride)
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.sum(F.length(F.col("frame")).cast("long")).alias("frame_bytes"),
+    )
     return (
-        frames.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.sum(F.length(F.col("frame")).cast("long")).alias("sampled_bytes"),
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_frames_sampled"), F.lit(0)).alias("n_sampled"),
+            F.coalesce(F.col("frame_bytes"), F.lit(0)).alias("sampled_bytes"),
         )
         .orderBy("doc_id")
     )

@@ -45,13 +45,12 @@ def _oracle_tokens(expr: str) -> str:
     )
 
 
-def text_stats(documents: DataFrame) -> DataFrame:
-    """Per-document token/char statistics + a composite quality score.
-
-    quality_score blends signals a pretraining filter uses: mean word
-    length in a sane band, low non-alpha ratio, bounded repetition
-    (distinct/total tokens). All integer/exact-division arithmetic.
-    """
+def _stats_columns() -> list[Column]:
+    """Aliased per-document statistic columns (shared by text_stats and
+    text_profile). Empty-document guard: every ratio denominator goes
+    through nullif(_, 0) so a 0-token / 0-char document yields NULL
+    ratios (mirrored with NULLIF in the oracle) instead of an ANSI
+    divide-by-zero error."""
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -60,68 +59,80 @@ def text_stats(documents: DataFrame) -> DataFrame:
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in STOPWORDS_ALL]))
     )
-    return documents.select(
-        "doc_id",
+    tok_den = F.nullif(n_tokens, F.lit(0))
+    chr_den = F.nullif(n_chars, F.lit(0))
+    return [
         n_chars.cast("long").alias("n_chars_computed"),
         n_tokens.cast("long").alias("n_tokens"),
         n_distinct.cast("long").alias("n_distinct_tokens"),
-        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
-        (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
-        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
-        (n_chars.cast("double") / n_tokens).alias("mean_token_span"),
+        (n_distinct.cast("double") / tok_den).alias("distinct_ratio"),
+        (alpha_chars.cast("double") / chr_den).alias("alpha_ratio"),
+        (stop_hits.cast("double") / tok_den).alias("stopword_ratio"),
+        (n_chars.cast("double") / tok_den).alias("mean_token_span"),
         # composite pretraining-filter score in [0,1]; fixed op order so
         # the oracle reproduces it bit-for-bit
         (
-            (alpha_chars.cast("double") / n_chars) * 0.3
+            (alpha_chars.cast("double") / chr_den) * 0.3
             + F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.3
-            + (n_distinct.cast("double") / n_tokens) * 0.2
+            + (n_distinct.cast("double") / tok_den) * 0.2
             + F.least(
-                (stop_hits.cast("double") / n_tokens) * 5.0, F.lit(1.0)
+                (stop_hits.cast("double") / tok_den) * 5.0, F.lit(1.0)
             )
             * 0.2
         ).alias("quality_score"),
-    )
+    ]
+
+
+def _stats_columns_sql() -> list[str]:
+    toks = _oracle_tokens("text")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_ALL)
+    return [
+        "CAST(length(text) AS BIGINT) AS n_chars_computed",
+        f"CAST(len({toks}) AS BIGINT) AS n_tokens",
+        f"CAST(len(list_distinct({toks})) AS BIGINT) AS n_distinct_tokens",
+        f"(CAST(len(list_distinct({toks})) AS DOUBLE) / NULLIF(len({toks}), 0))"
+        " AS distinct_ratio",
+        "(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
+        " / NULLIF(length(text), 0)) AS alpha_ratio",
+        f"(CAST(len(list_filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE)"
+        f" / NULLIF(len({toks}), 0)) AS stopword_ratio",
+        f"(CAST(length(text) AS DOUBLE) / NULLIF(len({toks}), 0)) AS mean_token_span",
+        f"""(
+            (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                / NULLIF(length(text), 0)) * 0.3
+            + LEAST(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0) * 0.3
+            + (CAST(len(list_distinct({toks})) AS DOUBLE) / NULLIF(len({toks}), 0)) * 0.2
+            + LEAST((CAST(len(list_filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE)
+                / NULLIF(len({toks}), 0)) * 5.0, 1.0) * 0.2
+        ) AS quality_score""",
+    ]
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token/char statistics + a composite quality score.
+
+    quality_score blends signals a pretraining filter uses: mean word
+    length in a sane band, low non-alpha ratio, bounded repetition
+    (distinct/total tokens). All integer/exact-division arithmetic.
+    """
+    return documents.select("doc_id", *_stats_columns())
 
 
 def text_stats_oracle() -> str:
-    toks = _oracle_tokens("text")
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_ALL)
-    return f"""
-        SELECT
-            doc_id,
-            CAST(length(text) AS BIGINT) AS n_chars_computed,
-            CAST(len({toks}) AS BIGINT) AS n_tokens,
-            CAST(len(list_distinct({toks})) AS BIGINT) AS n_distinct_tokens,
-            (CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})) AS distinct_ratio,
-            (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-                / length(text)) AS alpha_ratio,
-            (CAST(len(list_filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE)
-                / len({toks})) AS stopword_ratio,
-            (CAST(length(text) AS DOUBLE) / len({toks})) AS mean_token_span,
-            (
-                (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-                    / length(text)) * 0.3
-                + LEAST(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0) * 0.3
-                + (CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})) * 0.2
-                + LEAST((CAST(len(list_filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE)
-                    / len({toks})) * 5.0, 1.0) * 0.2
-            ) AS quality_score
-        FROM documents
-    """
+    cols = ",\n            ".join(_stats_columns_sql())
+    return f"SELECT doc_id, {cols} FROM documents"
 
 
-def language_guess(documents: DataFrame) -> DataFrame:
-    """Stopword-overlap language heuristic: score = |distinct tokens ∩
-    language stopwords| per language; argmax with a fixed precedence
-    order (en, de, es, fr, zh) breaking ties."""
+def _lang_columns() -> list[Column]:
+    """Aliased language-heuristic columns: per-language stopword-overlap
+    scores + argmax guess with a fixed precedence order (en, de, es, fr,
+    zh) breaking ties — the CASE chain is mirrored verbatim in SQL."""
     toks = F.array_distinct(tokens(F.col("text")))
     scores = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
         for lang, ws in LANG_STOPWORDS.items()
     }
     order = list(LANG_STOPWORDS)
-    guess = None
-    # CASE chain in fixed precedence order — mirrored verbatim in SQL.
     expr = None
     for lang in order:
         cond = None
@@ -133,13 +144,13 @@ def language_guess(documents: DataFrame) -> DataFrame:
         branch = (cond, F.lit(lang))
         expr = F.when(*branch) if expr is None else expr.when(*branch)
     guess = expr.otherwise(F.lit("und"))
-    sel = [F.col("doc_id"), F.col("lang").alias("lang_label")]
+    sel = [F.col("lang").alias("lang_label")]
     sel += [scores[lang].cast("long").alias(f"score_{lang}") for lang in order]
     sel.append(guess.alias("lang_guess"))
-    return documents.select(*sel)
+    return sel
 
 
-def language_guess_oracle() -> str:
+def _lang_columns_sql() -> list[str]:
     toks = f"list_distinct({_oracle_tokens('text')})"
     order = list(LANG_STOPWORDS)
     score_sql = {
@@ -155,14 +166,23 @@ def language_guess_oracle() -> str:
         )
         cases.append(f"WHEN {conds} THEN '{lang}'")
     case_expr = "CASE " + " ".join(cases) + " ELSE 'und' END"
-    score_cols = ", ".join(
-        f"CAST({score_sql[lang]} AS BIGINT) AS score_{lang}" for lang in order
+    return (
+        ["lang AS lang_label"]
+        + [f"CAST({score_sql[lang]} AS BIGINT) AS score_{lang}" for lang in order]
+        + [f"{case_expr} AS lang_guess"]
     )
-    return f"""
-        SELECT doc_id, lang AS lang_label, {score_cols},
-               {case_expr} AS lang_guess
-        FROM documents
-    """
+
+
+def language_guess(documents: DataFrame) -> DataFrame:
+    """Stopword-overlap language heuristic: score = |distinct tokens ∩
+    language stopwords| per language; argmax with a fixed precedence
+    order (en, de, es, fr, zh) breaking ties."""
+    return documents.select("doc_id", *_lang_columns())
+
+
+def language_guess_oracle() -> str:
+    cols = ", ".join(_lang_columns_sql())
+    return f"SELECT doc_id, {cols} FROM documents"
 
 
 def fingerprint(documents: DataFrame) -> DataFrame:
@@ -194,33 +214,63 @@ def fingerprint_oracle() -> str:
 BPE_ISH_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
 
 
+def _token_count_columns() -> list[Column]:
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), F.lit(0)))
+    return [
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+        (bpe.cast("double") / F.nullif(ws, F.lit(0))).alias("subword_ratio"),
+    ]
+
+
+def _token_count_columns_sql() -> list[str]:
+    toks = _oracle_tokens("text")
+    # same pattern; DuckDB string literal needs doubled quotes for '
+    bpe_sql = BPE_ISH_RE.replace("'", "''")
+    return [
+        f"CAST(len({toks}) AS BIGINT) AS ws_tokens",
+        f"CAST(len(regexp_extract_all(text, '{bpe_sql}')) AS BIGINT)"
+        " AS bpe_ish_tokens",
+        f"(CAST(len(regexp_extract_all(text, '{bpe_sql}')) AS DOUBLE)"
+        f" / NULLIF(len({toks}), 0)) AS subword_ratio",
+    ]
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     """Token counting two ways (the LLM-pipeline accounting operator):
     whitespace tokens and BPE-ish pretokens (GPT-2-style regex). Both
     native regexp_extract_all/split — no Python."""
-    ws = F.size(tokens(F.col("text")))
-    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), F.lit(0)))
-    return documents.select(
-        "doc_id",
-        ws.cast("long").alias("ws_tokens"),
-        bpe.cast("long").alias("bpe_ish_tokens"),
-        (bpe.cast("double") / ws).alias("subword_ratio"),
-    )
+    return documents.select("doc_id", *_token_count_columns())
 
 
 def token_counts_oracle() -> str:
-    toks = _oracle_tokens("text")
-    # same pattern; DuckDB string literal needs doubled quotes for '
-    bpe_sql = BPE_ISH_RE.replace("'", "''")
-    return f"""
-        SELECT doc_id,
-               CAST(len({toks}) AS BIGINT) AS ws_tokens,
-               CAST(len(regexp_extract_all(text, '{bpe_sql}')) AS BIGINT)
-                   AS bpe_ish_tokens,
-               (CAST(len(regexp_extract_all(text, '{bpe_sql}')) AS DOUBLE)
-                   / len({toks})) AS subword_ratio
-        FROM documents
-    """
+    cols = ", ".join(_token_count_columns_sql())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def text_profile(documents: DataFrame) -> DataFrame:
+    """The full per-document text-analysis profile in ONE scan: quality
+    statistics (:func:`text_stats`), token accounting
+    (:func:`token_counts` — ``ws_tokens`` is the same tokenizer as
+    ``n_tokens``, so only the BPE-ish columns are added) and the
+    language heuristic (:func:`language_guess`). At 100 TB this is the
+    plan you actually run: every column is a Catalyst expression over
+    the same projected ``text``, whole-stage-codegen'd, one pass, no
+    shuffle, no Python."""
+    return documents.select(
+        "doc_id",
+        *_stats_columns(),
+        *_token_count_columns()[1:],  # bpe_ish_tokens, subword_ratio
+        *_lang_columns(),
+    )
+
+
+def text_profile_oracle() -> str:
+    cols = ",\n            ".join(
+        _stats_columns_sql() + _token_count_columns_sql()[1:] + _lang_columns_sql()
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
 
 
 # --- rolling-hash fingerprint -------------------------------------------------
@@ -258,6 +308,41 @@ def rolling_fingerprint_reference(text: str) -> int:
     for ch in canon:
         h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
     return h
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    """`fingerprint` + `rolling_fingerprint` fused into one scan: the
+    whitespace-normalized canonical form (the cross-engine dedup key)
+    and its Rabin-Karp rolling hash. The engine-specific xxhash64 column
+    stays on :func:`fingerprint` (no DuckDB twin)."""
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    fp = F.aggregate(
+        F.split(canon, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * ROLL_BASE + F.ascii(ch), F.lit(ROLL_MOD)),
+    )
+    return documents.select(
+        "doc_id",
+        canon.alias("canonical_text"),
+        fp.alias("rolling_hash"),
+    )
+
+
+def doc_fingerprints_oracle() -> str:
+    return r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS canonical_text,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), list_transform(
+                       string_split_regex(
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''
+                       ),
+                       c -> CAST(ascii(c) AS BIGINT)
+                   )),
+                   (acc, ch) -> (acc * 1000003 + ch) % 2147483647
+               ) AS rolling_hash
+        FROM documents
+    """
 
 
 def word_frequencies(documents: DataFrame, k: int = 50) -> DataFrame:

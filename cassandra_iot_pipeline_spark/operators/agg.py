@@ -132,6 +132,50 @@ def rollup_by_type_oracle() -> str:
     """
 
 
+def event_type_totals(events: DataFrame) -> DataFrame:
+    """A5 + A6 in one plan: per-type aggregates (`rollup_by_type`) plus
+    the grand-total row (`global_count`) via ``rollup(event_type)`` —
+    grouping sets ((event_type), ()), one shuffle, map-side partial
+    aggregation for both levels. The ``event_type IS NULL`` row is the
+    global rollup (fixture values never contain NULL types)."""
+    return (
+        events.rollup(F.col("event_type"))
+        .agg(
+            exact_sum(F.col("value"), 2).alias("sum_units"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count(F.lit(1)).alias("event_count"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .select(
+            "event_type",
+            (F.col("sum_units") / F.lit(100.0)).alias("sum_value"),
+            (F.col("sum_units") / F.lit(100.0) / F.col("event_count")).alias(
+                "avg_value"
+            ),
+            "max_value",
+            "min_value",
+            "event_count",
+            "n_users",
+        )
+    )
+
+
+def event_type_totals_oracle() -> str:
+    return """
+        SELECT
+            event_type,
+            (SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0) AS sum_value,
+            (SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*)) AS avg_value,
+            MAX(value) AS max_value,
+            MIN(value) AS min_value,
+            COUNT(*) AS event_count,
+            COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY ROLLUP(event_type)
+    """
+
+
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over the lineitem fixture —
     the standard multi-aggregate scan exercising partial aggregation,

@@ -136,6 +136,35 @@ def customers_without_orders_oracle() -> str:
     """
 
 
+def customer_order_presence(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi + anti join in one driver-checkable plan: every customer
+    tagged with whether it has orders — the EXISTS branch is the
+    left-semi join, the NOT EXISTS branch the left-anti join, unioned
+    with disjoint tags (so each branch keeps its own join semantics)."""
+    return (
+        customers_with_orders(customer, orders)
+        .select(F.lit(True).alias("has_orders"), "c_custkey", "c_name", "c_mktsegment")
+        .unionByName(
+            customers_without_orders(customer, orders).select(
+                F.lit(False).alias("has_orders"),
+                "c_custkey",
+                "c_name",
+                "c_mktsegment",
+            )
+        )
+    )
+
+
+def customer_order_presence_oracle() -> str:
+    return f"""
+        SELECT TRUE AS has_orders, c_custkey, c_name, c_mktsegment
+        FROM ({customers_with_orders_oracle()})
+        UNION ALL
+        SELECT FALSE AS has_orders, c_custkey, c_name, c_mktsegment
+        FROM ({customers_without_orders_oracle()})
+    """
+
+
 def order_fulfillment(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Left outer join + aggregation: per-order line counts including
     orders with no lineitems (null-preserving side of the join surface)."""

@@ -20,6 +20,37 @@ def _active_users(events: DataFrame, event_type: str) -> DataFrame:
     )
 
 
+def setops_users(events: DataFrame) -> DataFrame:
+    """All three set operators in one driver-checkable plan: the UNION /
+    INTERSECT / EXCEPT branches below, tagged and unioned (UNION ALL of
+    disjointly-tagged rows — no cross-branch dedup, each branch keeps its
+    own set-op semantics)."""
+    return (
+        purchase_or_signup_users(events)
+        .select(F.lit("or").alias("op"), "user_id")
+        .unionByName(
+            purchase_and_error_users(events).select(
+                F.lit("and").alias("op"), "user_id"
+            )
+        )
+        .unionByName(
+            view_not_purchase_users(events).select(
+                F.lit("not").alias("op"), "user_id"
+            )
+        )
+    )
+
+
+def setops_users_oracle() -> str:
+    return f"""
+        SELECT 'or' AS op, user_id FROM ({purchase_or_signup_users_oracle()})
+        UNION ALL
+        SELECT 'and' AS op, user_id FROM ({purchase_and_error_users_oracle()})
+        UNION ALL
+        SELECT 'not' AS op, user_id FROM ({view_not_purchase_users_oracle()})
+    """
+
+
 def purchase_or_signup_users(events: DataFrame) -> DataFrame:
     """UNION DISTINCT of two filtered key sets."""
     return (

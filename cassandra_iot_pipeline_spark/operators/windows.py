@@ -69,6 +69,45 @@ def event_gaps_oracle() -> str:
     """
 
 
+def user_event_metrics(events: DataFrame) -> DataFrame:
+    """`running_user_totals` + `event_gaps` fused into one window chain:
+    row index, exact running value sum, and inter-arrival gap, all over
+    the same (user_id, ts, event_id) ordering — Catalyst plans ONE
+    shuffle + one sort for the three window functions."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    units = F.round(F.col("value") * 100).cast("long")
+    prev_us = F.lag(ts_us).over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.row_number().over(w).alias("seq"),
+        (
+            F.sum(units).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            / F.lit(100.0)
+        ).alias("running_value"),
+        # floor mirrored in the oracle (cast truncation differs across
+        # engines; see event_gaps)
+        F.floor((ts_us - prev_us) / F.lit(1000000)).cast("long").alias("gap_s"),
+    )
+
+
+def user_event_metrics_oracle() -> str:
+    return """
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               ROW_NUMBER() OVER w AS seq,
+               (SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / 100.0) AS running_value,
+               CAST(FLOOR((epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000)
+                   AS BIGINT) AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
 SESSION_GAP_S = 1800  # 30 minutes
 
 

@@ -1,0 +1,132 @@
+"""Oracle parity for library operators NOT in the 50-entry driver
+registry (the round-1 driver caps CORRECTNESS at 50 queries, so
+__spark_entry__.queries() was consolidated — see COVERAGE.md §registry).
+Every un-merged / deregistered form keeps bitwise-oracle coverage here,
+so the consolidation never weakens correctness guarantees."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.functions import multimodal, text
+from cassandra_iot_pipeline_spark.operators import agg, joins, setops, windows
+from cassandra_iot_pipeline_spark.sources import json_decode
+from tests.conftest import SF_DIR
+from tools.oracle_check import compare
+
+# name -> (table, df_fn, oracle_sql)
+LEGACY = {
+    "rollup_by_type": ("events", agg.rollup_by_type, agg.rollup_by_type_oracle()),
+    "global_count": ("events", agg.global_count, agg.global_count_oracle()),
+    "union_users": (
+        "events",
+        setops.purchase_or_signup_users,
+        setops.purchase_or_signup_users_oracle(),
+    ),
+    "intersect_users": (
+        "events",
+        setops.purchase_and_error_users,
+        setops.purchase_and_error_users_oracle(),
+    ),
+    "except_users": (
+        "events",
+        setops.view_not_purchase_users,
+        setops.view_not_purchase_users_oracle(),
+    ),
+    "running_user_totals": (
+        "events",
+        windows.running_user_totals,
+        windows.running_user_totals_oracle(),
+    ),
+    "event_gaps": ("events", windows.event_gaps, windows.event_gaps_oracle()),
+    "sessionize": ("events", windows.sessionize, windows.sessionize_oracle()),
+    "props_bucket_rollup": (
+        "events",
+        json_decode.props_bucket_rollup,
+        json_decode.props_bucket_rollup_oracle(),
+    ),
+    "text_stats": ("documents", text.text_stats, text.text_stats_oracle()),
+    "language_guess": (
+        "documents",
+        text.language_guess,
+        text.language_guess_oracle(),
+    ),
+    "token_counts": ("documents", text.token_counts, text.token_counts_oracle()),
+    "fingerprint": (
+        "documents",
+        lambda df: text.fingerprint(df).drop("content_hash64"),
+        text.fingerprint_oracle(),
+    ),
+    "rolling_fingerprint": (
+        "documents",
+        text.rolling_fingerprint,
+        r"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), list_transform(
+                       string_split_regex(
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''
+                       ),
+                       c -> CAST(ascii(c) AS BIGINT)
+                   )),
+                   (acc, ch) -> (acc * 1000003 + ch) % 2147483647
+               ) AS rolling_hash
+        FROM documents
+        """,
+    ),
+    "media_metadata": (
+        "documents",
+        multimodal.media_metadata,
+        multimodal.media_metadata_oracle(),
+    ),
+    "decode_media": (
+        "documents",
+        multimodal.decode_media,
+        """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+               CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+               'RGB' AS mode
+        FROM documents
+        """,
+    ),
+}
+
+# two-table forms
+LEGACY2 = {
+    "customers_with_orders": (
+        ("customer", "orders"),
+        joins.customers_with_orders,
+        joins.customers_with_orders_oracle(),
+    ),
+    "customers_without_orders": (
+        ("customer", "orders"),
+        joins.customers_without_orders,
+        joins.customers_without_orders_oracle(),
+    ),
+    "forecast_revenue": (
+        ("lineitem",),
+        joins.forecast_revenue,
+        joins.forecast_revenue_oracle(),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(LEGACY))
+def test_legacy_single_table(name, spark, duck):
+    table, fn, oracle = LEGACY[name]
+    spark_pdf = fn(load_table(spark, SF_DIR, table)).toPandas()
+    oracle_pdf = duck.execute(oracle).fetchdf()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(LEGACY2))
+def test_legacy_multi_table(name, spark, duck):
+    tables, fn, oracle = LEGACY2[name]
+    dfs = [load_table(spark, SF_DIR, t) for t in tables]
+    spark_pdf = fn(*dfs).toPandas()
+    oracle_pdf = duck.execute(oracle).fetchdf()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}: {problems}"
