@@ -20,8 +20,53 @@ by the join key removes the shuffle from fact-to-fact joins entirely
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _swap_paths(path: str) -> tuple[str, str]:
+    base = path.rstrip("/")
+    return base + ".compacting", base + ".old"
+
+
+def recover_swap(path: str) -> None:
+    """Crash recovery for the compaction swap (shared by
+    :func:`compact_small_files` and ``ParquetUpsertSink.compact``).
+
+    The swap sequence is: write tmp ('.compacting') -> rename(path, old)
+    -> rename(tmp, path) -> rmtree(old). A crash between the two renames
+    leaves ``path`` missing with the ONLY copies in tmp (complete
+    compacted output — it is always fully written before the first
+    rename) and old (the original). Restore before touching anything:
+    prefer tmp (the finished compaction), fall back to old. Only once
+    ``path`` exists again are leftovers redundant (tmp = partial write
+    from a crash mid-write; old = stale copy from a crash before the
+    final rmtree) and safe to clear."""
+    tmp, old = _swap_paths(path)
+    if not os.path.exists(path):
+        if os.path.exists(tmp):
+            os.rename(tmp, path)
+        elif os.path.exists(old):
+            os.rename(old, path)
+        else:
+            raise FileNotFoundError(
+                f"{path}: dataset missing and no swap leftovers to recover from"
+            )
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+
+def commit_swap(path: str) -> None:
+    """Atomically replace ``path`` with the fully-written '.compacting'
+    copy (two renames + cleanup; crash-recoverable via recover_swap)."""
+    tmp, old = _swap_paths(path)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def write_events_table(events: DataFrame, path: str) -> None:
@@ -66,12 +111,12 @@ def compact_small_files(
     (the engine analogue of the reference's SSTable compaction). Rewrites
     the dataset with AQE-coalesced partitions sized for ``target_file_mb``.
     """
+    recover_swap(path)
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compacting"
+    tmp, _ = _swap_paths(path)
     # Size estimate via file metadata only (driver-side listing, no data
     # movement).
     import glob
-    import os
 
     total = sum(
         os.path.getsize(f)
@@ -79,9 +124,4 @@ def compact_small_files(
     )
     n_files = max(1, total // (target_file_mb * 1024 * 1024))
     df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    old = path.rstrip("/") + ".old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    commit_swap(path)

@@ -87,19 +87,16 @@ class ParquetUpsertSink:
     def compact(self, spark: SparkSession) -> None:
         """Fold the log to one row per PK — the small-files/compaction
         maintenance job (reference's compaction-strategy analogue).
-        Writes to a temp dir then swaps, so a crash never loses data."""
-        import shutil
+        Writes to a temp dir then swaps; recover_swap first RESTORES the
+        table if a prior compaction crashed between its two renames
+        (never deletes the only remaining copy), then clears redundant
+        leftovers."""
+        from ..storage import _swap_paths, commit_swap, recover_swap
 
-        tmp = self.path.rstrip("/") + ".compacting"
-        old = self.path.rstrip("/") + ".old"
-        # clear leftovers of an interrupted previous compaction
-        for leftover in (tmp, old):
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover)
+        recover_swap(self.path)
+        tmp, _ = _swap_paths(self.path)
         reconciled = latest_by_pk(
             spark.read.parquet(self.path), pk=self.pk, version_col="__epoch"
         )
         reconciled.write.mode("overwrite").parquet(tmp)
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old)
+        commit_swap(self.path)

@@ -66,3 +66,74 @@ def test_compact_small_files(spark, tmp_path):
     n_after = len(glob.glob(os.path.join(path, "*.parquet")))
     assert n_after < n_before
     assert spark.read.parquet(path).count() == events.count()
+
+
+def test_recover_swap_restores_between_renames(spark, tmp_path):
+    """Crash between rename(path, old) and rename(tmp, path): the table
+    exists only as '.compacting' (complete) + '.old' (original). A
+    naive leftover-clear would delete BOTH copies — recover_swap must
+    restore the compacted copy instead."""
+    nation = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "tbl")
+    nation.write.parquet(path)
+    n = nation.count()
+    # simulate the mid-swap crash state
+    nation.coalesce(1).write.parquet(path + ".compacting")
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+    storage.recover_swap(path)
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".compacting")
+    assert not os.path.exists(path + ".old")
+    assert spark.read.parquet(path).count() == n
+
+
+def test_recover_swap_restores_from_old_only(spark, tmp_path):
+    """Crash right after rename(path, old), before tmp existed as a
+    complete copy at the swap point (or tmp already consumed): restore
+    the original from '.old'."""
+    nation = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "tbl")
+    nation.write.parquet(path)
+    n = nation.count()
+    os.rename(path, path + ".old")
+    storage.recover_swap(path)
+    assert spark.read.parquet(path).count() == n
+
+
+def test_recover_swap_clears_stale_leftovers_when_table_present(spark, tmp_path):
+    """Stale '.old'/'.compacting' from an interrupted run must not make
+    the next compaction fail (ENOTEMPTY on rename) — and the live table
+    is never touched."""
+    events = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "frag")
+    events.repartition(8).write.parquet(path)
+    n = events.count()
+    # stale leftovers: partial tmp write + stale old copy
+    os.makedirs(path + ".compacting")
+    events.limit(5).write.mode("overwrite").parquet(path + ".old")
+    storage.compact_small_files(spark, path, target_file_mb=128)
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(path + ".compacting")
+    assert not os.path.exists(path + ".old")
+
+
+def test_sink_compact_recovers_after_simulated_crash(spark, tmp_path):
+    """ParquetUpsertSink.compact on the same crash state: data survives
+    and reconciliation still holds."""
+    from cassandra_iot_pipeline_spark.streaming.sinks import ParquetUpsertSink
+
+    events = load_table(spark, SF_DIR, "events").limit(100)
+    path = str(tmp_path / "sink_tbl")
+    sink = ParquetUpsertSink(path, pk=["event_id"])
+    sink.write_batch(events, epoch_id=0)
+    sink.write_batch(events, epoch_id=1)  # duplicate rows, higher epoch
+    n = sink.read(spark).count()
+    # simulate crash between the two renames of a previous compact()
+    sink.read(spark).withColumn("__epoch", F.lit(1)).write.parquet(
+        path + ".compacting"
+    )
+    os.rename(path, path + ".old")
+    sink.compact(spark)
+    assert sink.read(spark).count() == n
+    assert not os.path.exists(path + ".old")
