@@ -228,6 +228,182 @@ def lsh_bucketed_ann(
     )
 
 
+def gemm_self_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Exact all-pairs cosine top-k over a set of integer-quantized
+    vectors (``vec_col``: array<long>), GEMM-tiled.
+
+    Rows group into blocks of ``block_size``; unordered block pairs
+    cross-join (upper triangle, small side broadcast) and each pair runs
+    ONE dense numpy matmul emitting per-row top-k candidates in BOTH
+    directions; a final window keeps the global top-k. Bit-exact (the
+    embedding_near_dups argument: integer-valued float64 products and
+    sums stay below 2^53, so any summation order gives the same dots;
+    the normalization is the same IEEE op sequence as the oracle).
+
+    Scale: this is the exact tier — O((n/b)^2) block pairs. Intended for
+    n up to ~10^5 (the payload replicates once per block, ~b copies);
+    larger fleets route through :func:`lsh_self_topk`.
+    """
+    import numpy as np
+
+    # deterministic dense block ids: row_number over id order, div
+    # block_size (a single-partition sort — bounded by the exact-tier
+    # fleet cap, so the driver never sees the payload and the sort is
+    # tens of MB at most)
+    w_all = Window.orderBy("sid")
+    base = (
+        vectors.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+        .withColumn("rn", F.row_number().over(w_all) - 1)
+        .withColumn("block", F.expr(f"rn DIV {block_size}"))
+        .drop("rn")
+    )
+    grouped = base.groupBy("block").agg(
+        F.collect_list(F.struct("sid", "sv")).alias("rows")
+    )
+    pairs = (
+        grouped.alias("a")
+        .join(F.broadcast(grouped.alias("b")), F.col("a.block") <= F.col("b.block"))
+        .select(
+            F.col("a.block").alias("block_a"),
+            F.col("b.block").alias("block_b"),
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.rows").alias("rows_b"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def topk_directed(ids_a, qa, na, ids_b, qb, nb, same_block):
+        """Per-row-of-a local top-k against block b. Returns index pairs."""
+        dots = qa @ qb.T
+        cos = dots / (na[:, None] * nb[None, :])
+        if same_block:
+            np.fill_diagonal(cos, -np.inf)
+        # per row: order by (-cos, id_b) and keep k
+        order = np.lexsort((ids_b[None, :].repeat(len(ids_a), 0), -cos), axis=1)
+        keep = order[:, : min(k, cos.shape[1])]
+        ia = np.repeat(np.arange(len(ids_a)), keep.shape[1])
+        ib = keep.ravel()
+        mask = np.isfinite(cos[ia, ib])
+        return ia[mask], ib[mask], cos[ia[mask], ib[mask]]
+
+    def block_topk(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for block_a, block_b, rows_a, rows_b in zip(
+                pdf["block_a"], pdf["block_b"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a = np.array([r["sid"] for r in rows_a], dtype=np.int64)
+                ids_b = np.array([r["sid"] for r in rows_b], dtype=np.int64)
+                qa = np.array([r["sv"] for r in rows_a], dtype=np.float64)
+                qb = np.array([r["sv"] for r in rows_b], dtype=np.float64)
+                na = np.sqrt((qa * qa).sum(axis=1))
+                nb = np.sqrt((qb * qb).sum(axis=1))
+                same = block_a == block_b
+                ia, ib, c = topk_directed(ids_a, qa, na, ids_b, qb, nb, same)
+                out_a.extend(ids_a[ia])
+                out_b.extend(ids_b[ib])
+                out_c.extend(c)
+                if not same:  # reverse direction: b's candidates from a
+                    ib2, ia2, c2 = topk_directed(
+                        ids_b, qb, nb, ids_a, qa, na, False
+                    )
+                    out_a.extend(ids_b[ib2])
+                    out_b.extend(ids_a[ia2])
+                    out_c.extend(c2)
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    partial = pairs.mapInPandas(block_topk, schema=out_schema)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", "cosine", "rank")
+    )
+
+
+def lsh_self_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dims: int,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Approximate all-pairs cosine top-k (every row is both query and
+    candidate) via sign-bit LSH — the fleet-scale tier of
+    :func:`gemm_self_topk`. Bucket join on (table, signature), exact
+    quantized-cosine re-rank inside candidate pairs only. Shuffles
+    8-byte signatures, not payloads; candidate volume is sub-quadratic
+    for clustered inputs. Recall < 1 by design (pinned by tests)."""
+    sig_type = T.ArrayType(T.LongType())
+
+    @F.pandas_udf(sig_type)
+    def signatures(vec: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = _plane_matrix(n_tables, n_planes, dims)
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        proj = np.einsum("tpd,bd->btp", planes, mat) >= 0
+        weights = 1 << np.arange(n_planes)
+        packed = (proj * weights).sum(axis=2)
+        return pd.Series([row.astype("int64") for row in packed])
+
+    base = vectors.select(
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("sv"),
+        signatures(F.col(vec_col)).alias("sigs"),
+    ).withColumn("n2", _dot(F.col("sv"), F.col("sv")))
+    tabled = base.select(
+        "sid", "sv", "n2", F.posexplode(F.col("sigs")).alias("tbl", "sig")
+    )
+    a = tabled.select(
+        F.col("sid").alias("id_a"),
+        F.col("sv").alias("va"),
+        F.col("n2").alias("na"),
+        "tbl",
+        "sig",
+    )
+    b = tabled.select(
+        F.col("sid").alias("id_b"),
+        F.col("sv").alias("vb"),
+        F.col("n2").alias("nb"),
+        "tbl",
+        "sig",
+    )
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    scored = cand.select("id_a", "id_b", cos.alias("cosine"))
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", "cosine", "rank")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame, threshold: float = 0.9, block_size: int = 1024
 ) -> DataFrame:

@@ -50,10 +50,53 @@ def device_profiles(events: DataFrame) -> DataFrame:
     return by_user.select("user_id", profile.alias("profile"))
 
 
-def similar_devices(events: DataFrame, k: int = 3) -> DataFrame:
+#: exact-tier fleet cap: below this the GEMM-tiled all-pairs runs (a
+#: 64k x 24 profile matrix is ~12 MB — trivially exact); above it the
+#: LSH-bucketed candidate path takes over (sub-quadratic, recall < 1,
+#: pinned by tests).
+EXACT_FLEET_CAP = 65_536
+
+
+def similar_devices(
+    events: DataFrame, k: int = 3, exact_fleet_cap: int = EXACT_FLEET_CAP
+) -> DataFrame:
     """Top-k most similar devices per device by hour-of-day profile
-    cosine. Self-join over the (small) profile table; at fleet scale the
-    LSH/IVF paths of functions/similarity.py apply unchanged."""
+    cosine — tier-routed for fleet scale:
+
+    - fleet <= ``exact_fleet_cap``: exact GEMM-tiled all-pairs
+      (:func:`~..functions.similarity.gemm_self_topk`) — bit-identical
+      to the all-pairs oracle, one dense matmul per block pair instead
+      of the BroadcastNestedLoopJoin the naive ``!=`` join plans.
+    - larger fleets: sign-bit LSH bucketed candidates + exact re-rank
+      (:func:`~..functions.similarity.lsh_self_topk`) — shuffles 8-byte
+      signatures, sub-quadratic candidates, approximate recall.
+
+    The routing probe is one ``approx_count_distinct`` over the pruned
+    ``user_id`` column (a single narrow scan, no shuffle of payloads).
+    """
+    from ..functions.similarity import gemm_self_topk, lsh_self_topk
+
+    profiles = device_profiles(events)
+    fleet = events.agg(
+        F.approx_count_distinct("user_id").alias("n")
+    ).first()["n"]
+    if fleet <= exact_fleet_cap:
+        ranked = gemm_self_topk(profiles, "user_id", "profile", k)
+    else:
+        ranked = lsh_self_topk(profiles, "user_id", "profile", k, dims=24)
+    return ranked.select(
+        F.col("id_a").alias("device_a"),
+        F.col("id_b").alias("device_b"),
+        "cosine",
+        "rank",
+    )
+
+
+def similar_devices_allpairs(events: DataFrame, k: int = 3) -> DataFrame:
+    """The naive all-pairs form (non-equi self-join -> per-pair Catalyst
+    fold): kept as the independent oracle tier — tests assert
+    :func:`similar_devices` equals this bit-for-bit on fixture fleets.
+    Not a scale path (BroadcastNestedLoopJoin, quadratic)."""
     profiles = device_profiles(events)
 
     def dot(a, b):
