@@ -5,14 +5,18 @@ The reference's events travel as Confluent-framed Avro: a 5-byte header
 binary body (reference: iot-cassandra-pipeline/src/producer.py:74-82;
 spark_consumer.py:104-120; docs/data-contracts.md:122-126).
 
-The runtime image carries no spark-avro jar, so instead of
-``pyspark.sql.avro.functions.from_avro`` this module ships a
-self-contained pure-Python Avro *binary* codec for the SensorEvent
-record (zigzag varints, length-prefixed UTF-8 strings, little-endian
-floats, union index bytes — the Avro 1.x binary encoding spec) applied
-via ``mapInPandas``: Arrow-batched, one Python call per record *batch*,
-never per row via Py4J. If a spark-avro jar is on the classpath,
-``decode_sensor_events`` uses the native ``from_avro`` path instead.
+``decode_sensor_events`` picks the decode engine at plan time:
+when the spark-avro package is on the JVM classpath (checked once via
+``spark_avro_available``), it uses native ``from_avro`` — the
+production ingest path (reference: spark_consumer.py:117-120), fully
+codegen'd, no Python workers. This runtime image carries no spark-avro
+jar, so the tested fallback is a self-contained pure-Python Avro
+*binary* codec for the SensorEvent record (zigzag varints,
+length-prefixed UTF-8 strings, little-endian floats, union index bytes
+— the Avro 1.x binary encoding spec) applied via ``mapInPandas``:
+Arrow-batched, one Python call per record *batch*, never per row via
+Py4J. Every read is bounds-checked and the Confluent magic byte is
+validated at the header strip.
 
 Scale note: decode is embarrassingly parallel (narrow, per-partition);
 the Pandas-batched Python path costs ~one deserialization per record
@@ -29,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..schemas import SENSOR_EVENT_SCHEMA
+from ..schemas import SENSOR_EVENT_AVRO, SENSOR_EVENT_SCHEMA
 from .projections import strip_confluent_header
 
 CONFLUENT_MAGIC = b"\x00"
@@ -54,7 +58,12 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
     shift = 0
     acc = 0
     while True:
-        byte = buf.read(1)[0]
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint (buffer exhausted)")
+        if shift > 63:
+            raise ValueError("varint longer than 64 bits")
+        byte = b[0]
         acc |= (byte & 0x7F) << shift
         if not byte & 0x80:
             break
@@ -67,9 +76,18 @@ def _write_string(s: str) -> bytes:
     return _zigzag_encode(len(raw)) + raw
 
 
+def _read_exact(buf: io.BytesIO, n: int, what: str) -> bytes:
+    raw = buf.read(n)
+    if len(raw) < n:
+        raise EOFError(f"truncated {what}: wanted {n} bytes, got {len(raw)}")
+    return raw
+
+
 def _read_string(buf: io.BytesIO) -> str:
     n = _zigzag_decode(buf)
-    return buf.read(n).decode("utf-8")
+    if n < 0:
+        raise ValueError(f"negative string length {n}")
+    return _read_exact(buf, n, "string").decode("utf-8")
 
 
 def _write_nullable_string(s: str | None) -> bytes:
@@ -80,6 +98,8 @@ def _write_nullable_string(s: str | None) -> bytes:
 
 def _read_nullable_string(buf: io.BytesIO) -> str | None:
     branch = _zigzag_decode(buf)
+    if branch not in (0, 1):
+        raise ValueError(f"invalid union branch index {branch}")
     return None if branch == 0 else _read_string(buf)
 
 
@@ -111,29 +131,68 @@ def encode_sensor_event(
 
 def decode_sensor_event_body(payload: bytes) -> tuple:
     """Decode one Avro body (header already stripped) to a tuple in
-    SENSOR_EVENT_SCHEMA field order."""
+    SENSOR_EVENT_SCHEMA field order. Every read is bounds-checked: a
+    truncated or corrupt body raises a descriptive ValueError (not an
+    opaque IndexError from deep inside the codec)."""
     buf = io.BytesIO(payload)
-    device_id = _read_string(buf)
-    device_name = _read_nullable_string(buf)
-    timestamp = _zigzag_decode(buf)
-    temperature = struct.unpack("<f", buf.read(4))[0]
-    humidity = struct.unpack("<f", buf.read(4))[0]
-    location = _read_nullable_string(buf)
+    try:
+        device_id = _read_string(buf)
+        device_name = _read_nullable_string(buf)
+        timestamp = _zigzag_decode(buf)
+        temperature = struct.unpack("<f", _read_exact(buf, 4, "float"))[0]
+        humidity = struct.unpack("<f", _read_exact(buf, 4, "float"))[0]
+        location = _read_nullable_string(buf)
+    except (EOFError, ValueError, UnicodeDecodeError) as exc:
+        raise ValueError(
+            f"malformed Avro SensorEvent body at offset {buf.tell()} "
+            f"(len {len(payload)}): {exc}"
+        ) from exc
     return (device_id, device_name, timestamp, temperature, humidity, location)
 
 
-def decode_sensor_events(frames: DataFrame, value_col: str = "value") -> DataFrame:
-    """P1+P2+P3: strip the Confluent header, decode Avro, flatten to
-    top-level columns — the reference's full decode chain
-    (reference: iot-cassandra-pipeline/src/spark_consumer.py:115-122).
+_SPARK_AVRO_AVAILABLE: bool | None = None
 
-    Input: a DataFrame with a binary ``value_col`` (Kafka-style frames).
-    Output: columns of SENSOR_EVENT_SCHEMA.
-    """
-    stripped = frames.select(
-        strip_confluent_header(F.col(value_col)).alias("body")
-    )
 
+def spark_avro_available(spark) -> bool:
+    """True when the spark-avro module (the external
+    ``org.apache.spark:spark-avro`` package the reference loads at
+    ``spark_consumer.py:66-68``) is on the JVM classpath. Checked once
+    per process by analyzing a tiny ``from_avro`` plan — the Python
+    wrapper always imports; only plan analysis touches the JVM class."""
+    global _SPARK_AVRO_AVAILABLE
+    if _SPARK_AVRO_AVAILABLE is None:
+        try:
+            from pyspark.sql.avro.functions import from_avro
+
+            probe = spark.range(1).select(
+                from_avro(
+                    F.lit(None).cast("binary"), SENSOR_EVENT_AVRO
+                ).alias("r")
+            )
+            probe.schema  # forces analysis -> resolves the Avro classes
+            _SPARK_AVRO_AVAILABLE = True
+        except Exception:
+            _SPARK_AVRO_AVAILABLE = False
+    return _SPARK_AVRO_AVAILABLE
+
+
+def _native_decode(stripped: DataFrame) -> DataFrame:
+    """JVM ``from_avro`` decode (reference: spark_consumer.py:117-120) —
+    the production path: whole-stage codegen'd, no Python workers on the
+    ingest hot path. FAILFAST surfaces malformed bodies like the Python
+    codec's bounds checks do."""
+    from pyspark.sql.avro.functions import from_avro
+
+    return stripped.select(
+        from_avro(
+            F.col("body"), SENSOR_EVENT_AVRO, {"mode": "FAILFAST"}
+        ).alias("data")
+    ).select("data.*")
+
+
+def _python_decode(stripped: DataFrame) -> DataFrame:
+    """Pure-Python Arrow-batched codec — the in-sandbox fallback (no
+    spark-avro jar in this runtime)."""
     cols = [f.name for f in SENSOR_EVENT_SCHEMA.fields]
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,6 +201,29 @@ def decode_sensor_events(frames: DataFrame, value_col: str = "value") -> DataFra
             yield pd.DataFrame(rows, columns=cols)
 
     return stripped.mapInPandas(decode_batches, schema=SENSOR_EVENT_SCHEMA)
+
+
+def decode_sensor_events(
+    frames: DataFrame, value_col: str = "value", use_native: bool | None = None
+) -> DataFrame:
+    """P1+P2+P3: strip the Confluent header (validated — bad magic or a
+    short frame raises, not garbage), decode Avro, flatten to top-level
+    columns — the reference's full decode chain
+    (reference: iot-cassandra-pipeline/src/spark_consumer.py:115-122).
+
+    ``use_native=None`` auto-detects: JVM ``from_avro`` when the
+    spark-avro package is present (the 100 TB ingest path — per-record
+    Python decode would bottleneck there), else the Arrow-batched
+    pure-Python codec. Both paths produce SENSOR_EVENT_SCHEMA.
+
+    Input: a DataFrame with a binary ``value_col`` (Kafka-style frames).
+    """
+    stripped = frames.select(
+        strip_confluent_header(F.col(value_col)).alias("body")
+    )
+    if use_native is None:
+        use_native = spark_avro_available(frames.sparkSession)
+    return _native_decode(stripped) if use_native else _python_decode(stripped)
 
 
 # --- fixture round trip -------------------------------------------------------

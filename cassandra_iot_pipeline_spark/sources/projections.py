@@ -19,12 +19,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def strip_confluent_header(value: Column) -> Column:
+def strip_confluent_header(value: Column, validate: bool = True) -> Column:
     """P1: drop the 5-byte Confluent wire header (magic byte + schema id)
     from a binary Kafka value (reference:
     iot-cassandra-pipeline/src/spark_consumer.py:118 — which uses a magic
-    100_000 upper bound; length-based slicing is exact)."""
-    return value.substr(F.lit(6), F.length(value) - F.lit(5))
+    100_000 upper bound; length-based slicing is exact).
+
+    ``validate`` (default on) checks the frame is long enough and starts
+    with the Confluent magic byte 0x00, failing the task with a
+    descriptive error instead of letting a truncated or non-Confluent
+    frame decode to garbage downstream. Pure Catalyst (`raise_error`),
+    still whole-stage codegen'd."""
+    body = value.substr(F.lit(6), F.length(value) - F.lit(5))
+    if not validate:
+        return body
+    return (
+        F.when(F.length(value) < 6, _frame_error(value, "frame shorter than 6 bytes"))
+        .when(
+            value.substr(1, 1) != F.lit(b"\x00"),
+            _frame_error(value, "bad Confluent magic byte (expected 0x00)"),
+        )
+        .otherwise(body)
+    )
+
+
+def _frame_error(value: Column, message: str) -> Column:
+    # raise_error returns NULL-typed; cast keeps the branch type binary
+    return F.raise_error(
+        F.concat(
+            F.lit(f"malformed Confluent frame: {message}; frame hex="),
+            F.hex(value.substr(1, 16)),
+        )
+    ).cast("binary")
 
 
 def epoch_millis_to_timestamp(epoch_ms: Column) -> Column:
