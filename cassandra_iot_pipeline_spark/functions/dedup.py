@@ -73,20 +73,66 @@ def exact_dedup_oracle() -> str:
 # --- blocked exact Jaccard ----------------------------------------------------
 
 
-def blocked_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact token-set Jaccard within (lang, source) blocks.
+#: cutover rule for the exact tier: a (lang, source) block larger than
+#: this cap makes the in-block quadratic scan the dominant cost (cap^2
+#: comparisons ~ 1e8 at 10k) — beyond it, minhash_lsh_pairs is the
+#: correct tier (near-linear, the Broder web-dedup design). The guard
+#: fails fast with that instruction instead of silently running an
+#: O(block^2) plan at corpus scale.
+MAX_JACCARD_BLOCK = 10_000
+
+
+def blocked_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_block_size: int = MAX_JACCARD_BLOCK,
+) -> DataFrame:
+    """Exact token-set Jaccard within (lang, source) blocks — the exact
+    tier of the near-dup suite (MinHash-LSH is the scale tier).
 
     Blocking makes the quadratic candidate set tractable (only documents
     sharing a block are compared); inside a block the comparison is a
     self-join + array_intersect/array_union — all Catalyst, and exactly
     mirrored by the DuckDB oracle. jaccard = |∩| / |∪| is one exact
-    integer division (deterministic)."""
+    integer division (deterministic).
+
+    Guard: any block exceeding ``max_block_size`` fails the job with a
+    descriptive error naming the block and the MinHash cutover (in-plan
+    ``raise_error`` on a broadcast block-size join — no extra shuffle of
+    the token payloads, and no effect on results when all blocks fit)."""
     docs = documents.select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(tokens(F.col("text"))).alias("tok"),
     )
+    if max_block_size is not None:
+        sizes = documents.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("block_n")
+        )
+        guard = F.when(
+            F.col("block_n") > max_block_size,
+            F.raise_error(
+                F.concat(
+                    F.lit("blocked_jaccard_pairs: block (lang="),
+                    F.col("lang"),
+                    F.lit(", source="),
+                    F.col("source"),
+                    F.lit(") has "),
+                    F.col("block_n").cast("string"),
+                    F.lit(
+                        f" docs > cap {max_block_size}; the in-block scan is "
+                        "quadratic — use minhash_lsh_pairs for this corpus "
+                        "or raise max_block_size explicitly"
+                    ),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+        docs = (
+            docs.join(F.broadcast(sizes), ["lang", "source"])
+            .filter(guard)
+            .drop("block_n")
+        )
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))

@@ -404,44 +404,159 @@ def lsh_self_topk(
     )
 
 
+#: float-error safety margin for the block-pair angular bound: the bound
+#: arithmetic (normalize, acos, cos) accrues < 1e-12 of rounding in
+#: 64-dim; 1e-6 is a million-fold margin that still prunes effectively.
+_BOUND_MARGIN = 1e-6
+
+
+def _blocked_vectors(
+    embeddings: DataFrame, block_size: int, sort_by_signature: bool
+) -> DataFrame:
+    """(block, rows, centroid, radius): vectors grouped into GEMM tiles
+    with an exact per-block angular summary.
+
+    ``sort_by_signature`` assigns blocks by a coarse 16-bit sign-LSH
+    signature order so angularly-close vectors share a block — that is
+    what makes the centroid-bound prefilter bite on clustered corpora.
+    (The global row_number sort is the simple form; at 100 TB replace
+    with a range-partitioned zipWithIndex — same block semantics.)"""
+    import numpy as np
+
+    sig_type = T.LongType()
+
+    @F.pandas_udf(sig_type)
+    def signature16(emb: pd.Series) -> pd.Series:
+        planes = _plane_matrix(1, 16, 64)[0]  # (16, dims)
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (mat @ planes.T) >= 0
+        return pd.Series((bits * (1 << np.arange(16))).sum(axis=1).astype("int64"))
+
+    base = embeddings.select(
+        "vec_id",
+        _quantized(F.col("embedding")).alias("q"),
+        signature16(F.col("embedding")).alias("sig"),
+    )
+    order = ("sig", "vec_id") if sort_by_signature else ("vec_id",)
+    w = Window.orderBy(*order)
+    blocked = (
+        base.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("block", F.expr(f"rn DIV {block_size}"))
+        .drop("rn", "sig")
+    )
+    grouped = blocked.groupBy("block").agg(
+        F.collect_list(F.struct("vec_id", "q")).alias("rows")
+    )
+
+    summary_schema = T.StructType(
+        [
+            T.StructField("block", T.LongType()),
+            T.StructField("rows", grouped.schema["rows"].dataType),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+            T.StructField("radius", T.DoubleType()),
+        ]
+    )
+
+    def summarize(batches):
+        for pdf in batches:
+            cents, radii = [], []
+            for rows in pdf["rows"]:
+                q = np.array([r["q"] for r in rows], dtype=np.float64)
+                unit = q / np.linalg.norm(q, axis=1, keepdims=True)
+                c = unit.mean(axis=0)
+                cn = np.linalg.norm(c)
+                if cn == 0.0:  # degenerate: antipodal block — no pruning
+                    cents.append(np.zeros(q.shape[1]))
+                    radii.append(np.pi)
+                    continue
+                c = c / cn
+                cosines = np.clip(unit @ c, -1.0, 1.0)
+                cents.append(c)
+                radii.append(float(np.arccos(cosines).max()))
+            yield pd.DataFrame(
+                {
+                    "block": pdf["block"],
+                    "rows": pdf["rows"],
+                    "centroid": cents,
+                    "radius": radii,
+                }
+            )
+
+    return grouped.mapInPandas(summarize, schema=summary_schema)
+
+
+def candidate_block_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    block_size: int = 1024,
+    sort_by_signature: bool = True,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Block pairs that can possibly contain a cosine >= threshold pair.
+
+    Sound pruning (never drops a qualifying pair): for blocks A, B with
+    centroid angle θ and angular radii r_A, r_B, every cross pair has
+    angle >= θ - r_A - r_B (spherical triangle inequality), so the pair
+    is skipped only when cos(max(θ - r_A - r_B, 0)) < threshold minus a
+    float-safety margin. Exactness of the final result is therefore
+    independent of the prefilter; only the fan-out shrinks."""
+    blocks = _blocked_vectors(embeddings, block_size, sort_by_signature)
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.block") <= F.col("b.block"))
+    if prefilter:
+        dot_c = F.aggregate(
+            F.zip_with(F.col("a.centroid"), F.col("b.centroid"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        theta = F.acos(F.least(F.greatest(dot_c, F.lit(-1.0)), F.lit(1.0)))
+        gap = F.greatest(
+            theta - F.col("a.radius") - F.col("b.radius"), F.lit(0.0)
+        )
+        upper = F.cos(gap)
+        pairs = pairs.filter(upper >= F.lit(threshold - _BOUND_MARGIN))
+    return pairs.select(
+        F.col("a.block").alias("block_a"),
+        F.col("b.block").alias("block_b"),
+        F.col("a.rows").alias("rows_a"),
+        F.col("b.rows").alias("rows_b"),
+    )
+
+
 def embedding_near_dups(
-    embeddings: DataFrame, threshold: float = 0.9, block_size: int = 1024
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    block_size: int = 1024,
+    sort_by_signature: bool = True,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector tier of the
     dedup suite (text tiers live in functions/dedup.py).
 
-    Block-tiled all-pairs: vectors are grouped into blocks of
-    ``block_size``; block pairs cross-join (upper triangle) and each
-    pair computes a dense numpy matmul inside mapInPandas. This is the
-    GEMM-tiled design that scales — per-pair Catalyst fold expressions
-    were measured 20x slower at sf0.1, and at cluster scale block pairs
-    distribute evenly across executors.
+    Block-tiled exact search with a sound angular prefilter: vectors
+    group into signature-sorted blocks of ``block_size``; block pairs
+    that provably cannot reach ``threshold`` are pruned by the
+    centroid/radius bound (:func:`candidate_block_pairs` — triangle
+    inequality, never a false dismissal); surviving pairs compute one
+    dense numpy matmul each inside mapInPandas. On clustered corpora
+    the surviving-pair count approaches linear in blocks; on adversarial
+    (uniform) corpora it degrades gracefully to all pairs — still the
+    GEMM-tiled design, never per-pair Catalyst folds (measured 20x
+    slower at sf0.1).
 
-    Still bit-exact vs the DuckDB oracle: quantized integer components
-    make every dot product an exactly-representable integer in float64
-    (sums of integers < 2^53 are exact in ANY summation order, so BLAS
-    reordering cannot change the result), and the cosine normalization
-    is the same IEEE op sequence both engines use.
+    Bit-exact vs the DuckDB oracle regardless of the prefilter:
+    quantized integer components make every dot product an
+    exactly-representable integer in float64 (sums of integers < 2^53
+    are exact in ANY summation order, so BLAS reordering cannot change
+    the result), and the cosine normalization is the same IEEE op
+    sequence both engines use.
     """
     import numpy as np
 
-    from pyspark.sql import types as T
-
-    base = (
-        embeddings.select("vec_id", _quantized(F.col("embedding")).alias("q"))
-        .withColumn("block", F.expr(f"vec_id DIV {block_size}"))
-    )
-    grouped = base.groupBy("block").agg(
-        F.collect_list(F.struct("vec_id", "q")).alias("rows")
-    )
-    pairs = (
-        grouped.alias("a")
-        .join(grouped.alias("b"), F.col("a.block") <= F.col("b.block"))
-        .select(
-            F.col("a.rows").alias("rows_a"),
-            F.col("b.rows").alias("rows_b"),
-        )
-    )
+    pairs = candidate_block_pairs(
+        embeddings, threshold, block_size, sort_by_signature, prefilter
+    ).select("block_a", "block_b", "rows_a", "rows_b")
     out_schema = T.StructType(
         [
             T.StructField("vec_a", T.LongType()),
@@ -453,7 +568,9 @@ def embedding_near_dups(
     def block_matmul(batches):
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
-            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+            for block_a, block_b, rows_a, rows_b in zip(
+                pdf["block_a"], pdf["block_b"], pdf["rows_a"], pdf["rows_b"]
+            ):
                 ids_a = np.array([r["vec_id"] for r in rows_a], dtype=np.int64)
                 ids_b = np.array([r["vec_id"] for r in rows_b], dtype=np.int64)
                 qa = np.array([r["q"] for r in rows_a], dtype=np.float64)
@@ -462,11 +579,20 @@ def embedding_near_dups(
                 na = np.sqrt((qa * qa).sum(axis=1))
                 nb = np.sqrt((qb * qb).sum(axis=1))
                 cos = dots / (na[:, None] * nb[None, :])
-                ia, ib = np.where(
-                    (ids_a[:, None] < ids_b[None, :]) & (cos >= threshold)
-                )
-                out_a.extend(ids_a[ia])
-                out_b.extend(ids_b[ib])
+                # signature-sorted blocks no longer order ids across
+                # blocks: emit each unordered pair once, normalized to
+                # (min, max). Same-block pairs use the strict upper
+                # triangle; cross-block pairs appear in exactly one
+                # block pair, any id order.
+                if block_a == block_b:
+                    keep = ids_a[:, None] < ids_b[None, :]
+                else:
+                    keep = np.ones_like(cos, dtype=bool)
+                ia, ib = np.where(keep & (cos >= threshold))
+                lo = np.minimum(ids_a[ia], ids_b[ib])
+                hi = np.maximum(ids_a[ia], ids_b[ib])
+                out_a.extend(lo)
+                out_b.extend(hi)
                 out_c.extend(cos[ia, ib])
             yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
 

@@ -306,3 +306,79 @@ def test_asof_join_boundaries(spark):
         ).collect()
     }
     assert got == {10: 100.0, 11: None, 12: 102.0}
+
+
+# --- embedding near-dup prefilter --------------------------------------------
+
+
+def test_near_dup_prefilter_is_sound_on_fixtures(spark, embeddings):
+    """The centroid-bound prefilter + signature-sorted blocks must not
+    change the result set at all (sound pruning)."""
+    import pandas as pd
+
+    on = (
+        similarity.embedding_near_dups(embeddings, 0.3, block_size=64)
+        .toPandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    off = (
+        similarity.embedding_near_dups(
+            embeddings, 0.3, block_size=64, prefilter=False, sort_by_signature=False
+        )
+        .toPandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(on, off)
+
+
+def test_near_dup_prefilter_prunes_clustered_corpus(spark):
+    """On a clustered corpus the angular bound must prune block pairs
+    (and still return the identical pair set)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 64)) * 10
+    vecs = [
+        (
+            i,
+            (centers[i % 8] + rng.standard_normal(64) * 0.05)
+            .astype("float32")
+            .tolist(),
+        )
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    total = similarity.candidate_block_pairs(
+        df, 0.9, block_size=64, prefilter=False
+    ).count()
+    kept = similarity.candidate_block_pairs(
+        df, 0.9, block_size=64, prefilter=True
+    ).count()
+    assert kept < total, f"prefilter pruned nothing ({kept} of {total})"
+    on = (
+        similarity.embedding_near_dups(df, 0.9, block_size=64)
+        .toPandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    off = (
+        similarity.embedding_near_dups(
+            df, 0.9, block_size=64, prefilter=False, sort_by_signature=False
+        )
+        .toPandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(on, off)
+
+
+def test_blocked_jaccard_guard_trips_on_oversized_block(spark):
+    rows = [(i, "en", "web", f"document number {i} common words") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    with pytest.raises(Exception, match="minhash_lsh_pairs"):
+        dedup.blocked_jaccard_pairs(df, 0.1, max_block_size=10).collect()
+    # within the cap the guard is inert
+    assert dedup.blocked_jaccard_pairs(df, 0.1, max_block_size=100).count() > 0
