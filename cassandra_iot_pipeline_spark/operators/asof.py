@@ -34,13 +34,24 @@ def asof_join(
     payload_cols: list[str],
 ) -> DataFrame:
     """Generic as-of join (left rows enriched with latest right payload
-    at or before their time). Output: all left columns + payload_cols."""
+    at or before their time). Output: all left columns + payload_cols.
+
+    All payload columns travel as ONE struct through the
+    ``last(ignorenulls)`` fill, so every output row's payload comes from
+    the same (latest) right row — a right row whose payload column is
+    legitimately NULL keeps that NULL instead of inheriting the value
+    from an older right row (which per-column fills would mix)."""
+    from pyspark.sql import types as T
+
+    payload_type = T.StructType([
+        T.StructField(c, right.schema[c].dataType, True) for c in payload_cols
+    ])
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+        F.lit(None).cast(payload_type).alias("__payload"),
     )
     r_tag = right.select(
         F.col(key).alias("__k"),
@@ -49,7 +60,9 @@ def asof_join(
         F.lit(None)
         .cast(l_tag.schema["__left"].dataType)
         .alias("__left"),
-        *[F.col(c) for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).cast(payload_type).alias(
+            "__payload"
+        ),
     )
     # right rows sort before left rows at identical times (tag 0 < 1),
     # so a right row AT the left timestamp is visible to it (<=).
@@ -62,14 +75,11 @@ def asof_join(
     filled = unioned.select(
         "__is_left",
         "__left",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        F.last(F.col("__payload"), ignorenulls=True).over(w).alias("__payload"),
     )
     return filled.filter(F.col("__is_left") == 1).select(
         *[F.col("__left").getField(c).alias(c) for c in left.columns],
-        *payload_cols,
+        *[F.col("__payload").getField(c).alias(c) for c in payload_cols],
     )
 
 

@@ -382,3 +382,26 @@ def test_blocked_jaccard_guard_trips_on_oversized_block(spark):
         dedup.blocked_jaccard_pairs(df, 0.1, max_block_size=10).collect()
     # within the cap the guard is inert
     assert dedup.blocked_jaccard_pairs(df, 0.1, max_block_size=100).count() > 0
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """A right row with a legitimately NULL payload column must win
+    as-is: its NULL is the answer, not the older row's value — all
+    payload columns must come from the SAME (latest) right row."""
+    from cassandra_iot_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 30)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, 7, "old"), (100, 20, None, "new")],
+        "user_id long, odate long, price int, status string",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_time="ts", right_time="odate",
+        payload_cols=["price", "status"],
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["status"] == "new"
+    assert row["price"] is None, "NULL payload was backfilled from an older row"
