@@ -55,10 +55,18 @@ def read_event_stream(
     )
 
 
+#: default trigger for bounded fixture replays. Production wall-clock
+#: cadence (the reference's 5-second micro-batches,
+#: spark_consumer.py:210) is ``{"processingTime": "5 seconds"}`` —
+#: exercised end-to-end by tests/test_streaming.py (W6).
+DEFAULT_TRIGGER: dict = {"availableNow": True}
+
+
 def raw_passthrough_query(
     stream: DataFrame,
     sink: ParquetUpsertSink,
     checkpoint_dir: str,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """Query 1: decode/project and land every event, PK (user_id, ts,
     event_id) — the sensor_events table write
@@ -74,7 +82,7 @@ def raw_passthrough_query(
         projected.writeStream.foreachBatch(sink.foreach_batch())
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or DEFAULT_TRIGGER))
         .start()
     )
 
@@ -84,6 +92,7 @@ def hourly_agg_query(
     sink: ParquetUpsertSink,
     checkpoint_dir: str,
     output_mode: str = "update",
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """Query 2: watermarked tumbling-window aggregation
     (reference: spark_consumer.py:171-192).
@@ -121,7 +130,7 @@ def hourly_agg_query(
         agg.writeStream.foreachBatch(sink.foreach_batch())
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or DEFAULT_TRIGGER))
         .start()
     )
 

@@ -39,32 +39,33 @@ def stage_events_stream(
     out = f"{final}.tmp-{os.getpid()}"
     done = os.path.join(out, "_STAGED")
     events = load_table(spark, sf_dir, "events")
-    days = [
-        r["d"]
-        for r in events.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()
-    ]
     os.makedirs(out, exist_ok=True)
-    for i, day in enumerate(days):
-        (
-            events.filter(F.to_date("ts") == F.lit(day))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, f"_day_{i:04d}"))
-        )
-    # flatten: move each part file up with an ordered name + touch mtime order
+    # ONE day-partitioned write (repartition by day -> exactly one file
+    # per day directory), instead of one filtered full scan per day
+    part_root = os.path.join(out, "_days")
+    (
+        events.withColumn("d", F.to_date("ts"))
+        .repartition(F.col("d"))
+        .write.mode("overwrite")
+        .partitionBy("d")
+        .parquet(part_root)
+    )
+    # flatten: move each day's part file up with an ordered name + mtime
+    # order (the file source orders by modification time)
     import glob
     import shutil
     import time
 
-    for i in range(len(days)):
-        part_dir = os.path.join(out, f"_day_{i:04d}")
+    day_dirs = sorted(glob.glob(os.path.join(part_root, "d=*")))
+    days = [os.path.basename(d).split("=", 1)[1] for d in day_dirs]
+    for i, part_dir in enumerate(day_dirs):
         parts = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-        assert len(parts) == 1
+        assert len(parts) == 1, f"{part_dir}: expected one file, got {parts}"
         dst = os.path.join(out, f"batch_{i:04d}.parquet")
         shutil.move(parts[0], dst)
         ts = time.time() - (len(days) - i)
         os.utime(dst, (ts, ts))
-        shutil.rmtree(part_dir)
+    shutil.rmtree(part_root)
     with open(done, "w") as fh:
         fh.write(",".join(str(d) for d in days))
     try:

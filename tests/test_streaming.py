@@ -161,3 +161,43 @@ def test_checkpoint_resume_is_idempotent(spark, staged, tmp_path):
         "event_count",
     )
     assert _rows_sorted(got) == _rows_sorted(want)
+
+
+def test_processing_time_trigger_reaches_batch_parity(spark, staged, tmp_path):
+    """W6: the wall-clock processingTime trigger (the reference's
+    5-second cadence, spark_consumer.py:210) run end-to-end — the query
+    ticks on real time until all staged files are consumed, then the
+    sink must equal the batch rollup exactly (same bar as availableNow)."""
+    sink = ParquetUpsertSink(
+        str(tmp_path / "agg_pt"), pk=("device_id", "hour_bucket")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = hourly_agg_query(
+            read_event_stream(spark, staged, max_files_per_trigger=8),
+            sink,
+            str(tmp_path / "ckpt_pt"),
+            trigger={"processingTime": "500 milliseconds"},
+        )
+        # wall-clock triggers never self-terminate: wait until the file
+        # source has drained (a few idle ticks), then stop.
+        deadline = time.time() + 120
+        idle = 0
+        while time.time() < deadline and idle < 3:
+            time.sleep(0.5)
+            progress = q.lastProgress
+            if progress is None:
+                continue
+            idle = idle + 1 if progress["numInputRows"] == 0 else 0
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    events = load_table(spark, SF_DIR, "events")
+    got = sink.read(spark).select(
+        "device_id", "hour_bucket", "avg_value", "max_value", "min_value",
+        "event_count",
+    )
+    assert _rows_sorted(got) == _rows_sorted(hourly_rollup(events))
