@@ -78,9 +78,14 @@ def decode_media(documents: DataFrame, use_fake_codec: bool = True) -> DataFrame
     """Decode step behind the codec boundary.
 
     ``use_fake_codec=True`` (tests): deterministic metadata derived from
-    payload bytes. ``False``: the real-codec path — raises
-    NotImplementedError at execution (no image libs in this runtime);
-    the Spark plumbing (schema, Arrow batches) is identical either way.
+    payload bytes. ``False`` selects the real-codec branch — a
+    PERMANENT ADAPTER SEAM, not a to-do: this runtime ships no
+    image/audio libraries, so the branch raises NotImplementedError with
+    swap-in instructions. A deployment replaces exactly that branch with
+    its codec call (e.g. PIL.Image.open over the payload bytes); every
+    Spark-side concern — schema contract, Arrow batch shape,
+    partitioning, memory profile — is identical on both branches and is
+    what the tests pin.
     """
     payloads = attach_binary_payload(documents)
 
