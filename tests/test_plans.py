@@ -50,3 +50,46 @@ def test_top_k_is_take_ordered(spark):
     orders = load_table(spark, SF_DIR, "orders")
     plan = formatted_plan(top_k_orders(orders, 10))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_user_event_metrics_single_window_sort(spark):
+    """Three window functions over the same ordering must plan ONE
+    shuffle + ONE sort (Catalyst folds them into a single Window node)."""
+    from cassandra_iot_pipeline_spark.operators.windows import user_event_metrics
+
+    import re
+
+    events = load_table(spark, SF_DIR, "events")
+    plan = formatted_plan(user_event_metrics(events))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
+def test_event_type_totals_is_one_expand_aggregate(spark):
+    """rollup(event_type) = grouping-sets Expand + the normal two-phase
+    aggregate — exactly one shuffle for both grouping levels (plus one
+    for the distinct-count expand), never a union of two scans."""
+    from cassandra_iot_pipeline_spark.operators.agg import event_type_totals
+
+    events = load_table(spark, SF_DIR, "events")
+    import re
+
+    plan = formatted_plan(event_type_totals(events))
+    assert "Expand" in plan
+    # single scan of the source (a naive A5 UNION A6 would scan twice)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_text_profile_is_single_scan_no_shuffle(spark):
+    """The full text-analysis profile is a pure per-row projection: one
+    parquet scan, zero exchanges, no Python workers."""
+    from cassandra_iot_pipeline_spark.functions.text import text_profile
+
+    docs = load_table(spark, SF_DIR, "documents")
+    import re
+
+    plan = formatted_plan(text_profile(docs))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan  # no UDFs anywhere in the profile
