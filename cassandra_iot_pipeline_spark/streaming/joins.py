@@ -101,8 +101,8 @@ def streaming_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = conversion_join_query(
-            read_event_stream(spark, staged, max_files_per_trigger=16),
-            read_event_stream(spark, staged, max_files_per_trigger=16),
+            read_event_stream(spark, staged, max_files_per_trigger=32),
+            read_event_stream(spark, staged, max_files_per_trigger=32),
             sink,
             os.path.join(out_dir, "ckpt"),
         )

@@ -191,12 +191,14 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stateful-query cost is dominated by state-store commits: one per
     state partition per micro-batch. For this bounded fixture replay the
     state partition count is dropped to 8 for the query's lifetime (the
-    checkpoint pins it at first start), and batches carry 16 day-files —
-    ~16-32 commits instead of the ~960 a naive 32-partition/1-file
-    replay pays (8->16 files/trigger measured 2.6x on the stream-stream
-    join at sf0.1; results identical, and multi-batch state semantics
-    are still exercised at every fixture sf). Semantics are identical
-    (batches stay time-ordered and day-disjoint).
+    checkpoint pins it at first start), and batches carry 32 day-files —
+    ~3 micro-batches over the 65-day fixtures instead of the ~65 a
+    naive 1-file replay pays (8->16 files/trigger measured 2.6x on the
+    stream-stream join at sf0.1; 16->32 another 1.6x across the four
+    replays, 3x on the stateful sessionize; results identical, and
+    multi-batch state semantics are still exercised at every fixture
+    sf). Semantics are identical (batches stay time-ordered and
+    day-disjoint).
     """
     from .staging import stage_events_stream
 
@@ -209,7 +211,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = hourly_agg_query(
-            read_event_stream(spark, staged, max_files_per_trigger=16),
+            read_event_stream(spark, staged, max_files_per_trigger=32),
             sink,
             os.path.join(out_dir, "ckpt"),
         )
@@ -231,7 +233,7 @@ def streaming_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(out_dir, "sensor_events"), pk=("user_id", "ts", "event_id")
     )
     q = raw_passthrough_query(
-        read_event_stream(spark, staged, max_files_per_trigger=16),
+        read_event_stream(spark, staged, max_files_per_trigger=32),
         sink,
         os.path.join(out_dir, "ckpt"),
     )
@@ -263,7 +265,7 @@ def streaming_sessionize_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = (
             streaming_sessionize(
-                read_event_stream(spark, staged, max_files_per_trigger=16)
+                read_event_stream(spark, staged, max_files_per_trigger=32)
             )
             .writeStream.format("memory")
             .queryName(name)
