@@ -133,6 +133,7 @@ def blocked_jaccard_pairs(
             .filter(guard)
             .drop("block_n")
         )
+    docs = docs.withColumn("n_tok", F.size("tok"))
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
@@ -140,12 +141,22 @@ def blocked_jaccard_pairs(
     # materializing the union array per pair, ~2x on the pair stage
     union = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter
     jac = inter.cast("double") / union
+    # Length filter (AllPairs/PPJoin family): jaccard(A,B) >= t implies
+    # t*|B| <= |A| and t*|A| <= |B|, so pairs outside the size band can
+    # be dropped by two integer comparisons in the join condition —
+    # before the O(|A|+|B|) array_intersect ever runs. Exactness-
+    # preserving: no surviving pair is affected, so the oracle (which
+    # evaluates the threshold directly) is unchanged.
+    length_band = (
+        F.col("a.n_tok") * F.lit(threshold) <= F.col("b.n_tok")
+    ) & (F.col("b.n_tok") * F.lit(threshold) <= F.col("a.n_tok"))
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & length_band,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
