@@ -1,0 +1,141 @@
+"""Duplicate-cluster resolution: near-dup *pairs* -> deduplicated corpus.
+
+Every near-dup tier in :mod:`.dedup` / :mod:`.similarity` emits candidate
+*pairs* (doc_a, doc_b). Removing duplicates needs one more step the pair
+operators deliberately leave out: transitive closure. If A~B and B~C,
+then {A, B, C} is one duplicate cluster and exactly one document of the
+three survives — pairwise removal alone would either drop too many
+(remove both members of every pair) or too few (keep C because it was
+never directly paired with A).
+
+``connected_components`` computes the closure distributively with
+min-label propagation:
+
+- each doc starts labeled with itself;
+- each round every doc takes the minimum label among itself and its
+  neighbors (one join edges x labels + one min-aggregation — two
+  shuffles on 8-byte keys, no payload columns move);
+- converged when no label changes.
+
+Rounds needed = the graph diameter. Duplicate graphs are near-cliques
+(tiny diameter), so 2-4 rounds is typical; a ``max_iterations`` guard
+fails fast on adversarial chains instead of looping unbounded. Lineage
+is truncated each round with ``localCheckpoint`` — iterative DataFrame
+joins otherwise stack an exponentially-deepening plan that overwhelms
+the optimizer long before the data is large. (On a real cluster with a
+reliable checkpoint dir, swap ``localCheckpoint`` for ``checkpoint``;
+for graphs whose diameter is genuinely large, the alternating
+large-star/small-star algorithm of Kiveris et al., "Connected
+Components in MapReduce and Beyond", converges in O(log^2 n) rounds
+over the same two-shuffle primitive.)
+
+100 TB posture: state per round is one (doc_id, label) row per
+*paired* document — duplicates are a small fraction of a deduped
+corpus, and docs with no near-dup pair never enter the loop at all
+(they are joined back as singletons at the end). The per-round shuffle
+moves two longs per edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: duplicate graphs are near-cliques; a chain this long means the pair
+#: generator's threshold is drifting (each hop is a >= t match while the
+#: endpoints may share almost nothing) — fail fast rather than loop.
+MAX_CC_ITERATIONS = 25
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = MAX_CC_ITERATIONS,
+) -> DataFrame:
+    """Label each vertex of the pair graph with the minimum vertex id of
+    its connected component.
+
+    Returns ``(doc_id, cluster_id)`` for every vertex that appears in
+    ``pairs``. Deterministic: the cluster id is the component's minimum
+    doc_id, independent of partitioning or iteration order.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # symmetrize once; propagation below then only needs one direction
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.distinct().localCheckpoint()
+    labels = (
+        edges.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), "label"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iterations} rounds — "
+        "the pair graph has a path longer than the expected near-clique "
+        "duplicate structure; raise max_iterations explicitly or tighten "
+        "the pair generator's threshold"
+    )
+
+
+def resolve_duplicates(
+    documents: DataFrame,
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Materialize the deduplicated corpus: one surviving document per
+    duplicate cluster (the minimum ``doc_id`` — deterministic and
+    tier-agnostic), all unpaired documents untouched.
+
+    Output schema = ``documents`` plus ``cluster_id`` (the component
+    id; equals ``doc_id`` for singletons) and ``n_duplicates`` (cluster
+    size - 1; 0 for singletons) — the audit columns a curation pipeline
+    reports before dropping them.
+
+    The join back to ``documents`` is a left join on doc_id against the
+    (small) component labeling, so the full corpus is scanned exactly
+    once and only label rows shuffle.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_sz"))
+    keepers = (
+        cc.join(sizes, "cluster_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id", (F.col("_sz") - 1).alias("n_duplicates"))
+    )
+    dropped = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        documents.join(dropped, "doc_id", "left_anti")
+        .join(keepers, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+        .withColumn("n_duplicates", F.coalesce("n_duplicates", F.lit(0)))
+    )

@@ -1,0 +1,120 @@
+"""Duplicate-cluster resolution (functions/clusters.py).
+
+Oracle: a pure-Python union-find over the same pair list — exact
+component structure, independently computed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.functions.clusters import (
+    connected_components,
+    resolve_duplicates,
+)
+from cassandra_iot_pipeline_spark.functions.dedup import blocked_jaccard_pairs
+from cassandra_iot_pipeline_spark.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Map each vertex to its component's minimum vertex id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def pairs_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "doc_a long, doc_b long"
+    )
+
+
+CHAIN = [(1, 2), (2, 3), (3, 4), (4, 5)]
+CLIQUE = [(10, 11), (10, 12), (11, 12)]
+PAIR = [(20, 21)]
+BRIDGE = [(30, 31), (32, 33), (31, 32)]  # two pairs fused by a bridge
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [CHAIN, CLIQUE, PAIR, CHAIN + CLIQUE + PAIR + BRIDGE],
+    ids=["chain", "clique", "pair", "mixed"],
+)
+def test_components_match_union_find(spark, edges):
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs_df(spark, edges)).collect()
+    }
+    assert got == union_find(edges)
+
+
+def test_chain_needs_propagation_rounds(spark):
+    # a 9-hop chain: label 100 must travel the full diameter
+    edges = [(100 + i, 100 + i + 1) for i in range(9)]
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs_df(spark, edges)).collect()
+    }
+    assert set(got.values()) == {100}
+
+
+def test_max_iterations_guard_trips(spark):
+    edges = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(pairs_df(spark, edges), max_iterations=2)
+
+
+def test_resolve_duplicates_on_fixture(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = blocked_jaccard_pairs(docs, threshold=0.5)
+    resolved = resolve_duplicates(docs, pairs)
+
+    # oracle: union-find over the collected pairs (fixture-sized)
+    edge_list = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    uf = union_find(edge_list)
+    expected_dropped = {v for v, root in uf.items() if root != v}
+    n_docs = docs.count()
+
+    assert resolved.count() == n_docs - len(expected_dropped)
+    # survivors: every doc except non-root members of duplicate clusters
+    survivor_ids = {r["doc_id"] for r in resolved.select("doc_id").collect()}
+    assert survivor_ids == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    } - expected_dropped
+
+    # audit columns: cluster roots carry their cluster size - 1
+    cluster_sizes: dict[int, int] = {}
+    for v, root in uf.items():
+        cluster_sizes[root] = cluster_sizes.get(root, 0) + 1
+    audited = {
+        r["doc_id"]: r["n_duplicates"]
+        for r in resolved.select("doc_id", "n_duplicates").collect()
+    }
+    for root, size in cluster_sizes.items():
+        assert audited[root] == size - 1
+    # singletons audit as 0 duplicates, cluster_id == doc_id
+    singleton = resolved.filter(F.col("n_duplicates") == 0).first()
+    assert singleton["cluster_id"] == singleton["doc_id"]
+
+
+def test_resolved_corpus_keeps_document_schema(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = blocked_jaccard_pairs(docs, threshold=0.5)
+    resolved = resolve_duplicates(docs, pairs)
+    assert set(docs.columns) | {"cluster_id", "n_duplicates"} == set(
+        resolved.columns
+    )
