@@ -1,0 +1,123 @@
+"""Streaming ingest dedup (streaming/dedup.py).
+
+Scenario: an at-least-once source redelivers events — duplicates appear
+both inside a micro-batch and across micro-batches. dedup_stream must
+land each event_id exactly once in a plain append-only sink (no PK
+upsert helping), matching the batch distinct-by-key result.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.streaming.dedup import dedup_stream
+
+D1 = dt.datetime(2024, 1, 1, 8, 0, 0)
+D2 = dt.datetime(2024, 1, 2, 8, 0, 0)
+D3 = dt.datetime(2024, 1, 3, 8, 0, 0)
+
+
+def _write_file(path: str, rows: list[tuple[int, dt.datetime, float]], mtime: float):
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(table, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_streaming_dedup_exactly_once(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: e1..e3 plus an in-batch redelivery of e2
+    _write_file(
+        str(src / "b1.parquet"),
+        [(1, D1, 1.0), (2, D1, 2.0), (2, D1, 2.0), (3, D1, 3.0)],
+        mtime=1_700_000_000,
+    )
+    # batch 2: e4, e5 plus a cross-batch redelivery of e3
+    _write_file(
+        str(src / "b2.parquet"),
+        [(4, D2, 4.0), (3, D1, 3.0), (5, D2, 5.0)],
+        mtime=1_700_000_010,
+    )
+    # batch 3: e6 plus cross-batch redeliveries of e4 and e1
+    _write_file(
+        str(src / "b3.parquet"),
+        [(6, D3, 6.0), (4, D2, 4.0), (1, D1, 1.0)],
+        mtime=1_700_000_020,
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "out")
+    # redelivery horizon: 5 days of event time covers every dup above —
+    # dedup state for an event_id survives until the watermark passes it
+    q = (
+        dedup_stream(stream, keys=("event_id",), ts_col="ts", delay="5 days")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 6  # nine input rows, three of them redeliveries
+    assert {r["event_id"] for r in got.collect()} == {1, 2, 3, 4, 5, 6}
+    # values intact (dedup dropped whole rows, not columns)
+    assert got.filter(F.col("event_id") == 2).first()["value"] == 2.0
+
+
+def test_streaming_dedup_state_evicts_after_watermark(spark, tmp_path):
+    """With a short horizon, a redelivery arriving long after the
+    watermark passed the original is NOT suppressed — documenting that
+    ``delay`` is the guarantee boundary (state has been evicted)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_file(str(src / "b1.parquet"), [(1, D1, 1.0)], mtime=1_700_000_000)
+    # the watermark advances only between batches, and a batch's state
+    # cleanup runs after its dedup lookups — so key 1 (expiry D1+1min)
+    # is evicted while processing b3, under the watermark b2 advanced
+    _write_file(str(src / "b2.parquet"), [(2, D2, 2.0)], mtime=1_700_000_010)
+    _write_file(
+        str(src / "b3.parquet"),
+        [(3, D2 + dt.timedelta(hours=1), 3.0)],
+        mtime=1_700_000_020,
+    )
+    # the redelivery carries a fresh ts (still "on time"), arriving
+    # after key 1's state is gone -> re-emitted
+    _write_file(str(src / "b4.parquet"), [(1, D3, 9.0)], mtime=1_700_000_030)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream, keys=("event_id",), ts_col="ts", delay="1 minute")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # event 1 appears twice: once from b1, once re-emitted in b2
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("event_id") == 1).count() == 2
