@@ -1,0 +1,161 @@
+"""Deterministic sampling, splitting, and mixture operators.
+
+Training-data pipelines need reproducible subsetting: the same corpus
+must yield the same train/val split on every run, on any cluster, under
+any partitioning — ``rand()``-based sampling gives none of that (its
+output depends on partition layout and task retries). Everything here
+derives randomness from ``xxhash64(key, seed)`` instead: a pure
+function of the row's stable key, so membership is a property of the
+*data*, not the execution.
+
+All operators are single-scan Catalyst expressions or one ranking
+window — no shuffle beyond what the semantics require, no Python.
+
+100 TB posture: ``hash_split`` and ``deterministic_sample`` are
+narrow (zero shuffle — they pipeline into the scan); ``per_group_cap``
+is one shuffle on the group key (the ranking window), which is the
+minimum any per-group quota needs; ``weighted_mixture`` is a union of
+narrow per-source filters resolved at plan time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hash buckets for split/sample rate resolution: rates are quantized
+#: to 1/2^20 (~1e-6), plenty for any practical split ratio.
+_BUCKETS = 1 << 20
+
+
+def _bucket(key: Column, seed: int) -> Column:
+    """Uniform bucket in [0, _BUCKETS) from a stable row key.
+
+    ``pmod`` (not ``%``): xxhash64 is signed and Spark's ``%`` keeps the
+    sign, which would silently empty every split above bucket 0."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str | Column,
+    weights: Mapping[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split, proportionally to
+    ``weights`` (normalized), deterministically by ``key``.
+
+    The splits partition the corpus: disjoint, exhaustive, stable under
+    re-runs and repartitioning. Weight order follows the mapping's
+    iteration order (insertion order), so the same weights dict always
+    produces the same bucket boundaries.
+    """
+    if not weights:
+        raise ValueError("hash_split: weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("hash_split: weights must sum to a positive value")
+    key_col = F.col(key) if isinstance(key, str) else key
+    bucket = _bucket(key_col, seed)
+    # cumulative upper bounds, last one forced to _BUCKETS so rounding
+    # can never leave a row unassigned
+    names = list(weights)
+    bounds: list[int] = []
+    acc = 0.0
+    for name in names:
+        acc += float(weights[name]) / total
+        bounds.append(min(_BUCKETS, round(acc * _BUCKETS)))
+    bounds[-1] = _BUCKETS
+    assign = F.lit(names[-1])
+    for name, bound in zip(reversed(names[:-1]), reversed(bounds[:-1])):
+        assign = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(assign)
+    return df.withColumn(split_col, assign)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key: str | Column,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep a ``rate`` fraction of rows, membership decided by
+    ``xxhash64(key, seed)`` — reproducible and partition-invariant,
+    unlike ``DataFrame.sample``. Narrow: pipelines into the scan, and
+    the hash predicate is visible to Catalyst like any filter."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"deterministic_sample: rate {rate} outside [0, 1]")
+    key_col = F.col(key) if isinstance(key, str) else key
+    return df.filter(_bucket(key_col, seed) < F.lit(round(rate * _BUCKETS)))
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cap: int,
+    order_by: str | Column | None = None,
+    key: str | Column | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group (domain/source quotas — the
+    standard defense against one crawl domain dominating a corpus).
+
+    ``order_by`` picks *which* rows survive (e.g. a quality score,
+    descending). Without it, pass ``key`` (a stable row id): rows are
+    ranked by ``xxhash64(key, seed)`` — a reproducible uniform choice,
+    not "whatever rows the partitioning happened to deliver first".
+    One shuffle on the group key; the ranking window is the minimal
+    plan for any per-group quota."""
+    if cap < 1:
+        raise ValueError(f"per_group_cap: cap {cap} must be >= 1")
+    from pyspark.sql.window import Window
+
+    if order_by is None:
+        if key is None:
+            raise ValueError(
+                "per_group_cap: pass order_by (which rows survive) or key "
+                "(stable row id for a deterministic uniform choice)"
+            )
+        key_col = F.col(key) if isinstance(key, str) else key
+        # key itself breaks xxhash64 ties -> total deterministic order
+        order = [_bucket(key_col, seed), key_col]
+    elif isinstance(order_by, str):
+        order = [F.col(order_by)]
+    else:
+        order = [order_by]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    source_col: str,
+    rates: Mapping[str, float],
+    key: str | Column,
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Down-sample each source to its own rate in one pass — the
+    "mixture weights" step of corpus assembly (e.g. keep 100% of books,
+    10% of web). Sources absent from ``rates`` get ``default_rate``.
+
+    Plan: a single filter comparing the row's hash bucket against a
+    per-source threshold resolved via a CASE expression — one narrow
+    scan, no unions, no shuffles."""
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"weighted_mixture: rate {rate} for {name!r}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    threshold: Column = F.lit(round(default_rate * _BUCKETS))
+    for name, rate in rates.items():
+        threshold = (
+            F.when(F.col(source_col) == F.lit(name), F.lit(round(rate * _BUCKETS)))
+            .otherwise(threshold)
+        )
+    return df.filter(_bucket(key_col, seed) < threshold)

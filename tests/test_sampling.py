@@ -1,0 +1,142 @@
+"""Deterministic sampling/splitting (functions/sampling.py).
+
+No DuckDB twin exists for xxhash64, so these are invariant tests: the
+properties a reproducible sampler must satisfy (determinism under
+re-execution and repartitioning, disjoint/exhaustive splits, rate
+accuracy, nested-subset monotonicity) rather than a value-for-value
+oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.functions.sampling import (
+    deterministic_sample,
+    hash_split,
+    per_group_cap,
+    weighted_mixture,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_hash_split_partitions_corpus(spark, docs):
+    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive (and disjoint: one col)
+    assert set(counts) == {"train", "val", "test"}
+    # proportions within sampling noise for 500 docs
+    assert abs(counts["train"] / n - 0.8) < 0.06
+    assert abs(counts["val"] / n - 0.1) < 0.05
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark, docs):
+    w = {"a": 0.5, "b": 0.5}
+    one = {(r["doc_id"], r["split"])
+           for r in hash_split(docs, "doc_id", w).collect()}
+    two = {(r["doc_id"], r["split"])
+           for r in hash_split(docs.repartition(7), "doc_id", w).collect()}
+    assert one == two
+
+
+def test_hash_split_seed_changes_assignment(spark, docs):
+    w = {"a": 0.5, "b": 0.5}
+    one = {(r["doc_id"], r["split"])
+           for r in hash_split(docs, "doc_id", w, seed=0).collect()}
+    two = {(r["doc_id"], r["split"])
+           for r in hash_split(docs, "doc_id", w, seed=1).collect()}
+    assert one != two
+
+
+def test_sample_rates_and_edges(spark, docs):
+    n = docs.count()
+    assert deterministic_sample(docs, 1.0, "doc_id").count() == n
+    assert deterministic_sample(docs, 0.0, "doc_id").count() == 0
+    got = deterministic_sample(docs, 0.3, "doc_id").count()
+    assert abs(got / n - 0.3) < 0.07
+
+
+def test_sample_nested_subsets(spark, docs):
+    """Same seed, larger rate => strict superset (threshold
+    monotonicity) — lets a pipeline grow a sample without resampling."""
+    small, big = (ids(deterministic_sample(docs, r, "doc_id")) for r in (0.2, 0.5))
+    assert small <= big
+
+
+def test_sample_partition_invariant(spark, docs):
+    assert ids(deterministic_sample(docs, 0.4, "doc_id")) == ids(
+        deterministic_sample(docs.repartition(11), 0.4, "doc_id")
+    )
+
+
+def test_per_group_cap_enforces_quota(spark, docs):
+    capped = per_group_cap(docs, ["lang", "source"], cap=5, key="doc_id")
+    sizes = capped.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    assert sizes.filter(F.col("n") > 5).count() == 0
+    # groups smaller than the cap are untouched
+    before = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    small = before.filter(F.col("n") <= 5).count()
+    assert sizes.filter(F.col("n") <= 5).count() >= small
+
+
+def test_per_group_cap_deterministic(spark, docs):
+    a = ids(per_group_cap(docs, ["lang"], cap=10, key="doc_id"))
+    b = ids(per_group_cap(docs.repartition(13), ["lang"], cap=10, key="doc_id"))
+    assert a == b
+
+
+def test_per_group_cap_order_by_quality(spark, docs):
+    by_len = per_group_cap(
+        docs, ["lang"], cap=3, order_by=F.col("n_chars").desc()
+    )
+    # survivors are each lang's 3 longest documents
+    top = docs.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.col("n_chars").desc())
+        ),
+    ).filter(F.col("_r") <= 3)
+    assert ids(by_len) == ids(top)
+
+
+def test_per_group_cap_requires_ordering(spark, docs):
+    with pytest.raises(ValueError, match="order_by .* or key"):
+        per_group_cap(docs, ["lang"], cap=3)
+
+
+def test_weighted_mixture_rates(spark, docs):
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    keep_all, keep_some = sources[0], sources[1]
+    mixed = weighted_mixture(
+        docs, "source", {keep_all: 1.0, keep_some: 0.25}, key="doc_id"
+    )
+    per = {r["source"]: r["n"] for r in
+           mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per[keep_all] == full[keep_all]
+    assert abs(per.get(keep_some, 0) / full[keep_some] - 0.25) < 0.12
+    # unlisted sources default to rate 0 -> absent
+    assert set(per) == {keep_all, keep_some}
+
+
+def test_weighted_mixture_narrow_plan(spark, docs):
+    plan = weighted_mixture(
+        docs, "source", {"web": 0.5}, key="doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # single narrow filter over the scan
