@@ -84,6 +84,16 @@ def main() -> None:
     events = probe_events(spark, n_events, n_devices)
 
     results: dict[str, float] = {}
+    # Warm-up: run the flagship plan on a 2M-row slice, untimed.
+    # Measured on this runtime: the first query of a session pays
+    # ~3-4x its steady-state time in codegen/JIT (100M rollup: 285s
+    # cold vs 69s warm, identical plan) — without this the probe's
+    # first row is a JIT benchmark, not an operator benchmark.
+    t0 = time.perf_counter()
+    hourly_rollup(probe_events(spark, 2_000_000, n_devices)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    results["warmup_sec"] = round(time.perf_counter() - t0, 2)
     timed("hourly_rollup", hourly_rollup(events), results)
     timed("salted_hourly_rollup", salted_hourly_rollup(events), results)
     timed("latest_n_per_device", latest_n_per_device(events, 3), results)
@@ -98,6 +108,28 @@ def main() -> None:
     timed("minhash_lsh_pairs", minhash_lsh_pairs(docs, 0.8), results)
     timed("simhash_near_dup", simhash_near_dup_pairs(docs, 3), results)
     results["n_docs"] = n_docs
+
+    # duplicate-cluster resolution: chain-shaped clusters of 4 docs
+    # (diameter 3 — worse than the near-clique graphs real dedup
+    # emits), one edge row per id. Timed around the whole call since
+    # label propagation iterates internally.
+    from cassandra_iot_pipeline_spark.functions.clusters import (
+        connected_components,
+    )
+
+    n_edges = max(1_000_000, n_events // 20)
+    chain_len = 4
+    idx = spark.range(n_edges)
+    cluster = F.col("id") / (chain_len - 1)
+    pos = F.pmod(F.col("id"), F.lit(chain_len - 1))
+    pairs = idx.select(
+        (F.floor(cluster) * chain_len + pos).cast("long").alias("doc_a"),
+        (F.floor(cluster) * chain_len + pos + 1).cast("long").alias("doc_b"),
+    )
+    t0 = time.perf_counter()
+    connected_components(pairs).write.format("noop").mode("overwrite").save()
+    results["connected_components"] = round(time.perf_counter() - t0, 2)
+    results["cc_edges"] = n_edges
     rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
     print(
         json.dumps(
