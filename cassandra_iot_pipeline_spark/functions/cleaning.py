@@ -1,0 +1,373 @@
+"""Corpus-cleaning operators for training-data pipelines: PII
+redaction, benchmark-contamination detection, and sequence packing.
+
+All hot paths are Catalyst expressions (regexp_replace/regexp_count,
+explode, hash joins, window cumsums) — JVM-side, codegen'd. The one
+deliberate exception is greedy bin packing (`pack_greedy`), whose
+accumulate-and-reset recurrence is not expressible as a window
+function; it runs as applyInPandas *per shard*, so state never exceeds
+one shard and shards parallelize freely.
+
+Every regex is kept inside the Java-regex ∩ RE2 common subset so the
+Spark plan and the DuckDB oracle execute the *same* pattern.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import _oracle_tokens, tokens
+
+# --- PII redaction -----------------------------------------------------------
+
+# Ordered: earlier patterns must not be re-matchable by later ones.
+# Email first (its local part can contain digits), then IPv4 (dots —
+# excluded from the phone charset), then SSN/credit-card shapes (more
+# specific digit layouts), then generic phone runs last.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"),
+    ("card", "\\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\\b"),
+    ("phone", "\\+?[0-9][0-9() -]{6,}[0-9]\\b"),
+)
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Replace PII spans with ``[TYPE]`` tokens and count matches.
+
+    One narrow projection — no shuffle, no Python. Counts are taken
+    *before* each replacement on the progressively-redacted text, so a
+    span consumed by an earlier (more specific) pattern is not double
+    counted by a later one: the sequential-replace order IS the
+    operator contract, mirrored verbatim in the oracle.
+
+    Output: doc_id, text (redacted), n_email/n_ipv4/n_ssn/n_card/
+    n_phone (int), n_pii (total).
+    """
+    text: Column = F.col("text")
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(text, F.lit(pat)).cast("int").alias(f"n_{name}")
+        )
+        text = F.regexp_replace(text, pat, f"[{name.upper()}]")
+    out = documents.select(
+        "doc_id", text.alias("text"), *counts
+    )
+    total = sum((F.col(f"n_{n}") for n, _ in PII_PATTERNS[1:]),
+                F.col(f"n_{PII_PATTERNS[0][0]}"))
+    return out.withColumn("n_pii", total.cast("int"))
+
+
+def redact_pii_oracle(source_table: str = "documents") -> str:
+    """DuckDB twin: identical patterns, identical replace order."""
+
+    def sql_lit(pat: str) -> str:
+        # standard SQL strings don't interpret backslashes — only
+        # quotes need doubling
+        return "'" + pat.replace("'", "''") + "'"
+
+    text_expr = "text"
+    count_exprs = []
+    for name, pat in PII_PATTERNS:
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({text_expr}, {sql_lit(pat)}))"
+            f" AS INTEGER) AS n_{name}"
+        )
+        text_expr = (
+            f"regexp_replace({text_expr}, {sql_lit(pat)},"
+            f" '[{name.upper()}]', 'g')"
+        )
+    total = " + ".join(f"n_{name}" for name, _ in PII_PATTERNS)
+    inner = ", ".join(["doc_id", f"{text_expr} AS text"] + count_exprs)
+    return (
+        f"SELECT doc_id, text, {', '.join('n_' + n for n, _ in PII_PATTERNS)},"
+        f" CAST({total} AS INTEGER) AS n_pii"
+        f" FROM (SELECT {inner} FROM {source_table})"
+    )
+
+
+# --- benchmark-contamination detection ---------------------------------------
+
+
+def _shingle_text_rows(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sh): one row per *distinct* n-token shingle, shingle
+    spelled out as a space-joined string (needed because the oracle
+    must produce the same shingle keys; the scale path hashes it to 8
+    bytes before shuffling)."""
+    toks = tokens(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    flag_threshold: float = 0.1,
+) -> DataFrame:
+    """Per-document n-gram overlap against a benchmark/eval corpus —
+    the standard decontamination pass run before pretraining (n-gram
+    collision against held-out benchmarks).
+
+    Plan (100 TB posture): the benchmark side reduces to its DISTINCT
+    shingle *hashes* (8 bytes each) and is broadcast — eval suites are
+    tiny next to a pretraining corpus. The corpus explodes to shingle
+    hashes, broadcast-joins (no shuffle of corpus payloads beyond the
+    8-byte hash column), and aggregates per doc_id: one shuffle total,
+    keyed by doc_id. Documents with fewer than ``n`` tokens have no
+    shingles and are reported with zero overlap via the left join back
+    to the corpus spine.
+
+    Output: doc_id, n_shingles, n_hit, contamination (hit fraction,
+    NULL when the doc has no shingles), contaminated (bool).
+    """
+    bench_sh = (
+        _shingle_text_rows(benchmark, n)
+        .select(F.xxhash64("sh").alias("bh"))
+        .distinct()
+    )
+    corpus_sh = _shingle_text_rows(corpus, n).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
+    hits = (
+        corpus_sh.join(
+            F.broadcast(bench_sh), corpus_sh["h"] == bench_sh["bh"], "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("bh").alias("n_hit"),
+        )
+    )
+    rate = F.col("n_hit") / F.col("n_shingles")
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            rate.alias("contamination"),
+            F.coalesce(rate >= flag_threshold, F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def contamination_overlap_oracle(
+    corpus_table: str = "documents",
+    benchmark_sql: str = "SELECT * FROM documents WHERE doc_id % 17 = 0",
+    n: int = 8,
+    flag_threshold: float = 0.1,
+) -> str:
+    """DuckDB twin. Shingles are compared as strings (no xxhash64 in
+    DuckDB) — equality of string shingles == equality of their hashes
+    modulo collisions, and a 64-bit collision inside a test corpus is
+    ignorable; the Spark side's hashing is a transport optimization,
+    not a semantic change."""
+    toks = _oracle_tokens("text")
+    return f"""
+        WITH corpus_sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS sh
+            FROM (SELECT doc_id, {toks} AS toks FROM {corpus_table}),
+                 UNNEST(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS u(i)
+        ),
+        bench_sh AS (
+            SELECT DISTINCT
+                   array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS sh
+            FROM (SELECT doc_id, {toks} AS toks
+                  FROM ({benchmark_sql})),
+                 UNNEST(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS u(i)
+        ),
+        hits AS (
+            SELECT c.doc_id,
+                   COUNT(*) AS n_shingles,
+                   COUNT(b.sh) AS n_hit
+            FROM corpus_sh c LEFT JOIN bench_sh b USING (sh)
+            GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(n_shingles, 0) AS n_shingles,
+               COALESCE(n_hit, 0) AS n_hit,
+               CAST(n_hit AS DOUBLE) / n_shingles AS contamination,
+               COALESCE(CAST(n_hit AS DOUBLE) / n_shingles
+                        >= {flag_threshold}, FALSE) AS contaminated
+        FROM {corpus_table} d LEFT JOIN hits USING (doc_id)
+    """
+
+
+# --- sequence packing --------------------------------------------------------
+
+
+def pack_concat(
+    documents: DataFrame, block_size: int = 2048, n_shards: int = 64
+) -> DataFrame:
+    """Concat-and-chunk packing (GPT-style pretraining): documents are
+    laid end-to-end (+1 separator token each) in doc_id order and cut
+    into fixed ``block_size`` token blocks; a document may straddle a
+    block boundary.
+
+    Layout is computed *per shard* (shard = xxhash64(doc_id) mod
+    n_shards): the running-offset window partitions by shard, so no
+    global sort and no single-reducer window — the classic
+    unpartitioned-`Window.orderBy` scale trap. Blocks never cross
+    shards; block ids are globally unique as (shard, block_in_shard).
+
+    Output: doc_id, shard, n_tokens, start_tok (offset in shard
+    stream), first_block, last_block, n_blocks (blocks spanned; 1 for
+    an empty doc — it still owns its separator).
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = documents.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    start = F.coalesce(F.sum(F.col("n_tokens") + 1).over(w), F.lit(0))
+    laid = sized.withColumn("start_tok", start)
+    first = F.floor(F.col("start_tok") / block_size)
+    # end-inclusive last token of the doc (its separator): start + n_tokens
+    last = F.floor((F.col("start_tok") + F.col("n_tokens")) / block_size)
+    return laid.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_tok",
+        first.alias("first_block"),
+        last.alias("last_block"),
+        (last - first + 1).cast("long").alias("n_blocks"),
+    )
+
+
+def pack_concat_oracle(
+    block_size: int = 2048, n_shards: int = 64
+) -> str:
+    """DuckDB twin — but xxhash64 has no DuckDB implementation, so the
+    oracle recomputes the shard from a Spark-exported column when used
+    in tests; see tests/test_cleaning.py (the shard column is joined
+    in, the window arithmetic is verified value-for-value)."""
+    toks = _oracle_tokens("text")
+    return f"""
+        WITH sized AS (
+            SELECT d.doc_id, s.shard,
+                   CAST(len({toks}) AS BIGINT) AS n_tokens
+            FROM documents d JOIN shards s USING (doc_id)
+        ),
+        laid AS (
+            SELECT *,
+                   COALESCE(SUM(n_tokens + 1) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_tok
+            FROM sized
+        )
+        SELECT doc_id, shard, n_tokens, start_tok,
+               CAST(FLOOR(start_tok / {block_size}) AS BIGINT)
+                   AS first_block,
+               CAST(FLOOR((start_tok + n_tokens) / {block_size}) AS BIGINT)
+                   AS last_block,
+               CAST(FLOOR((start_tok + n_tokens) / {block_size})
+                    - FLOOR(start_tok / {block_size}) + 1 AS BIGINT)
+                   AS n_blocks
+        FROM laid
+    """
+
+
+def pack_greedy(
+    documents: DataFrame,
+    block_size: int = 2048,
+    n_shards: int = 64,
+    truncate: bool = True,
+) -> DataFrame:
+    """Next-fit whole-document packing (SFT-style: documents must NOT
+    straddle blocks): walk docs in doc_id order within a shard, append
+    to the current bin while it fits, else open a new bin.
+
+    The accumulate-and-reset recurrence (fill resets when a doc
+    overflows) has no window-function form, so each shard packs inside
+    one applyInPandas group — O(shard) memory, shards independent, the
+    only shuffle is the groupBy(shard). Oversized docs (> block_size)
+    are truncated to block_size tokens when ``truncate`` (flagged in
+    the output), else placed alone in their own bin.
+
+    Output: doc_id, shard, n_tokens (post-truncation), bin_id (within
+    shard), bin_offset (token offset inside the bin), truncated.
+    """
+    sized = documents.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).alias("shard"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_id, fill = 0, 0
+        out_bin, out_off, out_n, out_trunc = [], [], [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            trunc = truncate and n > block_size
+            if trunc:
+                n = block_size
+            if fill + n > block_size and fill > 0:
+                bin_id, fill = bin_id + 1, 0
+            out_bin.append(bin_id)
+            out_off.append(fill)
+            out_n.append(n)
+            out_trunc.append(trunc)
+            fill += n
+            if fill >= block_size:
+                bin_id, fill = bin_id + 1, 0
+        pdf["bin_id"] = pd.Series(out_bin, dtype="int64")
+        pdf["bin_offset"] = pd.Series(out_off, dtype="int64")
+        pdf["n_tokens"] = pd.Series(out_n, dtype="int64")
+        pdf["truncated"] = pd.Series(out_trunc, dtype="bool")
+        return pdf
+
+    schema = (
+        "doc_id long, shard long, n_tokens long, bin_id long,"
+        " bin_offset long, truncated boolean"
+    )
+    return sized.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def pack_reference(
+    rows: Iterable[tuple[int, int, int]], block_size: int, truncate: bool = True
+) -> list[tuple[int, int, int, int, int, bool]]:
+    """Driver-side reference implementation of the same next-fit walk,
+    for tests: rows = (doc_id, shard, n_tokens) in any order; returns
+    sorted (doc_id, shard, n_tokens, bin_id, bin_offset, truncated)."""
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, shard, n in rows:
+        by_shard.setdefault(shard, []).append((doc_id, n))
+    out = []
+    for shard, docs in by_shard.items():
+        bin_id, fill = 0, 0
+        for doc_id, n in sorted(docs):
+            trunc = truncate and n > block_size
+            if trunc:
+                n = block_size
+            if fill + n > block_size and fill > 0:
+                bin_id, fill = bin_id + 1, 0
+            out.append((doc_id, shard, n, bin_id, fill, trunc))
+            fill += n
+            if fill >= block_size:
+                bin_id, fill = bin_id + 1, 0
+    return sorted(out)

@@ -1,0 +1,166 @@
+"""Corpus-cleaning operators (functions/cleaning.py): PII redaction,
+contamination detection, sequence packing — DuckDB oracle parity plus
+Python-reference parity for the non-SQL-expressible greedy packer."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.catalog import load_table, table_path
+from cassandra_iot_pipeline_spark.functions.cleaning import (
+    contamination_overlap,
+    contamination_overlap_oracle,
+    pack_concat,
+    pack_concat_oracle,
+    pack_greedy,
+    pack_reference,
+    redact_pii,
+    redact_pii_oracle,
+)
+from tests.conftest import SF_DIR
+from tools.oracle_check import compare
+
+PII_DOCS = [
+    (1, "contact me at jane.doe+spam@example.co.uk or on 020 7946 0958 ok"),
+    (2, "server 10.0.0.1 and 192.168.255.255 rebooted; ssn 123-45-6789"),
+    (3, "card 4111 1111 1111 1111 expired, call +1 (415) 555-2671 now"),
+    (4, "no pii here, just text with numbers like 42 and 7"),
+    (5, ""),
+    (6, "a@b.io b@c.io two mails, one ip 8.8.8.8, phone 5551234567"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def pii_spark(spark):
+    return spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def pii_duck():
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(PII_DOCS, columns=["doc_id", "text"])
+    )
+    return con
+
+
+def test_redact_pii_matches_oracle(pii_spark, pii_duck):
+    got = redact_pii(pii_spark).toPandas()
+    want = pii_duck.execute(redact_pii_oracle()).fetchdf()
+    assert not compare(got, want)
+
+
+def test_redact_pii_spans(pii_spark):
+    rows = {r["doc_id"]: r for r in redact_pii(pii_spark).collect()}
+    assert "[EMAIL]" in rows[1]["text"] and "[PHONE]" in rows[1]["text"]
+    assert rows[2]["n_ipv4"] == 2 and rows[2]["n_ssn"] == 1
+    assert rows[3]["n_card"] == 1 and rows[3]["n_phone"] == 1
+    assert rows[4]["n_pii"] == 0 and rows[4]["text"] == PII_DOCS[3][1]
+    assert rows[5]["n_pii"] == 0
+    assert rows[6]["n_email"] == 2
+    # redacted text never retains a raw match
+    for r in rows.values():
+        assert "@" not in r["text"].replace("[EMAIL]", "")
+
+
+def test_redact_pii_fixture_corpus_matches_oracle(docs, duck):
+    got = redact_pii(docs).toPandas()
+    want = duck.execute(redact_pii_oracle()).fetchdf()
+    assert not compare(got, want)
+
+
+def test_contamination_matches_oracle(docs, duck):
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    got = contamination_overlap(docs, bench, n=8).toPandas()
+    want = duck.execute(contamination_overlap_oracle(n=8)).fetchdf()
+    assert not compare(got, want)
+    # benchmark members are fully contaminated (overlap with themselves)
+    self_rows = got[got.doc_id % 17 == 0]
+    with_shingles = self_rows[self_rows.n_shingles > 0]
+    assert (with_shingles.contamination == 1.0).all()
+    assert with_shingles.contaminated.all()
+
+
+def test_contamination_clean_benchmark_is_all_zero(spark, docs):
+    bench = spark.createDataFrame(
+        [(0, "zz yy xx ww vv uu tt ss rr qq pp oo")],
+        "doc_id long, text string",
+    )
+    got = contamination_overlap(docs, bench, n=8).toPandas()
+    assert (got.n_hit == 0).all()
+    assert not got.contaminated.any()
+
+
+def test_pack_concat_matches_oracle(docs, spark):
+    got = pack_concat(docs, block_size=256, n_shards=8)
+    pdf = got.toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{table_path(SF_DIR, 'documents')}'"
+    )
+    con.register("shards", pdf[["doc_id", "shard"]])
+    want = con.execute(
+        pack_concat_oracle(block_size=256, n_shards=8)
+    ).fetchdf()
+    assert not compare(pdf, want)
+
+
+def test_pack_concat_layout_invariants(docs):
+    pdf = pack_concat(docs, block_size=256, n_shards=8).toPandas()
+    # offsets within a shard are dense: next start = prev start + n + 1
+    for _, g in pdf.sort_values(["shard", "doc_id"]).groupby("shard"):
+        starts = g.start_tok.to_numpy()
+        ends = (g.start_tok + g.n_tokens + 1).to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == ends[:-1]).all()
+        assert (g.first_block <= g.last_block).all()
+        assert (g.n_blocks == g.last_block - g.first_block + 1).all()
+
+
+def test_pack_greedy_matches_reference(docs):
+    block = 256
+    got = pack_greedy(docs, block_size=block, n_shards=8)
+    rows = sorted(
+        (r["doc_id"], r["shard"], r["n_tokens"], r["bin_id"],
+         r["bin_offset"], r["truncated"])
+        for r in got.collect()
+    )
+    sized = [(d, s, n) for d, s, n, *_ in rows]
+    # reference walks the same (doc_id, shard, ORIGINAL n_tokens) input;
+    # reconstruct pre-truncation sizes from the source of truth
+    src = pack_greedy(docs, block_size=10**9, n_shards=8).collect()
+    original = [(r["doc_id"], r["shard"], r["n_tokens"]) for r in src]
+    want = pack_reference(original, block)
+    assert rows == want
+    # no bin overflows and offsets are consistent
+    df = pd.DataFrame(
+        rows,
+        columns=["doc_id", "shard", "n_tokens", "bin_id", "bin_offset",
+                 "truncated"],
+    )
+    assert ((df.bin_offset + df.n_tokens) <= block).all()
+    fills = df.groupby(["shard", "bin_id"]).apply(
+        lambda g: (g.n_tokens.sum() <= block), include_groups=False
+    )
+    assert fills.all()
+
+
+def test_pack_greedy_truncates_oversized(spark):
+    docs = spark.createDataFrame(
+        [(1, "w " * 600), (2, "x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           pack_greedy(docs, block_size=256, n_shards=1).collect()}
+    assert out[1]["truncated"] and out[1]["n_tokens"] == 256
+    assert not out[2]["truncated"]
+    # the oversized doc fills its bin exactly; next doc starts a new bin
+    assert out[1]["bin_id"] != out[2]["bin_id"] or out[1]["shard"] != out[2]["shard"]
