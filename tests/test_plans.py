@@ -93,3 +93,41 @@ def test_text_profile_is_single_scan_no_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Exchange" not in plan, plan
     assert "Python" not in plan  # no UDFs anywhere in the profile
+
+
+def test_redact_pii_no_shuffle(spark):
+    """Redaction is a narrow projection: zero Exchange, one scan."""
+    from cassandra_iot_pipeline_spark.functions.cleaning import redact_pii
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = formatted_plan(redact_pii(docs))
+    assert "Exchange" not in plan
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    """The benchmark shingle set must broadcast: the corpus side of the
+    hit-join sees no hash-partitioned Exchange below the join (the only
+    hashpartitioning Exchanges are the bench-side distinct and the final
+    per-doc aggregate)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_iot_pipeline_spark.functions.cleaning import (
+        contamination_overlap,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    plan = formatted_plan(contamination_overlap(docs, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_concat_shards_not_global_sort(spark):
+    """Packing must window per shard (hashpartitioning on shard), never
+    a single-partition global sort — the unpartitioned-Window trap."""
+    from cassandra_iot_pipeline_spark.functions.cleaning import pack_concat
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = formatted_plan(pack_concat(docs, block_size=256, n_shards=8))
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
