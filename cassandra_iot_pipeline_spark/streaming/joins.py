@@ -54,13 +54,21 @@ def conversion_join_query(
         )
         .withWatermark("purchase_ts", WATERMARK)
     )
+    # The range bound must be native timestamp arithmetic
+    # (ts + INTERVAL), not unix_micros comparisons: StreamingJoinHelper
+    # can only extract a state-value watermark from interval-form
+    # conditions. With micros arithmetic it logged "Failed to extract
+    # state value watermark" and the view-side buffer was evicted only
+    # by the coarse event-time watermark — state grew with the full
+    # join window on both sides. Semantically identical (whole-second
+    # interval adds are microsecond-exact).
     joined = views.join(
         purchases,
         (F.col("v_user") == F.col("p_user"))
         & (F.col("purchase_ts") > F.col("view_ts"))
         & (
-            F.unix_micros(F.col("purchase_ts"))
-            <= F.unix_micros(F.col("view_ts")) + window_s * 1_000_000
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.make_interval(secs=F.lit(window_s))
         ),
     ).select(
         F.col("v_user").alias("user_id"),
