@@ -1,0 +1,150 @@
+"""End-to-end corpus curation: the composition a training-data team
+actually runs, built purely from the engine's own operators.
+
+    profile -> quality/language filter -> PII redaction
+            -> exact dedup -> MinHash-LSH near-dup clusters
+            -> cluster resolution -> split assignment -> packing layout
+
+Each stage is one of the already-tested primitives (text.text_profile,
+cleaning.redact_pii, dedup.exact_dedup/minhash_lsh_pairs,
+clusters.resolve_duplicates, sampling.hash_split,
+cleaning.pack_concat), so this module adds *composition*, not new
+semantics — the value is that the whole chain stays declarative: one
+lazily-built DAG per returned frame, no driver-side materialization
+between stages, Catalyst free to push the quality filter into the
+document scan underneath everything.
+
+100 TB shuffle budget of the full chain (in order): zero for
+profile+filter+redact (narrow), one groupBy for exact dedup, the
+MinHash banding shuffles (8-byte band keys), the cluster-resolution
+label rounds (8-byte keys, paired docs only), zero for split
+assignment (hash predicate), one hash-by-shard exchange for packing.
+Nothing shuffles full document payloads except the exact-dedup
+canonical groupBy — which the docstring of exact_dedup already
+prescribes pre-hashing for at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cleaning import pack_concat, redact_pii
+from .clusters import resolve_duplicates
+from .dedup import canonical, minhash_lsh_pairs
+from .sampling import hash_split
+from .text import text_profile
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    min_tokens: int = 5
+    max_tokens: int = 100_000
+    min_alpha_ratio: float = 0.5
+    min_quality: float = 0.0
+    allowed_langs: tuple[str, ...] | None = None  # None = keep all
+    minhash_threshold: float = 0.8
+    splits: Mapping[str, float] = field(
+        default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
+    )
+    split_seed: int = 0
+    block_size: int = 2048
+    pack_shards: int = 64
+
+
+@dataclass(frozen=True)
+class CuratedCorpus:
+    """Every stage as an inspectable DataFrame. ``curated`` is the
+    deliverable; the rest exist for audit queries and row accounting
+    (all still lazy — nothing has run until the caller acts)."""
+
+    profile: DataFrame        # doc_id + quality/lang metrics (all docs)
+    kept: DataFrame           # docs surviving the quality/lang filter
+    redacted: DataFrame       # kept docs, PII replaced, counts attached
+    dup_pairs: DataFrame      # near-dup pairs among kept docs
+    curated: DataFrame        # one survivor per cluster + split column
+    packing: DataFrame        # pack_concat layout of the train split
+
+    def report(self) -> dict[str, int]:
+        """Row accounting per stage. Four actions — audit tool, not a
+        hot path; each count reuses the same lazy DAG."""
+        n_total = self.profile.count()
+        n_kept = self.kept.count()
+        n_curated = self.curated.count()
+        n_pii = self.redacted.filter(F.col("n_pii") > 0).count()
+        return {
+            "documents": n_total,
+            "kept_after_filter": n_kept,
+            "docs_with_pii": n_pii,
+            "after_dedup": n_curated,
+            "removed_by_filter": n_total - n_kept,
+            "removed_as_duplicates": n_kept - n_curated,
+        }
+
+
+def curate_corpus(
+    documents: DataFrame, config: CurationConfig = CurationConfig()
+) -> CuratedCorpus:
+    """Run the curation chain; see module docstring for the plan shape.
+
+    Exact duplicates are folded into the near-dup pass by feeding
+    canonical-text-identical docs to the cluster resolver as pairs
+    (min-doc_id representative per canonical group), so one resolution
+    materializes the corpus once instead of scanning it twice.
+    """
+    profile = text_profile(documents)
+    pred = (
+        (F.col("n_tokens") >= config.min_tokens)
+        & (F.col("n_tokens") <= config.max_tokens)
+        & (F.col("alpha_ratio") >= config.min_alpha_ratio)
+        & (F.col("quality_score") >= config.min_quality)
+    )
+    if config.allowed_langs is not None:
+        pred = pred & F.col("lang_guess").isin(*config.allowed_langs)
+    kept_ids = profile.filter(pred).select("doc_id", "lang_guess")
+    kept = documents.join(kept_ids, "doc_id")
+
+    redacted = redact_pii(kept)
+    # redacted text replaces the original for every downstream stage:
+    # dedup must not distinguish two docs that differ only in the PII
+    # spans just scrubbed
+    redacted_docs = kept.drop("text").join(
+        redacted.select("doc_id", "text", "n_pii"), "doc_id"
+    )
+
+    # exact-duplicate pairs: (group-min doc_id, other doc_id) per
+    # canonical text — same closure semantics as a near-dup pair
+    canon = redacted_docs.select(
+        "doc_id", canonical(F.col("text")).alias("canon")
+    )
+    canon_min = canon.groupBy("canon").agg(F.min("doc_id").alias("doc_a"))
+    exact_pairs = (
+        canon.join(canon_min, "canon")
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    near_pairs = minhash_lsh_pairs(
+        redacted_docs, config.minhash_threshold
+    ).select("doc_a", "doc_b")
+    dup_pairs = exact_pairs.unionByName(near_pairs)
+
+    resolved = resolve_duplicates(redacted_docs, dup_pairs)
+    curated = hash_split(
+        resolved, "doc_id", dict(config.splits), seed=config.split_seed
+    )
+    packing = pack_concat(
+        curated.filter(F.col("split") == "train"),
+        block_size=config.block_size,
+        n_shards=config.pack_shards,
+    )
+    return CuratedCorpus(
+        profile=profile,
+        kept=kept,
+        redacted=redacted,
+        dup_pairs=dup_pairs,
+        curated=curated,
+        packing=packing,
+    )

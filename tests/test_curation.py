@@ -1,0 +1,138 @@
+"""End-to-end curation chain (functions/curation.py): filter -> redact
+-> dedup -> resolve -> split -> pack over the fixture corpus plus
+injected duplicates/PII/junk rows with known expected fates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.functions.curation import (
+    CurationConfig,
+    curate_corpus,
+)
+from cassandra_iot_pipeline_spark.functions.dedup import canonical
+from tests.conftest import SF_DIR
+
+EXACT_DUP_ID = 10_001
+NEAR_DUP_ID = 10_002
+PII_ID = 10_003
+JUNK_ID = 10_004
+
+CFG = CurationConfig(
+    min_tokens=5,
+    min_alpha_ratio=0.3,
+    splits={"train": 0.8, "val": 0.1, "test": 0.1},
+    block_size=256,
+    pack_shards=8,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    # longest doc -> highest near-dup jaccard after a one-word edit
+    base = max(docs.collect(), key=lambda r: len(r["text"].split()))
+    words = base["text"].split()
+    words[len(words) // 2] = "mutated"
+    extra = spark.createDataFrame(
+        [
+            (EXACT_DUP_ID, base["text"], "en", "inject", len(base["text"])),
+            (NEAR_DUP_ID, " ".join(words), "en", "inject", 0),
+            (
+                PII_ID,
+                "please contact jane@example.com about the merge of the "
+                "fast sort table scan join window hash batch rows",
+                "en",
+                "inject",
+                0,
+            ),
+            (JUNK_ID, "#### !!!! 1234 ----", "und", "inject", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return docs.unionByName(extra), base["doc_id"]
+
+
+@pytest.fixture(scope="module")
+def result(corpus):
+    docs, _ = corpus
+    return curate_corpus(docs, CFG)
+
+
+def test_report_accounting(result):
+    rep = result.report()
+    assert rep["documents"] == rep["kept_after_filter"] + rep["removed_by_filter"]
+    assert rep["after_dedup"] == rep["kept_after_filter"] - rep["removed_as_duplicates"]
+    assert rep["removed_as_duplicates"] >= 2  # both injected dups die
+    assert rep["docs_with_pii"] >= 1
+
+
+def test_injected_rows_meet_their_fates(result, corpus):
+    _, base_id = corpus
+    surviving = {r["doc_id"] for r in result.curated.select("doc_id").collect()}
+    assert base_id in surviving            # cluster min survives
+    assert EXACT_DUP_ID not in surviving   # exact copy collapsed
+    assert NEAR_DUP_ID not in surviving    # one-word edit caught by LSH
+    assert JUNK_ID not in surviving        # failed the quality filter
+    assert PII_ID in surviving
+    pii_row = result.curated.filter(F.col("doc_id") == PII_ID).collect()[0]
+    assert "[EMAIL]" in pii_row["text"] and "@example.com" not in pii_row["text"]
+    assert pii_row["n_pii"] == 1
+
+
+def test_curated_has_no_exact_duplicates(result):
+    n = result.curated.count()
+    n_canon = (
+        result.curated.select(canonical(F.col("text")).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert n == n_canon
+
+
+def test_no_dup_pair_survives_whole(result):
+    """For every detected duplicate pair, at most one member remains."""
+    surv = result.curated.select("doc_id")
+    both = (
+        result.dup_pairs.join(
+            surv.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .count()
+    )
+    assert both == 0
+
+
+def test_splits_partition_curated(result):
+    counts = {
+        r["split"]: r["n"]
+        for r in result.curated.groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sum(counts.values()) == result.curated.count()
+    assert set(counts) <= {"train", "val", "test"}
+
+
+def test_packing_covers_exactly_the_train_split(result):
+    train_ids = {
+        r["doc_id"]
+        for r in result.curated.filter(F.col("split") == "train")
+        .select("doc_id")
+        .collect()
+    }
+    packed_ids = {r["doc_id"] for r in result.packing.select("doc_id").collect()}
+    assert packed_ids == train_ids
+
+
+def test_filter_respects_config(result):
+    kept_profile = result.profile.join(
+        result.curated.select("doc_id"), "doc_id"
+    )
+    bad = kept_profile.filter(
+        (F.col("n_tokens") < CFG.min_tokens)
+        | (F.col("alpha_ratio") < CFG.min_alpha_ratio)
+    ).count()
+    assert bad == 0
