@@ -96,18 +96,33 @@ def redact_pii_oracle(source_table: str = "documents") -> str:
 # --- benchmark-contamination detection ---------------------------------------
 
 
-def _shingle_text_rows(documents: DataFrame, n: int) -> DataFrame:
-    """(doc_id, sh): one row per *distinct* n-token shingle, shingle
-    spelled out as a space-joined string (needed because the oracle
-    must produce the same shingle keys; the scale path hashes it to 8
-    bytes before shuffling)."""
-    toks = tokens(F.col("text"))
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+def _shingle_hash_rows(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, h): one row per n-token shingle occurrence, h =
+    xxhash64 of the space-joined shingle.
+
+    The index explodes through a Generate and slices a *materialized*
+    token array, so tokenization runs once per document. (A
+    ``transform`` lambda over ``sequence(...)`` re-evaluates the
+    tokenizer expression per element — and CollapseProject re-inlines
+    any pre-projection — making the scan O(tokens²) per doc: measured
+    997 s vs ~7 s for the 100k-doc probe. Same lesson as
+    dedup.shingle_rows.)
+
+    Docs with fewer than ``n`` tokens emit no rows: the sequence bound
+    is guarded because ``sequence(1, 0)`` is a *descending* sequence in
+    Spark, not empty."""
+    tok_df = documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+    bound = F.greatest(F.size("toks") - (n - 1), F.lit(0))
+    idx = F.explode(
+        F.when(bound >= 1, F.sequence(F.lit(1), bound)).otherwise(
+            F.array().cast("array<int>")
+        )
     )
-    return documents.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
+    return tok_df.select("doc_id", "toks", idx.alias("i")).select(
+        "doc_id",
+        F.xxhash64(F.concat_ws(" ", F.slice("toks", F.col("i"), n))).alias(
+            "h"
+        ),
     )
 
 
@@ -125,30 +140,31 @@ def contamination_overlap(
     shingle *hashes* (8 bytes each) and is broadcast — eval suites are
     tiny next to a pretraining corpus. The corpus explodes to shingle
     hashes, broadcast-joins (no shuffle of corpus payloads beyond the
-    8-byte hash column), and aggregates per doc_id: one shuffle total,
-    keyed by doc_id. Documents with fewer than ``n`` tokens have no
-    shingles and are reported with zero overlap via the left join back
-    to the corpus spine.
+    8-byte hash column), and aggregates per doc_id with two distinct
+    counts (distinct shingles, distinct hit shingles) — occurrence
+    rows never shuffle pre-deduplicated; partial aggregation dedups
+    map-side and the one exchange carries (doc_id, gid, hash) triples.
+    Documents with fewer than ``n`` tokens have no shingles and are
+    reported with zero overlap via the left join back to the corpus
+    spine.
 
     Output: doc_id, n_shingles, n_hit, contamination (hit fraction,
     NULL when the doc has no shingles), contaminated (bool).
     """
     bench_sh = (
-        _shingle_text_rows(benchmark, n)
-        .select(F.xxhash64("sh").alias("bh"))
-        .distinct()
+        _shingle_hash_rows(benchmark, n).select(F.col("h").alias("bh")).distinct()
     )
-    corpus_sh = _shingle_text_rows(corpus, n).select(
-        "doc_id", F.xxhash64("sh").alias("h")
-    )
+    corpus_sh = _shingle_hash_rows(corpus, n)
     hits = (
         corpus_sh.join(
             F.broadcast(bench_sh), corpus_sh["h"] == bench_sh["bh"], "left"
         )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count("bh").alias("n_hit"),
+            F.count_distinct(F.col("h")).alias("n_shingles"),
+            F.count_distinct(
+                F.when(F.col("bh").isNotNull(), F.col("h"))
+            ).alias("n_hit"),
         )
     )
     rate = F.col("n_hit") / F.col("n_shingles")

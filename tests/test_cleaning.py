@@ -164,3 +164,22 @@ def test_pack_greedy_truncates_oversized(spark):
     assert not out[2]["truncated"]
     # the oversized doc fills its bin exactly; next doc starts a new bin
     assert out[1]["bin_id"] != out[2]["bin_id"] or out[1]["shard"] != out[2]["shard"]
+
+
+def test_contamination_short_and_empty_docs(spark):
+    """Docs with fewer than n tokens emit no shingles (sequence(1,0) is
+    DESCENDING in Spark, not empty — the guard matters) and report
+    zero overlap with NULL rate."""
+    corpus = spark.createDataFrame(
+        [(1, "only three tokens"), (2, ""), (3, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           contamination_overlap(corpus, bench, n=8).collect()}
+    assert got[1]["n_shingles"] == 0 and got[1]["contamination"] is None
+    assert got[2]["n_shingles"] == 0 and not got[2]["contaminated"]
+    assert got[3]["n_shingles"] == 3 and got[3]["n_hit"] == 3
+    assert got[3]["contaminated"]
