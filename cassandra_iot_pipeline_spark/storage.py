@@ -125,3 +125,37 @@ def compact_small_files(
     n_files = max(1, total // (target_file_mb * 1024 * 1024))
     df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
     commit_swap(path)
+
+
+def expire_partitions(
+    path: str, before_date: str, partition_col: str = "event_date"
+) -> list[str]:
+    """Retention by whole-partition drop — the parquet analogue of the
+    reference's TimeWindowCompactionStrategy posture, where entire
+    time windows age out atomically instead of row-by-row deletes
+    (reference: iot-cassandra-pipeline/cassandra/init.cql:59-74,
+    docs/baseline-architecture.md:157 "Entire windows are dropped
+    atomically when data expires via TTL").
+
+    Removes every ``<partition_col>=<value>`` directory with
+    ``value < before_date`` (ISO dates compare lexically). Directory
+    removal only: no data rewrite, no tombstones, no job — a reader
+    racing the drop sees each partition entirely or not at all, which
+    is exactly the TimeWindow guarantee. Rows whose retention boundary
+    does not align with the partition grain go through the normal
+    filter-rewrite + compaction path instead; keeping the *layout*
+    grain equal to the *retention* grain is the design point (choose
+    the partition column accordingly).
+
+    Returns the dropped partition values, sorted.
+    """
+    prefix = partition_col + "="
+    dropped: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        value = entry[len(prefix):]
+        if value < before_date:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(value)
+    return dropped

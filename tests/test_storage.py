@@ -137,3 +137,31 @@ def test_sink_compact_recovers_after_simulated_crash(spark, tmp_path):
     sink.compact(spark)
     assert sink.read(spark).count() == n
     assert not os.path.exists(path + ".old")
+
+
+def test_expire_partitions_drops_whole_days(spark, tmp_path):
+    from cassandra_iot_pipeline_spark.storage import (
+        expire_partitions,
+        read_events_table,
+        write_events_table,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_tbl")
+    write_events_table(events, path)
+    days = sorted(
+        r["d"]
+        for r in events.select(
+            F.to_date("ts").cast("string").alias("d")
+        ).distinct().collect()
+    )
+    cutoff = days[3]
+    before = read_events_table(spark, path)
+    expected_kept = before.filter(F.to_date("ts") >= F.lit(cutoff)).count()
+
+    dropped = expire_partitions(path, cutoff)
+    assert dropped == days[:3]
+
+    after = read_events_table(spark, path)
+    assert after.count() == expected_kept
+    assert after.filter(F.to_date("ts") < F.lit(cutoff)).count() == 0
