@@ -183,3 +183,45 @@ def test_contamination_short_and_empty_docs(spark):
     assert got[2]["n_shingles"] == 0 and not got[2]["contaminated"]
     assert got[3]["n_shingles"] == 3 and got[3]["n_hit"] == 3
     assert got[3]["contaminated"]
+
+
+def test_pack_reference_properties():
+    """Property test for the next-fit reference packer (pure Python):
+    random corpora, invariants that must hold for ANY correct packing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 10_000),          # doc_id
+                st.integers(0, 3),               # shard
+                st.integers(0, 600),             # n_tokens
+            ),
+            max_size=60,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(8, 256),                     # block_size
+    )
+    def check(rows, block):
+        out = pack_reference(rows, block)
+        assert len(out) == len(rows)             # nothing lost
+        by_bin = {}
+        for doc_id, shard, n, bin_id, off, trunc in out:
+            assert n <= block                    # truncation enforced
+            assert off + n <= block              # no bin overflow
+            by_bin.setdefault((shard, bin_id), []).append((off, n, doc_id))
+        for members in by_bin.values():
+            members.sort()
+            pos = members[0][0]
+            assert pos == 0                      # bins start at offset 0
+            for off, n, _ in members:
+                assert off == pos                # dense within the bin
+                pos = off + n
+        # next-fit never leaves a gap a doc from the SAME bin's tail
+        # could have filled: total fill per bin <= block
+        for members in by_bin.values():
+            assert sum(n for _, n, _ in members) <= block
+
+    check()
