@@ -70,11 +70,22 @@ class CuratedCorpus:
 
     def report(self) -> dict[str, int]:
         """Row accounting per stage. Four actions — audit tool, not a
-        hot path; each count reuses the same lazy DAG."""
-        n_total = self.profile.count()
-        n_kept = self.kept.count()
-        n_curated = self.curated.count()
-        n_pii = self.redacted.filter(F.col("n_pii") > 0).count()
+        hot path. The counted frames share the expensive upstream
+        stages (profile scan, MinHash banding), so they are persisted
+        for the duration of the counts: without this each count
+        re-executes the whole chain from the source scan (measured 4x
+        the chain's own runtime at probe scale)."""
+        cached = [self.kept, self.redacted, self.curated]
+        for df in cached:
+            df.persist()
+        try:
+            n_total = self.profile.count()
+            n_kept = self.kept.count()
+            n_curated = self.curated.count()
+            n_pii = self.redacted.filter(F.col("n_pii") > 0).count()
+        finally:
+            for df in cached:
+                df.unpersist()
         return {
             "documents": n_total,
             "kept_after_filter": n_kept,

@@ -109,6 +109,39 @@ def main() -> None:
     timed("simhash_near_dup", simhash_near_dup_pairs(docs, 3), results)
     results["n_docs"] = n_docs
 
+    # corpus-cleaning ops at the same document scale: redaction is a
+    # narrow scan; contamination broadcasts a ~1% "benchmark" slice's
+    # shingle hashes; packing windows per shard
+    from cassandra_iot_pipeline_spark.functions.cleaning import (
+        contamination_overlap,
+        pack_concat,
+        redact_pii,
+    )
+
+    timed("redact_pii", redact_pii(docs), results)
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    timed(
+        "contamination_overlap", contamination_overlap(docs, bench), results
+    )
+    timed("pack_concat", pack_concat(docs, 2048, 64), results)
+
+    # the full curation chain end-to-end (filter -> redact -> dedup ->
+    # resolve -> split); timed around the materialization of the final
+    # curated frame, which pulls the whole DAG
+    from cassandra_iot_pipeline_spark.functions.curation import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    # synthetic "wordNNNN" tokens are half digits, so the default
+    # alpha-ratio floor would empty the corpus at stage 1 and the probe
+    # would time nothing; relax it so every stage sees real volume
+    cfg = CurationConfig(min_alpha_ratio=0.2)
+    t0 = time.perf_counter()
+    curated = curate_corpus(docs, cfg).curated
+    curated.write.format("noop").mode("overwrite").save()
+    results["curate_corpus"] = round(time.perf_counter() - t0, 2)
+
     # duplicate-cluster resolution: chain-shaped clusters of 4 docs
     # (diameter 3 — worse than the near-clique graphs real dedup
     # emits), one edge row per id. Timed around the whole call since
