@@ -1,0 +1,227 @@
+"""Per-device value-jump detection — Spark 4's
+``transformWithStateInPandas`` arbitrary-state processor (typed state
+variables, optional state TTL, timers) when the runtime supports it,
+with an ``applyInPandasWithState`` fallback carrying identical
+semantics (same dual-path pattern as the Avro decode:
+JVM ``from_avro`` preferred, Python codec fallback).
+
+The modern API's Python worker speaks a protobuf state protocol, so it
+needs the ``protobuf`` package; this sandbox ships without it and the
+query fails at stream start ("driver worker exited ... ImportError:
+google.protobuf"). ``tws_available()`` detects that up front and
+``detect_jumps`` routes accordingly — callers can force either path.
+
+Operator: for every device, remember the last observed (event-time,
+value) across micro-batches; whenever a new event's value differs from
+the remembered one by at least ``threshold`` — a sensor jump, the IoT
+anomaly primitive — emit (device, ts, prev_value, value, delta).
+
+Determinism contract (same pattern as the stateful sessionizer): values
+are compared in integer cents and rows are processed in (ts, event_id)
+order within each batch, so for a day-ordered bounded replay the stream
+output is bit-identical to the batch lag-window formulation — asserted
+against it in tests (which exercise whichever path the runtime has).
+
+Scale: one shuffle on the grouping key per micro-batch; state is one
+(long, long, long) per device in the RocksDB state store. Pass
+``state_ttl_ms`` in production (TWS path) so devices that go dark age
+out of the store instead of accumulating forever — the state-level
+analogue of the partition-drop retention in storage.py (TTL needs
+``timeMode="ProcessingTime"``; the bounded-replay tests use "None",
+where state lives for the run).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually run here: its
+    state-server protocol imports google.protobuf inside the streaming
+    Python worker."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+JUMP_OUTPUT = (
+    "user_id long, ts_us long, prev_value double, value double,"
+    " delta double"
+)
+_STATE_SCHEMA = "last_us long, last_event long, cents long"
+
+
+class JumpDetector(StatefulProcessor):
+    """StatefulProcessor holding the last (ts, event_id, cents) per key."""
+
+    def __init__(self, threshold_cents: int, state_ttl_ms: int | None = None):
+        self._threshold = int(threshold_cents)
+        self._ttl = state_ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._last = handle.getValueState("last", _STATE_SCHEMA, self._ttl)
+
+    def handleInputRows(
+        self,
+        key: Any,
+        rows: Iterator[pd.DataFrame],
+        timerValues: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        pdf = pd.concat(list(rows)).sort_values(["ts_us", "event_id"])
+        prev = self._last.get() if self._last.exists() else None
+        prev_cents = None if prev is None else int(prev[2])
+        out: list[tuple[int, int, float, float, float]] = []
+        last_us = last_event = 0
+        for ts_us, event_id, cents in zip(
+            pdf["ts_us"], pdf["event_id"], pdf["cents"]
+        ):
+            cents = int(cents)
+            if (
+                prev_cents is not None
+                and abs(cents - prev_cents) >= self._threshold
+            ):
+                out.append(
+                    (
+                        int(user_id),
+                        int(ts_us),
+                        prev_cents / 100.0,
+                        cents / 100.0,
+                        (cents - prev_cents) / 100.0,
+                    )
+                )
+            prev_cents = cents
+            last_us, last_event = int(ts_us), int(event_id)
+        self._last.update((last_us, last_event, prev_cents))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "ts_us", "prev_value", "value", "delta"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _prepared(stream: DataFrame) -> DataFrame:
+    return stream.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+def _detect_jumps_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    threshold_cents: int,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState twin of JumpDetector.handleInputRows —
+    same walk, same integer-cents comparison, same state tuple."""
+    (user_id,) = key
+    pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    prev_cents = int(state.get[2]) if state.exists else None
+    out: list[tuple[int, int, float, float, float]] = []
+    last_us = last_event = 0
+    for ts_us, event_id, cents in zip(
+        pdf["ts_us"], pdf["event_id"], pdf["cents"]
+    ):
+        cents = int(cents)
+        if prev_cents is not None and abs(cents - prev_cents) >= threshold_cents:
+            out.append(
+                (
+                    int(user_id),
+                    int(ts_us),
+                    prev_cents / 100.0,
+                    cents / 100.0,
+                    (cents - prev_cents) / 100.0,
+                )
+            )
+        prev_cents = cents
+        last_us, last_event = int(ts_us), int(event_id)
+    state.update((last_us, last_event, prev_cents))
+    yield pd.DataFrame(
+        out, columns=["user_id", "ts_us", "prev_value", "value", "delta"]
+    )
+
+
+def detect_jumps(
+    stream: DataFrame,
+    threshold: float = 100.0,
+    state_ttl_ms: int | None = None,
+    use_tws: bool | None = None,
+) -> DataFrame:
+    """Streaming jump detector; see module docstring.
+
+    ``use_tws=None`` auto-detects: transformWithStateInPandas when the
+    runtime has google.protobuf, applyInPandasWithState otherwise.
+    The fallback does not implement state TTL (the old API has only
+    processing-time timeouts per key)."""
+    thr = int(round(threshold * 100))
+    if use_tws is None:
+        use_tws = tws_available()
+    prepared = _prepared(stream)
+    if use_tws:
+        proc = JumpDetector(thr, state_ttl_ms)
+        return prepared.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=JUMP_OUTPUT,
+            outputMode="Append",
+            timeMode="None" if state_ttl_ms is None else "ProcessingTime",
+        )
+
+    def fn(key, pdfs, state):
+        yield from _detect_jumps_group(key, pdfs, state, thr)
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=JUMP_OUTPUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def detect_jumps_batch(events: DataFrame, threshold: float = 100.0) -> DataFrame:
+    """Batch twin: lag window over (ts, event_id) per device — the
+    oracle the streaming operator must equal on in-order replays."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    thr = int(round(threshold * 100))
+    return (
+        events.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            cents.alias("cents"),
+        )
+        .withColumn("prev_cents", F.lag("cents").over(w))
+        .filter(
+            F.col("prev_cents").isNotNull()
+            & (F.abs(F.col("cents") - F.col("prev_cents")) >= thr)
+        )
+        .select(
+            "user_id",
+            "ts_us",
+            (F.col("prev_cents") / 100.0).alias("prev_value"),
+            (F.col("cents") / 100.0).alias("value"),
+            ((F.col("cents") - F.col("prev_cents")) / 100.0).alias("delta"),
+        )
+    )
