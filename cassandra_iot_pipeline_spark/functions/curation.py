@@ -127,13 +127,19 @@ def curate_corpus(
     )
 
     # exact-duplicate pairs: (group-min doc_id, other doc_id) per
-    # canonical text — same closure semantics as a near-dup pair
+    # canonical text — same closure semantics as a near-dup pair. The
+    # grouping key is xxhash64(canonical): the shuffle carries 8 bytes
+    # per row instead of the full document text (the 100 TB posture the
+    # exact_dedup docstring prescribes; a 64-bit collision merges two
+    # clusters — at web scale that risk is taken by every hash-dedup
+    # pipeline, and the oracle-exact text-keyed operator remains
+    # available as functions.dedup.exact_dedup)
     canon = redacted_docs.select(
-        "doc_id", canonical(F.col("text")).alias("canon")
+        "doc_id", F.xxhash64(canonical(F.col("text"))).alias("ch")
     )
-    canon_min = canon.groupBy("canon").agg(F.min("doc_id").alias("doc_a"))
+    canon_min = canon.groupBy("ch").agg(F.min("doc_id").alias("doc_a"))
     exact_pairs = (
-        canon.join(canon_min, "canon")
+        canon.join(canon_min, "ch")
         .filter(F.col("doc_id") != F.col("doc_a"))
         .select("doc_a", F.col("doc_id").alias("doc_b"))
     )
