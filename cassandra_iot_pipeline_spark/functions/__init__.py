@@ -5,6 +5,10 @@ pipeline runs over document/embedding tables.
 
     text       -- tokenization, quality scoring, language ID, fingerprints
     dedup      -- exact, blocked-Jaccard, MinHash-LSH, SimHash near-dup
-    similarity -- cosine top-k (brute force + LSH-bucketed scale path)
+    similarity -- cosine top-k (brute force + LSH/IVF scale paths)
     multimodal -- opaque binary columns: metadata, decode/frame plumbing
+    clusters   -- near-dup pairs -> connected components -> resolved corpus
+    sampling   -- deterministic splits/samples/caps/mixtures by hash
+    cleaning   -- PII redaction, contamination check, sequence packing
+    curation   -- the end-to-end filter->redact->dedup->split->pack chain
 """

@@ -6,4 +6,12 @@
                 analogue) + compaction job
     staging  -- stages fixture tables as time-ordered file sequences so
                 a file source can replay them as micro-batches
+    joins    -- watermarked stream-stream funnel join
+    stateful -- applyInPandasWithState sessionization
+    anomaly  -- per-device jump detector (transformWithStateInPandas
+                when the runtime has protobuf; applyInPandasWithState
+                fallback otherwise)
+    dedup    -- exactly-once ingest landing via
+                dropDuplicatesWithinWatermark
+    cassandra -- connector sink options (prod backend; no cluster here)
 """
