@@ -64,21 +64,27 @@ def _sessionize_group(
         n_events = units = 0
 
     closed: list[tuple[int, int, int, int, float]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        for ts_us, cents in zip(pdf["ts_us"], pdf["cents"]):
-            ts_us = int(ts_us)
-            if start_us is None:
-                start_us, last_us, n_events, units = ts_us, ts_us, 1, int(cents)
-            elif ts_us - last_us > gap_us:
-                closed.append(
-                    (user_id, start_us, last_us, n_events, units / 100.0)
-                )
-                start_us, last_us, n_events, units = ts_us, ts_us, 1, int(cents)
-            else:
-                last_us = ts_us
-                n_events += 1
-                units += int(cents)
+    # CONCAT before the sort: a group's rows within one micro-batch
+    # arrive as multiple Arrow chunks in arbitrary order (the iterator
+    # chunks by maxRecordsPerBatch, not by event time). Sorting each
+    # chunk independently processed chunks out of event-time order —
+    # at sf0.1 this produced sessions with end < start whenever a
+    # group straddled a chunk boundary; smaller fixtures passed only
+    # because groups rarely straddled one.
+    pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    for ts_us, cents in zip(pdf["ts_us"], pdf["cents"]):
+        ts_us = int(ts_us)
+        if start_us is None:
+            start_us, last_us, n_events, units = ts_us, ts_us, 1, int(cents)
+        elif ts_us - last_us > gap_us:
+            closed.append(
+                (user_id, start_us, last_us, n_events, units / 100.0)
+            )
+            start_us, last_us, n_events, units = ts_us, ts_us, 1, int(cents)
+        else:
+            last_us = ts_us
+            n_events += 1
+            units += int(cents)
     state.update((start_us, last_us, n_events, units))
     if closed:
         yield pd.DataFrame(
