@@ -367,3 +367,217 @@ def word_frequencies_oracle(k: int = 50) -> str:
         ORDER BY n_occurrences DESC, token ASC
         LIMIT {k}
     """
+
+
+# --- rule-based quality filter (C4 / Gopher heuristics) ----------------------
+#
+# Doc-level keep/drop rules in the style of C4 (Raffel et al. 2020) and
+# the Gopher/MassiveText repetition-and-structure filters (Rae et al.
+# 2021). Thresholds are module constants so a pipeline can tune them;
+# each tripped rule contributes a named reason, making the filter
+# auditable (why was this document dropped?) rather than a bare boolean.
+QF_MIN_WORDS = 50
+QF_MAX_WORDS = 100_000
+QF_MIN_MEAN_WORD_LEN = 3.0
+QF_MAX_MEAN_WORD_LEN = 10.0
+QF_MAX_SYMBOL_RATIO = 0.1
+QF_MAX_BULLET_RATIO = 0.9
+QF_MAX_ELLIPSIS_RATIO = 0.3
+QF_MIN_STOP_HITS = 2
+QF_MIN_TERMINAL_PUNCT_RATIO = 0.1
+
+_QF_BULLETS = ("-", "*", "•")
+_QF_TERMINALS = (".", "!", "?", '"')
+
+
+def quality_flags(documents: DataFrame) -> DataFrame:
+    """Rule-based pretraining quality filter with named drop reasons.
+
+    Complements :func:`text_stats`'s composite ``quality_score`` (used by
+    ``curation.curate_corpus``) with the *auditable* rule form: one row
+    per document with every structural signal, ``drop_reasons`` (the
+    rules that tripped, fixed order, comma-joined) and ``keep``.
+
+    Rules (all pure Catalyst — one codegen'd scan, no shuffle, no
+    Python):
+
+    - ``word_count``      n_words outside [QF_MIN_WORDS, QF_MAX_WORDS]
+    - ``word_length``     mean token length outside [3, 10]   (Gopher)
+    - ``symbol_ratio``    ('#' + ellipsis) per word > 0.1      (Gopher)
+    - ``bullet_lines``    > 90 % of lines start with a bullet  (Gopher)
+    - ``ellipsis_lines``  > 30 % of lines end with an ellipsis (Gopher)
+    - ``stopwords``       < 2 stopword hits                    (Gopher)
+    - ``boilerplate``     contains 'lorem ipsum' or '{'        (C4)
+    - ``terminal_punct``  < 10 % of lines end in . ! ? "       (C4-ish)
+
+    Empty-document guard: ratio denominators go through nullif(_, 0),
+    so a 0-word / 0-line document yields NULL ratios and those rules
+    simply do not trip (NULL comparisons are not TRUE in either
+    engine); the word_count band still catches it. At 100 TB this is a
+    map-only operator: Catalyst pipelines it into the scan, and the
+    ``keep`` predicate pushes down when composed with a filter.
+    """
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    word_den = F.nullif(n_words, F.lit(0))
+    sum_word_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = sum_word_len.cast("double") / word_den
+
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    line_den = F.nullif(n_lines, F.lit(0))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin(*_QF_BULLETS),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+            | F.endswith(F.rtrim(l), F.lit("…")),
+        )
+    )
+    terminal_lines = F.size(
+        F.filter(lines, lambda l: F.right(F.rtrim(l), F.lit(1)).isin(*_QF_TERMINALS))
+    )
+
+    n_hash = F.length(F.col("text")) - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    n_dotdotdot = F.length(F.col("text")) - F.length(
+        F.replace(F.col("text"), F.lit("..."), F.lit(""))
+    )
+    n_uni_ellipsis = F.length(F.col("text")) - F.length(
+        F.replace(F.col("text"), F.lit("…"), F.lit(""))
+    )
+    # fixed op order (matches the oracle bit-for-bit)
+    symbol_ratio = (
+        n_hash.cast("double")
+        + n_dotdotdot.cast("double") / F.lit(3.0)
+        + n_uni_ellipsis.cast("double")
+    ) / word_den
+
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in STOPWORDS_ALL]))
+    )
+    boilerplate = F.contains(
+        F.lower(F.col("text")), F.lit("lorem ipsum")
+    ) | F.contains(F.col("text"), F.lit("{"))
+
+    bullet_ratio = bullet_lines.cast("double") / line_den
+    ellipsis_ratio = ellipsis_lines.cast("double") / line_den
+    terminal_ratio = terminal_lines.cast("double") / line_den
+
+    def _reason(cond, name):
+        return F.when(cond, F.array(F.lit(name))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    reasons = F.array_join(
+        F.flatten(
+            F.array(
+                _reason(
+                    (n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS),
+                    "word_count",
+                ),
+                _reason(
+                    (mean_word_len < QF_MIN_MEAN_WORD_LEN)
+                    | (mean_word_len > QF_MAX_MEAN_WORD_LEN),
+                    "word_length",
+                ),
+                _reason(symbol_ratio > QF_MAX_SYMBOL_RATIO, "symbol_ratio"),
+                _reason(bullet_ratio > QF_MAX_BULLET_RATIO, "bullet_lines"),
+                _reason(
+                    ellipsis_ratio > QF_MAX_ELLIPSIS_RATIO, "ellipsis_lines"
+                ),
+                _reason(stop_hits < QF_MIN_STOP_HITS, "stopwords"),
+                _reason(boilerplate, "boilerplate"),
+                _reason(
+                    terminal_ratio < QF_MIN_TERMINAL_PUNCT_RATIO,
+                    "terminal_punct",
+                ),
+            )
+        ),
+        ",",
+    )
+
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        terminal_ratio.alias("terminal_punct_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        reasons.alias("drop_reasons"),
+        (reasons == F.lit("")).alias("keep"),
+    )
+
+
+def quality_flags_oracle(source_table: str = "documents") -> str:
+    toks = _oracle_tokens("text")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_ALL)
+    bullets = ", ".join(f"'{b}'" for b in _QF_BULLETS)
+    terminals = ", ".join("''''" if t == "'" else f"'{t}'" for t in _QF_TERMINALS)
+    reasons = f"""array_to_string(flatten([
+        CASE WHEN (n_words < {QF_MIN_WORDS} OR n_words > {QF_MAX_WORDS})
+             THEN ['word_count'] ELSE CAST([] AS VARCHAR[]) END,
+        CASE WHEN (mean_word_len < {QF_MIN_MEAN_WORD_LEN}
+                   OR mean_word_len > {QF_MAX_MEAN_WORD_LEN})
+             THEN ['word_length'] ELSE CAST([] AS VARCHAR[]) END,
+        CASE WHEN symbol_ratio > {QF_MAX_SYMBOL_RATIO}
+             THEN ['symbol_ratio'] ELSE CAST([] AS VARCHAR[]) END,
+        CASE WHEN bullet_ratio > {QF_MAX_BULLET_RATIO}
+             THEN ['bullet_lines'] ELSE CAST([] AS VARCHAR[]) END,
+        CASE WHEN ellipsis_ratio > {QF_MAX_ELLIPSIS_RATIO}
+             THEN ['ellipsis_lines'] ELSE CAST([] AS VARCHAR[]) END,
+        CASE WHEN stop_hits < {QF_MIN_STOP_HITS}
+             THEN ['stopwords'] ELSE CAST([] AS VARCHAR[]) END,
+        CASE WHEN boilerplate
+             THEN ['boilerplate'] ELSE CAST([] AS VARCHAR[]) END,
+        CASE WHEN terminal_punct_ratio < {QF_MIN_TERMINAL_PUNCT_RATIO}
+             THEN ['terminal_punct'] ELSE CAST([] AS VARCHAR[]) END
+    ]), ',')"""
+    return f"""
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+               ellipsis_ratio, terminal_punct_ratio, stop_hits,
+               {reasons} AS drop_reasons,
+               ({reasons} = '') AS keep
+        FROM (
+            SELECT doc_id,
+                   CAST(len({toks}) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform({toks}, t -> length(t)))
+                        AS DOUBLE) / NULLIF(len({toks}), 0) AS mean_word_len,
+                   (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                    + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0
+                    + CAST(length(text) - length(replace(text, '…', '')) AS DOUBLE)
+                   ) / NULLIF(len({toks}), 0) AS symbol_ratio,
+                   CAST(len(list_filter(lines,
+                        l -> substr(ltrim(l), 1, 1) IN ({bullets}))) AS DOUBLE)
+                       / NULLIF(len(lines), 0) AS bullet_ratio,
+                   CAST(len(list_filter(lines,
+                        l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+                        AS DOUBLE)
+                       / NULLIF(len(lines), 0) AS ellipsis_ratio,
+                   CAST(len(list_filter(lines,
+                        l -> right(rtrim(l), 1) IN ({terminals}))) AS DOUBLE)
+                       / NULLIF(len(lines), 0) AS terminal_punct_ratio,
+                   CAST(len(list_filter({toks}, t -> t IN ({stop_list})))
+                        AS BIGINT) AS stop_hits,
+                   (contains(lower(text), 'lorem ipsum') OR contains(text, '{{'))
+                       AS boilerplate
+            FROM (
+                SELECT *,
+                       list_filter(regexp_split_to_array(text, '\\n'),
+                                   l -> trim(l) <> '') AS lines
+                FROM {source_table}
+            )
+        )
+    """

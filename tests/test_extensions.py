@@ -405,3 +405,60 @@ def test_asof_join_null_payload_not_backfilled(spark):
     row = out[0]
     assert row["status"] == "new"
     assert row["price"] is None, "NULL payload was backfilled from an older row"
+
+
+# --- rule-based quality filter ----------------------------------------------
+
+
+def test_quality_flags_oracle_parity(spark, documents, duck):
+    """Bit-exact parity with the DuckDB twin on the fixture corpus —
+    the same primitive sequence (tokenize, line split, fixed-order
+    float ops) evaluated by two independent engines."""
+    from tools.oracle_check import compare
+
+    spark_pdf = text.quality_flags(documents).toPandas()
+    oracle_pdf = duck.execute(text.quality_flags_oracle()).fetchdf()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert not problems, problems
+
+
+def test_quality_flags_planted_documents(spark):
+    """Each rule trips on a purpose-built document and names itself in
+    drop_reasons; a healthy document keeps."""
+    healthy = (
+        "The quick brown fox jumps over the lazy dog and runs far away. "
+        * 10
+    ).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, healthy),
+            (2, "short text"),  # word_count (+ stopwords: no 2 hits)
+            (3, "lorem ipsum " + healthy),  # boilerplate
+            (4, "- one\n- two\n- three"),  # bullet_lines (+ word_count)
+            (5, "well...\nmaybe...\nno..."),  # ellipsis_lines
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r for r in text.quality_flags(docs).collect()
+    }
+    assert rows[1]["keep"] and rows[1]["drop_reasons"] == ""
+    assert "word_count" in rows[2]["drop_reasons"]
+    assert "boilerplate" in rows[3]["drop_reasons"]
+    assert "bullet_lines" in rows[4]["drop_reasons"]
+    assert "ellipsis_lines" in rows[5]["drop_reasons"]
+    assert not rows[2]["keep"]
+
+
+def test_quality_flags_empty_document_guard(spark):
+    """0-word / 0-line documents: NULL ratios, no divide error, still
+    dropped by the word_count band."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   \n  \n")], "doc_id INT, text STRING"
+    )
+    rows = {r["doc_id"]: r for r in text.quality_flags(docs).collect()}
+    for doc_id in (1, 2):
+        assert rows[doc_id]["mean_word_len"] is None
+        assert rows[doc_id]["bullet_ratio"] is None
+        assert not rows[doc_id]["keep"]
+        assert "word_count" in rows[doc_id]["drop_reasons"]

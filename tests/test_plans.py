@@ -131,3 +131,18 @@ def test_pack_concat_shards_not_global_sort(spark):
     plan = formatted_plan(pack_concat(docs, block_size=256, n_shards=8))
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan
+
+
+def test_quality_flags_is_single_scan_no_shuffle(spark):
+    """The rule-based quality filter is a pure per-row projection: one
+    parquet scan, zero exchanges, no Python workers — map-only at any
+    corpus size."""
+    from cassandra_iot_pipeline_spark.functions.text import quality_flags
+
+    docs = load_table(spark, SF_DIR, "documents")
+    import re
+
+    plan = formatted_plan(quality_flags(docs))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan
