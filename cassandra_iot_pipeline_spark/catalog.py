@@ -1,12 +1,14 @@
 """Fixture-table catalog.
 
 Maps logical table names to parquet files under a scale-factor directory
-(``/root/testdata/sf{0.001,0.01,0.1}``) and normalizes physical quirks --
-most importantly the ``events.ts`` column, which the fixtures store as
-parquet TIMESTAMP(NANOS). Spark reads it as epoch-nanos LongType (via
-``spark.sql.legacy.parquet.nanosAsLong``); we convert to a microsecond
-TimestampType here so every downstream operator sees a plain timestamp,
-exactly as DuckDB does when it reads the same file.
+(``/root/testdata/sf{0.001,0.01,0.1}``) and normalizes physical quirks in
+the ``events.ts`` column. Driver-generated fixtures have stored it two
+ways across rounds: parquet TIMESTAMP(NANOS) (read as epoch-nanos
+LongType via ``spark.sql.legacy.parquet.nanosAsLong``) and plain
+TIMESTAMP(MICROS) without a UTC flag (read as TIMESTAMP_NTZ). Either way
+we normalize to a microsecond TimestampType driven by the *observed* read
+schema, so every downstream operator sees the same plain timestamp that
+DuckDB sees when it reads the same file.
 
 The ``events`` fixture stands in for the reference's sensor stream
 (reference: iot-cassandra-pipeline/schemas/SensorEvent.avsc:6-39):
@@ -48,8 +50,8 @@ def ensure_session_configs(spark: SparkSession) -> None:
     engine depends on must be applied at runtime (all of these are
     runtime-settable, verified on PySpark 4.1):
 
-    - ``nanosAsLong``: the fixtures store TIMESTAMP(NANOS), which the
-      parquet reader otherwise rejects outright;
+    - ``nanosAsLong``: lets the parquet reader accept TIMESTAMP(NANOS)
+      fixtures (older driver rounds; a no-op for micros fixtures);
     - UTC session timezone: hour-bucket boundaries and epoch conversions
       must be timezone-invariant to match the ANSI-SQL oracle;
     - AQE on (runtime re-planning; perf only, not correctness).
@@ -78,11 +80,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # epoch-nanos long -> microsecond timestamp (matches DuckDB's
-        # read of the same TIMESTAMP(NANOS) column, which truncates to
-        # micros). Integer DIV keeps this exact — `/ 1000` would go
-        # through double and round the low bits of epoch-nanos values.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            # TIMESTAMP(NANOS) fixture read as epoch-nanos long ->
+            # microsecond timestamp (matches DuckDB, which truncates to
+            # micros). Integer DIV keeps this exact — `/ 1000` would go
+            # through double and round the low bits of epoch-nanos.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture: same
+            # wall-clock instant under the UTC session timezone; cast so
+            # the whole engine (incl. streaming watermarks) sees one
+            # timestamp type regardless of fixture vintage.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
