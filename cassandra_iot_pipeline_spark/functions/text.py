@@ -581,3 +581,223 @@ def quality_flags_oracle(source_table: str = "documents") -> str:
             )
         )
     """
+
+
+# --- repetition signals (Gopher §A1.2: "repetition" filters) ----------------
+
+REP_TOP_NS = (2, 3, 4)
+REP_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _gram_structs(toks: Column, n: int) -> Column:
+    """Array of {n, gram} structs for every word n-gram of ``toks``.
+
+    Guarded sequence: ``sequence(1, k)`` would generate a *descending*
+    range when k < 1, so short documents go through the WHEN branch and
+    contribute an empty array instead.
+    """
+    n_words = F.size(toks)
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
+    return F.when(
+        n_words >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_words - n + 1),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+            ),
+        ),
+    ).otherwise(empty)
+
+
+def repetition_signals(
+    documents: DataFrame,
+    top_ns: tuple[int, ...] = REP_TOP_NS,
+    dup_ns: tuple[int, ...] = REP_DUP_NS,
+) -> DataFrame:
+    """Per-document repetition metrics in the Gopher filter family.
+
+    Output, one row per document (NULL where undefined):
+
+    - ``n_lines``             non-blank lines (0 for blank docs)
+    - ``dup_line_frac``       1 - distinct_lines / n_lines
+    - ``dup_line_char_frac``  chars in repeat occurrences of a line /
+                              total line chars
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``)  largest character
+      mass ``count * length(gram)`` of any word n-gram / total n-gram
+      character mass — high when one phrase dominates the document
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``)  character mass of
+      n-grams occurring more than once / total n-gram mass
+
+    100 TB design: per-doc quadratic array tricks are avoided — grams
+    are exploded once (all n values through one Generate) and counted
+    with hash aggregation. A document's grams live in one input
+    partition, so the map-side partial agg collapses every doc-local
+    repeat before the exchange: shuffle volume is the number of
+    *distinct* (doc, n, gram) triples, not total gram occurrences.
+    Skew is bounded by document length, never by corpus shape. Two
+    exchanges on the gram path, one on the line path, then doc-key
+    joins that AQE plans as shuffle or broadcast by actual size.
+
+    The DuckDB twin (:func:`repetition_signals_oracle`) mirrors every
+    arithmetic step (integer masses, one double division at the edge),
+    so results match bit-for-bit.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    toks = tokens(F.col("text"))
+
+    grams = documents.select(
+        "doc_id",
+        F.explode(
+            F.flatten(F.array(*[_gram_structs(toks, n) for n in ns]))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    per_gram = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    mass = F.col("cnt") * F.length("gram")
+    gram_agg = per_gram.groupBy("doc_id", "n").agg(
+        F.sum(mass).alias("total_mass"),
+        F.max(mass).alias("top_mass"),
+        F.sum(F.when(F.col("cnt") > 1, mass).otherwise(F.lit(0))).alias(
+            "dup_mass"
+        ),
+    )
+    fr = gram_agg.select(
+        "doc_id",
+        "n",
+        (F.col("top_mass").cast("double") / F.col("total_mass")).alias(
+            "top_frac"
+        ),
+        (F.col("dup_mass").cast("double") / F.col("total_mass")).alias(
+            "dup_frac"
+        ),
+    )
+    piv = (
+        fr.groupBy("doc_id")
+        .pivot("n", ns)
+        .agg(F.first("top_frac").alias("top"), F.first("dup_frac").alias("dup"))
+    )
+
+    lines = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), "\n"), lambda l: F.trim(l) != F.lit(""))
+        ).alias("line"),
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
+    line_agg = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_distinct_lines"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_mass"),
+        F.sum((F.col("cnt") - F.lit(1)) * F.length("line")).alias(
+            "dup_line_mass"
+        ),
+    )
+
+    out_cols = [
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        (
+            (F.col("n_lines") - F.col("n_distinct_lines")).cast("double")
+            / F.col("n_lines")
+        ).alias("dup_line_frac"),
+        (F.col("dup_line_mass").cast("double") / F.col("line_mass")).alias(
+            "dup_line_char_frac"
+        ),
+    ]
+    out_cols += [
+        F.col(f"{n}_top").alias(f"top_{n}gram_char_frac") for n in sorted(top_ns)
+    ]
+    out_cols += [
+        F.col(f"{n}_dup").alias(f"dup_{n}gram_char_frac") for n in sorted(dup_ns)
+    ]
+    return (
+        documents.select("doc_id")
+        .join(line_agg, "doc_id", "left")
+        .join(piv, "doc_id", "left")
+        .select("doc_id", *out_cols)
+    )
+
+
+def repetition_signals_oracle(
+    source_table: str = "documents",
+    top_ns: tuple[int, ...] = REP_TOP_NS,
+    dup_ns: tuple[int, ...] = REP_DUP_NS,
+) -> str:
+    ns = sorted(set(top_ns) | set(dup_ns))
+    toks = _oracle_tokens("text")
+    gram_selects = "\n            UNION ALL\n".join(
+        f"""
+            SELECT doc_id, {n} AS n,
+                   array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS gram
+            FROM toks, UNNEST(range(1, len(t) - {n} + 2)) AS r(i)"""
+        for n in ns
+    )
+    piv_cols = ",\n                   ".join(
+        f"MAX(CASE WHEN n = {n} THEN top_frac END) AS top_{n},\n"
+        f"                   MAX(CASE WHEN n = {n} THEN dup_frac END) AS dup_{n}"
+        for n in ns
+    )
+    out_top = ",\n               ".join(
+        f"top_{n} AS top_{n}gram_char_frac" for n in sorted(top_ns)
+    )
+    out_dup = ",\n               ".join(
+        f"dup_{n} AS dup_{n}gram_char_frac" for n in sorted(dup_ns)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {toks} AS t FROM {source_table}
+        ),
+        grams AS ({gram_selects}
+        ),
+        per_gram AS (
+            SELECT doc_id, n, gram, COUNT(*) AS cnt
+            FROM grams GROUP BY doc_id, n, gram
+        ),
+        gram_agg AS (
+            SELECT doc_id, n,
+                   SUM(cnt * length(gram)) AS total_mass,
+                   MAX(cnt * length(gram)) AS top_mass,
+                   SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+                       AS dup_mass
+            FROM per_gram GROUP BY doc_id, n
+        ),
+        fr AS (
+            SELECT doc_id, n,
+                   CAST(top_mass AS DOUBLE) / total_mass AS top_frac,
+                   CAST(dup_mass AS DOUBLE) / total_mass AS dup_frac
+            FROM gram_agg
+        ),
+        piv AS (
+            SELECT doc_id,
+                   {piv_cols}
+            FROM fr GROUP BY doc_id
+        ),
+        doc_lines AS (
+            SELECT doc_id,
+                   UNNEST(list_filter(regexp_split_to_array(text, '\\n'),
+                                      l -> trim(l) <> '')) AS line
+            FROM {source_table}
+        ),
+        per_line AS (
+            SELECT doc_id, line, COUNT(*) AS cnt
+            FROM doc_lines GROUP BY doc_id, line
+        ),
+        line_agg AS (
+            SELECT doc_id,
+                   SUM(cnt) AS n_lines,
+                   COUNT(*) AS n_distinct_lines,
+                   SUM(cnt * length(line)) AS line_mass,
+                   SUM((cnt - 1) * length(line)) AS dup_line_mass
+            FROM per_line GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(n_lines - n_distinct_lines AS DOUBLE) / n_lines
+                   AS dup_line_frac,
+               CAST(dup_line_mass AS DOUBLE) / line_mass
+                   AS dup_line_char_frac,
+               {out_top},
+               {out_dup}
+        FROM {source_table} d
+        LEFT JOIN line_agg USING (doc_id)
+        LEFT JOIN piv USING (doc_id)
+    """

@@ -462,3 +462,57 @@ def test_quality_flags_empty_document_guard(spark):
         assert rows[doc_id]["bullet_ratio"] is None
         assert not rows[doc_id]["keep"]
         assert "word_count" in rows[doc_id]["drop_reasons"]
+
+
+# --- repetition signals ------------------------------------------------------
+
+
+REP_DOCS = [
+    (9001, "spam spam spam spam spam spam"),
+    (9002, "a b c d e f g h"),
+    (9003, "line one\nline one\nline two"),
+    (9004, ""),
+    (9005, "only four words here"),
+]
+
+
+def test_repetition_signals_fixture_matches_oracle(spark, documents, duck):
+    from tools.oracle_check import compare
+
+    got = text.repetition_signals(documents).toPandas()
+    want = duck.execute(text.repetition_signals_oracle()).fetchdf()
+    assert not compare(got, want)
+
+
+def test_repetition_signals_planted_docs(spark):
+    import duckdb
+    import pandas as pd
+    from tools.oracle_check import compare
+
+    sdf = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    got = text.repetition_signals(sdf).toPandas().set_index("doc_id")
+
+    # one phrase repeated: the top 2-gram owns all 2-gram mass, and every
+    # 5-gram occurs twice
+    assert got.loc[9001, "top_2gram_char_frac"] == 1.0
+    assert got.loc[9001, "dup_5gram_char_frac"] == 1.0
+    # all-distinct tokens: nothing duplicated, top 2-gram is 1/7 of mass
+    assert got.loc[9002, "dup_5gram_char_frac"] == 0.0
+    assert abs(got.loc[9002, "top_2gram_char_frac"] - 3 / 21) < 1e-15
+    # duplicated line: 1 of 3 lines repeats, owning 8 of 24 line chars
+    assert got.loc[9003, "n_lines"] == 3
+    assert abs(got.loc[9003, "dup_line_frac"] - 1 / 3) < 1e-15
+    assert abs(got.loc[9003, "dup_line_char_frac"] - 8 / 24) < 1e-15
+    # empty document: zero lines, every frac NULL
+    assert got.loc[9004, "n_lines"] == 0
+    assert pd.isna(got.loc[9004, "dup_line_frac"])
+    assert pd.isna(got.loc[9004, "top_2gram_char_frac"])
+    # 4 words: the single 4-gram owns its mass; 5-grams are undefined
+    assert got.loc[9005, "top_4gram_char_frac"] == 1.0
+    assert pd.isna(got.loc[9005, "dup_5gram_char_frac"])
+
+    # the oracle reproduces the same edge behavior bit-for-bit
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(REP_DOCS, columns=["doc_id", "text"]))
+    want = con.execute(text.repetition_signals_oracle()).fetchdf()
+    assert not compare(got.reset_index(), want)

@@ -146,3 +146,20 @@ def test_quality_flags_is_single_scan_no_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Exchange" not in plan, plan
     assert "Python" not in plan
+
+
+def test_repetition_signals_plan_shape(spark):
+    """Repetition metrics stay JVM-side and doc-local: a single Generate
+    explodes all n-gram sizes at once, aggregation is hash-based with a
+    map-side partial collapsing doc-local repeats before any exchange,
+    and no Python workers appear anywhere."""
+    from cassandra_iot_pipeline_spark.functions.text import repetition_signals
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = formatted_plan(repetition_signals(docs))
+    assert "Python" not in plan, plan
+    # one Generate for all gram sizes on the gram path, one for lines
+    import re
+
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 2, plan
+    assert "HashAggregate" in plan
