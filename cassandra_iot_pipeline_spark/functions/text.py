@@ -801,3 +801,97 @@ def repetition_signals_oracle(
         LEFT JOIN line_agg USING (doc_id)
         LEFT JOIN piv USING (doc_id)
     """
+
+
+# --- corpus-weighted term importance (tf-idf family) ------------------------
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k corpus-weighted terms per document.
+
+    Score is the exact-rational tf-idf variant
+    ``tf * n_docs / doc_freq`` (term count scaled by inverse document
+    frequency, no logarithm): log-idf would force a transcendental
+    through two engines' libm implementations, which agree only to ~1
+    ulp — the rational form is a single double division of exact
+    integers, so the DuckDB twin matches bit-for-bit. Ordering per doc
+    is (score DESC, term ASC) with ``row_number`` — fully deterministic.
+
+    100 TB design: three hash aggregations, all map-side-combining —
+    (doc, term) counts collapse within the doc's partition, the
+    vocabulary aggregation shuffles one row per distinct (doc, term),
+    and the term-keyed join co-partitions two term-keyed sides (AQE
+    broadcasts the vocabulary side when it is small). The final top-k
+    is a per-doc ranking window, shuffled by doc_id — never a global
+    sort. Documents with no tokens produce no rows (there is no term
+    to rank), mirrored exactly by the oracle.
+    """
+    terms = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("doc_freq")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "doc_freq",
+            "score",
+        )
+    )
+
+
+def tfidf_top_terms_oracle(k: int = 5, source_table: str = "documents") -> str:
+    toks = _oracle_tokens("text")
+    return f"""
+        WITH terms AS (
+            SELECT doc_id, UNNEST({toks}) AS term FROM {source_table}
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM terms GROUP BY doc_id, term
+        ),
+        docfreq AS (
+            SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   CAST(docfreq.doc_freq AS BIGINT) AS doc_freq,
+                   CAST(tf.tf * (SELECT COUNT(*) FROM {source_table})
+                        AS DOUBLE) / docfreq.doc_freq AS score
+            FROM tf JOIN docfreq USING (term)
+        )
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, doc_freq, score
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+            ) AS rank
+            FROM scored
+        )
+        WHERE rank <= {k}
+    """

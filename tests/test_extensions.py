@@ -516,3 +516,41 @@ def test_repetition_signals_planted_docs(spark):
     con.register("documents", pd.DataFrame(REP_DOCS, columns=["doc_id", "text"]))
     want = con.execute(text.repetition_signals_oracle()).fetchdf()
     assert not compare(got.reset_index(), want)
+
+
+# --- tf-idf top terms --------------------------------------------------------
+
+
+def test_tfidf_fixture_matches_oracle(spark, documents, duck):
+    from tools.oracle_check import compare
+
+    got = text.tfidf_top_terms(documents, k=5).toPandas()
+    want = duck.execute(text.tfidf_top_terms_oracle(k=5)).fetchdf()
+    assert not compare(got, want)
+
+
+def test_tfidf_semantics(spark):
+    import pandas as pd
+
+    docs = [
+        (1, "zebra zebra zebra common common"),
+        (2, "common words only common words"),
+        (3, "aardvark common"),
+        (4, ""),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = text.tfidf_top_terms(sdf, k=2).toPandas()
+
+    # the corpus-unique repeated term dominates its document
+    # (note: got["rank"], not got.rank — the attribute is the pandas method)
+    top1 = got[(got.doc_id == 1) & (got["rank"] == 1)].iloc[0]
+    assert top1.term == "zebra" and top1.doc_freq == 1 and top1.tf == 3
+    # ubiquitous term scores lowest idf: 'common' never outranks a
+    # same-tf rarer term
+    d3 = got[got.doc_id == 3].sort_values("rank")
+    assert list(d3.term) == ["aardvark", "common"]
+    # empty documents produce no rows
+    assert not (got.doc_id == 4).any()
+    # ties broken by term ascending, ranks dense within doc
+    for _, g in got.groupby("doc_id"):
+        assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))

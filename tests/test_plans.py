@@ -163,3 +163,22 @@ def test_repetition_signals_plan_shape(spark):
 
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 2, plan
     assert "HashAggregate" in plan
+
+
+def test_tfidf_plan_shape(spark):
+    """tf-idf ranks per doc with a partitioned window (never a global
+    sort) and stays JVM-side; the scalar corpus count arrives via
+    broadcast, not a driver collect baked into the plan."""
+    from cassandra_iot_pipeline_spark.functions.text import tfidf_top_terms
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = formatted_plan(tfidf_top_terms(docs, k=5))
+    assert "Python" not in plan, plan
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no global ordering anywhere: Sort nodes must be partition-local
+    import re
+
+    for m in re.finditer(r"\(\d+\) Sort", plan):
+        pass
+    assert "rangepartitioning" not in plan, plan
