@@ -36,7 +36,7 @@ from .cleaning import pack_concat, redact_pii
 from .clusters import resolve_duplicates
 from .dedup import canonical, minhash_lsh_pairs
 from .sampling import hash_split
-from .text import text_profile
+from .text import repetition_signals, text_profile
 
 
 @dataclass(frozen=True)
@@ -46,6 +46,12 @@ class CurationConfig:
     min_alpha_ratio: float = 0.5
     min_quality: float = 0.0
     allowed_langs: tuple[str, ...] | None = None  # None = keep all
+    # Gopher-style repetition gates (None = gate off). A document whose
+    # signal is NULL (blank/too short for the n-gram) passes the gate —
+    # the token-count band is the rule that owns degenerate docs.
+    max_dup_line_frac: float | None = None
+    max_top_2gram_frac: float | None = None
+    max_dup_5gram_frac: float | None = None
     minhash_threshold: float = 0.8
     splits: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -116,6 +122,28 @@ def curate_corpus(
     if config.allowed_langs is not None:
         pred = pred & F.col("lang_guess").isin(*config.allowed_langs)
     kept_ids = profile.filter(pred).select("doc_id", "lang_guess")
+
+    rep_gates = (
+        ("dup_line_frac", config.max_dup_line_frac),
+        ("top_2gram_char_frac", config.max_top_2gram_frac),
+        ("dup_5gram_char_frac", config.max_dup_5gram_frac),
+    )
+    active_gates = [(c, thr) for c, thr in rep_gates if thr is not None]
+    if active_gates:
+        # one extra doc_id-keyed join; the repetition aggregation itself
+        # shuffles only distinct (doc, n, gram) triples (see
+        # repetition_signals). Computed lazily only when a gate is on.
+        rep = repetition_signals(documents, top_ns=(2,), dup_ns=(5,)).select(
+            "doc_id", *[c for c, _ in active_gates]
+        )
+        rep_pred = F.lit(True)
+        for col_name, thr in active_gates:
+            rep_pred = rep_pred & (
+                (F.col(col_name) <= F.lit(thr)) | F.col(col_name).isNull()
+            )
+        kept_ids = kept_ids.join(rep.filter(rep_pred), "doc_id").select(
+            "doc_id", "lang_guess"
+        )
     kept = documents.join(kept_ids, "doc_id")
 
     redacted = redact_pii(kept)

@@ -136,3 +136,48 @@ def test_filter_respects_config(result):
         | (F.col("alpha_ratio") < CFG.min_alpha_ratio)
     ).count()
     assert bad == 0
+
+
+REP_SPAM_ID = 10_005
+
+
+def test_repetition_gate(spark, corpus):
+    """With a repetition gate on, a boilerplate-repetitive doc is
+    dropped while the rest of the corpus outcome is unchanged; with the
+    default config (gates off) the same doc survives the filter."""
+    docs, _ = corpus
+    spam = spark.createDataFrame(
+        [
+            (
+                REP_SPAM_ID,
+                "click here to win. click here to win. click here to win. "
+                "click here to win. click here to win. click here to win.",
+                "en",
+                "inject",
+                0,
+            )
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with_spam = docs.unionByName(spam)
+
+    gated = curate_corpus(
+        with_spam,
+        CurationConfig(
+            min_tokens=5,
+            min_alpha_ratio=0.3,
+            max_dup_5gram_frac=0.5,
+            splits={"train": 0.8, "val": 0.1, "test": 0.1},
+            block_size=256,
+            pack_shards=8,
+        ),
+    )
+    gated_ids = {r.doc_id for r in gated.kept.select("doc_id").collect()}
+    assert REP_SPAM_ID not in gated_ids
+
+    ungated = curate_corpus(with_spam, CFG)
+    ungated_ids = {r.doc_id for r in ungated.kept.select("doc_id").collect()}
+    assert REP_SPAM_ID in ungated_ids
+    # the gate only ever removes: everything else it kept is what the
+    # ungated run kept
+    assert gated_ids <= ungated_ids
