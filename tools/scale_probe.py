@@ -75,6 +75,8 @@ def timed(label, df, results):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     results[label] = round(time.perf_counter() - t0, 2)
+    # incremental progress on stderr so a long probe is observable
+    print(f"[probe] {label}: {results[label]}s", file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -119,6 +121,14 @@ def main() -> None:
     )
 
     timed("redact_pii", redact_pii(docs), results)
+
+    from cassandra_iot_pipeline_spark.functions.text import (
+        repetition_signals,
+        tfidf_top_terms,
+    )
+
+    timed("repetition_signals", repetition_signals(docs), results)
+    timed("tfidf_top_terms", tfidf_top_terms(docs, 5), results)
     bench = docs.filter(F.col("doc_id") % 101 == 0)
     timed(
         "contamination_overlap", contamination_overlap(docs, bench), results
