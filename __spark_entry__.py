@@ -308,8 +308,14 @@ def oracle_sql() -> dict[str, str]:
         "word_frequencies": text.word_frequencies_oracle(),
         "exact_dedup": dedup.exact_dedup_oracle(),
         "blocked_jaccard_pairs": dedup.blocked_jaccard_pairs_oracle(JACCARD_THRESHOLD),
-        # minhash_lsh_pairs / simhash_near_dup / lsh_bucketed_ann are
-        # rows-only: their hash families (xxhash64) have no DuckDB twin;
+        # minhash_lsh_pairs: the exhaustive exact-Jaccard oracle — the
+        # LSH output equals it because the verification stage keeps only
+        # true pairs and recall is 1.0 on the deterministic fixtures
+        # (see minhash_lsh_pairs_oracle docstring).
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle(MINHASH_THRESHOLD),
+        # simhash_near_dup / lsh_bucketed_ann are rows-only: their hash
+        # families (xxhash64) have no DuckDB twin, and their outputs are
+        # sketch/recall-dependent (not subset-of-exact like MinHash);
         # their exact-verification stages are covered by
         # blocked_jaccard_pairs and cosine_topk oracles.
         "embedding_near_dups": similarity.embedding_near_dups_oracle(

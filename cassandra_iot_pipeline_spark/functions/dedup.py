@@ -14,9 +14,16 @@ Four tiers, trading exactness for scale:
 - **SimHash**: 64-bit sign-fingerprint; near-dups = small Hamming
   distance. Bit arithmetic in Catalyst expressions.
 
-MinHash/SimHash use xxhash64 (no DuckDB twin) so their driver checks
-are rows-only; their *verification* stage (exact Jaccard) and the
-blocked-Jaccard operator carry full oracles.
+SimHash uses xxhash64 (no DuckDB twin) so its driver check is
+rows-only. MinHash-LSH *does* carry a full oracle despite its xxhash64
+signatures: the operator's last stage keeps only candidates whose exact
+shingle Jaccard clears the threshold, so whenever LSH recall is 1.0 the
+output equals the exhaustive all-pairs Jaccard — which is plain SQL
+(``minhash_lsh_pairs_oracle``). On the fixture corpora recall is exactly
+1.0 with wide margin (every true pair sits at J >= 0.89, where the 8x8
+band miss probability is < 2%, and both corpus and hash family are
+deterministic), verified bitwise at sf0.001/sf0.01 in
+tests/test_oracle_parity.py and tools/oracle_check.py.
 """
 
 from __future__ import annotations
@@ -340,6 +347,56 @@ def minhash_lsh_pairs(
         verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+def minhash_lsh_pairs_oracle(
+    threshold: float = 0.8, n: int = SHINGLE_N
+) -> str:
+    """Exhaustive all-pairs exact-Jaccard twin of ``minhash_lsh_pairs``.
+
+    The LSH operator's verification stage keeps exactly the candidate
+    pairs whose true shingle Jaccard >= threshold, so its output is a
+    *subset* of this exhaustive result by construction and equals it iff
+    LSH recall is 1.0 — which it is on the fixture corpora (deterministic
+    corpus, deterministic hash family; every true pair has J >= 0.89).
+    Comparing against the exhaustive form therefore checks both the
+    verification arithmetic (bitwise: |∩|/|∪| is one IEEE division of
+    exact integers in both engines) and that banding dropped nothing.
+
+    The shingling mirrors ``shingle_rows`` exactly: canonical text
+    (lower, whitespace collapse, trim), 1-based substrings of length
+    ``n`` over ``range(1, greatest(len-n+1, 1))`` inclusive, distinct.
+    The size band in the join condition is the same AllPairs/PPJoin
+    length bound the Spark exact tier uses (J >= t implies
+    t·|B| <= |A|), with +1 slack so float rounding can never exclude a
+    boundary pair — it only prunes, never changes the result.
+    """
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(canon) - {n - 1}, 1) + 1),
+                       i -> substr(canon, CAST(i AS INT), {n})
+                   )) AS sh
+            FROM (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS canon
+                FROM documents
+            )
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)))) AS jaccard
+        FROM docs a JOIN docs b
+          ON a.doc_id < b.doc_id
+         AND len(a.sh) + 1 >= {threshold} * len(b.sh)
+         AND len(b.sh) + 1 >= {threshold} * len(a.sh)
+        WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)))) >= {threshold}
+    """
 
 
 # --- SimHash --------------------------------------------------------------------
