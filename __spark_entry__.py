@@ -107,7 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup_hierarchy": lambda s, d: stats.orders_rollup_hierarchy(
             _t("orders")(s, d)
         ),
-        "approx_user_count": lambda s, d: stats.approx_user_count(events(s, d)),
+        # KMV sketch: cross-engine-reproducible approximate distinct —
+        # hash-checkable by the driver, unlike the HLL library variant
+        # (stats.approx_user_count, accuracy-pinned in tests).
+        "approx_user_count": lambda s, d: stats.kmv_user_count(events(s, d)),
         # --- SQL API path (register_views + spark.sql) ---
         "sql_revenue_by_segment": _sql_revenue_by_segment,
         # --- row-window analytics (SURVEY §2.F extended) ---
@@ -241,7 +244,11 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles": stats.value_quantiles_oracle(),
         "orders_cube": stats.orders_cube_oracle(),
         "orders_rollup_hierarchy": stats.orders_rollup_hierarchy_oracle(),
-        # approx_user_count is rows-only (HLL sketch is engine-specific)
+        # approx_user_count: KMV sketch — every step exact + portable
+        # (sha256 hex ordering, 52-bit prefix arithmetic), so even the
+        # *approximate* estimate hash-matches DuckDB. The HLL variant
+        # stays library-level (engine-specific estimate).
+        "approx_user_count": stats.kmv_user_count_oracle(),
         "sql_revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
         "type_pivot": windows.type_pivot_oracle(),
         "session_stats": windows.session_stats_oracle(),

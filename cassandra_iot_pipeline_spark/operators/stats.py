@@ -113,3 +113,77 @@ def approx_user_count(events: DataFrame, rsd: float = 0.05) -> DataFrame:
         F.count_distinct(F.col("user_id")).alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
     )
+
+
+KMV_K = 256  # relative error ~ 1/sqrt(k-2) ≈ 6% — matches the HLL rsd tier
+
+
+def kmv_user_count(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Approximate distinct users via a KMV (k-minimum-values) sketch —
+    the *cross-engine-reproducible* companion to ``approx_user_count``'s
+    HLL: unlike HLL (whose estimate is engine-specific), every step here
+    is exact and portable, so DuckDB reproduces the estimate bitwise and
+    the driver can hash-check an approximate query.
+
+    Estimator (Bar-Yossef et al.): hash every user to a uniform value in
+    [0, 1), keep the k smallest *distinct* hashes; if fewer than k exist
+    the sketch holds the whole universe and the estimate is the exact
+    count, else estimate = (k-1) / h_(k).
+
+    Bitwise portability, step by step:
+    - hash = sha256 of the decimal user_id string — identical lowercase
+      hex in Spark (``sha2(·, 256)``) and DuckDB (``sha256``);
+    - ordering: fixed-width lowercase hex compares lexicographically
+      exactly as it does numerically, so "k smallest strings" needs no
+      numeric conversion;
+    - h_(k) as a number: the first 13 hex digits are 52 bits — a bigint
+      both engines extract exactly (Spark ``conv(·,16,10)``; DuckDB an
+      integer shift-sum over digits), and 52 bits fit a double mantissa,
+      so ``val / 2^52`` is exact and the final ``(k-1)/h_(k)`` is one
+      correctly-rounded IEEE division in both engines.
+
+    Scale: the distinct pre-aggregation combines map-side, so the
+    shuffle carries one row per distinct user per partition — the same
+    cost profile as exact count-distinct. At extreme cardinality, bound
+    it by pre-filtering ``h < prefix`` for a threshold chosen from a
+    cardinality floor (keeps ≥ k hashes with margin): the k minima are
+    unaffected and the shuffle drops to ~k·safety rows. HLL remains the
+    one-pass fixed-memory tier when cross-engine reproducibility isn't
+    required.
+    """
+    h = F.sha2(F.col("user_id").cast("string"), 256)
+    kmin = events.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    aggd = kmin.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
+    val = F.conv(F.substring(F.col("hk"), 1, 13), 16, 10).cast("long")
+    frac = val.cast("double") / F.lit(float(1 << 52))
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / frac
+    )
+    exact = events.agg(F.count_distinct(F.col("user_id")).alias("exact_users"))
+    return exact.crossJoin(aggd.select(est.alias("kmv_users")))
+
+
+def kmv_user_count_oracle(k: int = KMV_K) -> str:
+    return f"""
+        WITH hashes AS (
+            SELECT DISTINCT sha256(CAST(user_id AS VARCHAR)) AS h FROM events
+        ),
+        kmin AS (SELECT h FROM hashes ORDER BY h LIMIT {k}),
+        aggd AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM kmin),
+        v AS (
+            SELECT n,
+                   list_sum(list_transform(range(1, 14),
+                       i -> CAST(strpos('0123456789abcdef',
+                                        substr(hk, CAST(i AS INT), 1)) - 1
+                            AS BIGINT)
+                            * (CAST(1 AS BIGINT) << CAST(4 * (13 - i) AS INT))
+                   )) AS val
+            FROM aggd
+        )
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users,
+               CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                    ELSE {float(k - 1)!r}
+                         / (CAST(val AS DOUBLE) / {float(1 << 52)!r})
+               END AS kmv_users
+        FROM v
+    """

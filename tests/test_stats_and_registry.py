@@ -26,6 +26,46 @@ def test_approx_count_within_rsd(spark):
     ), f"HLL estimate {row.approx_users} too far from {row.exact_users}"
 
 
+def test_kmv_exact_branch_below_k(spark):
+    """Fewer distinct users than k: the sketch holds the whole universe
+    and the estimate IS the exact count (the CASE n < k branch)."""
+    from cassandra_iot_pipeline_spark.operators.stats import kmv_user_count
+
+    events = load_table(spark, SF_DIR, "events")
+    row = kmv_user_count(events).head()
+    assert row.kmv_users == float(row.exact_users)
+
+
+def test_kmv_sketch_branch_accuracy(spark):
+    """Above k distinct users the (k-1)/h_(k) estimator engages; with
+    k=256 the expected relative error is ~6%, so 20% is a safe pin."""
+    from pyspark.sql import functions as F
+
+    from cassandra_iot_pipeline_spark.operators.stats import kmv_user_count
+
+    n_users = 5000
+    events = spark.range(n_users * 4).select(
+        (F.col("id") % n_users).alias("user_id")
+    )
+    row = kmv_user_count(events).head()
+    assert row.exact_users == n_users
+    assert row.kmv_users != float(n_users)  # genuinely the sketch branch
+    assert abs(row.kmv_users - n_users) < 0.2 * n_users, row.kmv_users
+
+
+def test_kmv_partition_invariance(spark):
+    """The estimate depends only on the distinct-hash set, never on the
+    physical layout — repartitioning must not move a single bit."""
+    from pyspark.sql import functions as F
+
+    from cassandra_iot_pipeline_spark.operators.stats import kmv_user_count
+
+    events = spark.range(2000 * 3).select((F.col("id") % 2000).alias("user_id"))
+    a = kmv_user_count(events).head()
+    b = kmv_user_count(events.repartition(17)).head()
+    assert (a.exact_users, a.kmv_users) == (b.exact_users, b.kmv_users)
+
+
 def test_registry_fetch_and_fallback():
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
