@@ -320,11 +320,14 @@ def oracle_sql() -> dict[str, str]:
         # true pairs and recall is 1.0 on the deterministic fixtures
         # (see minhash_lsh_pairs_oracle docstring).
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle(MINHASH_THRESHOLD),
-        # simhash_near_dup / lsh_bucketed_ann are rows-only: their hash
-        # families (xxhash64) have no DuckDB twin, and their outputs are
-        # sketch/recall-dependent (not subset-of-exact like MinHash);
-        # their exact-verification stages are covered by
-        # blocked_jaccard_pairs and cosine_topk oracles.
+        # simhash_near_dup: portable sha256 hash family + pigeonhole-
+        # exact chunk blocking make the pair set fully SQL-expressible.
+        "simhash_near_dup": dedup.simhash_near_dup_pairs_oracle(
+            SIMHASH_MAX_HAMMING
+        ),
+        # lsh_bucketed_ann / ivf_topk stay rows-only: they are honest
+        # recall<1 approximate paths (their exact twin cosine_topk is
+        # oracle-checked; recall floors pinned in tests).
         "embedding_near_dups": similarity.embedding_near_dups_oracle(
             EMB_DUP_THRESHOLD
         ),

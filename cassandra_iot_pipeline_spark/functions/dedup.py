@@ -402,9 +402,9 @@ def minhash_lsh_pairs_oracle(
 # --- SimHash --------------------------------------------------------------------
 
 
-def simhash64(documents: DataFrame) -> DataFrame:
+def simhash64(documents: DataFrame, hash_family: str = "sha256") -> DataFrame:
     """64-bit SimHash over token hashes: bit j of the fingerprint is the
-    sign of sum over tokens of (bit j of xxhash64(token) ? +1 : -1).
+    sign of sum over tokens of (bit j of hash(token) ? +1 : -1).
 
     All JVM-side, one shuffle on doc_id. The naive formulation needs 64
     aggregate columns (falls out of whole-stage codegen; measured ~5x
@@ -413,10 +413,32 @@ def simhash64(documents: DataFrame) -> DataFrame:
     lanes: 16 packed SUMs + a COUNT, then a pure projection unpacks and
     compares each lane against n/2. Lanes hold counts up to 65535
     distinct tokens per document (chunk the input above that).
+
+    Hash families: ``sha256`` (default) takes the top 64 bits of the
+    token's sha256 — a portable family DuckDB reproduces digit-for-digit,
+    which makes the whole operator oracle-checkable (the chunk blocking
+    downstream is pigeonhole-exact, so there is no recall term to
+    excuse); ``xxhash64`` is the cheapest-per-token production option
+    when cross-engine verification isn't needed. The SimHash estimator
+    itself only needs uniform independent bits — both families qualify;
+    measured at sf0.1 the sha256 variant costs <0.4s extra on 750k
+    tokens, all inside codegen.
     """
+    if hash_family == "xxhash64":
+        h = F.xxhash64(F.col("t"))
+    elif hash_family == "sha256":
+        hx = F.sha2(F.col("t"), 256)
+        # two 32-bit halves of the leading 16 hex digits; shiftleft
+        # wraps bit 31 of `hi` into the long's sign bit — bits land at
+        # exactly the positions the oracle reads off the hex digits
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     tok = documents.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
-    ).select("doc_id", F.xxhash64(F.col("t")).alias("h"))
+    ).select("doc_id", h.alias("h"))
 
     def packed_counter(g: int):
         # 4 bits (g*4 .. g*4+3) of h, packed into 16-bit lanes of a long
@@ -442,11 +464,33 @@ def simhash64(documents: DataFrame) -> DataFrame:
     return packed.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dup_pairs(
+    documents: DataFrame, max_hamming: int = 3, hash_family: str = "sha256"
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     chunks (pigeonhole: distance <= 3 over 4 chunks means at least one
-    chunk matches exactly — candidates only need to share a chunk)."""
-    fps = simhash64(documents)
+    chunk matches exactly — candidates only need to share a chunk).
+
+    The blocking is exact (no recall loss), so with the portable sha256
+    family the output equals the exhaustive all-pairs Hamming filter and
+    carries a full DuckDB oracle (``simhash_near_dup_pairs_oracle``).
+
+    The chunk count is derived from the threshold: splitting 64 bits
+    into ``max_hamming + 1`` disjoint chunks guarantees (pigeonhole)
+    that any pair within ``max_hamming`` differing bits agrees exactly
+    on at least one chunk. A fixed chunk count would silently lose
+    recall for larger thresholds — with 4 chunks, a hamming-4 pair can
+    differ by one bit in every chunk and never share a block (a real
+    miss caught by the perturbed-pair test). Wider thresholds mean
+    narrower chunks and denser candidate blocks: the standard
+    sensitivity/cost dial of Charikar-style dedup."""
+    if not 1 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [1, 31] (chunks need >= 2 bits)")
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    starts = [sum(widths[:c]) for c in range(n_chunks)]
+    fps = simhash64(documents, hash_family=hash_family)
     chunks = fps.select(
         "doc_id",
         "simhash",
@@ -455,11 +499,11 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFr
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), starts[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cc"),
@@ -482,3 +526,53 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFr
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dup_pairs_oracle(max_hamming: int = 3) -> str:
+    """Exhaustive SQL twin of ``simhash_near_dup_pairs`` (sha256 family).
+
+    Rebuilds the fingerprint digit-for-digit: bit j of a token's 64-bit
+    hash is bit (j%4) of hex digit 16 - j//4 of its sha256 (the same
+    bits Spark's conv/shiftleft assembly reads), the 64 per-bit majority
+    votes use the identical strict-majority tie rule (2·ones > n), and
+    Hamming distance is bit_count(xor) over two 32-bit halves — all
+    integer arithmetic, so equality is exact, not approximate. No
+    blocking: the Spark side's pigeonhole chunks are recall-lossless, so
+    the exhaustive pair set is the same set."""
+    toks = f"list_distinct({_oracle_tokens('text')})"
+    ones = ",\n                   ".join(
+        f"SUM(((strpos('0123456789abcdef', substr(hx, {16 - j // 4}, 1)) - 1)"
+        f" >> {j % 4}) & 1) AS o{j}"
+        for j in range(64)
+    )
+    fp_lo = " + ".join(
+        f"CASE WHEN 2 * o{j} > n THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END"
+        for j in range(32)
+    )
+    fp_hi = " + ".join(
+        f"CASE WHEN 2 * o{j} > n THEN (CAST(1 AS BIGINT) << {j - 32}) ELSE 0 END"
+        for j in range(32, 64)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({toks}) AS t FROM documents
+        ),
+        th AS (
+            SELECT doc_id, sha256(t) AS hx FROM tok
+        ),
+        bits AS (
+            SELECT doc_id,
+                   {ones},
+                   COUNT(*) AS n
+            FROM th GROUP BY doc_id
+        ),
+        fp AS (
+            SELECT doc_id, ({fp_lo}) AS fp_lo, ({fp_hi}) AS fp_hi FROM bits
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+                    + bit_count(xor(a.fp_hi, b.fp_hi)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp_lo, b.fp_lo))
+              + bit_count(xor(a.fp_hi, b.fp_hi)) <= {max_hamming}
+    """
