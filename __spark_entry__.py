@@ -325,9 +325,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": dedup.simhash_near_dup_pairs_oracle(
             SIMHASH_MAX_HAMMING
         ),
-        # lsh_bucketed_ann / ivf_topk stay rows-only: they are honest
-        # recall<1 approximate paths (their exact twin cosine_topk is
-        # oracle-checked; recall floors pinned in tests).
+        # ivf_topk: the exact-assignment tier replays the whole
+        # approximate pipeline in SQL (portable centroid choice +
+        # quantized-integer ranking), so even probe-list membership
+        # hash-matches. lsh_bucketed_ann stays rows-only: its Gaussian
+        # hyperplanes are not SQL-portable and recall<1 is its honest
+        # operating point (floors pinned in tests; exact twin
+        # cosine_topk is oracle-checked).
+        "ivf_topk": similarity.ivf_topk_oracle(
+            ANN_QUERIES, ANN_K, n_centroids=16, n_probe=8
+        ),
         "embedding_near_dups": similarity.embedding_near_dups_oracle(
             EMB_DUP_THRESHOLD
         ),

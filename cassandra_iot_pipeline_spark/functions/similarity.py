@@ -632,37 +632,102 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    assignment: str = "exact",
 ) -> DataFrame:
     """IVF ANN: partition the vector space by nearest-centroid (coarse
     quantizer), search only the ``n_probe`` closest inverted lists per
     query.
 
     Centroids are a deterministic hash-selected sample of the corpus
-    (vec_id-hash minimizers — reproducible on any layout; a production
-    build would k-means-refine them, the plumbing is identical). The
-    centroid table is tiny (n_centroids x dims) and broadcasts; list
-    assignment is one vectorized matmul per Arrow batch; the probe-list
-    scan reuses the exact quantized-cosine re-rank of cosine_topk.
+    (the ``n_centroids`` vectors minimizing sha256(vec_id) — a uniform
+    sample, stable on any layout and reproducible by DuckDB; a
+    production build would k-means-refine them, the plumbing is
+    identical).
+
+    List assignment has two tiers:
+
+    - ``exact`` (default): rank centroids by the same quantized-integer
+      cosine the re-rank stage uses — a broadcast join of the tiny
+      centroid table, all inside codegen (no Arrow transfer). Every
+      arithmetic step is exact or correctly-rounded-identical across
+      engines, which makes the *entire* ANN result — probe lists,
+      candidate set, scores, ranking — bitwise reproducible in SQL:
+      this approximate operator carries a full DuckDB oracle. Cost:
+      each row scores n_centroids dots, fine up to a few hundred
+      centroids.
+    - ``gemm``: one vectorized numpy matmul per Arrow batch against the
+      collected centroid matrix — the throughput tier when n_centroids
+      is large (thousands), at the price of BLAS-order float sums
+      (per-engine, not oracle-comparable). Same plumbing, same output
+      schema, recall pinned in tests.
 
     Scale: candidate cost drops to ~n_probe/n_centroids of brute force;
     recall depends on how clustered the corpus is (pinned in tests
     against brute force). Output schema matches cosine_topk.
     """
+    # deterministic centroid choice, portable hash family
+    cent_rows = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.sha2(F.col("vec_id").cast("string"), 256).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+    )
+
+    if assignment == "exact":
+        cents = cent_rows.select(
+            F.col("vec_id").alias("cent_vid"),
+            _quantized(F.col("embedding")).alias("cq"),
+        ).withColumn("cn2", _dot(F.col("cq"), F.col("cq")))
+        base = embeddings.select(
+            "vec_id", _quantized(F.col("embedding")).alias("q")
+        ).withColumn("n2", _dot(F.col("q"), F.col("q")))
+        cent_cos = _dot(F.col("q"), F.col("cq")).cast("double") / (
+            F.sqrt(F.col("n2").cast("double"))
+            * F.sqrt(F.col("cn2").cast("double"))
+        )
+        ranked = (
+            base.join(F.broadcast(cents))
+            .select("vec_id", "q", "n2", "cent_vid", cent_cos.alias("ccos"))
+            .withColumn(
+                "crank",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("ccos").desc(), F.col("cent_vid").asc()
+                    )
+                ),
+            )
+        )
+        cands = ranked.filter(
+            (F.col("vec_id") >= n_queries) & (F.col("crank") == 1)
+        ).select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("q").alias("cv"),
+            F.col("n2").alias("cn2"),
+            F.col("cent_vid").alias("lst"),
+        )
+        queries = ranked.filter(
+            (F.col("vec_id") < n_queries) & (F.col("crank") <= n_probe)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("n2").alias("qn2"),
+            F.col("cent_vid").alias("lst"),
+        )
+        return _ivf_rerank(queries, cands, k)
+    if assignment != "gemm":  # pragma: no cover - guarded API
+        raise ValueError(f"unknown assignment: {assignment!r}")
+
     import numpy as np
 
     from pyspark.sql import types as T
 
-    # deterministic centroid choice: the n_centroids vectors minimizing
-    # xxhash64(vec_id) — a uniform sample, stable across partitioning
-    cents = (
-        embeddings.select(
-            "vec_id", "embedding", F.xxhash64(F.col("vec_id")).alias("h")
-        )
-        .orderBy("h", "vec_id")
-        .limit(n_centroids)
-        .collect()
+    cents_collected = cent_rows.collect()
+    cent_mat = np.array(
+        [r["embedding"] for r in cents_collected], dtype=np.float64
     )
-    cent_mat = np.array([r["embedding"] for r in cents], dtype=np.float64)
     cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
 
     assign_type = T.ArrayType(T.IntegerType())
@@ -696,6 +761,89 @@ def ivf_topk(
         F.col("n2").alias("qn2"),
         F.explode(F.col("lists")).alias("lst"),
     )
+    return _ivf_rerank(queries, cands, k)
+
+
+def ivf_topk_oracle(
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """DuckDB twin of ``ivf_topk(assignment="exact")`` — the *whole*
+    approximate pipeline replayed in SQL: same sha256-minimizer
+    centroids, same quantized-integer centroid ranking with the same
+    (cosine DESC, cent_vid ASC) tiebreak, same single-list candidates /
+    n_probe query lists, same exact re-rank. Every comparison is between
+    doubles both engines derive identically from exact integers (casts
+    exact, sqrt/division/multiply correctly rounded), so even probe-list
+    membership — the "approximate" part — matches bitwise."""
+    quant = (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+        f"{QUANT}) AS BIGINT))"
+    )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_aggregate(list_transform(list_zip({a}, {b}),"
+            " p -> p[1] * p[2]), 'sum') AS BIGINT)"
+        )
+
+    def cos(d: str, n2a: str, n2b: str) -> str:
+        return (
+            f"(CAST({d} AS DOUBLE)"
+            f" / (sqrt(CAST({n2a} AS DOUBLE)) * sqrt(CAST({n2b} AS DOUBLE))))"
+        )
+
+    return f"""
+        WITH norms AS (
+            SELECT vec_id, q, {dot('q', 'q')} AS n2
+            FROM (SELECT vec_id, {quant} AS q FROM embeddings)
+        ),
+        cents AS (
+            SELECT vec_id AS cent_vid, q AS cq, n2 AS cn2
+            FROM norms
+            ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {n_centroids}
+        ),
+        ranked AS (
+            SELECT v.vec_id, v.q, v.n2, c.cent_vid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos(dot('v.q', 'c.cq'), 'v.n2', 'c.cn2')}
+                                DESC, c.cent_vid ASC
+                   ) AS crank
+            FROM norms v, cents c
+        ),
+        cands AS (
+            SELECT vec_id AS cand_id, q AS cv, n2 AS cn2, cent_vid AS lst
+            FROM ranked WHERE vec_id >= {n_queries} AND crank = 1
+        ),
+        queries AS (
+            SELECT vec_id AS query_id, q AS qv, n2 AS qn2, cent_vid AS lst
+            FROM ranked WHERE vec_id < {n_queries} AND crank <= {n_probe}
+        ),
+        scored AS (
+            SELECT qs.query_id, cs.cand_id,
+                   {cos(dot('qs.qv', 'cs.cv'), 'qs.qn2', 'cs.cn2')} AS cosine
+            FROM queries qs JOIN cands cs USING (lst)
+        )
+        SELECT query_id, cand_id, cosine, rank
+        FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, cand_id ASC
+                   ) AS rank
+            FROM scored
+        )
+        WHERE rank <= {k}
+    """
+
+
+def _ivf_rerank(queries: DataFrame, cands: DataFrame, k: int) -> DataFrame:
+    """Exact quantized-cosine re-rank of probed candidates (shared by
+    both assignment tiers)."""
     dot = _dot(F.col("qv"), F.col("cv"))
     cos = dot.cast("double") / (
         F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
