@@ -325,15 +325,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": dedup.simhash_near_dup_pairs_oracle(
             SIMHASH_MAX_HAMMING
         ),
-        # ivf_topk: the exact-assignment tier replays the whole
-        # approximate pipeline in SQL (portable centroid choice +
-        # quantized-integer ranking), so even probe-list membership
-        # hash-matches. lsh_bucketed_ann stays rows-only: its Gaussian
-        # hyperplanes are not SQL-portable and recall<1 is its honest
-        # operating point (floors pinned in tests; exact twin
-        # cosine_topk is oracle-checked).
+        # ivf_topk / lsh_bucketed_ann: both approximate paths replay
+        # their entire pipeline in SQL — portable centroid choice /
+        # sha256-derived +/-1 hyperplanes plus exact integer arithmetic
+        # make even probe-list and bucket membership hash-match. With
+        # these, all 50 registered queries carry full value oracles.
         "ivf_topk": similarity.ivf_topk_oracle(
             ANN_QUERIES, ANN_K, n_centroids=16, n_probe=8
+        ),
+        "lsh_bucketed_ann": similarity.lsh_bucketed_ann_oracle(
+            ANN_QUERIES, ANN_K
         ),
         "embedding_near_dups": similarity.embedding_near_dups_oracle(
             EMB_DUP_THRESHOLD

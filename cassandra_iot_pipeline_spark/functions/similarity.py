@@ -21,6 +21,8 @@ same determinism argument as operators/exactmath.py.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -143,6 +145,29 @@ def _plane_matrix(n_tables: int, n_planes: int, dims: int):
     return rng.standard_normal((n_tables, n_planes, dims))
 
 
+@lru_cache(maxsize=4)
+def _srp_planes(n_tables: int, n_planes: int, dims: int):
+    """Rademacher (+1/-1) hyperplanes derived per-entry from sha256 of
+    the (table, plane, dim) index — a portable pseudo-random source both
+    numpy and DuckDB evaluate identically (entry = +1 iff the top bit of
+    the digest's first hex digit is set). Sign-random-projection LSH
+    only needs symmetric i.i.d. plane entries; +/-1 entries keep every
+    projection an exact int64 dot (order-free), unlike Gaussian floats
+    whose BLAS-order sums are engine-specific. Constants, not data:
+    regenerated per task in microseconds."""
+    import hashlib
+
+    import numpy as np
+
+    e = np.empty((n_tables, n_planes, dims), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dims):
+                h = hashlib.sha256(f"srp_{t}_{p}_{d}".encode()).hexdigest()
+                e[t, p, d] = 1 if int(h[0], 16) >= 8 else -1
+    return e
+
+
 def lsh_bucketed_ann(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -153,28 +178,32 @@ def lsh_bucketed_ann(
     """ANN via random-hyperplane (sign-bit) LSH.
 
     Stage 1 — signatures: a vectorized Pandas UDF computes, per vector,
-    one n_planes-bit signature per table: bit p = sign(v . plane_tp).
-    This is a dense (batch x dims) @ (dims x n_planes) matmul per Arrow
-    batch — the textbook case where a Pandas UDF beats a Catalyst
-    expression tree (a pure-expression version of this signature was
+    one n_planes-bit signature per table: bit p = sign(q . plane_tp),
+    where q is the quantized vector and the planes are the portable
+    +/-1 family of ``_srp_planes`` — an exact int64 einsum per Arrow
+    batch (the textbook case where a Pandas UDF beats a Catalyst
+    expression tree: a pure-expression version of this signature was
     measured at 14 MiB of codegen per task; the matmul is microseconds).
+    Exact integer projections + portable planes mean the signatures —
+    and therefore bucket membership, the operator's "approximate" part —
+    are reproducible in SQL, so this ANN path carries a full DuckDB
+    oracle (``lsh_bucketed_ann_oracle``) despite recall < 1.
 
     Stage 2 — bucket join: query and candidate vectors sharing a
     (table, signature) bucket are candidates; exact quantized-cosine
     re-rank inside candidates only (same arithmetic as cosine_topk).
 
-    Recall is tunable: P(candidate) = 1-(1-(1-theta/pi)^planes)^tables.
-    Output schema matches cosine_topk; rows-only driver check (ANN
-    recall < 1 by design), with recall pinned by tests/test_similarity.
+    Recall is tunable: P(candidate) = 1-(1-(1-theta/pi)^planes)^tables,
+    with floors pinned by tests/test_extensions.py.
     """
     sig_type = T.ArrayType(T.LongType())
 
     @F.pandas_udf(sig_type)
-    def signatures(emb: pd.Series) -> pd.Series:
+    def signatures(qcol: pd.Series) -> pd.Series:
         import numpy as np
 
-        planes = _plane_matrix(n_tables, n_planes, 64)
-        mat = np.stack(emb.to_numpy())  # (batch, dims)
+        planes = _srp_planes(n_tables, n_planes, 64)
+        mat = np.stack(qcol.to_numpy()).astype(np.int64)  # (batch, dims)
         out = []
         # (tables, planes, dims) x (batch, dims) -> bits -> packed ints
         proj = np.einsum("tpd,bd->btp", planes, mat) >= 0
@@ -185,9 +214,9 @@ def lsh_bucketed_ann(
         return pd.Series(out)
 
     base = embeddings.select(
-        "vec_id",
-        _quantized(F.col("embedding")).alias("q"),
-        signatures(F.col("embedding")).alias("sigs"),
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    ).select(
+        "vec_id", "q", signatures(F.col("q")).alias("sigs")
     ).withColumn("n2", _dot(F.col("q"), F.col("q")))
     tabled = base.select(
         "vec_id",
@@ -226,6 +255,86 @@ def lsh_bucketed_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def lsh_bucketed_ann_oracle(
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> str:
+    """DuckDB twin of ``lsh_bucketed_ann`` — the whole approximate
+    pipeline in SQL. The +/-1 plane entries are regenerated from sha256
+    of the (table, plane, dim) index (top bit of the first hex digit,
+    the same rule ``_srp_planes`` applies), projections are exact int64
+    sums of quantized components, signatures pack sign bits identically,
+    and the bucket join + exact re-rank mirror the Spark stages — so
+    bucket membership itself, not just the re-rank, matches bitwise."""
+    quant = (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+        f"{QUANT}) AS BIGINT))"
+    )
+    return f"""
+        WITH norms AS (
+            SELECT vec_id, q,
+                   CAST(list_aggregate(list_transform(list_zip(q, q),
+                        p -> p[1] * p[2]), 'sum') AS BIGINT) AS n2
+            FROM (SELECT vec_id, {quant} AS q FROM embeddings)
+        ),
+        planes AS (
+            SELECT t.t, p.p, d.d,
+                   CASE WHEN strpos('0123456789abcdef',
+                            substr(sha256('srp_' || t.t || '_' || p.p
+                                          || '_' || d.d), 1, 1)) - 1 >= 8
+                        THEN 1 ELSE -1 END AS e
+            FROM range(0, {n_tables}) t(t),
+                 range(0, {n_planes}) p(p),
+                 range(0, 64) d(d)
+        ),
+        proj AS (
+            SELECT n.vec_id, pl.t, pl.p,
+                   SUM(pl.e * n.q[CAST(pl.d AS INT) + 1]) AS dot
+            FROM norms n, planes pl
+            GROUP BY n.vec_id, pl.t, pl.p
+        ),
+        sigs AS (
+            SELECT vec_id, t AS tbl,
+                   CAST(SUM(CASE WHEN dot >= 0
+                            THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                            ELSE 0 END) AS BIGINT) AS sig
+            FROM proj GROUP BY vec_id, t
+        ),
+        tabled AS (
+            SELECT s.vec_id, s.tbl, s.sig, n.q, n.n2
+            FROM sigs s JOIN norms n USING (vec_id)
+        ),
+        pairs AS (
+            SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS cand_id
+            FROM tabled qs JOIN tabled cs USING (tbl, sig)
+            WHERE qs.vec_id < {n_queries} AND cs.vec_id >= {n_queries}
+        ),
+        scored AS (
+            SELECT p.query_id, p.cand_id,
+                   CAST(CAST(list_aggregate(list_transform(
+                            list_zip(qn.q, cn.q), z -> z[1] * z[2]),
+                            'sum') AS BIGINT) AS DOUBLE)
+                   / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+                       AS cosine
+            FROM pairs p
+            JOIN norms qn ON qn.vec_id = p.query_id
+            JOIN norms cn ON cn.vec_id = p.cand_id
+        )
+        SELECT query_id, cand_id, cosine, rank
+        FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, cand_id ASC
+                   ) AS rank
+            FROM scored
+        )
+        WHERE rank <= {k}
+    """
 
 
 def gemm_self_topk(
