@@ -11,4 +11,5 @@ pipeline runs over document/embedding tables.
     sampling   -- deterministic splits/samples/caps/mixtures by hash
     cleaning   -- PII redaction, contamination check, sequence packing
     curation   -- the end-to-end filter->redact->dedup->split->pack chain
+    bloom      -- persistable corpus sketch for incremental landing dedup
 """
