@@ -12,4 +12,5 @@ pipeline runs over document/embedding tables.
     cleaning   -- PII redaction, contamination check, sequence packing
     curation   -- the end-to-end filter->redact->dedup->split->pack chain
     bloom      -- persistable corpus sketch for incremental landing dedup
+    lm         -- n-gram perplexity scoring (CCNet-style quality filter)
 """
