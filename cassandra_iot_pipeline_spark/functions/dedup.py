@@ -370,6 +370,16 @@ def minhash_lsh_pairs_oracle(
     length bound the Spark exact tier uses (J >= t implies
     t·|B| <= |A|), with +1 slack so float rounding can never exclude a
     boundary pair — it only prunes, never changes the result.
+
+    Cost: O(n²) pair intersections by design — ~14 s in DuckDB at
+    sf0.01 (the driver's scale) but ~15 min at sf0.1, where the Spark
+    LSH plan answers in ~5 s. The gap is the point: prefix filtering
+    (AllPairs' other prune, tried with both lexicographic and
+    rarest-first orderings) does not help here because the fixture
+    corpus draws from a small shared vocabulary — every doc pair
+    already shares ~40-50% of its shingles, so no shingle is selective.
+    Exactly the regime where candidate generation must come from a
+    sketch (MinHash bands), not from the data distribution.
     """
     return f"""
         WITH docs AS (

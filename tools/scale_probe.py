@@ -135,6 +135,42 @@ def main() -> None:
     )
     timed("pack_concat", pack_concat(docs, 2048, 64), results)
 
+    # Bloom incremental dedup: corpus = this doc set's canonical keys,
+    # batch = a half-overlapping shifted copy — the landing-batch shape.
+    # Timed end to end: sketch probe + exact verify of the positives.
+    from cassandra_iot_pipeline_spark.functions.bloom import (
+        build_bloom_sketch,
+        incremental_dedup,
+        sketch_words_for_keys,
+    )
+
+    corpus_keys = docs.select(F.col("text").alias("canon")).distinct()
+    batch = probe_documents(spark, n_docs).select(
+        (F.col("doc_id") + n_docs // 2).alias("doc_id"), "text"
+    ).select("doc_id", F.col("text").alias("canon"))
+    n_words = sketch_words_for_keys(n_docs)
+    sketch = build_bloom_sketch(corpus_keys, "canon", n_words)
+    timed(
+        "bloom_incremental_dedup",
+        incremental_dedup(batch, corpus_keys, sketch, "canon", n_words),
+        results,
+    )
+
+    # LM perplexity: train the bigram model on the corpus and score it
+    # (train + score together — the per-batch steady state reuses a
+    # persisted model and only pays the score half)
+    from cassandra_iot_pipeline_spark.functions.lm import (
+        bigram_model,
+        lm_perplexity,
+    )
+
+    t0 = time.perf_counter()
+    bigrams, contexts, vocab = bigram_model(docs)
+    lm_perplexity(docs, bigrams, contexts, vocab).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    results["lm_train_and_score"] = round(time.perf_counter() - t0, 2)
+
     # the full curation chain end-to-end (filter -> redact -> dedup ->
     # resolve -> split); timed around the materialization of the final
     # curated frame, which pulls the whole DAG
