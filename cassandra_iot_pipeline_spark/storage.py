@@ -9,6 +9,7 @@ parquet terms:
 | CLUSTERING ORDER BY ts DESC (init.cql:26)        | sortWithinPartitions on write |
 | compaction strategies (init.cql:27-31,50-53)     | compact_small_files maintenance job |
 | token-aware co-located reads                     | bucketBy on the join/group key |
+| secondary index (init.cql idx_location)          | write_index_projection: materialized projection partitioned by the indexed column |
 
 Scale rationale: date partitioning gives partition pruning for the
 time-range serving reads (F2); in-file sort by (device, ts desc) gives
@@ -125,6 +126,48 @@ def compact_small_files(
     n_files = max(1, total // (target_file_mb * 1024 * 1024))
     df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
     commit_swap(path)
+
+
+def write_index_projection(
+    events: DataFrame,
+    path: str,
+    index_col: str = "event_type",
+    sort_cols: tuple[str, ...] = ("user_id", "ts"),
+) -> None:
+    """Materialized secondary-index projection — the parquet analogue
+    of the reference's ``CREATE INDEX idx_location ON
+    sensor_events(location)`` (init.cql:81-82).
+
+    Cassandra's 2i answers "all rows where location = X" without
+    scanning every partition by keeping a per-node inverted table; the
+    columnar equivalent is a second copy of the (narrow) serving
+    columns partitioned by the indexed value: ``partitionBy(index_col)``
+    makes an equality read touch exactly one directory (partition
+    pruning — asserted in tests), and the in-partition sort keeps
+    row-group min/max useful for the secondary predicate. Only sensible
+    for low-cardinality index columns (exactly Cassandra's 2i guidance);
+    high-cardinality point lookups belong to the primary layout
+    (write_events_table) whose file-level sort serves them.
+
+    One repartition by the index column on write — reads pay zero
+    shuffle. Refresh strategy mirrors the reference's MV/2i behavior:
+    rebuild per landed partition, not per row."""
+    (
+        events.repartition(F.col(index_col))
+        .sortWithinPartitions(*[F.col(c) for c in sort_cols])
+        .write.mode("overwrite")
+        .partitionBy(index_col)
+        .parquet(path)
+    )
+
+
+def read_by_index(
+    spark: SparkSession, path: str, value: str, index_col: str = "event_type"
+) -> DataFrame:
+    """Equality serving read against the index projection; the filter
+    lands in the scan's PartitionFilters, so only the one matching
+    directory is read."""
+    return spark.read.parquet(path).filter(F.col(index_col) == value)
 
 
 def expire_partitions(

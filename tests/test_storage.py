@@ -27,6 +27,29 @@ def test_events_layout_roundtrip_and_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "event_date" in plan
 
 
+def test_index_projection_prunes_and_matches_base_filter(spark, tmp_path):
+    """The 2i analogue (init.cql idx_location): an equality read on the
+    index projection touches only its partition directory (pruned scan)
+    and returns exactly the base table's filter result."""
+    events = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "by_type")
+    storage.write_index_projection(events, path, "event_type")
+    got = storage.read_by_index(spark, path, "purchase", "event_type")
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "event_type" in plan
+    want = events.filter(F.col("event_type") == "purchase")
+    assert got.count() == want.count()
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in want.collect()
+    )
+    # one directory per index value on disk — the inverted layout
+    dirs = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(path, "event_type=*"))
+    }
+    assert "event_type=purchase" in dirs and len(dirs) >= 3
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
