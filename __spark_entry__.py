@@ -340,7 +340,6 @@ def oracle_sql() -> dict[str, str]:
             EMB_DUP_THRESHOLD
         ),
         "cosine_topk": similarity.cosine_topk_oracle(ANN_QUERIES, ANN_K),
-        # ivf_topk is rows-only (probe-list recall < 1 by design)
         "media_decode": multimodal.media_decode_oracle(),
         "frame_stats": multimodal.frame_stats_oracle(),
     }

@@ -147,7 +147,13 @@ def incremental_dedup(
     flags = bloom_negative_flag(
         batch, sketch, key_col, n_words, n_hashes, broadcast_sketch
     )
-    flagged = batch.join(flags, key_col)
+    # left join + coalesce(True): a NULL key never equi-joins its flag
+    # row back — but a NULL key also never matches any corpus key in the
+    # anti-join this operator must mirror, so NULL-keyed rows are
+    # definitely new (an inner join here would silently drop them)
+    flagged = batch.join(flags, key_col, "left").withColumn(
+        "definitely_new", F.coalesce(F.col("definitely_new"), F.lit(True))
+    )
     surely_new = flagged.filter(F.col("definitely_new")).drop("definitely_new")
     maybe_dup = flagged.filter(~F.col("definitely_new")).drop("definitely_new")
     verified_new = maybe_dup.join(

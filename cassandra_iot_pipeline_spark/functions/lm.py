@@ -22,9 +22,10 @@ finite and the filter is total. Perplexity = exp(-logprob / n_bigrams).
 
 Exactness note: counts and V are exact integers, but log/exp are
 engine-specific in the last ulp, so this operator's DuckDB parity test
-pins relative error <= 1e-12 instead of bitwise equality (the one
-operator family where bitwise cross-engine equality is genuinely not
-achievable without giving up log-space).
+pins relative error <= 1e-9 (the nano-unit quantization grid) instead
+of bitwise equality — the one operator family where bitwise
+cross-engine equality is genuinely not achievable without giving up
+log-space.
 
 Tokens reuse functions.text.tokens — same vocabulary as the rest of
 the text suite.
@@ -45,7 +46,11 @@ def _bigram_rows(documents: DataFrame) -> DataFrame:
     runs after the Generate (per-index), not inside a transform lambda —
     the same re-evaluation pathology avoided by shingle_rows."""
     toks = documents.select("doc_id", tokens(F.col("text")).alias("t"))
-    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))))
+    # the filter below guarantees size-1 >= 1; do NOT "guard" with
+    # greatest(size-1, 0): Spark's sequence(1, 0) is the DESCENDING
+    # array [1, 0], and element_at(t, 0) throws under ANSI — the guard
+    # would look protective while arming exactly that crash
+    idx = F.explode(F.sequence(F.lit(1), F.size("t") - 1))
     return (
         toks.filter(F.size("t") >= 2)
         .select("doc_id", "t", idx.alias("i"))
@@ -122,17 +127,25 @@ def lm_perplexity(
 
 
 def perplexity_buckets(
-    ppl_df: DataFrame, head_frac: float = 1.0 / 3, middle_frac: float = 1.0 / 3
+    ppl_df: DataFrame,
+    head_frac: float = 1.0 / 3,
+    middle_frac: float = 1.0 / 3,
+    relative_error: float = 0.001,
 ) -> DataFrame:
-    """CCNet's head/middle/tail split by perplexity rank — head = most
-    reference-like. One global sort expressed as percent_rank (a single
-    range-partitioned window, no driver materialization)."""
-    from pyspark.sql.window import Window
-
-    pr = F.percent_rank().over(Window.orderBy(F.col("ppl").asc()))
+    """CCNet's head/middle/tail split by perplexity — head = most
+    reference-like. The cut points come from ``approxQuantile`` (one
+    bounded driver action: a Greenwald-Khanna sketch, never the rows)
+    and the bucketing itself is a map-only comparison — a global
+    percent_rank window would funnel every row through a single
+    partition, the exact anti-pattern at corpus scale. Fractions are
+    approximate within ``relative_error``; the value ordering between
+    buckets is exact by construction (cutoffs are values)."""
+    lo, hi = ppl_df.stat.approxQuantile(
+        "ppl", [head_frac, head_frac + middle_frac], relative_error
+    )
     return ppl_df.withColumn(
         "bucket",
-        F.when(pr <= head_frac, F.lit("head"))
-        .when(pr <= head_frac + middle_frac, F.lit("middle"))
+        F.when(F.col("ppl") <= lo, F.lit("head"))
+        .when(F.col("ppl") <= hi, F.lit("middle"))
         .otherwise(F.lit("tail")),
     )

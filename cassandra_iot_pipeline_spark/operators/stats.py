@@ -152,7 +152,17 @@ def kmv_user_count(events: DataFrame, k: int = KMV_K) -> DataFrame:
     required.
     """
     h = F.sha2(F.col("user_id").cast("string"), 256)
-    kmin = events.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    # drop NULL hashes (NULL user_id) before the k-min: Spark sorts
+    # NULLS FIRST, so a NULL would occupy a kmin slot invisible to
+    # MAX(h) — n would say k while hk is the (k-1)-th hash, biasing the
+    # estimate — and DuckDB sorts NULLS LAST, diverging from the oracle
+    kmin = (
+        events.select(h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
     aggd = kmin.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
     val = F.conv(F.substring(F.col("hk"), 1, 13), 16, 10).cast("long")
     frac = val.cast("double") / F.lit(float(1 << 52))
@@ -167,6 +177,7 @@ def kmv_user_count_oracle(k: int = KMV_K) -> str:
     return f"""
         WITH hashes AS (
             SELECT DISTINCT sha256(CAST(user_id AS VARCHAR)) AS h FROM events
+            WHERE user_id IS NOT NULL
         ),
         kmin AS (SELECT h FROM hashes ORDER BY h LIMIT {k}),
         aggd AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM kmin),

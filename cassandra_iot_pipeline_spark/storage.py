@@ -154,7 +154,11 @@ def write_index_projection(
     rebuild per landed partition, not per row."""
     (
         events.repartition(F.col(index_col))
-        .sortWithinPartitions(*[F.col(c) for c in sort_cols])
+        # index_col leads the sort: the parquet writer requires
+        # partition-column ordering and would otherwise inject its own
+        # SortExec on index_col alone, discarding the secondary order
+        # whenever the sorter spills (stability is not guaranteed)
+        .sortWithinPartitions(index_col, *[F.col(c) for c in sort_cols])
         .write.mode("overwrite")
         .partitionBy(index_col)
         .parquet(path)

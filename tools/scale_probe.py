@@ -48,9 +48,11 @@ def probe_events(spark, n_events: int, n_devices: int):
     )
 
 
-def probe_documents(spark, n_docs: int, vocab_size: int = 2000):
+def probe_documents(spark, n_docs: int, vocab_size: int = 2000, start: int = 0):
     """Synthetic documents: 40-120 hash-chosen words from a shared
-    vocabulary (mimics the fixture corpus shape at any size)."""
+    vocabulary (mimics the fixture corpus shape at any size). Text is a
+    pure function of the range id, so ``start`` shifts which documents
+    exist — two calls overlap exactly on their shared id range."""
     vocab = F.array(
         *[F.format_string("word%04d", F.lit(i)) for i in range(vocab_size)]
     )
@@ -62,7 +64,7 @@ def probe_documents(spark, n_docs: int, vocab_size: int = 2000):
             (F.pmod(F.xxhash64(F.col("id"), i), F.lit(vocab_size)) + 1).cast("int"),
         ),
     )
-    return spark.range(n_docs).select(
+    return spark.range(start, start + n_docs).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(" ", words).alias("text"),
         F.lit("syn").alias("lang"),
@@ -145,9 +147,13 @@ def main() -> None:
     )
 
     corpus_keys = docs.select(F.col("text").alias("canon")).distinct()
-    batch = probe_documents(spark, n_docs).select(
-        (F.col("doc_id") + n_docs // 2).alias("doc_id"), "text"
-    ).select("doc_id", F.col("text").alias("canon"))
+    # genuinely half-overlapping: ids [n/2, 3n/2) share [n/2, n) with
+    # the corpus and bring n/2 new texts (text is a function of the id,
+    # so shifting doc_id alone would produce a 100%-duplicate batch and
+    # time only the worst-case all-positive path)
+    batch = probe_documents(spark, n_docs, start=n_docs // 2).select(
+        "doc_id", F.col("text").alias("canon")
+    )
     n_words = sketch_words_for_keys(n_docs)
     sketch = build_bloom_sketch(corpus_keys, "canon", n_words)
     timed(
