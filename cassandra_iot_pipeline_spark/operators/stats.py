@@ -115,6 +115,69 @@ def approx_user_count(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def value_moments(events: DataFrame) -> DataFrame:
+    """Exact mean / sample variance / sample stddev of value per
+    event_type, from integer second moments.
+
+    Spark's built-in ``stddev_samp`` runs Welford's streaming update in
+    doubles — merge order changes the low bits, so the result drifts
+    with partition layout and cannot be oracle-compared bitwise. This
+    form aggregates only ``SUM(cents)`` and ``SUM(cents²)`` — exact
+    integers, associative, partition-invariant (cents² ≤ 4e8 per row;
+    2^63 holds ~2e10 such rows per group; pre-aggregate a group beyond
+    that) — then derives
+
+        var = (n·Σx² − (Σx)²) / (n·(n−1)) / 100²
+
+    as a fixed sequence of correctly-rounded IEEE ops both engines
+    evaluate identically (the exactmath argument). The n·Σx² product is
+    formed in DOUBLE: exact while n·Σx² < 2^53 — beyond that both
+    engines still round it identically, so the oracle holds at any
+    scale even when the low bits are no longer exact.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    var = (
+        (n * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double"))
+        / (n * (n - F.lit(1.0)))
+        / F.lit(10000.0)
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / n / F.lit(100.0)).alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+    )
+
+
+def value_moments_oracle() -> str:
+    return """
+        SELECT event_type,
+               COUNT(*) AS n,
+               (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0)
+                   AS mean_value,
+               ((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c * c) AS DOUBLE)
+                 - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))
+                / 10000.0) AS var_value,
+               sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c * c) AS DOUBLE)
+                 - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))
+                / 10000.0) AS stddev_value
+        FROM (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        )
+        GROUP BY event_type
+    """
+
+
 KMV_K = 256  # relative error ~ 1/sqrt(k-2) ≈ 6% — matches the HLL rsd tier
 
 

@@ -66,6 +66,24 @@ def test_kmv_partition_invariance(spark):
     assert (a.exact_users, a.kmv_users) == (b.exact_users, b.kmv_users)
 
 
+def test_value_moments_bitwise_parity_and_invariance(spark, duck):
+    """Exact integer second moments: bitwise equal to DuckDB (unlike
+    Welford-based stddev_samp) and invariant under repartitioning."""
+    from cassandra_iot_pipeline_spark.operators.stats import (
+        value_moments,
+        value_moments_oracle,
+    )
+    from tools.oracle_check import compare
+
+    events = load_table(spark, SF_DIR, "events")
+    got = value_moments(events).toPandas()
+    want = duck.execute(value_moments_oracle()).fetchdf()
+    assert not compare(got, want)
+    a = sorted(map(tuple, value_moments(events).collect()))
+    b = sorted(map(tuple, value_moments(events.repartition(11)).collect()))
+    assert a == b
+
+
 def test_registry_fetch_and_fallback():
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
