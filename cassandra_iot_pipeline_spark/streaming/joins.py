@@ -93,6 +93,51 @@ def conversion_join_query(
     )
 
 
+def enriched_stream_query(
+    events_stream: DataFrame,
+    customers: DataFrame,
+    sink: ParquetUpsertSink,
+    checkpoint_dir: str,
+):
+    """Stream-static enrichment join — the other half of the join
+    topology pair: the dimension side is a *batch* DataFrame re-read
+    and broadcast per micro-batch, so the join involves no state store
+    at all (assert: empty stateOperators in progress), no watermark,
+    and dimension updates are picked up on the next trigger — exactly
+    Cassandra's "read the device metadata table on every lookup"
+    behavior (init.cql devices table) in streaming form. Left join:
+    events with no dimension row pass through with NULLs, the standard
+    contract for late-arriving dimension members.
+
+    At 100 TB the static side is a dimension (thousands-to-millions of
+    rows): broadcast keeps the fact stream shuffle-free; if a dimension
+    ever outgrows broadcast, drop the hint and Spark plans a per-batch
+    shuffle join — same semantics."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    enriched = events_stream.join(dim, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "segment",
+        "acctbal",
+    )
+    return (
+        enriched.writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing entry: bounded stream-stream join over the staged
     replay; equals the batch range join (operators/rangejoin.py) —
