@@ -56,14 +56,22 @@ class ParquetUpsertSink:
         # Non-empty-batch guard (F4) via isEmpty — the reference used
         # batch_df.count() twice per batch, triggering two extra scans
         # (reference: spark_consumer.py:139, 154 — anti-pattern noted in
-        # SURVEY §4.1).
-        if batch_df.isEmpty():
-            return
-        (
-            batch_df.withColumn("__epoch", F.lit(int(epoch_id)))
-            .write.mode("append")
-            .parquet(self.path)
-        )
+        # SURVEY §4.1). Persist across the guard + write: each action on
+        # an uncached batch frame re-executes its plan from the source
+        # (observed as numInputRows = 2x the replay in the throughput
+        # listener — the guard's scan and the write's scan both counted),
+        # so the pair of actions costs two source reads without the cache.
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            (
+                batch_df.withColumn("__epoch", F.lit(int(epoch_id)))
+                .write.mode("append")
+                .parquet(self.path)
+            )
+        finally:
+            batch_df.unpersist()
 
     def foreach_batch(self):
         return self.write_batch

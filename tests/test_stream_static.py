@@ -18,17 +18,43 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_stream_static_enrichment_equals_batch_join(spark):
+    from cassandra_iot_pipeline_spark.streaming.metrics import ThroughputListener
+
     staged = stage_events_stream(spark, SF_DIR)
     customers = load_table(spark, SF_DIR, "customer")
     out = tempfile.mkdtemp(prefix="stream_static_")
     sink = ParquetUpsertSink(os.path.join(out, "enriched"), pk=("event_id",))
-    q = enriched_stream_query(
-        read_event_stream(spark, staged, max_files_per_trigger=8),
-        customers,
-        sink,
-        os.path.join(out, "ckpt"),
-    )
-    q.awaitTermination()
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        q = enriched_stream_query(
+            read_event_stream(spark, staged, max_files_per_trigger=8),
+            customers,
+            sink,
+            os.path.join(out, "ckpt"),
+        )
+        q.awaitTermination()
+        # the listener bus is asynchronous: the final progress event can
+        # arrive after awaitTermination returns — poll until the totals
+        # converge on the replay size (bounded, fails loud on timeout)
+        import time
+
+        expected = load_table(spark, SF_DIR, "events").count()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            stats = listener.summary().get(str(q.id))
+            if stats and stats["total_rows"] >= expected:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    # every landed row observed without any extra action (the reference
+    # re-counts each batch inside foreachBatch to log it); before the
+    # sink cached the batch frame across guard+write, this read 2x
+    stats = listener.summary().get(str(q.id))
+    assert stats is not None
+    assert stats["total_rows"] == expected
+    assert stats["n_batches"] >= 1 and stats["rows_per_sec"] > 0
     # the join is stateless: no state store operators in the progress
     progress = q.lastProgress
     assert progress is not None and progress["stateOperators"] == []
