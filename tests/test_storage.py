@@ -50,6 +50,74 @@ def test_index_projection_prunes_and_matches_base_filter(spark, tmp_path):
     assert "event_type=purchase" in dirs and len(dirs) >= 3
 
 
+def _files_possibly_containing(path, column, value):
+    """Count parquet files whose [min, max] footer range for ``column``
+    admits ``value`` — the files a reader must open for that predicate."""
+    import pyarrow.parquet as pq
+
+    hits = 0
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None and lo <= value <= hi:
+            hits += 1
+    return hits, len(files)
+
+
+def test_zorder_skips_files_on_both_dimensions(spark, tmp_path):
+    """The Morton layout must beat a single-column time sort for
+    user_id skipping while still skipping on hour — data skipping on
+    BOTH filter dimensions from one 1-D sort order.
+
+    Synthetic wide grid (4096 users x 4096 hours): min/max skipping
+    needs the dimensions to be wide relative to rows-per-file — on the
+    fixture's 15 users, every 60-row file inevitably spans most user
+    values and no layout can skip (that regime belongs to the 1-D
+    sorted layout / index projection, as the docstring says)."""
+    events = spark.range(100_000).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64(F.lit("u"), F.col("id")), F.lit(4096)).alias("user_id"),
+        F.pmod(F.xxhash64(F.lit("h"), F.col("id")), F.lit(4096)).alias("hour"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+
+    z_path = str(tmp_path / "zordered")
+    t_path = str(tmp_path / "time_sorted")
+    storage.write_zordered(events, z_path, "user_id", "hour", n_files=64)
+    (
+        events.repartitionByRange(64, F.col("hour"))
+        .sortWithinPartitions("hour")
+        .write.mode("overwrite")
+        .parquet(t_path)
+    )
+
+    # nothing lost or reordered semantically
+    assert sorted(r.event_id for r in spark.read.parquet(z_path).collect()) == sorted(
+        r.event_id for r in events.collect()
+    )
+
+    probe_user = 7
+    z_user, z_total = _files_possibly_containing(z_path, "user_id", probe_user)
+    t_user, t_total = _files_possibly_containing(t_path, "user_id", probe_user)
+    # the time-sorted layout interleaves users everywhere (nearly every
+    # file admits the probe); the curve confines it to a fraction
+    assert t_user >= t_total * 0.9
+    assert z_user < t_user
+    assert z_user <= z_total // 2, (z_user, z_total)
+
+    probe_hour = int(events.agg(F.max("hour")).head()[0] // 2)
+    z_hour, _ = _files_possibly_containing(z_path, "hour", probe_hour)
+    assert z_hour <= z_total // 2, (z_hour, z_total)
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
