@@ -45,6 +45,82 @@ def value_quantiles_oracle() -> str:
     """
 
 
+def value_quantiles_approx(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """Scale tier of ``value_quantiles``: Greenwald-Khanna
+    ``percentile_approx`` with bounded memory per group. The exact form
+    collects every value of a group into one aggregation buffer — fine
+    at fixture scale, a per-group memory cliff at 100 TB — while the
+    sketch holds O(accuracy) entries regardless of group size. Rank
+    error <= 1/accuracy; engine-specific result (accuracy pinned in
+    tests, not the oracle — that's what ``sampled_quantiles`` is for).
+    Same output schema as the exact form."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    pct = F.percentile_approx(cents, F.lit(list(QUANTILES)), F.lit(accuracy))
+    return (
+        events.groupBy("event_type")
+        .agg(pct.alias("q"))
+        .select(
+            "event_type",
+            (F.col("q").getItem(0) / F.lit(100.0)).alias("p25"),
+            (F.col("q").getItem(1) / F.lit(100.0)).alias("p50"),
+            (F.col("q").getItem(2) / F.lit(100.0)).alias("p75"),
+        )
+    )
+
+
+def sampled_quantiles(events: DataFrame, k: int = 1024) -> DataFrame:
+    """The portable approximate-quantile tier: exact quantiles of a
+    deterministic uniform sample — per event_type, the ``k`` rows whose
+    sha256(event_id) sorts smallest (the KMV sampling trick again:
+    hash-ordered membership is partition-invariant and reproducible by
+    DuckDB, unlike percentile_approx's engine-specific sketch, and the
+    sample-quantile interpolation is the same exact integer-cents
+    arithmetic as the exact tier). Rank error ~ O(1/sqrt(k)); memory
+    O(k) per group like the sketch. Same output schema."""
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    h = F.sha2(F.col("event_id").cast("string"), 256)
+    ranked = events.select(
+        "event_type",
+        cents.alias("c"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(h, F.col("event_id")))
+        .alias("r"),
+    ).filter(F.col("r") <= k)
+    pct = F.percentile(F.col("c"), F.lit(list(QUANTILES)))
+    return (
+        ranked.groupBy("event_type")
+        .agg(pct.alias("q"))
+        .select(
+            "event_type",
+            (F.col("q").getItem(0) / F.lit(100.0)).alias("p25"),
+            (F.col("q").getItem(1) / F.lit(100.0)).alias("p50"),
+            (F.col("q").getItem(2) / F.lit(100.0)).alias("p75"),
+        )
+    )
+
+
+def sampled_quantiles_oracle(k: int = 1024) -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY sha256(CAST(event_id AS VARCHAR)), event_id
+                   ) AS r
+            FROM events
+        )
+        SELECT event_type,
+               (quantile_cont(c, 0.25) / 100.0) AS p25,
+               (quantile_cont(c, 0.50) / 100.0) AS p50,
+               (quantile_cont(c, 0.75) / 100.0) AS p75
+        FROM ranked WHERE r <= {k}
+        GROUP BY event_type
+    """
+
+
 def orders_cube(orders: DataFrame) -> DataFrame:
     """CUBE over (status, priority): all grouping-set combinations with
     exact cents totals — one pass, Catalyst Expand + hash aggregate."""

@@ -66,6 +66,42 @@ def test_kmv_partition_invariance(spark):
     assert (a.exact_users, a.kmv_users) == (b.exact_users, b.kmv_users)
 
 
+def test_quantile_tiers(spark, duck):
+    """Three quantile tiers: exact (oracle-checked in the registry),
+    engine sketch (accuracy vs exact), portable sample (bitwise DuckDB
+    parity — approximate yet reproducible)."""
+    from cassandra_iot_pipeline_spark.operators.stats import (
+        sampled_quantiles,
+        sampled_quantiles_oracle,
+        value_quantiles,
+        value_quantiles_approx,
+    )
+    from tools.oracle_check import compare
+
+    events = load_table(spark, SF_DIR, "events")
+    exact = {r.event_type: r for r in value_quantiles(events).collect()}
+
+    approx = {r.event_type: r for r in value_quantiles_approx(events).collect()}
+    for et, e in exact.items():
+        a = approx[et]
+        for q in ("p25", "p50", "p75"):
+            # high-accuracy sketch on a small group: near-exact
+            assert abs(getattr(a, q) - getattr(e, q)) <= max(
+                0.5, 0.02 * abs(getattr(e, q))
+            ), (et, q, a, e)
+
+    got = sampled_quantiles(events).toPandas()
+    want = duck.execute(sampled_quantiles_oracle()).fetchdf()
+    assert not compare(got, want)
+    # sample covers the whole fixture (n < k per type) -> equals exact
+    sampled = {r.event_type: r for r in sampled_quantiles(events).collect()}
+    bigger = {
+        r.event_type: r for r in sampled_quantiles(events, k=10**9).collect()
+    }
+    for et in exact:
+        assert tuple(sampled[et]) == tuple(bigger[et])
+
+
 def test_value_moments_bitwise_parity_and_invariance(spark, duck):
     """Exact integer second moments: bitwise equal to DuckDB (unlike
     Welford-based stddev_samp) and invariant under repartitioning."""
