@@ -182,6 +182,53 @@ def run_pipeline(
     return {"raw": raw_sink, "agg": agg_sink}
 
 
+def sliding_agg_query(
+    stream: DataFrame,
+    sink: ParquetUpsertSink,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Hopping-window streaming aggregation — the overlapping-window
+    companion to :func:`hourly_agg_query`, matching the batch
+    ``operators/agg.py::sliding_rollup`` contract exactly (same
+    integer-units arithmetic, same origin-aligned window assignment).
+    State holds w/s windows per device instead of one; the watermark
+    bounds it identically (a window's state is evictable once the
+    watermark passes its end)."""
+    agg = (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(
+            F.col("user_id").alias("device_id"),
+            F.window("ts", window, slide).alias("w"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_units"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+        .select(
+            "device_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("bucket_start"),
+            (F.col("sum_units") / F.lit(100.0) / F.col("event_count")).alias(
+                "avg_value"
+            ),
+            "max_value",
+            "min_value",
+            "event_count",
+        )
+    )
+    return (
+        agg.writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or DEFAULT_TRIGGER))
+        .start()
+    )
+
+
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing entry: replay the events fixture as micro-batches,
     run the watermarked streaming rollup through the upsert sink, and
