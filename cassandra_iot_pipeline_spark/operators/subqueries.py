@@ -44,6 +44,59 @@ def above_avg_balance_oracle() -> str:
     """
 
 
+def priority_exists_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Q4 shape: EXISTS-correlated subquery decorrelated to a left-semi
+    join, then counts per priority class. The semi join never widens the
+    orders side (each order emitted at most once however many returned
+    lineitems it has) and the probe side reduces to the 8-byte key
+    before shuffling — the decorrelation Catalyst applies to EXISTS is
+    exactly this plan, written out."""
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    qualified = orders.join(
+        returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def priority_exists_counts_oracle() -> str:
+    return """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
+    """
+
+
+def returnflag_priority_mix(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Q12 shape: fact-fact join + dual conditional counts — per
+    returnflag, how many lineitems belong to high- vs low-priority
+    orders. The CASE-WHEN counts fold into one aggregation pass (no
+    pivot, no second scan); integer counts are engine-exact."""
+    j = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+    )
+
+
+def returnflag_priority_mix_oracle() -> str:
+    return """
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_priority_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_priority_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+    """
+
+
 def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Correlated-subquery decorrelation (TPC-H Q17 shape): revenue from
     lineitems whose quantity is below 20% of the average quantity for

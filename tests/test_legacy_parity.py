@@ -99,7 +99,19 @@ LEGACY = {
 }
 
 # two-table forms
+from cassandra_iot_pipeline_spark.operators import subqueries  # noqa: E402
+
 LEGACY2 = {
+    "priority_exists_counts": (
+        ("orders", "lineitem"),
+        subqueries.priority_exists_counts,
+        subqueries.priority_exists_counts_oracle(),
+    ),
+    "returnflag_priority_mix": (
+        ("orders", "lineitem"),
+        subqueries.returnflag_priority_mix,
+        subqueries.returnflag_priority_mix_oracle(),
+    ),
     "customers_with_orders": (
         ("customer", "orders"),
         joins.customers_with_orders,
