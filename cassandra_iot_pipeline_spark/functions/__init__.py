@@ -13,4 +13,5 @@ pipeline runs over document/embedding tables.
     curation   -- the end-to-end filter->redact->dedup->split->pack chain
     bloom      -- persistable corpus sketch for incremental landing dedup
     lm         -- n-gram perplexity scoring (CCNet-style quality filter)
+    sketches   -- Count-Min frequency sketch (mergeable, cross-engine exact)
 """

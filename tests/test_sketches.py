@@ -1,0 +1,100 @@
+"""Count-Min sketch: the CM guarantee (never underestimates), error
+bound, mergeability, and bitwise DuckDB parity of sketch + estimates."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.catalog import load_table, table_path
+from cassandra_iot_pipeline_spark.functions.sketches import (
+    cm_estimate,
+    cm_sketch,
+)
+from cassandra_iot_pipeline_spark.functions.text import _oracle_tokens, tokens
+from tests.conftest import SF_DIR
+
+
+def _token_rows(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    return docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+
+
+def test_cm_never_underestimates_and_bounds_error(spark):
+    toks = _token_rows(spark)
+    sketch = cm_sketch(toks)
+    est = cm_estimate(toks, sketch)
+    exact = toks.groupBy(F.col("t").alias("token")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = est.join(exact, "token").collect()
+    assert joined, "no tokens"
+    total = sum(r.n for r in joined)
+    for r in joined:
+        assert r.est >= r.n, (r.token, r.est, r.n)  # CM guarantee
+    # expected overestimate per counter ~ total/width; allow 10x slack
+    slack = 10 * total / 1024
+    bad = [r for r in joined if r.est - r.n > slack]
+    assert len(bad) <= max(1, len(joined) // 20), bad[:5]
+
+
+def test_cm_sketches_merge_by_addition(spark):
+    """sketch(A) + sketch(B) folded per counter == sketch(A ∪ B): the
+    property that lets each landed batch ship its own tiny sketch. The
+    split is by row number so token multiplicity is preserved."""
+    toks = _token_rows(spark)
+    from pyspark.sql.window import Window
+
+    numbered = toks.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+    )
+    first = numbered.filter(F.col("rn") <= 2000).drop("rn")
+    rest = numbered.filter(F.col("rn") > 2000).drop("rn")
+    merged = (
+        cm_sketch(first)
+        .unionByName(cm_sketch(rest))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = cm_sketch(toks)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cm_bitwise_duckdb_parity(spark):
+    toks = _token_rows(spark)
+    est = cm_estimate(toks, cm_sketch(toks)).toPandas().set_index("token").sort_index()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{table_path(SF_DIR, 'documents')}')"
+    )
+    hex2int = (
+        "list_sum(list_transform(range(0, 8), i -> "
+        "CAST(strpos('0123456789abcdef', "
+        "substr(hx, CAST(1 + j * 8 + i AS INT), 1)) - 1 AS BIGINT) "
+        "<< CAST((7 - i) * 4 AS INT)))"
+    )
+    q = f"""
+        WITH tok AS (
+            SELECT unnest({_oracle_tokens('text')}) AS t FROM documents
+        ),
+        th AS (SELECT t, sha256(t) AS hx FROM tok),
+        probes AS (
+            SELECT t, j.j, ({hex2int}) % 1024 AS bucket
+            FROM th, range(0, 4) j(j)
+        ),
+        sketch AS (
+            SELECT j, bucket, COUNT(*) AS c FROM probes GROUP BY j, bucket
+        ),
+        qprobes AS (
+            SELECT DISTINCT t AS token, j, bucket FROM probes
+        )
+        SELECT token, MIN(COALESCE(c, 0)) AS est
+        FROM qprobes LEFT JOIN sketch USING (j, bucket)
+        GROUP BY token
+    """
+    want = con.execute(q).fetchdf().set_index("token").sort_index()
+    assert list(est.index) == list(want.index)
+    assert (est.est == want.est).all()
