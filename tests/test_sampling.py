@@ -140,3 +140,47 @@ def test_weighted_mixture_narrow_plan(spark, docs):
         docs, "source", {"web": 0.5}, key="doc_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # single narrow filter over the scan
+
+
+def test_deterministic_sample_streams_identically(spark, tmp_path):
+    """The hash predicate is stateless, so the same sampler expression
+    runs unchanged on a streaming frame — and because membership is a
+    pure function of the key, the streamed sample equals the batch
+    sample bitwise (DataFrame.sample could never promise this: its
+    membership depends on partition layout and evaluation order)."""
+    import os
+
+    from cassandra_iot_pipeline_spark.functions.sampling import (
+        deterministic_sample,
+    )
+    from cassandra_iot_pipeline_spark.streaming.pipeline import (
+        read_event_stream,
+    )
+    from cassandra_iot_pipeline_spark.streaming.sinks import ParquetUpsertSink
+    from cassandra_iot_pipeline_spark.streaming.staging import (
+        stage_events_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    staged = stage_events_stream(spark, SF_DIR)
+    sink = ParquetUpsertSink(str(tmp_path / "sampled"), pk=("event_id",))
+    q = (
+        deterministic_sample(
+            read_event_stream(spark, staged, max_files_per_trigger=16),
+            rate=0.25,
+            key="event_id",
+        )
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    events = load_table(spark, SF_DIR, "events")
+    want = sorted(
+        r.event_id
+        for r in deterministic_sample(events, 0.25, "event_id").collect()
+    )
+    got = sorted(r.event_id for r in sink.read(spark).collect())
+    assert got == want and 0 < len(got) < events.count()
