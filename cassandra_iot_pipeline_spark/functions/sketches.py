@@ -68,7 +68,6 @@ def cm_estimate(
     """(token, est): the CM upper bound per distinct query token — min
     over the depth counters the token hashes to (absent counter = 0).
     The sketch is depth*width rows at most and broadcasts."""
-    hx = F.sha2(F.col(token_col), 256)
     probes = (
         queries.select(F.col(token_col).alias("token")).distinct()
         .select("token", F.sha2(F.col("token"), 256).alias("hx"))

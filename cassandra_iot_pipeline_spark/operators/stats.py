@@ -68,24 +68,51 @@ def value_quantiles_approx(events: DataFrame, accuracy: int = 10_000) -> DataFra
     )
 
 
-def sampled_quantiles(events: DataFrame, k: int = 1024) -> DataFrame:
+def sampled_quantiles(
+    events: DataFrame, k: int = 1024, prefilter_rate: float | None = None
+) -> DataFrame:
     """The portable approximate-quantile tier: exact quantiles of a
     deterministic uniform sample — per event_type, the ``k`` rows whose
     sha256(event_id) sorts smallest (the KMV sampling trick again:
     hash-ordered membership is partition-invariant and reproducible by
     DuckDB, unlike percentile_approx's engine-specific sketch, and the
     sample-quantile interpolation is the same exact integer-cents
-    arithmetic as the exact tier). Rank error ~ O(1/sqrt(k)); memory
-    O(k) per group like the sketch. Same output schema."""
+    arithmetic as the exact tier). Rank error ~ O(1/sqrt(k)). NULL
+    event_ids are excluded up front (Spark sorts NULLS FIRST, DuckDB
+    NULLS LAST — the same cross-engine divergence kmv_user_count
+    guards).
+
+    Scale dial: without ``prefilter_rate`` the per-group k-min is a
+    window sort over every group row — fine to ~10^7 rows/group, a
+    single-task sort beyond. Set ``prefilter_rate`` to a fraction that
+    still keeps >= k rows per group (from a cardinality floor, the same
+    sizing contract as the KMV prefix filter) and the integer prefix of
+    the hash is thresholded BEFORE the window, so the sort sees
+    ~rate * n rows. The k minima are unchanged as long as the filter
+    keeps >= k hashes — a prune, not an approximation on top."""
     from pyspark.sql.window import Window
 
     cents = F.round(F.col("value") * 100).cast("long")
     h = F.sha2(F.col("event_id").cast("string"), 256)
-    ranked = events.select(
+    base = events.filter(F.col("event_id").isNotNull()).select(
+        "event_type", cents.alias("c"), h.alias("h"), "event_id"
+    )
+    if prefilter_rate is not None:
+        if not 0.0 < prefilter_rate <= 1.0:
+            raise ValueError(f"prefilter_rate {prefilter_rate} outside (0, 1]")
+        # first 8 hex digits as a 32-bit integer vs rate * 2^32 — an
+        # exact integer comparison both engines evaluate identically
+        bound = int(prefilter_rate * (1 << 32))
+        base = base.filter(
+            F.conv(F.col("h").substr(1, 8), 16, 10).cast("long") < bound
+        )
+    ranked = base.select(
         "event_type",
-        cents.alias("c"),
+        "c",
         F.row_number()
-        .over(Window.partitionBy("event_type").orderBy(h, F.col("event_id")))
+        .over(
+            Window.partitionBy("event_type").orderBy(F.col("h"), F.col("event_id"))
+        )
         .alias("r"),
     ).filter(F.col("r") <= k)
     pct = F.percentile(F.col("c"), F.lit(list(QUANTILES)))
@@ -111,6 +138,7 @@ def sampled_quantiles_oracle(k: int = 1024) -> str:
                        ORDER BY sha256(CAST(event_id AS VARCHAR)), event_id
                    ) AS r
             FROM events
+            WHERE event_id IS NOT NULL
         )
         SELECT event_type,
                (quantile_cont(c, 0.25) / 100.0) AS p25,
@@ -218,11 +246,18 @@ def value_moments(events: DataFrame) -> DataFrame:
         F.sum(cents * cents).alias("s2"),
     )
     n = F.col("n").cast("double")
-    var = (
+    raw = (
         (n * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double"))
         / (n * (n - F.lit(1.0)))
         / F.lit(10000.0)
     )
+    # n == 1 has no sample variance: NULL like stddev_samp, never the
+    # 0.0/0.0 NaN the raw formula produces. The greatest(·, 0) clamp
+    # handles the beyond-2^53 regime where rounding of n·Σx² can push a
+    # near-zero variance slightly negative (sqrt would yield NaN) —
+    # clamping to 0 IS the correct answer there, and both engines clamp
+    # the identically-rounded double, so parity is preserved.
+    var = F.when(F.col("n") > 1, F.greatest(raw, F.lit(0.0)))
     return agg.select(
         "event_type",
         "n",
@@ -234,23 +269,33 @@ def value_moments(events: DataFrame) -> DataFrame:
 
 def value_moments_oracle() -> str:
     return """
-        SELECT event_type,
-               COUNT(*) AS n,
-               (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0)
-                   AS mean_value,
-               ((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c * c) AS DOUBLE)
-                 - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
-                / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))
-                / 10000.0) AS var_value,
-               sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(c * c) AS DOUBLE)
-                 - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
-                / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))
-                / 10000.0) AS stddev_value
-        FROM (
-            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-            FROM events
+        WITH g AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(c) AS s1,
+                   SUM(c * c) AS s2
+            FROM (
+                SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+            )
+            GROUP BY event_type
         )
-        GROUP BY event_type
+        SELECT event_type,
+               n,
+               (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) AS mean_value,
+               CASE WHEN n > 1 THEN greatest(
+                   (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                   / 10000.0, 0.0)
+               END AS var_value,
+               sqrt(CASE WHEN n > 1 THEN greatest(
+                   (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                   / 10000.0, 0.0)
+               END) AS stddev_value
+        FROM g
     """
 
 

@@ -217,18 +217,42 @@ def write_zordered(
     (quantize/rank first at scale — e.g. day-relative hour, bucketed
     ids). One range shuffle on write; reads are plain parquet scans
     whose file/row-group statistics do the pruning."""
+    # inputs wider than `bits` would silently interleave identically
+    # (user_id 5 and 65541 share low bits) and negatives garble the
+    # curve — fail in-plan instead of quietly producing a layout with
+    # no skipping (same raise_error-guard pattern as the jaccard block
+    # cap)
+    lim = 1 << bits
+    bad = None
+    for c in (col_a, col_b):
+        out_of_range = (F.col(c) < 0) | (F.col(c) >= lim)
+        bad = out_of_range if bad is None else bad | out_of_range
+    guard = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"write_zordered: ({col_a}, {col_b}) value outside "
+                    f"[0, {lim}) for bits={bits} — quantize/rank the "
+                    "dimensions first"
+                )
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     z = zorder_value(F.col(col_a), F.col(col_b), bits)
-    zed = events.withColumn("__z", z)
-    # explicit file count when given: AQE happily coalesces a small
-    # range shuffle to one partition, which erases the layout the curve
-    # exists to create (size n_files to the target file size at scale)
-    ranged = (
-        zed.repartitionByRange(n_files, F.col("__z"))
-        if n_files
-        else zed.repartitionByRange(F.col("__z"))
-    )
+    zed = events.filter(guard).withColumn("__z", z)
+    if n_files is None:
+        # pin a real partition count: AQE happily coalesces a small
+        # range shuffle to ONE partition, which erases the layout the
+        # curve exists to create (size to target file size at scale)
+        n_files = int(
+            events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    if n_files < 1:
+        raise ValueError(f"write_zordered: n_files {n_files} < 1")
     (
-        ranged.sortWithinPartitions("__z")
+        zed.repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode("overwrite")
         .parquet(path)

@@ -23,6 +23,7 @@ session::
 
 from __future__ import annotations
 
+import threading
 from collections import defaultdict
 
 from pyspark.sql.streaming import StreamingQueryListener
@@ -30,9 +31,16 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 class ThroughputListener(StreamingQueryListener):
     """Collects (batch_id, input_rows, batch_duration_ms, rows/sec) per
-    query from progress events — no actions, no data movement."""
+    query from progress events — no actions, no data movement.
+
+    Thread safety: progress events arrive on the listener-bus thread
+    while callers poll ``summary()`` from their own — writes and the
+    summary snapshot share a lock (without it, a new query's first
+    event during a summary() iteration raises 'dictionary changed size
+    during iteration')."""
 
     def __init__(self) -> None:
+        self._lock = threading.Lock()
         self.batches: dict[str, list[dict]] = defaultdict(list)
 
     # the listener runs on the driver's listener bus; exceptions here
@@ -42,14 +50,14 @@ class ThroughputListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
-        self.batches[str(p.id)].append(
-            {
-                "batch_id": p.batchId,
-                "input_rows": p.numInputRows,
-                "duration_ms": (p.durationMs or {}).get("triggerExecution", 0),
-                "rows_per_sec": p.processedRowsPerSecond or 0.0,
-            }
-        )
+        row = {
+            "batch_id": p.batchId,
+            "input_rows": p.numInputRows,
+            "duration_ms": (p.durationMs or {}).get("triggerExecution", 0),
+            "rows_per_sec": p.processedRowsPerSecond or 0.0,
+        }
+        with self._lock:
+            self.batches[str(p.id)].append(row)
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass
@@ -60,8 +68,10 @@ class ThroughputListener(StreamingQueryListener):
     def summary(self) -> dict[str, dict]:
         """Per-query totals: the counters the reference's monitor.sh
         reads off Cassandra (total rows landed, elapsed, rate)."""
+        with self._lock:
+            snapshot = {qid: list(b) for qid, b in self.batches.items()}
         out = {}
-        for qid, batches in self.batches.items():
+        for qid, batches in snapshot.items():
             rows = sum(b["input_rows"] for b in batches)
             ms = sum(b["duration_ms"] for b in batches)
             out[qid] = {

@@ -102,6 +102,37 @@ def test_quantile_tiers(spark, duck):
         assert tuple(sampled[et]) == tuple(bigger[et])
 
 
+def test_sampled_quantiles_prefilter_is_a_pure_prune(spark):
+    """prefilter_rate only prunes the window's input: at rate 1.0 the
+    threshold admits every hash, so the result is bit-identical to the
+    unfiltered form (the >= k sizing contract is the caller's dial)."""
+    from cassandra_iot_pipeline_spark.operators.stats import sampled_quantiles
+
+    events = load_table(spark, SF_DIR, "events")
+    a = sorted(map(tuple, sampled_quantiles(events).collect()))
+    b = sorted(
+        map(tuple, sampled_quantiles(events, prefilter_rate=1.0).collect())
+    )
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampled_quantiles(events, prefilter_rate=0.0)
+
+
+def test_value_moments_singleton_group_is_null_not_nan(spark):
+    """One-row groups have no sample variance: NULL like stddev_samp,
+    never the raw formula's 0.0/0.0 NaN."""
+    from cassandra_iot_pipeline_spark.operators.stats import value_moments
+
+    from pyspark.sql import functions as F
+
+    one = spark.createDataFrame([("solo", 3.5)], "event_type string, value double")
+    row = value_moments(one).head()
+    assert row.n == 1 and row.mean_value == 3.5
+    assert row.var_value is None and row.stddev_value is None
+
+
 def test_value_moments_bitwise_parity_and_invariance(spark, duck):
     """Exact integer second moments: bitwise equal to DuckDB (unlike
     Welford-based stddev_samp) and invariant under repartitioning."""

@@ -118,6 +118,18 @@ def test_zorder_skips_files_on_both_dimensions(spark, tmp_path):
     assert z_hour <= z_total // 2, (z_hour, z_total)
 
 
+def test_zorder_rejects_out_of_range_inputs(spark, tmp_path):
+    """Values wider than `bits` would silently interleave identically
+    (no skipping left) — the in-plan guard must fail loud instead."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(1, 70000, 3, 0.0)], "event_id long, user_id long, hour long, value double"
+    )
+    with pytest.raises(Exception, match="outside"):
+        storage.write_zordered(bad, str(tmp_path / "z"), "user_id", "hour")
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -13,8 +13,7 @@ from cassandra_iot_pipeline_spark.streaming.joins import enriched_stream_query
 from cassandra_iot_pipeline_spark.streaming.pipeline import read_event_stream
 from cassandra_iot_pipeline_spark.streaming.sinks import ParquetUpsertSink
 from cassandra_iot_pipeline_spark.streaming.staging import stage_events_stream
-
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR
 
 
 def test_stream_static_enrichment_equals_batch_join(spark):
