@@ -169,7 +169,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_projection": lambda s, d: projections.raw_projection(events(s, d)),
         "decode_props": lambda s, d: json_decode.decode_props(events(s, d)),
         # --- device-profile time-series similarity (IoT capstone) ---
-        "similar_devices": lambda s, d: profiles.similar_devices(events(s, d)),
+        # fleet_size hint keeps query construction lazy (zero jobs): the
+        # fixture fleets are <= 15k devices at every driver scale, far
+        # under EXACT_FLEET_CAP, so the hint only skips the eager
+        # approx_count_distinct probe — tier choice and results unchanged
+        "similar_devices": lambda s, d: profiles.similar_devices(
+            events(s, d), fleet_size=15_000
+        ),
         # --- streaming (SURVEY §2.J W1-W8): bounded replay through the
         # watermarked pipeline + upsert sink; results equal the batch
         # forms, so both take full SQL oracles ---
@@ -217,7 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _REVENUE_BY_SEGMENT_SQL = """
     SELECT c_mktsegment,
-           (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0) AS revenue,
+           (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0e0) AS revenue,
            COUNT(*) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment

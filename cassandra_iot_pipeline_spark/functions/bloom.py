@@ -47,6 +47,47 @@ BITS_PER_KEY = 10
 #: optimal n_hashes = ln2 * bits_per_key ≈ 7
 N_HASHES = 7
 
+#: reserved word index carrying the sketch's own (n_words, n_hashes) —
+#: real probe positions are always >= 0, so the metadata row never
+#: collides with data.  Probing a persisted sketch with different
+#: parameters shifts every bit position: corpus keys would read unset
+#: bits, be flagged definitely_new, and incremental_dedup would silently
+#: re-admit duplicates.  The guard turns that silent corruption into an
+#: in-plan error.
+META_WORD_IDX = -1
+
+
+def _pack_meta(n_words: int, n_hashes: int) -> int:
+    if not 1 <= n_hashes < 256:
+        raise ValueError(f"n_hashes must be in [1, 255], got {n_hashes}")
+    if n_words < 1:
+        raise ValueError(f"n_words must be >= 1, got {n_words}")
+    return (n_words << 8) | n_hashes
+
+
+def _meta_guard(sketch: DataFrame, n_words: int, n_hashes: int) -> DataFrame:
+    """Single-row frame that raises (lazily, at execution) unless the
+    sketch's embedded metadata matches the caller's parameters.  Folding
+    two same-parameter sketches bit_or's identical metadata to itself, so
+    incremental maintenance preserves the guard; folding sketches of
+    *different* parameters corrupts the packed value and trips it."""
+    expected = _pack_meta(n_words, n_hashes)
+    meta = sketch.filter(F.col("word_idx") == META_WORD_IDX).agg(
+        F.count(F.lit(1)).alias("n_meta"),
+        F.coalesce(F.min("bits"), F.lit(-1)).alias("meta_bits"),
+    )
+    ok = (F.col("n_meta") == 1) & (F.col("meta_bits") == expected)
+    return meta.select(
+        F.when(~ok, F.raise_error(F.format_string(
+            "bloom sketch parameter mismatch: probe expects packed "
+            f"(n_words<<8|n_hashes) = {expected} (n_words={n_words}, "
+            f"n_hashes={n_hashes}) but the sketch carries %d "
+            "(meta rows: %d). Probe with the sketch's own parameters, "
+            "or rebuild the sketch — re-sizing requires a full rebuild.",
+            F.col("meta_bits"), F.col("n_meta"),
+        ))).otherwise(F.lit(1)).cast("long").alias("_meta_ok")
+    )
+
 
 def _probe_rows(
     keys: DataFrame, key_col: str, n_words: int, n_hashes: int
@@ -94,11 +135,21 @@ def build_bloom_sketch(
     """One aggregation pass: (word_idx BIGINT, bits BIGINT), only words
     with at least one set bit materialize (the sketch is sparse until
     the corpus fills it). Persist with plain ``.write.parquet`` next to
-    the corpus; union + re-aggregate to fold in a new batch's sketch."""
+    the corpus; union + re-aggregate to fold in a new batch's sketch.
+
+    One extra row at ``word_idx = META_WORD_IDX`` embeds (n_words,
+    n_hashes); probe-side validates it so a persisted sketch can never be
+    silently probed with mismatched parameters."""
+    spark = corpus_keys.sparkSession
+    meta = spark.createDataFrame(
+        [(META_WORD_IDX, _pack_meta(n_words, n_hashes))],
+        "word_idx BIGINT, bits BIGINT",
+    )
     return (
         _probe_rows(corpus_keys, key_col, n_words, n_hashes)
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("bits"))
+        .unionByName(meta)
     )
 
 
@@ -113,9 +164,21 @@ def bloom_negative_flag(
     """The batch's distinct keys flagged ``definitely_new``: true when
     any probe bit is unset (Bloom guarantees no false negatives, so true
     means provably absent from the corpus). One probe-row explode + one
-    join against the sketch + one AND-aggregation per key."""
-    probes = _probe_rows(
-        batch.select(key_col).distinct(), key_col, n_words, n_hashes
+    join against the sketch + one AND-aggregation per key.  A lazy
+    single-row guard (crossJoin of one broadcast row) raises at execution
+    if the sketch's embedded (n_words, n_hashes) differ from the probe's
+    — mismatched parameters would otherwise flag corpus keys
+    definitely_new and re-admit duplicates."""
+    guard = _meta_guard(sketch, n_words, n_hashes)
+    # fold the guard (1 when params match, raise_error otherwise) into
+    # the probe mask: mask * 1 == mask, but the multiplication makes the
+    # guard column load-bearing so Catalyst cannot column-prune the
+    # raise_error away (a bare crossJoin + drop would be optimized out)
+    probes = (
+        _probe_rows(batch.select(key_col).distinct(), key_col, n_words, n_hashes)
+        .crossJoin(F.broadcast(guard))
+        .withColumn("mask", F.col("mask") * F.col("_meta_ok"))
+        .drop("_meta_ok")
     )
     sk = F.broadcast(sketch) if broadcast_sketch else sketch
     joined = probes.join(sk, "word_idx", "left")

@@ -89,57 +89,9 @@ def exact_dedup_oracle() -> str:
 MAX_JACCARD_BLOCK = 10_000
 
 
-def blocked_jaccard_pairs(
-    documents: DataFrame,
-    threshold: float = 0.5,
-    max_block_size: int = MAX_JACCARD_BLOCK,
-) -> DataFrame:
-    """Exact token-set Jaccard within (lang, source) blocks — the exact
-    tier of the near-dup suite (MinHash-LSH is the scale tier).
-
-    Blocking makes the quadratic candidate set tractable (only documents
-    sharing a block are compared); inside a block the comparison is a
-    self-join + array_intersect/array_union — all Catalyst, and exactly
-    mirrored by the DuckDB oracle. jaccard = |∩| / |∪| is one exact
-    integer division (deterministic).
-
-    Guard: any block exceeding ``max_block_size`` fails the job with a
-    descriptive error naming the block and the MinHash cutover (in-plan
-    ``raise_error`` on a broadcast block-size join — no extra shuffle of
-    the token payloads, and no effect on results when all blocks fit)."""
-    docs = documents.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(tokens(F.col("text"))).alias("tok"),
-    )
-    if max_block_size is not None:
-        sizes = documents.groupBy("lang", "source").agg(
-            F.count(F.lit(1)).alias("block_n")
-        )
-        guard = F.when(
-            F.col("block_n") > max_block_size,
-            F.raise_error(
-                F.concat(
-                    F.lit("blocked_jaccard_pairs: block (lang="),
-                    F.col("lang"),
-                    F.lit(", source="),
-                    F.col("source"),
-                    F.lit(") has "),
-                    F.col("block_n").cast("string"),
-                    F.lit(
-                        f" docs > cap {max_block_size}; the in-block scan is "
-                        "quadratic — use minhash_lsh_pairs for this corpus "
-                        "or raise max_block_size explicitly"
-                    ),
-                )
-            ).cast("boolean"),
-        ).otherwise(F.lit(True))
-        docs = (
-            docs.join(F.broadcast(sizes), ["lang", "source"])
-            .filter(guard)
-            .drop("block_n")
-        )
+def _exact_block_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs exact token Jaccard within (lang, source) blocks over
+    pre-tokenized ``docs`` (doc_id, lang, source, tok)."""
     docs = docs.withColumn("n_tok", F.size("tok"))
     a = docs.alias("a")
     b = docs.alias("b")
@@ -171,6 +123,161 @@ def blocked_jaccard_pairs(
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def _lsh_block_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n_hashes: int = N_HASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash-LSH tier for oversized blocks: candidates from banded
+    token-set signatures (block keys folded into the bucket so pairs stay
+    within their (lang, source) block), then the SAME exact token-Jaccard
+    verification as the exact tier. Semantics match the exact tier
+    wherever LSH recall is 1.0; near-linear instead of quadratic in the
+    block size. Mirrors the ``similar_devices`` tier-routing pattern
+    (operators/profiles.py)."""
+    a_const, b_const = _perm_constants(n_hashes)
+    rows_per_band = n_hashes // bands
+    exploded = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode("tok").alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.xxhash64("t").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h"),
+    )
+    sig = exploded.groupBy("doc_id", "lang", "source").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.col("h") * F.lit(a_const[i]) + F.lit(b_const[i]),
+                    F.lit(MERSENNE_P),
+                )
+            ).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"m{bd * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for bd in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "lang", "source",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    toksets = docs.select("doc_id", "tok")
+    verified = candidates.join(
+        toksets.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a")),
+        "doc_a",
+    ).join(
+        toksets.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    union = F.size(F.col("tok_a")) + F.size(F.col("tok_b")) - inter
+    jac = inter.cast("double") / union
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= F.lit(threshold)
+    )
+
+
+def blocked_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_block_size: int = MAX_JACCARD_BLOCK,
+    strict: bool = False,
+) -> DataFrame:
+    """Exact token-set Jaccard within (lang, source) blocks — the exact
+    tier of the near-dup suite (MinHash-LSH is the scale tier).
+
+    Blocking makes the quadratic candidate set tractable (only documents
+    sharing a block are compared); inside a block the comparison is a
+    self-join + array_intersect/array_union — all Catalyst, and exactly
+    mirrored by the DuckDB oracle. jaccard = |∩| / |∪| is one exact
+    integer division (deterministic).
+
+    Auto-tiering: blocks exceeding ``max_block_size`` would make the
+    in-block quadratic scan the dominant cost (cap² comparisons), so
+    their documents route to the MinHash-LSH tier — same exact-Jaccard
+    verification, candidates from banded signatures instead of all
+    pairs — and the two tiers' outputs union. At fixture scale no block
+    exceeds the cap, so the routed side is empty and results (and the
+    DuckDB oracle row) are unchanged. With ``strict=True`` the operator
+    instead fails fast in-plan (``raise_error`` on a broadcast
+    block-size join) naming the oversized block — for pipelines that
+    must not silently accept approximate recall on the routed sliver."""
+    docs = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(tokens(F.col("text"))).alias("tok"),
+    )
+    if max_block_size is None:
+        return _exact_block_pairs(docs, threshold)
+    sizes = documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("block_n")
+    )
+    docs = docs.join(F.broadcast(sizes), ["lang", "source"])
+    if strict:
+        guard = F.when(
+            F.col("block_n") > max_block_size,
+            F.raise_error(
+                F.concat(
+                    F.lit("blocked_jaccard_pairs: block (lang="),
+                    F.col("lang"),
+                    F.lit(", source="),
+                    F.col("source"),
+                    F.lit(") has "),
+                    F.col("block_n").cast("string"),
+                    F.lit(
+                        f" docs > cap {max_block_size}; the in-block scan is "
+                        "quadratic — use minhash_lsh_pairs for this corpus, "
+                        "drop strict=True to auto-route oversized blocks, "
+                        "or raise max_block_size explicitly"
+                    ),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+        return _exact_block_pairs(docs.filter(guard).drop("block_n"), threshold)
+    small = docs.filter(F.col("block_n") <= max_block_size).drop("block_n")
+    big = docs.filter(F.col("block_n") > max_block_size).drop("block_n")
+    return _exact_block_pairs(small, threshold).unionByName(
+        _lsh_block_pairs(big, threshold)
     )
 
 
@@ -294,6 +401,39 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     sh_df = shingled_docs(documents)
+    candidates = minhash_lsh_candidates(documents, n_hashes, bands)
+    verified = (
+        candidates.join(
+            sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    n_hashes: int = N_HASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """The pre-verification candidate stage of :func:`minhash_lsh_pairs`
+    — exposed so recall is directly testable: the LSH output equals the
+    exhaustive Jaccard result iff every true pair appears here
+    (tests/test_oracle_parity.py pins recall = 1.0 on each fixture the
+    driver's oracle gate runs at, so a fixture/seed/band-geometry change
+    fails with a diagnosable recall message instead of an opaque oracle
+    hash mismatch)."""
+    rows_per_band = n_hashes // bands
     sig = minhash_signatures(documents, n_hashes)
     banded = sig.select(
         "doc_id",
@@ -330,23 +470,7 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    verified = (
-        candidates.join(
-            sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            sh_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-            "doc_b",
-        )
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    jac = inter.cast("double") / union
-    return (
-        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= F.lit(threshold))
-    )
+    return candidates
 
 
 def minhash_lsh_pairs_oracle(

@@ -27,6 +27,17 @@ CM_WIDTH = 1024
 CM_DEPTH = 4
 
 
+def _check_params(width: int, depth: int) -> None:
+    """Depth rows read hex digits 8j+1..8j+8 of the 64-char sha256 —
+    depth > 8 would silently read past the digest (empty substrings →
+    NULL buckets → a corrupted sketch), so enforce the documented limit
+    instead of trusting the docstring."""
+    if not 1 <= depth <= 8:
+        raise ValueError(f"depth must be in [1, 8] (64-hex digest), got {depth}")
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+
+
 def _bucket(hx: Column, j: Column, width: int) -> Column:
     """Bucket for depth-row j: hex digits [8j+1, 8j+8] of the sha256 as
     a 32-bit integer, mod width. Depth <= 8 fits the 64-hex digest."""
@@ -45,6 +56,7 @@ def cm_sketch(
     """(j, bucket, c): the populated counters of a depth x width
     Count-Min over the token rows (multiplicity counts). Merge two
     sketches by union + SUM(c) per (j, bucket) — tested associative."""
+    _check_params(width, depth)
     hx = F.sha2(F.col(token_col), 256)
     return (
         tokens.select(hx.alias("hx"))
@@ -68,6 +80,7 @@ def cm_estimate(
     """(token, est): the CM upper bound per distinct query token — min
     over the depth counters the token hashes to (absent counter = 0).
     The sketch is depth*width rows at most and broadcasts."""
+    _check_params(width, depth)
     probes = (
         queries.select(F.col(token_col).alias("token")).distinct()
         .select("token", F.sha2(F.col("token"), 256).alias("hx"))

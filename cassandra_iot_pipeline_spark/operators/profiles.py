@@ -58,7 +58,10 @@ EXACT_FLEET_CAP = 65_536
 
 
 def similar_devices(
-    events: DataFrame, k: int = 3, exact_fleet_cap: int = EXACT_FLEET_CAP
+    events: DataFrame,
+    k: int = 3,
+    exact_fleet_cap: int = EXACT_FLEET_CAP,
+    fleet_size: int | None = None,
 ) -> DataFrame:
     """Top-k most similar devices per device by hour-of-day profile
     cosine — tier-routed for fleet scale:
@@ -71,15 +74,23 @@ def similar_devices(
       (:func:`~..functions.similarity.lsh_self_topk`) — shuffles 8-byte
       signatures, sub-quadratic candidates, approximate recall.
 
-    The routing probe is one ``approx_count_distinct`` over the pruned
-    ``user_id`` column (a single narrow scan, no shuffle of payloads).
+    Routing stays lazy when the caller supplies ``fleet_size`` (a fleet
+    cardinality hint — exactness of the hint only affects tier choice,
+    never results): constructing the query then triggers **zero** jobs.
+    Without a hint the probe is one ``approx_count_distinct`` over the
+    pruned ``user_id`` column (a single narrow scan, no payload
+    shuffle) — fine interactively, but at 100 TB that is a full-table
+    scan per invocation, so batch pipelines should pass the hint (e.g.
+    from table statistics or the device registry's row count).
     """
     from ..functions.similarity import gemm_self_topk, lsh_self_topk
 
     profiles = device_profiles(events)
-    fleet = events.agg(
-        F.approx_count_distinct("user_id").alias("n")
-    ).first()["n"]
+    fleet = fleet_size
+    if fleet is None:
+        fleet = events.agg(
+            F.approx_count_distinct("user_id").alias("n")
+        ).first()["n"]
     if fleet <= exact_fleet_cap:
         ranked = gemm_self_topk(profiles, "user_id", "profile", k)
     else:

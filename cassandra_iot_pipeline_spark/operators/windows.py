@@ -217,8 +217,12 @@ def type_pivot(events: DataFrame) -> DataFrame:
 
 
 def type_pivot_oracle() -> str:
+    # CAST to BIGINT: DuckDB's SUM over integers yields HUGEINT, which
+    # fetchdf() materializes as float64 — hash-mismatching Spark's int64
+    # even when every count is identical (CORRECTNESS_r02 root cause).
     cols = ", ".join(
-        f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS n_{t}"
+        f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+        f" AS BIGINT) AS n_{t}"
         for t in ["click", "error", "purchase", "signup", "view"]
     )
     return f"SELECT user_id, {cols} FROM events GROUP BY user_id"

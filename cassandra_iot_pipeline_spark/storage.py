@@ -225,7 +225,13 @@ def write_zordered(
     lim = 1 << bits
     bad = None
     for c in (col_a, col_b):
-        out_of_range = (F.col(c) < 0) | (F.col(c) >= lim)
+        # isNull first: for a NULL dimension, (col < 0) | (col >= lim)
+        # is NULL, F.when(NULL, raise) falls through, and the row would
+        # slip past with a NULL Morton key — the silent-bad-layout
+        # outcome the guard exists to prevent
+        out_of_range = (
+            F.col(c).isNull() | (F.col(c) < 0) | (F.col(c) >= lim)
+        )
         bad = out_of_range if bad is None else bad | out_of_range
     guard = F.when(
         bad,

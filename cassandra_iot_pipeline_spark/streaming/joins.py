@@ -21,7 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipeline import read_event_stream
+from .pipeline import REPLAY_FILES_PER_TRIGGER, read_event_stream
 from .sinks import ParquetUpsertSink
 
 WINDOW_S = 3600
@@ -154,8 +154,8 @@ def streaming_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = conversion_join_query(
-            read_event_stream(spark, staged, max_files_per_trigger=32),
-            read_event_stream(spark, staged, max_files_per_trigger=32),
+            read_event_stream(spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER),
+            read_event_stream(spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER),
             sink,
             os.path.join(out_dir, "ckpt"),
         )

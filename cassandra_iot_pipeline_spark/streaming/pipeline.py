@@ -61,6 +61,14 @@ def read_event_stream(
 #: exercised end-to-end by tests/test_streaming.py (W6).
 DEFAULT_TRIGGER: dict = {"availableNow": True}
 
+#: files per micro-batch for the bounded bench replays (the fixtures
+#: stage as ~65 day files). One knob for all four driver-facing replay
+#: queries; the multi-batch state-semantics coverage lives in
+#: tests/test_streaming.py with its own small trigger sizes, so this
+#: value only trades bench wall-clock against per-batch fixed costs
+#: (state-store commits + sink writes are per partition per batch).
+REPLAY_FILES_PER_TRIGGER = 32
+
 
 def raw_passthrough_query(
     stream: DataFrame,
@@ -258,7 +266,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = hourly_agg_query(
-            read_event_stream(spark, staged, max_files_per_trigger=32),
+            read_event_stream(spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER),
             sink,
             os.path.join(out_dir, "ckpt"),
         )
@@ -280,7 +288,7 @@ def streaming_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(out_dir, "sensor_events"), pk=("user_id", "ts", "event_id")
     )
     q = raw_passthrough_query(
-        read_event_stream(spark, staged, max_files_per_trigger=32),
+        read_event_stream(spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER),
         sink,
         os.path.join(out_dir, "ckpt"),
     )
@@ -312,7 +320,7 @@ def streaming_sessionize_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = (
             streaming_sessionize(
-                read_event_stream(spark, staged, max_files_per_trigger=32)
+                read_event_stream(spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER)
             )
             .writeStream.format("memory")
             .queryName(name)

@@ -87,6 +87,31 @@ def test_sketch_persists_and_folds(spark, tmp_path):
     )
 
 
+def test_mismatched_sketch_params_raise(spark):
+    """Probing a persisted sketch with different (n_words, n_hashes)
+    shifts every bit position — the guard must turn that silent
+    re-admission of duplicates into a loud failure."""
+    import pytest
+
+    corpus = spark.range(0, 500).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k")
+    )
+    n_words = sketch_words_for_keys(500)
+    sketch = build_bloom_sketch(corpus, "k", n_words)
+    # wrong n_words (a later, larger re-size) and wrong n_hashes
+    for bad_words, bad_hashes in [(n_words * 2, 7), (n_words, 5)]:
+        with pytest.raises(Exception, match="parameter mismatch"):
+            bloom_negative_flag(corpus, sketch, "k", bad_words, bad_hashes).collect()
+    # a sketch with no metadata row (hand-built / pre-versioned) also fails
+    bare = sketch.filter(F.col("word_idx") >= 0)
+    with pytest.raises(Exception, match="parameter mismatch"):
+        bloom_negative_flag(corpus, bare, "k", n_words).collect()
+    # matching params still pass
+    assert bloom_negative_flag(corpus, sketch, "k", n_words).filter(
+        F.col("definitely_new")
+    ).count() == 0
+
+
 def test_probe_join_broadcasts(spark):
     documents = load_table(spark, SF_DIR, "documents")
     corpus, batch = _split(documents)

@@ -46,6 +46,34 @@ def test_accepts_matching_nulls():
     assert not compare(a, b)
 
 
+def test_detects_int_vs_float_representation():
+    """The r2 `type_pivot` failure mode: numerically equal counts, int64
+    on one side, float64 (DuckDB HUGEINT via fetchdf) on the other — the
+    driver's hash diverges, so the self-check must too."""
+    a = pd.DataFrame({"n": np.array([1, 2, 3], dtype=np.int64)})
+    b = pd.DataFrame({"n": np.array([1.0, 2.0, 3.0], dtype=np.float64)})
+    problems = compare(a, b)
+    assert problems and "DTYPE" in problems[0]
+
+
+def test_detects_decimal_vs_float_representation():
+    """The r2 `sql_revenue_by_segment` failure mode: Spark DECIMAL
+    arrives as object-dtype decimal.Decimal, DuckDB DOUBLE as float64 —
+    equal values, different driver hash."""
+    import decimal
+
+    a = pd.DataFrame({"v": [decimal.Decimal("1.5"), decimal.Decimal("2.5")]})
+    b = pd.DataFrame({"v": [1.5, 2.5]})
+    problems = compare(a, b)
+    assert problems and "DTYPE" in problems[0]
+
+
+def test_accepts_equal_kind_object_strings():
+    a = pd.DataFrame({"s": ["x", "y"]})
+    b = pd.DataFrame({"s": ["y", "x"]})
+    assert not compare(a, b)
+
+
 def test_canonicalize_stable():
     df = pd.DataFrame({"b": [3, 1, 2], "a": ["z", "x", "y"]})
     c1 = canonicalize(df)

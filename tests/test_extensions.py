@@ -277,6 +277,48 @@ def test_minhash_exact_recall_vs_exhaustive(spark, documents):
     assert lsh == brute  # recall 1.0 and precision 1.0 on this corpus
 
 
+def test_minhash_candidate_recall_at_driver_gate_scale(spark):
+    """The driver's bitwise oracle gate (minhash_lsh_pairs vs the
+    exhaustive DuckDB twin at sf0.01) rests on an *empirical* property:
+    LSH candidate recall exactly 1.0 on that fixture. Pin it explicitly
+    so a fixture / seed / band-geometry change fails here with a
+    diagnosable recall message instead of an opaque oracle hash
+    mismatch. (Per-pair band miss probability is ~2% at J≈0.89 —
+    recall 1.0 is a property of THIS corpus + hash family, not of LSH.)"""
+    from cassandra_iot_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    sh = dedup.shingled_docs(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    true_pairs = {
+        (r.da, r.db)
+        for r in (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+                jac.alias("j"),
+            )
+            .filter(F.col("j") >= 0.8)
+        ).collect()
+    }
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    missed = true_pairs - cands
+    recall = 1 - len(missed) / max(len(true_pairs), 1)
+    assert not missed, (
+        f"LSH candidate recall {recall:.4f} < 1.0 at sf0.01: {len(missed)} "
+        f"true pair(s) missed (e.g. {sorted(missed)[:5]}). The driver's "
+        "bitwise oracle gate for minhash_lsh_pairs WILL fail — re-examine "
+        "band geometry (N_HASHES/LSH_BANDS) or the fixture change."
+    )
+
+
 def test_asof_join_boundaries(spark):
     import datetime as dt
 
@@ -375,13 +417,39 @@ def test_near_dup_prefilter_prunes_clustered_corpus(spark):
     pd.testing.assert_frame_equal(on, off)
 
 
-def test_blocked_jaccard_guard_trips_on_oversized_block(spark):
+def test_blocked_jaccard_strict_guard_trips_on_oversized_block(spark):
     rows = [(i, "en", "web", f"document number {i} common words") for i in range(12)]
     df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
     with pytest.raises(Exception, match="minhash_lsh_pairs"):
-        dedup.blocked_jaccard_pairs(df, 0.1, max_block_size=10).collect()
+        dedup.blocked_jaccard_pairs(df, 0.1, max_block_size=10, strict=True).collect()
     # within the cap the guard is inert
-    assert dedup.blocked_jaccard_pairs(df, 0.1, max_block_size=100).count() > 0
+    assert dedup.blocked_jaccard_pairs(df, 0.1, max_block_size=100, strict=True).count() > 0
+
+
+def test_blocked_jaccard_auto_routes_oversized_block(spark):
+    """Default (non-strict) mode: an oversized block produces MinHash-
+    tier pairs instead of a failed job, small blocks stay exact, and on
+    this high-similarity corpus (recall 1.0 regime) the routed output
+    equals what the exact tier would have computed."""
+    # 12 near-identical docs in one oversized (en, web) block + 4 in a
+    # small (de, news) block that must remain on the exact tier
+    rows = [
+        (i, "en", "web", f"the quick brown fox jumps over the lazy dog {i % 2}")
+        for i in range(12)
+    ] + [
+        (100 + i, "de", "news", f"der schnelle braune fuchs springt {i % 2}")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    routed = dedup.blocked_jaccard_pairs(df, 0.5, max_block_size=10)
+    exact = dedup.blocked_jaccard_pairs(df, 0.5, max_block_size=None)
+    got = sorted(map(tuple, routed.collect()))
+    want = sorted(map(tuple, exact.collect()))
+    assert got == want
+    # sanity: pairs exist on BOTH sides of the route
+    assert any(a < 100 for a, _, _ in got) and any(a >= 100 for a, _, _ in got)
 
 
 def test_asof_join_null_payload_not_backfilled(spark):

@@ -39,6 +39,27 @@ def test_lsh_tier_recall_on_fixture_fleet(spark):
     assert (merged["cosine_e"] == merged["cosine_l"]).all()
 
 
+def test_fleet_size_hint_keeps_construction_lazy(spark):
+    """With a fleet_size hint, constructing the query must trigger ZERO
+    Spark jobs (the eager approx_count_distinct probe is fallback-only
+    — at 100 TB it is a full-table scan per invocation), and the hint
+    must not change results when it routes to the same tier."""
+    events = load_table(spark, SF_DIR, "events")
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-hint-check", "similar_devices construction")
+    try:
+        df = profiles.similar_devices(events, fleet_size=200)
+        jobs = sc.statusTracker().getJobIdsForGroup("lazy-hint-check")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert not jobs, (
+        f"query construction ran job(s) {list(jobs)} despite fleet_size hint"
+    )
+    hinted = _sorted(df.toPandas())
+    probed = _sorted(profiles.similar_devices(events).toPandas())
+    pd.testing.assert_frame_equal(hinted, probed)
+
+
 def test_gemm_self_topk_multi_block_coverage(spark):
     """Force multiple blocks (block_size smaller than the fleet) to
     exercise cross-block coverage in both directions + the diagonal."""

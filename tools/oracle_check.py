@@ -2,9 +2,19 @@
 
 Runs every ``queries()`` entry in ``__spark_entry__`` at a given scale
 factor and compares against its ``oracle_sql()`` via DuckDB:
-row count + column names + *exact* (bitwise for floats) order-insensitive
-value comparison — stricter than the driver's hash, so passing here
-implies passing there.
+row count + column names + **logical dtype** + *exact* (bitwise for
+floats) order-insensitive value comparison — stricter than the driver's
+hash, so passing here implies passing there.
+
+The dtype check is load-bearing: the driver hashes *representations*,
+so a Spark DECIMAL vs DuckDB DOUBLE (``sql_revenue_by_segment``, r2) or
+Spark int64 vs DuckDB HUGEINT→float64 (``type_pivot``, r2) fails the
+driver even when every value is numerically equal.  An earlier version
+of this tool coerced both sides to float64 before comparing and reported
+"OK" for exactly those two queries; it also ran under the tuned
+``build_session`` instead of a driver-like vanilla session.  Both blind
+spots are closed: comparison now runs under ``tools.vanilla`` (the same
+recipe as ``driver_rehearsal``) and any dtype-kind divergence is a FAIL.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -19,10 +29,11 @@ import numpy as np
 import pandas as pd
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
 
 import __spark_entry__ as entrymod  # noqa: E402
 from cassandra_iot_pipeline_spark.catalog import TABLES, table_path  # noqa: E402
-from cassandra_iot_pipeline_spark.session import build_session  # noqa: E402
+from vanilla import vanilla_session  # noqa: E402
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -43,6 +54,39 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _logical_kind(arr: np.ndarray) -> str:
+    """Collapse a numpy dtype into the representation class the driver's
+    hash distinguishes: int / float / bool / datetime / str-or-object.
+    A pandas ``object`` column of ``decimal.Decimal`` (Spark DECIMAL) is
+    its own class — it never hashes equal to float64."""
+    k = arr.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    if k == "O":
+        import decimal
+
+        for v in arr:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            return "object"
+        return "object"
+    return k
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(spark_pdf) != len(oracle_pdf):
@@ -56,6 +100,14 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     s, o = canonicalize(spark_pdf), canonicalize(oracle_pdf)
     for col in s.columns:
         a, b = s[col].to_numpy(), o[col].to_numpy()
+        ka, kb = _logical_kind(a), _logical_kind(b)
+        if ka != kb:
+            problems.append(
+                f"col {col}: DTYPE mismatch spark={ka}({a.dtype}) != "
+                f"oracle={kb}({b.dtype}) — driver hash WILL diverge even "
+                f"if values are numerically equal"
+            )
+            continue
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             a64 = a.astype(np.float64)
             b64 = b.astype(np.float64)
@@ -83,7 +135,7 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = build_session("oracle-check")
+    spark = vanilla_session("oracle-check")
     con = duck_connection(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
