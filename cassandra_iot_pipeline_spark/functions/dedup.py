@@ -89,12 +89,20 @@ def exact_dedup_oracle() -> str:
 MAX_JACCARD_BLOCK = 10_000
 
 
-def _exact_block_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def _exact_block_pairs(
+    docs: DataFrame, threshold: float, docs_b: DataFrame | None = None
+) -> DataFrame:
     """All-pairs exact token Jaccard within (lang, source) blocks over
-    pre-tokenized ``docs`` (doc_id, lang, source, tok)."""
+    pre-tokenized ``docs`` (doc_id, lang, source, tok).
+
+    ``docs_b`` lets the caller put block-size bookkeeping on ONE side
+    only: both docs of a pair share a block, so a block-level predicate
+    joined onto side *a* alone already constrains every pair — side *b*
+    skips the sizes join entirely, halving that subtree's occurrences in
+    the self-join plan."""
     docs = docs.withColumn("n_tok", F.size("tok"))
     a = docs.alias("a")
-    b = docs.alias("b")
+    b = (docs if docs_b is None else docs_b.withColumn("n_tok", F.size("tok"))).alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
     # |a ∪ b| = |a| + |b| - |a ∩ b| (sets are distinct) — skips
     # materializing the union array per pair, ~2x on the pair stage
@@ -126,22 +134,47 @@ def _exact_block_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _band_geometry(threshold: float, n_hashes: int = N_HASHES) -> int:
+    """Bands for the routed tier, adapted to the caller's threshold: the
+    LSH S-curve's knee sits at (1/b)^(1/r); pick the most selective
+    geometry whose knee is comfortably below the threshold (<= 0.9*t) so
+    pairs AT the threshold are still likely caught. The fixed 8x8 default
+    is tuned for the 0.8 operating point and silently loses ~half the
+    true pairs at t=0.5 (measured at sf0.1) — the routed tier must not
+    inherit that."""
+    for b in (8, 16, 32):  # r = n_hashes/b: knees ~0.77, 0.5, 0.18
+        r = n_hashes // b
+        if (1.0 / b) ** (1.0 / r) <= 0.9 * threshold:
+            return b
+    return 32
+
+
 def _lsh_block_pairs(
     docs: DataFrame,
     threshold: float,
     n_hashes: int = N_HASHES,
-    bands: int = LSH_BANDS,
+    bands: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH tier for oversized blocks: candidates from banded
-    token-set signatures (block keys folded into the bucket so pairs stay
+    token-set signatures (block keys in the bucket join so pairs stay
     within their (lang, source) block), then the SAME exact token-Jaccard
     verification as the exact tier. Semantics match the exact tier
     wherever LSH recall is 1.0; near-linear instead of quadratic in the
-    block size. Mirrors the ``similar_devices`` tier-routing pattern
-    (operators/profiles.py)."""
+    block size. Band geometry adapts to the threshold (see
+    :func:`_band_geometry`). Mirrors the ``similar_devices`` tier-routing
+    pattern (operators/profiles.py)."""
+    if bands is None:
+        bands = _band_geometry(threshold, n_hashes)
     a_const, b_const = _perm_constants(n_hashes)
     rows_per_band = n_hashes // bands
-    exploded = docs.select(
+    # ONE explicit doc_id exchange below every consumer (signature agg,
+    # both verification joins): explode preserves the partitioning, so
+    # groupBy(doc_id) is partition-local and the join sides' required
+    # hash(doc_id) distribution is already satisfied — exchange reuse
+    # runs the scan+tokenize+shuffle once per query instead of once per
+    # consumer (was 3 full corpus scans)
+    base = docs.repartition("doc_id")
+    exploded = base.select(
         "doc_id",
         "lang",
         "source",
@@ -152,7 +185,10 @@ def _lsh_block_pairs(
         "source",
         F.xxhash64("t").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h"),
     )
-    sig = exploded.groupBy("doc_id", "lang", "source").agg(
+    sig = exploded.groupBy("doc_id").agg(
+        # every token row of a doc carries the same block keys
+        F.first("lang").alias("lang"),
+        F.first("source").alias("source"),
         *[
             F.min(
                 F.pmod(
@@ -200,7 +236,7 @@ def _lsh_block_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    toksets = docs.select("doc_id", "tok")
+    toksets = base.select("doc_id", "tok")
     verified = candidates.join(
         toksets.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a")),
         "doc_a",
@@ -249,10 +285,13 @@ def blocked_jaccard_pairs(
     )
     if max_block_size is None:
         return _exact_block_pairs(docs, threshold)
+    # sizes is a column-pruned (lang, source) scan + tiny agg; joining it
+    # onto side a only (see _exact_block_pairs) keeps it out of the
+    # b-side subtree — measured ~25% off the whole query at sf0.1
     sizes = documents.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("block_n")
     )
-    docs = docs.join(F.broadcast(sizes), ["lang", "source"])
+    docs_a = docs.join(F.broadcast(sizes), ["lang", "source"])
     if strict:
         guard = F.when(
             F.col("block_n") > max_block_size,
@@ -273,10 +312,14 @@ def blocked_jaccard_pairs(
                 )
             ).cast("boolean"),
         ).otherwise(F.lit(True))
-        return _exact_block_pairs(docs.filter(guard).drop("block_n"), threshold)
-    small = docs.filter(F.col("block_n") <= max_block_size).drop("block_n")
-    big = docs.filter(F.col("block_n") > max_block_size).drop("block_n")
-    return _exact_block_pairs(small, threshold).unionByName(
+        # one-sided guard is sufficient: every oversized block's rows are
+        # scanned on side a, so the raise fires before any pair forms
+        return _exact_block_pairs(
+            docs_a.filter(guard).drop("block_n"), threshold, docs_b=docs
+        )
+    small = docs_a.filter(F.col("block_n") <= max_block_size).drop("block_n")
+    big = docs_a.filter(F.col("block_n") > max_block_size).drop("block_n")
+    return _exact_block_pairs(small, threshold, docs_b=docs).unionByName(
         _lsh_block_pairs(big, threshold)
     )
 
@@ -398,10 +441,16 @@ def minhash_lsh_pairs(
     Scale: the only wide operations are keyed by 8-byte hashes, and the
     heavy payload (shingle sets) moves only for candidate pairs — the
     standard near-linear web-dedup plan (Broder-style MinHash + LSH).
+    One corpus scan total: signatures are re-derived from the shingle-set
+    frame (MIN is duplicate-insensitive, so sets lose nothing), so the
+    banding path and both verification joins all sit above ``sh_df``'s
+    single doc_id exchange and exchange reuse collapses them — the
+    earlier formulation re-scanned and re-shingled the corpus three
+    times.
     """
     rows_per_band = n_hashes // bands
     sh_df = shingled_docs(documents)
-    candidates = minhash_lsh_candidates(documents, n_hashes, bands)
+    candidates = _candidates_from_sets(sh_df, n_hashes, bands)
     verified = (
         candidates.join(
             sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
@@ -433,8 +482,38 @@ def minhash_lsh_candidates(
     driver's oracle gate runs at, so a fixture/seed/band-geometry change
     fails with a diagnosable recall message instead of an opaque oracle
     hash mismatch)."""
+    return _candidates_from_sets(shingled_docs(documents), n_hashes, bands)
+
+
+def _candidates_from_sets(
+    sh_df: DataFrame,
+    n_hashes: int = N_HASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Banded-LSH candidate pairs from the (doc_id, sh) shingle-set
+    frame. Deriving signatures from the sets (not the raw shingle rows)
+    keeps every downstream consumer above sh_df's one doc_id exchange:
+    the explode preserves that partitioning, so the signature groupBy is
+    partition-local and no second corpus scan exists anywhere in the
+    plan. Signatures are identical to :func:`minhash_signatures` (MIN
+    over a set == MIN over the multiset)."""
+    a_const, b_const = _perm_constants(n_hashes)
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(documents, n_hashes)
+    exploded = sh_df.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id",
+        F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h"),
+    )
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.col("h") * F.lit(a_const[i]) + F.lit(b_const[i]),
+                    F.lit(MERSENNE_P),
+                )
+            ).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
     banded = sig.select(
         "doc_id",
         F.explode(

@@ -61,12 +61,14 @@ def read_event_stream(
 #: exercised end-to-end by tests/test_streaming.py (W6).
 DEFAULT_TRIGGER: dict = {"availableNow": True}
 
-#: files per micro-batch for the bounded bench replays (the fixtures
-#: stage as ~65 day files). One knob for all four driver-facing replay
-#: queries; the multi-batch state-semantics coverage lives in
-#: tests/test_streaming.py with its own small trigger sizes, so this
-#: value only trades bench wall-clock against per-batch fixed costs
-#: (state-store commits + sink writes are per partition per batch).
+#: files per micro-batch for the bounded bench replays. One knob for all
+#: four driver-facing replay queries. The current sf0.1 fixture stages as
+#: ~30 day files, so 32 already replays as ONE availableNow batch —
+#: measured (r3): larger values change nothing, and the residual
+#: streaming bench cost is fixed machinery (checkpoint init, state-store
+#: open/commit, sink write, query start/stop) plus host noise, not batch
+#: cadence. Multi-batch state-semantics coverage lives in
+#: tests/test_streaming.py with its own small trigger sizes.
 REPLAY_FILES_PER_TRIGGER = 32
 
 
@@ -246,14 +248,13 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stateful-query cost is dominated by state-store commits: one per
     state partition per micro-batch. For this bounded fixture replay the
     state partition count is dropped to 8 for the query's lifetime (the
-    checkpoint pins it at first start), and batches carry 32 day-files —
-    ~3 micro-batches over the 65-day fixtures instead of the ~65 a
-    naive 1-file replay pays (8->16 files/trigger measured 2.6x on the
-    stream-stream join at sf0.1; 16->32 another 1.6x across the four
-    replays, 3x on the stateful sessionize; results identical, and
-    multi-batch state semantics are still exercised at every fixture
-    sf). Semantics are identical (batches stay time-ordered and
-    day-disjoint).
+    checkpoint pins it at first start), and batches carry
+    REPLAY_FILES_PER_TRIGGER day-files (a single availableNow batch on
+    the current ~30-file sf0.1 staging; 8->16 files/trigger measured
+    2.6x on the stream-stream join at sf0.1, 16->32 another 1.6x —
+    results identical at any granularity, and multi-batch state
+    semantics are exercised in tests/test_streaming.py). Batches stay
+    time-ordered and day-disjoint.
     """
     from .staging import stage_events_stream
 

@@ -215,6 +215,51 @@ def main() -> None:
     connected_components(pairs).write.format("noop").mode("overwrite").save()
     results["connected_components"] = round(time.perf_counter() - t0, 2)
     results["cc_edges"] = n_edges
+    # Count-Min sketch: build over every token occurrence of the corpus
+    # (~80 words/doc), then estimate the full vocabulary — the
+    # heavy-hitter monitoring shape. Sketch size is fixed (depth x width
+    # counters) regardless of corpus size.
+    from cassandra_iot_pipeline_spark.functions.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    token_rows = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    t0 = time.perf_counter()
+    sk = cm_sketch(token_rows)
+    cm_estimate(token_rows, sk).write.format("noop").mode("overwrite").save()
+    results["cm_sketch_and_estimate"] = round(time.perf_counter() - t0, 2)
+    print(
+        f"[probe] cm_sketch_and_estimate: {results['cm_sketch_and_estimate']}s",
+        file=sys.stderr, flush=True,
+    )
+
+    # Z-ordered at-rest layout: the one probe that must hit real disk
+    # (the cost IS the range-shuffle + parquet write). 10% of the event
+    # volume keeps the probe's disk footprint bounded while still
+    # measuring the shuffle+sort+write pipeline at scale.
+    import shutil
+    import tempfile
+
+    from cassandra_iot_pipeline_spark.storage import write_zordered
+
+    zdir = tempfile.mkdtemp(prefix="scale_probe_zorder_")
+    z_events = probe_events(spark, n_events // 10, n_devices).withColumn(
+        "hour", F.hour("ts")
+    )
+    try:
+        t0 = time.perf_counter()
+        write_zordered(z_events, zdir, col_a="user_id", col_b="hour", bits=16)
+        results["write_zordered_10pct"] = round(time.perf_counter() - t0, 2)
+        print(
+            f"[probe] write_zordered_10pct: {results['write_zordered_10pct']}s",
+            file=sys.stderr, flush=True,
+        )
+    finally:
+        shutil.rmtree(zdir, ignore_errors=True)
+
     rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
     print(
         json.dumps(
