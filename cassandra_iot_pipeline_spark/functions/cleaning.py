@@ -295,7 +295,11 @@ def pack_concat_oracle(
                    ), 0) AS start_tok
             FROM sized
         )
-        SELECT doc_id, shard, n_tokens, start_tok,
+        -- CAST start_tok: DuckDB's windowed SUM over BIGINT widens to
+        -- HUGEINT, which fetchdf() materializes as float64 — the dtype-
+        -- aware comparator (and the driver's hash) would diverge from
+        -- Spark's int64 on representation alone
+        SELECT doc_id, shard, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
                CAST(FLOOR(start_tok / {block_size}) AS BIGINT)
                    AS first_block,
                CAST(FLOOR((start_tok + n_tokens) / {block_size}) AS BIGINT)

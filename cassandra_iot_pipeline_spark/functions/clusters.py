@@ -76,6 +76,10 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the change flag is computed inside the update itself (the old
+        # label is already on the row), so convergence detection costs a
+        # filter over the just-materialized checkpoint instead of a
+        # labels-vs-labels re-join per round
         new_labels = (
             labels.join(neighbor_min, "u", "left")
             .select(
@@ -83,17 +87,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias(
+                    "_chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             return labels.select(
                 F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")

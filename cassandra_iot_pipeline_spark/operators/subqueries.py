@@ -88,10 +88,10 @@ def returnflag_priority_mix(orders: DataFrame, lineitem: DataFrame) -> DataFrame
 def returnflag_priority_mix_oracle() -> str:
     return """
         SELECT l_returnflag,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_priority_count,
-               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_priority_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY l_returnflag
     """
