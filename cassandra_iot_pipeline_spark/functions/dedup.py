@@ -291,8 +291,8 @@ def blocked_jaccard_pairs(
     sizes = documents.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("block_n")
     )
-    docs_a = docs.join(F.broadcast(sizes), ["lang", "source"])
     if strict:
+        docs_a = docs.join(F.broadcast(sizes), ["lang", "source"])
         guard = F.when(
             F.col("block_n") > max_block_size,
             F.raise_error(
@@ -317,8 +317,22 @@ def blocked_jaccard_pairs(
         return _exact_block_pairs(
             docs_a.filter(guard).drop("block_n"), threshold, docs_b=docs
         )
-    small = docs_a.filter(F.col("block_n") <= max_block_size).drop("block_n")
-    big = docs_a.filter(F.col("block_n") > max_block_size).drop("block_n")
+    # Routing via inner joins against the FILTERED block-key lists (not a
+    # filter over a full sizes join): each tier's broadcast build side is
+    # the list of blocks it owns, so when a tier owns nothing AQE's
+    # empty-relation propagation replaces the join with an empty relation
+    # at runtime and the tier's whole subtree — including its corpus
+    # scan, tokenize, and (for LSH) the signature pipeline — never runs.
+    # Measured at sf0.1 (no oversized blocks): 6-10 s with the
+    # filter-routing form down to ~the strict path's 4.2 s.
+    small_keys = sizes.filter(F.col("block_n") <= max_block_size).select(
+        "lang", "source"
+    )
+    big_keys = sizes.filter(F.col("block_n") > max_block_size).select(
+        "lang", "source"
+    )
+    small = docs.join(F.broadcast(small_keys), ["lang", "source"])
+    big = docs.join(F.broadcast(big_keys), ["lang", "source"])
     return _exact_block_pairs(small, threshold, docs_b=docs).unionByName(
         _lsh_block_pairs(big, threshold)
     )
