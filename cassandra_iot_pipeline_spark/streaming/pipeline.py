@@ -278,9 +278,17 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing entry: replayed raw passthrough; equals a batch
-    projection of the source (append mode, no stateful ops -> every row
-    lands exactly once)."""
+    """Driver-facing entry: raw passthrough under the at-least-once
+    worst case — every record is delivered TWICE (two file sources over
+    the same staging) and ``dropDuplicatesWithinWatermark`` drops the
+    re-deliveries in-stream before the sink (streaming/dedup.py), so
+    the result still equals a batch projection of the source. The
+    sink's PK upsert stays on as the second layer, mirroring the
+    reference's Kafka at-least-once + Cassandra LWW pair; the in-stream
+    layer is what keeps duplicate volume out of the sink shuffle at
+    scale. tests/test_streaming.py asserts the sink *log* (not just the
+    reconciled view) carries each event once."""
+    from .dedup import dedup_within_watermark, double_delivery
     from .staging import stage_events_stream
 
     staged = stage_events_stream(spark, sf_dir)
@@ -289,7 +297,11 @@ def streaming_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(out_dir, "sensor_events"), pk=("user_id", "ts", "event_id")
     )
     q = raw_passthrough_query(
-        read_event_stream(spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER),
+        dedup_within_watermark(
+            double_delivery(
+                spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER
+            )
+        ),
         sink,
         os.path.join(out_dir, "ckpt"),
     )

@@ -227,3 +227,45 @@ def test_processing_time_trigger_reaches_batch_parity(spark, staged, tmp_path):
         "event_count",
     )
     assert _rows_sorted(got) == _rows_sorted(hourly_rollup(events))
+
+
+def test_dedup_within_watermark_drops_redeliveries_in_stream(
+    spark, staged, tmp_path
+):
+    """W-series extension: double-delivered replay (every record arrives
+    twice) through dropDuplicatesWithinWatermark lands each event ONCE
+    in the sink's raw append log — proving duplicates were dropped
+    in-stream, not absorbed later by the PK-upsert read. Multi-batch
+    replay (4 files/trigger) so the dedup state crosses micro-batch
+    boundaries."""
+    from cassandra_iot_pipeline_spark.streaming.dedup import (
+        dedup_within_watermark,
+        double_delivery,
+    )
+    from cassandra_iot_pipeline_spark.streaming.pipeline import (
+        raw_passthrough_query,
+    )
+
+    sink = ParquetUpsertSink(
+        str(tmp_path / "deduped_raw"), pk=("user_id", "ts", "event_id")
+    )
+    q = raw_passthrough_query(
+        dedup_within_watermark(
+            double_delivery(spark, staged, max_files_per_trigger=4)
+        ),
+        sink,
+        str(tmp_path / "ckpt_dedup"),
+    )
+    q.awaitTermination()
+    events = load_table(spark, SF_DIR, "events")
+    n = events.count()
+    # the LOG (every appended row, pre-upsert) carries each event once:
+    # 2n rows were delivered, n reached the sink
+    assert sink.read_log(spark).count() == n
+    # and the reconciled view equals the batch projection exactly
+    got = sink.read(spark).select("event_id", "ts", "user_id", "event_type", "value")
+    want = events.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    assert _rows_sorted(got) == _rows_sorted(want)
