@@ -1,7 +1,7 @@
 """Streaming ingest dedup (streaming/dedup.py).
 
 Scenario: an at-least-once source redelivers events — duplicates appear
-both inside a micro-batch and across micro-batches. dedup_stream must
+both inside a micro-batch and across micro-batches. dedup_within_watermark must
 land each event_id exactly once in a plain append-only sink (no PK
 upsert helping), matching the batch distinct-by-key result.
 """
@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
-from cassandra_iot_pipeline_spark.streaming.dedup import dedup_stream
+from cassandra_iot_pipeline_spark.streaming.dedup import dedup_within_watermark
 
 D1 = dt.datetime(2024, 1, 1, 8, 0, 0)
 D2 = dt.datetime(2024, 1, 2, 8, 0, 0)
@@ -65,7 +65,7 @@ def test_streaming_dedup_exactly_once(spark, tmp_path):
     # redelivery horizon: 5 days of event time covers every dup above —
     # dedup state for an event_id survives until the watermark passes it
     q = (
-        dedup_stream(stream, keys=("event_id",), ts_col="ts", delay="5 days")
+        dedup_within_watermark(stream, keys=("event_id",), ts_col="ts", delay="5 days")
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -109,7 +109,7 @@ def test_streaming_dedup_state_evicts_after_watermark(spark, tmp_path):
     )
     out = str(tmp_path / "out")
     q = (
-        dedup_stream(stream, keys=("event_id",), ts_col="ts", delay="1 minute")
+        dedup_within_watermark(stream, keys=("event_id",), ts_col="ts", delay="1 minute")
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
