@@ -499,18 +499,18 @@ def minhash_lsh_candidates(
     return _candidates_from_sets(shingled_docs(documents), n_hashes, bands)
 
 
-def _candidates_from_sets(
+def banded_rows(
     sh_df: DataFrame,
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs from the (doc_id, sh) shingle-set
-    frame. Deriving signatures from the sets (not the raw shingle rows)
-    keeps every downstream consumer above sh_df's one doc_id exchange:
-    the explode preserves that partitioning, so the signature groupBy is
-    partition-local and no second corpus scan exists anywhere in the
-    plan. Signatures are identical to :func:`minhash_signatures` (MIN
-    over a set == MIN over the multiset)."""
+    """(doc_id, band, bucket) LSH band rows from the (doc_id, sh)
+    shingle-set frame — the 16-bytes-per-row index form that both the
+    in-corpus pair generation (:func:`_candidates_from_sets`) and the
+    incremental store (functions/incremental.py) join on. Signatures
+    are identical to :func:`minhash_signatures` (MIN over a set == MIN
+    over the multiset), so band rows computed in different batches /
+    sessions are comparable as long as (n_hashes, bands) match."""
     a_const, b_const = _perm_constants(n_hashes)
     rows_per_band = n_hashes // bands
     exploded = sh_df.select("doc_id", F.explode("sh").alias("s")).select(
@@ -528,7 +528,7 @@ def _candidates_from_sets(
             for i in range(n_hashes)
         ]
     )
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -547,6 +547,20 @@ def _candidates_from_sets(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _candidates_from_sets(
+    sh_df: DataFrame,
+    n_hashes: int = N_HASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Banded-LSH candidate pairs from the (doc_id, sh) shingle-set
+    frame. Deriving signatures from the sets (not the raw shingle rows)
+    keeps every downstream consumer above sh_df's one doc_id exchange:
+    the explode preserves that partitioning, so the signature groupBy is
+    partition-local and no second corpus scan exists anywhere in the
+    plan."""
+    banded = banded_rows(sh_df, n_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -1,0 +1,213 @@
+"""Incremental near-duplicate dedup: MinHash-LSH against a persisted
+signature store (continuous corpus curation).
+
+The batch operators (``dedup.minhash_lsh_pairs`` +
+``clusters.resolve_duplicates``) answer "dedup this corpus"; a training
+pipeline that ingests continuously needs the online form: *is this new
+document a near-dup of anything already admitted?* — without re-scanning
+the corpus per batch. ``bloom.incremental_dedup`` solves this for exact
+keys; this module is its near-dup sibling.
+
+Reference anchor: the reference pipeline has no near-dup surface at all
+(its dedup is Cassandra's PK upsert — init.cql:25); this is part of the
+LLM-training-data extension surface, built on the same banded-MinHash
+machinery as ``functions/dedup.py``.
+
+Design (100 TB):
+
+- The store is two thin tables, both keyed by 8-byte hashes:
+  ``bands (band INT, bucket BIGINT, doc_id BIGINT)`` — the LSH index —
+  and ``shingles (doc_id BIGINT, sh ARRAY<STRING>)`` — the verification
+  payload. Persist both partitioned by ``band`` (bands) / bucketed by
+  ``doc_id`` (shingles); each batch appends its delta.
+- Candidate generation joins the store against a **broadcast of the
+  batch's band rows** — a micro-batch is tiny next to the corpus, so
+  the store-side scan is shuffle-free (map-side join; with the store
+  partitioned by band the scan also prunes to the batch's bands).
+- Verification moves shingle payloads **only for candidate doc_ids**
+  (a broadcast semi-join of candidate ids against the shingle store),
+  then exact Jaccard — the same verify stage as the batch operator, so
+  a store hit is never taken on LSH's word alone.
+- The store records **every processed document, duplicates included**.
+  That is what makes suppression transitive across batches: if B was
+  dropped as a near-dup of A, a later C that collides only with B is
+  still caught (C -> B -> A). Store growth is corpus growth — the same
+  asymptotics as any dedup index.
+
+Semantics — *online keep-first*: a document survives iff its duplicate
+cluster (connected components over verified pairs among {store matches}
+∪ {this batch}) contains no earlier document. Equal to the global batch
+dedup of the concatenated corpus whenever no new document *bridges* two
+already-admitted survivors (an online dedup cannot retract an earlier
+admission; the batch form merges such clusters retroactively). Both
+properties are pinned in tests/test_incremental.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .clusters import connected_components
+from .dedup import (
+    LSH_BANDS,
+    N_HASHES,
+    _candidates_from_sets,
+    banded_rows,
+    shingled_docs,
+)
+
+#: store schemas (DDL form, for empty-store bootstrap and docs)
+BAND_STORE_SCHEMA = "band INT, bucket BIGINT, doc_id BIGINT"
+SHINGLE_STORE_SCHEMA = "doc_id BIGINT, sh ARRAY<STRING>"
+
+
+class NearDedupBatch(NamedTuple):
+    """Result of one incremental near-dedup step.
+
+    ``survivors``     — batch rows admitted to the corpus (batch schema).
+    ``band_delta``    — (band, bucket, doc_id) rows to append to the
+                        band store: ALL batch docs, duplicates included
+                        (transitive suppression needs them).
+    ``shingle_delta`` — (doc_id, sh) rows to append to the shingle
+                        store: ALL batch docs.
+    """
+
+    survivors: DataFrame
+    band_delta: DataFrame
+    shingle_delta: DataFrame
+
+
+def empty_stores(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Bootstrap (band_store, shingle_store) for a fresh corpus."""
+    return (
+        spark.createDataFrame([], BAND_STORE_SCHEMA),
+        spark.createDataFrame([], SHINGLE_STORE_SCHEMA),
+    )
+
+
+def _verify_pairs(
+    candidates: DataFrame,
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of (doc_a, doc_b) candidates.
+    ``sh_a`` / ``sh_b`` supply the payloads for each side; only
+    candidate ids' payloads move (the joins are keyed on the candidate
+    frame)."""
+    verified = candidates.join(
+        sh_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= F.lit(threshold)
+    )
+
+
+def store_candidates(band_store: DataFrame, batch_bands: DataFrame) -> DataFrame:
+    """(doc_a=store id, doc_b=batch id) LSH collisions between the store
+    and a batch. The batch band rows are broadcast — the store side is a
+    map-side probe with no shuffle (and, with the store partitioned by
+    ``band``, a pruned scan). Exposed separately so the no-store-shuffle
+    property is plan-assertable in isolation (the intra-batch self-join
+    has its own, size-based strategy)."""
+    return (
+        band_store.join(
+            F.broadcast(batch_bands.withColumnRenamed("doc_id", "doc_b")),
+            ["band", "bucket"],
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def near_dedup_batch(
+    batch: DataFrame,
+    band_store: DataFrame,
+    shingle_store: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = N_HASHES,
+    bands: int = LSH_BANDS,
+) -> NearDedupBatch:
+    """One online near-dedup step: admit the batch docs that are not
+    near-dups of the store or of an earlier doc in the same batch.
+
+    Requires ``doc_id`` monotone: every batch doc_id must exceed every
+    stored doc_id (an ingest sequence number — the reference's event_id
+    discipline). The survivor rule is then simply *cluster minimum*:
+    connected components over verified pairs make any store-linked
+    cluster's minimum a store doc, so a batch doc survives iff
+    ``cluster_id == doc_id``.
+
+    The batch frame is referenced by several subtrees (band rows, both
+    verification sides, the final anti-join); callers replaying many
+    batches should pass a cached/materialized batch.
+    """
+    sh_batch = shingled_docs(batch)
+    batch_bands = banded_rows(sh_batch, n_hashes, bands)
+
+    # store ⋈ broadcast(batch bands): shuffle-free on the store side.
+    cross_candidates = store_candidates(band_store, batch_bands)
+    # shingle payloads move only for candidate store ids (semi-join
+    # keyed by the small candidate frame, broadcast).
+    store_hit_ids = cross_candidates.select(
+        F.col("doc_a").alias("doc_id")
+    ).dropDuplicates()
+    store_payloads = shingle_store.join(F.broadcast(store_hit_ids), "doc_id")
+    cross_pairs = _verify_pairs(cross_candidates, store_payloads, sh_batch, threshold)
+
+    intra_candidates = _candidates_from_sets(sh_batch, n_hashes, bands)
+    intra_pairs = _verify_pairs(intra_candidates, sh_batch, sh_batch, threshold)
+
+    pairs = cross_pairs.unionByName(intra_pairs).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    dropped = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    survivors = batch.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return NearDedupBatch(
+        survivors=survivors,
+        band_delta=batch_bands,
+        shingle_delta=sh_batch.select("doc_id", "sh"),
+    )
+
+
+def near_dedup_replay(
+    batches: list[DataFrame],
+    threshold: float = 0.8,
+    n_hashes: int = N_HASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Replay a batch sequence through the online dedup, accumulating
+    the store in memory — the test/driver harness form (production
+    appends the deltas to parquet stores instead; see module docstring).
+    Returns the union of every batch's survivors."""
+    if not batches:
+        raise ValueError("need at least one batch")
+    spark = batches[0].sparkSession
+    band_store, shingle_store = empty_stores(spark)
+    out: DataFrame | None = None
+    for batch in batches:
+        step = near_dedup_batch(
+            batch, band_store, shingle_store, threshold, n_hashes, bands
+        )
+        # materialize before the stores grow: each step's plan references
+        # the accumulated store lineage; localCheckpoint truncates it so
+        # replay cost stays linear in the number of batches.
+        survivors = step.survivors.localCheckpoint(eager=True)
+        band_store = band_store.unionByName(
+            step.band_delta
+        ).localCheckpoint(eager=True)
+        shingle_store = shingle_store.unionByName(
+            step.shingle_delta
+        ).localCheckpoint(eager=True)
+        out = survivors if out is None else out.unionByName(survivors)
+    return out

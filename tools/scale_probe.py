@@ -246,12 +246,15 @@ def main() -> None:
     from cassandra_iot_pipeline_spark.storage import write_zordered
 
     zdir = tempfile.mkdtemp(prefix="scale_probe_zorder_")
+    # quantize user_id into the 16-bit grid (the guard rejects raw ids
+    # >= 2^16 — exactly what it exists for); pmod keeps the layout's
+    # locality structure for a hash-distributed id
     z_events = probe_events(spark, n_events // 10, n_devices).withColumn(
         "hour", F.hour("ts")
-    )
+    ).withColumn("user_q", F.pmod(F.col("user_id"), F.lit(1 << 16)))
     try:
         t0 = time.perf_counter()
-        write_zordered(z_events, zdir, col_a="user_id", col_b="hour", bits=16)
+        write_zordered(z_events, zdir, col_a="user_q", col_b="hour", bits=16)
         results["write_zordered_10pct"] = round(time.perf_counter() - t0, 2)
         print(
             f"[probe] write_zordered_10pct: {results['write_zordered_10pct']}s",
