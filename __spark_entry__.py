@@ -24,7 +24,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cassandra_iot_pipeline_spark.catalog import load_table
-from cassandra_iot_pipeline_spark.functions import dedup, multimodal, similarity, text
+from cassandra_iot_pipeline_spark.functions import (
+    dedup,
+    incremental,
+    multimodal,
+    similarity,
+    text,
+)
 from cassandra_iot_pipeline_spark.operators import (
     agg,
     asof,
@@ -115,7 +121,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_revenue_by_segment": _sql_revenue_by_segment,
         # --- row-window analytics (SURVEY §2.F extended) ---
         "type_pivot": lambda s, d: windows.type_pivot(events(s, d)),
-        "session_stats": lambda s, d: windows.session_stats(events(s, d)),
+        # session_stats moved to tests/test_legacy_parity.py (registry
+        # cap 50): session_window_stats + streaming_sessionize keep the
+        # sessionization surface driver-checked; this slot now carries
+        # the online near-dup dedup replay (continuous curation).
+        "incremental_near_dedup": lambda s, d: incremental.incremental_near_dedup(
+            _t("documents")(s, d), MINHASH_THRESHOLD
+        ),
         "session_window_stats": lambda s, d: windows.session_window_stats(
             events(s, d)
         ),
@@ -257,7 +269,9 @@ def oracle_sql() -> dict[str, str]:
         "approx_user_count": stats.kmv_user_count_oracle(),
         "sql_revenue_by_segment": _REVENUE_BY_SEGMENT_SQL,
         "type_pivot": windows.type_pivot_oracle(),
-        "session_stats": windows.session_stats_oracle(),
+        "incremental_near_dedup": incremental.incremental_near_dedup_oracle(
+            MINHASH_THRESHOLD
+        ),
         "session_window_stats": windows.session_window_stats_oracle(),
         "user_event_metrics": windows.user_event_metrics_oracle(),
         "conversion_pairs": rangejoin.conversion_pairs_oracle(),

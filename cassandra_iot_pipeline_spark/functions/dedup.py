@@ -560,8 +560,15 @@ def _candidates_from_sets(
     the explode preserves that partitioning, so the signature groupBy is
     partition-local and no second corpus scan exists anywhere in the
     plan."""
-    banded = banded_rows(sh_df, n_hashes, bands)
+    return candidate_pairs_from_bands(banded_rows(sh_df, n_hashes, bands))
 
+
+def candidate_pairs_from_bands(banded: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from (doc_id, band, bucket) band rows —
+    the self-join stage of banded LSH, split out so callers that already
+    materialized band rows (functions/incremental.py reuses one band
+    frame for store probing, intra-batch candidates, AND the store
+    delta) don't pay the signature aggregation once per consumer."""
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (

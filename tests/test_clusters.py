@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from cassandra_iot_pipeline_spark.functions.clusters import (
     connected_components,
+    connected_components_routed,
     resolve_duplicates,
 )
 from cassandra_iot_pipeline_spark.functions.dedup import blocked_jaccard_pairs
@@ -118,3 +119,31 @@ def test_resolved_corpus_keeps_document_schema(spark):
     assert set(docs.columns) | {"cluster_id", "n_duplicates"} == set(
         resolved.columns
     )
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [CHAIN, CLIQUE, PAIR, CHAIN + CLIQUE + PAIR + BRIDGE],
+    ids=["chain", "clique", "pair", "mixed"],
+)
+def test_routed_components_match_both_tiers(spark, edges):
+    """connected_components_routed: the driver union-find tier and the
+    forced distributed tier (max_driver_pairs=0) produce identical
+    labelings — and both match the reference union-find."""
+    expect = union_find(edges)
+    df = pairs_df(spark, edges)
+    for bound in (100_000, 0):  # driver tier, then forced distributed
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components_routed(
+                df, max_driver_pairs=bound
+            ).collect()
+        }
+        assert got == expect, f"bound={bound}"
+
+
+def test_routed_components_empty_pairs(spark):
+    df = pairs_df(spark, [])
+    out = connected_components_routed(df)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "cluster_id"]

@@ -41,6 +41,9 @@ LEGACY = {
     ),
     "event_gaps": ("events", windows.event_gaps, windows.event_gaps_oracle()),
     "sessionize": ("events", windows.sessionize, windows.sessionize_oracle()),
+    # deregistered r3: slot given to incremental_near_dedup; the native
+    # session_window form (session_window_stats) stays driver-checked
+    "session_stats": ("events", windows.session_stats, windows.session_stats_oracle()),
     "props_bucket_rollup": (
         "events",
         json_decode.props_bucket_rollup,
