@@ -318,19 +318,25 @@ def near_dedup_replay(
     spark = batches[0].sparkSession
     band_store, shingle_store = empty_stores(spark)
     out: DataFrame | None = None
-    for batch in batches:
+    for i, batch in enumerate(batches):
         step = near_dedup_batch(
             batch, band_store, shingle_store, threshold, n_hashes, bands
         )
-        # materialize before the stores grow: each step's plan references
-        # the accumulated store lineage; localCheckpoint truncates it so
-        # replay cost stays linear in the number of batches.
-        survivors = step.survivors.localCheckpoint(eager=True)
-        band_store = band_store.unionByName(
-            step.band_delta
-        ).localCheckpoint(eager=True)
-        shingle_store = shingle_store.unionByName(
-            step.shingle_delta
-        ).localCheckpoint(eager=True)
-        out = survivors if out is None else out.unionByName(survivors)
+        # The deltas come back already checkpointed (near_dedup_batch
+        # materializes them for its own subtree reuse), so the store is
+        # a union of checkpointed frames — no extra job per step. The
+        # union tree still deepens linearly, so truncate it every few
+        # steps to keep long replays' plan size bounded; survivors need
+        # no checkpoint at all (shallow lineage over checkpointed/local
+        # inputs, consumed once by the final union).
+        band_store = band_store.unionByName(step.band_delta)
+        shingle_store = shingle_store.unionByName(step.shingle_delta)
+        if (i + 1) % 8 == 0:
+            band_store = band_store.localCheckpoint(eager=True)
+            shingle_store = shingle_store.localCheckpoint(eager=True)
+        out = (
+            step.survivors
+            if out is None
+            else out.unionByName(step.survivors)
+        )
     return out
