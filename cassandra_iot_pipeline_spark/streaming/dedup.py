@@ -66,3 +66,132 @@ def double_delivery(
     first = read_event_stream(spark, staged_dir, max_files_per_trigger)
     second = read_event_stream(spark, staged_dir, max_files_per_trigger)
     return first.unionByName(second)
+
+
+# --- streaming near-dup dedup (continuous corpus curation) -----------------
+
+#: documents fixture schema for the file-source stand-in (streaming
+#: sources require a declared schema, like the event stream's).
+DOCUMENTS_STREAM_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+class NearDedupPipeline:
+    """Continuous near-dup curation: each micro-batch of documents is
+    admitted or dropped against the parquet-persisted MinHash-LSH store
+    (functions/incremental.py), producing an append-only curated corpus.
+
+    This is the streaming form of ``incremental_near_dedup`` — the same
+    ``near_dedup_batch`` step runs inside ``foreachBatch``, with the
+    band + shingle stores living as parquet tables next to the curated
+    output:
+
+    - ``<dir>/bands/epoch=N/``     LSH index delta of batch N
+    - ``<dir>/shingles/epoch=N/``  verification payload delta of batch N
+    - ``<dir>/curated/epoch=N/``   admitted documents of batch N
+
+    **Idempotence** (foreachBatch is at-least-once): every epoch writes
+    by *overwriting its own epoch directory*, so a replayed epoch lands
+    byte-identical instead of appending twice. A replayed epoch also
+    re-probes a store that already contains its own delta — harmless by
+    construction: a doc's collision with itself is removed by the
+    ``doc_a < doc_b`` filter, and any same-batch pair the first attempt
+    caught as an intra pair is caught on replay as a cross pair with
+    the same survivor outcome (pinned in tests).
+
+    **Scale**: the per-batch work is the documented near_dedup_batch
+    plan — the store scan is shuffle-free (broadcast batch band rows)
+    and, because the band store is laid out under ``epoch=N``
+    partitions, restarts never rewrite old data. The store scan cost
+    grows with the corpus; on a cluster, partition the band store by
+    ``band`` as well and the probe prunes to the batch's bands.
+    """
+
+    def __init__(self, base_dir: str, threshold: float = 0.8) -> None:
+        self.base_dir = base_dir
+        self.threshold = threshold
+        self.bands_dir = f"{base_dir}/bands"
+        self.shingles_dir = f"{base_dir}/shingles"
+        self.curated_dir = f"{base_dir}/curated"
+
+    # -- store access -------------------------------------------------
+    def _read_or_empty(self, spark: SparkSession, path: str, which: str):
+        import os
+
+        from ..functions.incremental import empty_stores
+
+        band_empty, shingle_empty = empty_stores(spark)
+        empty = band_empty if which == "bands" else shingle_empty
+        if not os.path.isdir(path):
+            return empty
+        df = spark.read.parquet(path)
+        return df.select(*empty.columns)  # drop the epoch partition col
+
+    def curated(self, spark: SparkSession) -> DataFrame:
+        """The admitted corpus so far (empty-safe)."""
+        import os
+
+        if not os.path.isdir(self.curated_dir):
+            return spark.createDataFrame([], DOCUMENTS_STREAM_SCHEMA)
+        cols = [f.split()[0] for f in DOCUMENTS_STREAM_SCHEMA.split(", ")]
+        return spark.read.parquet(self.curated_dir).select(*cols)
+
+    # -- write path (called from foreachBatch) ------------------------
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..functions.incremental import near_dedup_batch
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        step = near_dedup_batch(
+            batch,
+            self._read_or_empty(spark, self.bands_dir, "bands"),
+            self._read_or_empty(spark, self.shingles_dir, "shingles"),
+            self.threshold,
+        )
+        # epoch-dir overwrite => replaying an epoch is a no-op rewrite
+        step.survivors.write.mode("overwrite").parquet(
+            f"{self.curated_dir}/epoch={epoch_id}"
+        )
+        step.band_delta.write.mode("overwrite").parquet(
+            f"{self.bands_dir}/epoch={epoch_id}"
+        )
+        step.shingle_delta.write.mode("overwrite").parquet(
+            f"{self.shingles_dir}/epoch={epoch_id}"
+        )
+
+    def foreach_batch(self):
+        return self.write_batch
+
+
+def streaming_near_dedup(
+    spark: SparkSession,
+    staged_docs_dir: str,
+    base_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    max_files_per_trigger: int = 1,
+    trigger: dict | None = None,
+):
+    """Wire a staged document directory through the near-dup pipeline.
+    Returns the started StreamingQuery; await it, then read the curated
+    corpus with ``NearDedupPipeline(base_dir).curated(spark)``.
+
+    File order is the ingest order (file source lists by modification
+    time), so the doc_id-monotonicity contract of near_dedup_batch means
+    staged files must carry ascending id ranges — the natural layout for
+    an ingest sequence number."""
+    pipe = NearDedupPipeline(base_dir, threshold)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_docs_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(pipe.foreach_batch())
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    return writer.start()

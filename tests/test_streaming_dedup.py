@@ -121,3 +121,98 @@ def test_streaming_dedup_state_evicts_after_watermark(spark, tmp_path):
     # event 1 appears twice: once from b1, once re-emitted in b2
     got = spark.read.parquet(out)
     assert got.filter(F.col("event_id") == 1).count() == 2
+
+
+# --- streaming near-dup dedup -----------------------------------------------
+
+
+def _stage_documents(spark, src_dir: str, n_batches: int = 3):
+    """Stage the sf0.001 documents + planted near-dup copies as
+    ascending doc_id-range files (ingest order by mtime)."""
+    from cassandra_iot_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    perturbed = docs.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+    )
+    corpus = docs.unionByName(perturbed).cache()
+    n = corpus.agg(F.max("doc_id")).first()[0] + 1
+    batches = []
+    for k in range(n_batches):
+        b = corpus.filter(
+            (F.col("doc_id") * n_batches / n).cast("int") == F.lit(k)
+        ).cache()
+        batches.append(b)
+        pdf = b.toPandas()
+        path = os.path.join(src_dir, f"b{k}.parquet")
+        pa_table = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(pa_table, path)
+        os.utime(path, (1_700_000_000 + 10 * k,) * 2)
+    return corpus, batches
+
+
+def test_streaming_near_dedup_matches_batch_replay(spark, tmp_path):
+    """availableNow replay of staged document files through the
+    foreachBatch near-dup pipeline == near_dedup_replay over the same
+    batches (same survivors, batch-mode ground truth)."""
+    from cassandra_iot_pipeline_spark.functions.incremental import (
+        near_dedup_replay,
+    )
+    from cassandra_iot_pipeline_spark.streaming.dedup import (
+        NearDedupPipeline,
+        streaming_near_dedup,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    corpus, batches = _stage_documents(spark, str(src))
+    q = streaming_near_dedup(
+        spark,
+        str(src),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        threshold=0.7,
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id
+        for r in NearDedupPipeline(str(tmp_path / "store"))
+        .curated(spark)
+        .collect()
+    }
+    expect = {
+        r.doc_id
+        for r in near_dedup_replay(batches, threshold=0.7)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expect
+    # the planted copies were dropped somewhere along the replay
+    assert not any(d >= 200000 for d in got)
+
+
+def test_streaming_near_dedup_epoch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: calling write_batch twice with the
+    same epoch (the crash-replay case) leaves stores and curated output
+    identical — epoch-dir overwrite + self-collision filtering."""
+    from cassandra_iot_pipeline_spark.streaming.dedup import NearDedupPipeline
+
+    src = tmp_path / "docs_src2"
+    src.mkdir()
+    _, batches = _stage_documents(spark, str(src))
+    pipe = NearDedupPipeline(str(tmp_path / "store2"), threshold=0.7)
+    pipe.write_batch(batches[0], epoch_id=0)
+    first = sorted(
+        r.doc_id for r in pipe.curated(spark).collect()
+    )
+    pipe.write_batch(batches[0], epoch_id=0)  # crash-replay of epoch 0
+    second = sorted(r.doc_id for r in pipe.curated(spark).collect())
+    assert first == second
+    # and the band store carries exactly one delta set, not two
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "store2" / "bands" / "epoch=*"))) == 1
