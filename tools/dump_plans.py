@@ -89,7 +89,32 @@ def _extras(spark, sf_dir):
             "exact left-anti join against the corpus keys.",
             _bloom_dedup(spark, sf_dir),
         ),
+        "near_dedup_store_probe": (
+            "Incremental near-dup dedup, store-probe stage: the batch's "
+            "band rows broadcast against the persisted band store — "
+            "BroadcastHashJoin on (band, bucket), the store side never "
+            "shuffles however large the corpus index grows. The "
+            "payload (shingle) joins downstream move rows only for "
+            "candidate ids.",
+            _near_dedup_probe(spark, sf_dir),
+        ),
     }
+
+
+def _near_dedup_probe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions import dedup, incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    store_bands = dedup.banded_rows(
+        dedup.shingled_docs(docs.filter(F.col("doc_id") < 2500))
+    ).localCheckpoint(eager=True)
+    batch_bands = dedup.banded_rows(
+        dedup.shingled_docs(docs.filter(F.col("doc_id") >= 2500))
+    )
+    return incremental.store_candidates(store_bands, batch_bands)
 
 
 def _ivf_exact(spark, sf_dir):
