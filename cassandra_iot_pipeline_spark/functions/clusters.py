@@ -132,9 +132,19 @@ def connected_components_routed(
     ``(doc_id, cluster_id)`` for every vertex in ``pairs``, cluster id
     = component minimum, deterministic.
     """
-    head = pairs.select(src, dst).limit(max_driver_pairs + 1).collect()
-    if len(head) > max_driver_pairs:
-        return connected_components(pairs, src=src, dst=dst)
+    # persist across the probe: if the bound is exceeded, the expensive
+    # pairs subtree (LSH candidates + shingle verification, in the
+    # incremental caller) would otherwise execute twice — once for this
+    # probe, again for the distributed tier's edge materialization.
+    pairs = pairs.select(src, dst).persist()
+    try:
+        head = pairs.limit(max_driver_pairs + 1).collect()
+        if len(head) > max_driver_pairs:
+            # connected_components checkpoints its edge frame eagerly,
+            # so the cached pairs are consumed before unpersist.
+            return connected_components(pairs, src=src, dst=dst)
+    finally:
+        pairs.unpersist()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -462,25 +462,36 @@ def minhash_lsh_pairs(
     earlier formulation re-scanned and re-shingled the corpus three
     times.
     """
-    rows_per_band = n_hashes // bands
     sh_df = shingled_docs(documents)
     candidates = _candidates_from_sets(sh_df, n_hashes, bands)
-    verified = (
-        candidates.join(
-            sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            sh_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-            "doc_b",
-        )
+    return verify_jaccard_pairs(candidates, sh_df, sh_df, threshold)
+
+
+def verify_jaccard_pairs(
+    candidates: DataFrame,
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of (doc_a, doc_b) candidates —
+    the one definition shared by the batch LSH operator and the
+    incremental store (functions/incremental.py), so the two tiers can
+    never drift. ``sh_a`` / ``sh_b`` supply (doc_id, sh) payloads for
+    each side; only candidate ids' payloads move (the joins are keyed
+    on the candidate frame)."""
+    verified = candidates.join(
+        sh_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # |a ∪ b| = |a| + |b| - |a ∩ b| (sets are distinct)
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter.cast("double") / union
-    return (
-        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= F.lit(threshold))
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= F.lit(threshold)
     )
 
 
@@ -620,7 +631,20 @@ def minhash_lsh_pairs_oracle(
     sketch (MinHash bands), not from the data distribution.
     """
     return f"""
-        WITH docs AS (
+        WITH {shingled_docs_cte_sql(n)}
+        {exhaustive_pairs_select_sql(threshold)}
+    """
+
+
+def shingled_docs_cte_sql(n: int = SHINGLE_N, table: str = "documents") -> str:
+    """The DuckDB CTE body mirroring :func:`shingled_docs` — canonical
+    text (lower, whitespace collapse, trim), 1-based length-``n``
+    substrings, distinct. ONE definition shared by every oracle that
+    shingles (``minhash_lsh_pairs_oracle`` here,
+    ``incremental_near_dedup_oracle`` in functions/incremental.py), so
+    a canonicalization change can never update one parity gate and
+    silently miss the other."""
+    return f"""docs AS (
             SELECT doc_id,
                    list_distinct(list_transform(
                        range(1, greatest(len(canon) - {n - 1}, 1) + 1),
@@ -630,10 +654,17 @@ def minhash_lsh_pairs_oracle(
                 SELECT doc_id,
                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                            AS canon
-                FROM documents
+                FROM {table}
             )
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        )"""
+
+
+def exhaustive_pairs_select_sql(threshold: float) -> str:
+    """Exhaustive verified-pairs SELECT over the ``docs`` CTE: exact
+    shingle Jaccard >= threshold with the AllPairs +1-slack length band
+    (prune-only, never result-changing). Shared fragment — see
+    :func:`shingled_docs_cte_sql`."""
+    return f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                    / (len(a.sh) + len(b.sh)
                       - len(list_intersect(a.sh, b.sh)))) AS jaccard
@@ -643,8 +674,7 @@ def minhash_lsh_pairs_oracle(
          AND len(b.sh) + 1 >= {threshold} * len(a.sh)
         WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                    / (len(a.sh) + len(b.sh)
-                      - len(list_intersect(a.sh, b.sh)))) >= {threshold}
-    """
+                      - len(list_intersect(a.sh, b.sh)))) >= {threshold}"""
 
 
 # --- SimHash --------------------------------------------------------------------

@@ -54,9 +54,10 @@ from .clusters import connected_components_routed
 from .dedup import (
     LSH_BANDS,
     N_HASHES,
-    candidate_pairs_from_bands,
     banded_rows,
+    candidate_pairs_from_bands,
     shingled_docs,
+    verify_jaccard_pairs,
 )
 
 #: store schemas (DDL form, for empty-store bootstrap and docs)
@@ -85,31 +86,6 @@ def empty_stores(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     return (
         spark.createDataFrame([], BAND_STORE_SCHEMA),
         spark.createDataFrame([], SHINGLE_STORE_SCHEMA),
-    )
-
-
-def _verify_pairs(
-    candidates: DataFrame,
-    sh_a: DataFrame,
-    sh_b: DataFrame,
-    threshold: float,
-) -> DataFrame:
-    """Exact shingle-Jaccard verification of (doc_a, doc_b) candidates.
-    ``sh_a`` / ``sh_b`` supply the payloads for each side; only
-    candidate ids' payloads move (the joins are keyed on the candidate
-    frame)."""
-    verified = candidates.join(
-        sh_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-        "doc_a",
-    ).join(
-        sh_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-        "doc_b",
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    jac = inter.cast("double") / union
-    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= F.lit(threshold)
     )
 
 
@@ -149,6 +125,17 @@ def near_dedup_batch(
     cluster's minimum a store doc, so a batch doc survives iff
     ``cluster_id == doc_id``.
 
+    The monotonicity contract is deliberately NOT guarded in-plan:
+    ``store_candidates``' ``doc_a < doc_b`` filter must silently pass
+    over store ids >= batch ids for at-least-once replay to be
+    idempotent (a replayed epoch's store already contains the batch's
+    own delta, so self and higher-id collisions are *expected* there —
+    see streaming/dedup.py). A strict guard would reject exactly those
+    legitimate rows; the cost of the trade is that a genuinely
+    out-of-order batch (ids below the store's) is deduped only against
+    intra-batch and lower-id store docs. Keep ingest staging id-ordered
+    (``streaming_near_dedup`` documents the file-mtime requirement).
+
     The batch frame is referenced by several subtrees (band rows, both
     verification sides, the final anti-join); callers replaying many
     batches should pass a cached/materialized batch.
@@ -172,15 +159,21 @@ def near_dedup_batch(
         F.col("doc_a").alias("doc_id")
     ).dropDuplicates()
     store_payloads = shingle_store.join(F.broadcast(store_hit_ids), "doc_id")
-    cross_pairs = _verify_pairs(cross_candidates, store_payloads, sh_batch, threshold)
+    cross_pairs = verify_jaccard_pairs(
+        cross_candidates, store_payloads, sh_batch, threshold
+    )
 
     intra_candidates = candidate_pairs_from_bands(batch_bands)
-    intra_pairs = _verify_pairs(intra_candidates, sh_batch, sh_batch, threshold)
+    intra_pairs = verify_jaccard_pairs(intra_candidates, sh_batch, sh_batch, threshold)
 
     pairs = cross_pairs.unionByName(intra_pairs).select("doc_a", "doc_b")
     cc = connected_components_routed(pairs)
+    # no broadcast hint: in the driver tier `dropped` is a local frame
+    # (trivially broadcast anyway); in the distributed tier it is
+    # cluster-graph-sized and hinting it broadcast would force an
+    # unbounded driver collect — let size-based planning decide.
     dropped = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    survivors = batch.join(F.broadcast(dropped), "doc_id", "left_anti")
+    survivors = batch.join(dropped, "doc_id", "left_anti")
     return NearDedupBatch(
         survivors=survivors,
         band_delta=batch_bands,
@@ -206,11 +199,18 @@ def incremental_near_dedup(
     next), so unlike the pure batch operators this query materializes
     per step — that is the operator's semantics, not an accident.
     """
-    n = documents.agg(F.max("doc_id")).first()[0] + 1
+    max_id = documents.agg(F.max("doc_id")).first()[0]
+    if max_id is None:  # empty corpus — match the oracle's empty result
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id BIGINT, batch INT"
+        )
+    n = max_id + 1
     batch_col = F.expr(f"CAST((doc_id * {n_batches}) DIV {n} AS INT)")
-    batches = [
-        documents.filter(batch_col == k).cache() for k in range(n_batches)
-    ]
+    # no .cache(): each slice is read twice (shingle materialization,
+    # final anti-join) and a parquet re-scan of a document slice is
+    # cheaper than pinning n_batches slices in executor storage for the
+    # lifetime of a 50-query driver session.
+    batches = [documents.filter(batch_col == k) for k in range(n_batches)]
     out = near_dedup_replay(batches, threshold=threshold)
     return out.select(
         "doc_id",
@@ -240,23 +240,13 @@ def incremental_near_dedup_oracle(
     later-batch doc, so "reaches a store doc" already implies
     "reaches a smaller id" — see module docstring derivation).
     """
-    from .dedup import SHINGLE_N
+    from .dedup import SHINGLE_N, exhaustive_pairs_select_sql, shingled_docs_cte_sql
 
     shingle_n = n if n is not None else SHINGLE_N
+    # shingling + exhaustive verified pairs come from the SAME SQL
+    # fragments as minhash_lsh_pairs_oracle — one definition, two gates
     return f"""
-        WITH RECURSIVE docs AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                       range(1, greatest(len(canon) - {shingle_n - 1}, 1) + 1),
-                       i -> substr(canon, CAST(i AS INT), {shingle_n})
-                   )) AS sh
-            FROM (
-                SELECT doc_id,
-                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
-                           AS canon
-                FROM documents
-            )
-        ),
+        WITH RECURSIVE {shingled_docs_cte_sql(shingle_n)},
         nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
         batched AS (
             SELECT d.doc_id,
@@ -264,14 +254,8 @@ def incremental_near_dedup_oracle(
             FROM docs d, nn
         ),
         pairs AS (
-            SELECT a.doc_id AS pa, b.doc_id AS pb
-            FROM docs a JOIN docs b
-              ON a.doc_id < b.doc_id
-             AND len(a.sh) + 1 >= {threshold} * len(b.sh)
-             AND len(b.sh) + 1 >= {threshold} * len(a.sh)
-            WHERE (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                       / (len(a.sh) + len(b.sh)
-                          - len(list_intersect(a.sh, b.sh)))) >= {threshold}
+            SELECT doc_a AS pa, doc_b AS pb
+            FROM ({exhaustive_pairs_select_sql(threshold)})
         ),
         edges AS (
             SELECT pa AS src, pb AS dst,

@@ -1021,6 +1021,7 @@ def pq_encode(
     m: int = 8,
     ks: int = 16,
     dims: int = 64,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantize the corpus: (vec_id, codes ARRAY<INT>) where
     ``codes[s]`` is the nearest codeword (max inner product, exact
@@ -1030,9 +1031,13 @@ def pq_encode(
     compresses to ``m`` small ints (8 B at m=8) — the at-rest /
     shuffle-time representation for candidate generation, with exact
     vectors fetched only for the final re-rank sliver. All Catalyst:
-    slice explode -> broadcast codebook join -> per-(vec, s) ranking."""
+    slice explode -> broadcast codebook join -> per-(vec, s) ranking.
+
+    ``codebook`` lets a caller that already built the codebook (pq_topk,
+    or an incremental encoder reusing a persisted one) pass it in; by
+    default it is derived from ``embeddings`` itself."""
     sub = dims // m
-    cb = _pq_codebook(embeddings, m, ks, dims)
+    cb = codebook if codebook is not None else _pq_codebook(embeddings, m, ks, dims)
     sub_rows = embeddings.select(
         "vec_id",
         F.explode(
@@ -1102,9 +1107,18 @@ def pq_topk(
     if rerank is None:
         rerank = 4 * k
     sub = dims // m
+    # one codebook, shared with the encode (the sampling is
+    # deterministic, but sharing the frame makes the coupling
+    # structural rather than coincidental — and saves a second
+    # sha2-order sample scan); queries are filtered out BEFORE
+    # encoding so their codes are never computed just to be dropped.
     cb = _pq_codebook(embeddings, m, ks, dims)
-    codes = pq_encode(embeddings, m, ks, dims).filter(
-        F.col("vec_id") >= n_queries
+    codes = pq_encode(
+        embeddings.filter(F.col("vec_id") >= n_queries),
+        m,
+        ks,
+        dims,
+        codebook=cb,
     )
     # per-query ADC tables: T[s][code] as array-of-array, ordered by
     # (s, code_id) so indexing is positional

@@ -116,26 +116,35 @@ class NearDedupPipeline:
         self.curated_dir = f"{base_dir}/curated"
 
     # -- store access -------------------------------------------------
-    def _read_or_empty(self, spark: SparkSession, path: str, which: str):
-        import os
+    @staticmethod
+    def _read_path(spark: SparkSession, path: str, empty: DataFrame) -> DataFrame:
+        """Read a store directory, falling back to ``empty`` only when
+        the path does not exist yet. Existence is probed by attempting
+        the read (AnalysisException PATH_NOT_FOUND), not os.path — the
+        store may live on any Hadoop filesystem (hdfs://, s3a://),
+        where a local isdir check would silently report 'no store' and
+        re-admit duplicates forever."""
+        from pyspark.errors import AnalysisException
 
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return empty
+            raise
+        return df.select(*empty.columns)  # drop the epoch partition col
+
+    def _read_or_empty(self, spark: SparkSession, path: str, which: str):
         from ..functions.incremental import empty_stores
 
         band_empty, shingle_empty = empty_stores(spark)
         empty = band_empty if which == "bands" else shingle_empty
-        if not os.path.isdir(path):
-            return empty
-        df = spark.read.parquet(path)
-        return df.select(*empty.columns)  # drop the epoch partition col
+        return self._read_path(spark, path, empty)
 
     def curated(self, spark: SparkSession) -> DataFrame:
         """The admitted corpus so far (empty-safe)."""
-        import os
-
-        if not os.path.isdir(self.curated_dir):
-            return spark.createDataFrame([], DOCUMENTS_STREAM_SCHEMA)
-        cols = [f.split()[0] for f in DOCUMENTS_STREAM_SCHEMA.split(", ")]
-        return spark.read.parquet(self.curated_dir).select(*cols)
+        empty = spark.createDataFrame([], DOCUMENTS_STREAM_SCHEMA)
+        return self._read_path(spark, self.curated_dir, empty)
 
     # -- write path (called from foreachBatch) ------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:

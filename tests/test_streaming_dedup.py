@@ -16,6 +16,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from cassandra_iot_pipeline_spark.streaming.dedup import dedup_within_watermark
+from tests.conftest import SF_DIR
 
 D1 = dt.datetime(2024, 1, 1, 8, 0, 0)
 D2 = dt.datetime(2024, 1, 2, 8, 0, 0)
@@ -131,7 +132,7 @@ def _stage_documents(spark, src_dir: str, n_batches: int = 3):
     ascending doc_id-range files (ingest order by mtime)."""
     from cassandra_iot_pipeline_spark.catalog import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_DIR, "documents")
     perturbed = docs.limit(5).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
