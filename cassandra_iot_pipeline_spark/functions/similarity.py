@@ -786,29 +786,7 @@ def ivf_topk(
     )
 
     if assignment == "exact":
-        cents = cent_rows.select(
-            F.col("vec_id").alias("cent_vid"),
-            _quantized(F.col("embedding")).alias("cq"),
-        ).withColumn("cn2", _dot(F.col("cq"), F.col("cq")))
-        base = embeddings.select(
-            "vec_id", _quantized(F.col("embedding")).alias("q")
-        ).withColumn("n2", _dot(F.col("q"), F.col("q")))
-        cent_cos = _dot(F.col("q"), F.col("cq")).cast("double") / (
-            F.sqrt(F.col("n2").cast("double"))
-            * F.sqrt(F.col("cn2").cast("double"))
-        )
-        ranked = (
-            base.join(F.broadcast(cents))
-            .select("vec_id", "q", "n2", "cent_vid", cent_cos.alias("ccos"))
-            .withColumn(
-                "crank",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(
-                        F.col("ccos").desc(), F.col("cent_vid").asc()
-                    )
-                ),
-            )
-        )
+        ranked = _centroid_ranked(embeddings, cent_rows)
         cands = ranked.filter(
             (F.col("vec_id") >= n_queries) & (F.col("crank") == 1)
         ).select(
@@ -948,6 +926,36 @@ def ivf_topk_oracle(
         )
         WHERE rank <= {k}
     """
+
+
+def _centroid_ranked(embeddings: DataFrame, cent_rows: DataFrame) -> DataFrame:
+    """Exact-tier centroid ranking shared by ``ivf_topk`` and
+    ``ivf_pq_topk``: every vector scored against the broadcast centroid
+    table by the quantized-integer cosine, ranked per vector
+    (``crank`` 1 = nearest list). All codegen, no Arrow."""
+    cents = cent_rows.select(
+        F.col("vec_id").alias("cent_vid"),
+        _quantized(F.col("embedding")).alias("cq"),
+    ).withColumn("cn2", _dot(F.col("cq"), F.col("cq")))
+    base = embeddings.select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    ).withColumn("n2", _dot(F.col("q"), F.col("q")))
+    cent_cos = _dot(F.col("q"), F.col("cq")).cast("double") / (
+        F.sqrt(F.col("n2").cast("double"))
+        * F.sqrt(F.col("cn2").cast("double"))
+    )
+    return (
+        base.join(F.broadcast(cents))
+        .select("vec_id", "q", "n2", "cent_vid", cent_cos.alias("ccos"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("ccos").desc(), F.col("cent_vid").asc()
+                )
+            ),
+        )
+    )
 
 
 def _ivf_rerank(queries: DataFrame, cands: DataFrame, k: int) -> DataFrame:
@@ -1120,8 +1128,34 @@ def pq_topk(
         dims,
         codebook=cb,
     )
-    # per-query ADC tables: T[s][code] as array-of-array, ordered by
-    # (s, code_id) so indexing is positional
+    tables = _pq_query_tables(embeddings, n_queries, cb, m, dims)
+    # ADC scan: broadcast the (tiny) query tables against the code scan
+    scored = codes.join(F.broadcast(tables)).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        _pq_adc(F.col("t"), F.col("codes")).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("cand_id").asc()
+    )
+    shortlist = scored.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= rerank
+    ).select("query_id", "cand_id")
+    return _exact_rerank_pairs(shortlist, embeddings, k)
+
+
+def _pq_query_tables(
+    embeddings: DataFrame,
+    n_queries: int,
+    cb: DataFrame,
+    m: int,
+    dims: int,
+) -> DataFrame:
+    """(query_id, t) per-query ADC tables: ``t[s][code]`` is the exact
+    integer inner product of the query's s-th sub-vector with codeword
+    ``code`` — array-of-array ordered positionally by (s, code_id), one
+    broadcast codebook join to build."""
+    sub = dims // m
     q_sub = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.explode(
@@ -1151,32 +1185,28 @@ def pq_topk(
             ).alias("row")
         )
     )
-    tables = tbl_rows.groupBy("query_id").agg(
+    return tbl_rows.groupBy("query_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("row")))),
             lambda sr: sr["row"],
         ).alias("t")
     )
-    # ADC scan: broadcast the (tiny) query tables against the code scan
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("t"),
-            F.col("codes"),
-            lambda row, c: F.element_at(row, c + 1),
-        ),
+
+
+def _pq_adc(t_col: Column, codes_col: Column) -> Column:
+    """ADC score: Σ_s t[s][codes[s]] — m positional lookups."""
+    return F.aggregate(
+        F.zip_with(t_col, codes_col, lambda row, c: F.element_at(row, c + 1)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = codes.join(F.broadcast(tables)).select(
-        "query_id", F.col("vec_id").alias("cand_id"), adc.alias("adc")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("cand_id").asc()
-    )
-    shortlist = scored.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= rerank
-    ).select("query_id", "cand_id")
-    # exact-cosine re-rank of the sliver only
+
+
+def _exact_rerank_pairs(
+    shortlist: DataFrame, embeddings: DataFrame, k: int
+) -> DataFrame:
+    """Exact quantized-cosine re-rank of a (query_id, cand_id)
+    shortlist; full vectors join only for the sliver."""
     base = embeddings.select(
         "vec_id", _quantized(F.col("embedding")).alias("q")
     ).withColumn("n2", _dot(F.col("q"), F.col("q")))
@@ -1196,14 +1226,89 @@ def pq_topk(
         * F.sqrt(F.col("cn2").cast("double"))
     )
     rescored = (
-        shortlist.join(qv, "query_id").join(cv, "cand_id")
+        shortlist.join(qv, "query_id")
+        .join(cv, "cand_id")
         .select("query_id", "cand_id", cos.alias("cosine"))
     )
-    w2 = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
     )
     return (
-        rescored.withColumn("rank", F.row_number().over(w2))
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    dims: int = 64,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF routing composed in front of the PQ-ADC scan — the full
+    billion-scale ANN shape (FAISS-style IVFADC) in Catalyst terms:
+
+    1. coarse quantizer assigns every candidate to its nearest list
+       and every query to its ``n_probe`` nearest (``_centroid_ranked``,
+       shared with :func:`ivf_topk`);
+    2. the ADC scan joins codes ⋈ query tables **on the list id** — so
+       only ~n_probe/n_centroids of the corpus is scored, and each
+       scored row costs m table lookups over an 8-byte code;
+    3. exact-cosine re-rank of the top-``rerank`` sliver.
+
+    Candidates live in exactly one list, so a (query, candidate) pair
+    is scored at most once — no dedup stage. Recall compounds the two
+    approximations (list pruning x code quantization); pinned in tests
+    against brute force, with the planted-duplicate guarantee intact
+    (an exact copy shares the query's top list AND maximizes ADC).
+    """
+    if rerank is None:
+        rerank = 4 * k
+    cent_rows = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.sha2(F.col("vec_id").cast("string"), 256).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+    )
+    ranked = _centroid_ranked(embeddings, cent_rows)
+    cand_lists = ranked.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("crank") == 1)
+    ).select(F.col("vec_id").alias("cand_id"), F.col("cent_vid").alias("lst"))
+    query_lists = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("crank") <= n_probe)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_vid").alias("lst"))
+
+    cb = _pq_codebook(embeddings, m, ks, dims)
+    codes = pq_encode(
+        embeddings.filter(F.col("vec_id") >= n_queries), m, ks, dims, codebook=cb
+    )
+    tables = _pq_query_tables(embeddings, n_queries, cb, m, dims)
+    qt = tables.join(query_lists, "query_id")  # n_queries * n_probe rows
+    scored = (
+        codes.withColumnRenamed("vec_id", "cand_id")
+        .join(cand_lists, "cand_id")
+        .join(F.broadcast(qt), "lst")
+        .select(
+            "query_id",
+            "cand_id",
+            _pq_adc(F.col("t"), F.col("codes")).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("cand_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= rerank)
+        .select("query_id", "cand_id")
+    )
+    return _exact_rerank_pairs(shortlist, embeddings, k)

@@ -83,3 +83,48 @@ def test_pq_plan_is_catalyst_with_broadcast_codebook(embeddings):
     )
     assert "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivf_pq_planted_duplicate_found(spark, embeddings):
+    """IVFADC composition: an exact duplicate shares the query's top
+    centroid list (same vector, same ranking) and maximizes ADC within
+    it — found at rank 1 for every n_probe >= 1."""
+    dups = embeddings.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = embeddings.unionByName(dups)
+    got = similarity.ivf_pq_topk(corpus, n_queries=5, k=3, n_probe=1)
+    top1 = {
+        (r.query_id, r.cand_id)
+        for r in got.filter(F.col("rank") == 1).collect()
+    }
+    assert top1 == {(q, q + 100000) for q in range(5)}
+
+
+def test_ivf_pq_recall_compounds(embeddings):
+    """Probing every list makes IVFADC == plain PQ (the coarse stage
+    prunes nothing); fewer probes can only lose pairs. Both checked
+    against the same brute-force baseline."""
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity.cosine_topk(embeddings, 10, 5).collect()
+    }
+    all_lists = {
+        (r.query_id, r.cand_id)
+        for r in similarity.ivf_pq_topk(
+            embeddings, 10, 5, n_probe=16, rerank=50
+        ).collect()
+    }
+    pq_only = {
+        (r.query_id, r.cand_id)
+        for r in similarity.pq_topk(embeddings, 10, 5, rerank=50).collect()
+    }
+    assert all_lists == pq_only  # n_probe = n_centroids ≡ no pruning
+    pruned = {
+        (r.query_id, r.cand_id)
+        for r in similarity.ivf_pq_topk(
+            embeddings, 10, 5, n_probe=8, rerank=50
+        ).collect()
+    }
+    recall = len(exact & pruned) / len(exact)
+    assert recall >= 0.3, f"IVFADC recall {recall:.2f} below measured floor"
