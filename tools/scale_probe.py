@@ -113,6 +113,35 @@ def main() -> None:
     timed("simhash_near_dup", simhash_near_dup_pairs(docs, 3), results)
     results["n_docs"] = n_docs
 
+    # incremental near-dup: one online step landing a half-corpus batch
+    # against a store of the other half — the steady-state shape
+    # (store >> batch happens at larger corpus/batch ratios; the store
+    # side is a shuffle-free broadcast probe either way)
+    from cassandra_iot_pipeline_spark.functions.dedup import (
+        banded_rows,
+        shingled_docs,
+    )
+    from cassandra_iot_pipeline_spark.functions.incremental import (
+        near_dedup_batch,
+    )
+
+    half = n_docs // 2
+    store_docs = probe_documents(spark, half)
+    batch_docs = probe_documents(spark, n_docs - half, start=half)
+    store_sh = shingled_docs(store_docs).localCheckpoint(eager=True)
+    store_bands = banded_rows(store_sh).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    step = near_dedup_batch(
+        batch_docs, store_bands, store_sh.select("doc_id", "sh"), 0.8
+    )
+    step.survivors.write.format("noop").mode("overwrite").save()
+    results["near_dedup_batch_half_corpus"] = round(time.perf_counter() - t0, 2)
+    print(
+        f"[probe] near_dedup_batch_half_corpus: "
+        f"{results['near_dedup_batch_half_corpus']}s",
+        file=sys.stderr, flush=True,
+    )
+
     # corpus-cleaning ops at the same document scale: redaction is a
     # narrow scan; contamination broadcasts a ~1% "benchmark" slice's
     # shingle hashes; packing windows per shard
