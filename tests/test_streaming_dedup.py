@@ -217,3 +217,52 @@ def test_streaming_near_dedup_epoch_replay_idempotent(spark, tmp_path):
     import glob
 
     assert len(glob.glob(str(tmp_path / "store2" / "bands" / "epoch=*"))) == 1
+
+
+def test_streaming_near_dedup_resumes_from_checkpoint(spark, tmp_path):
+    """W5 for the curation pipeline: stop after the first staged files,
+    stage more, restart with the same checkpoint — the second run
+    processes only the new files (epoch ids advance, no re-landing) and
+    the final curated corpus equals the single-run result."""
+    from cassandra_iot_pipeline_spark.streaming.dedup import (
+        NearDedupPipeline,
+        streaming_near_dedup,
+    )
+
+    src = tmp_path / "docs_src3"
+    src.mkdir()
+    corpus, batches = _stage_documents(spark, str(src), n_batches=3)
+    # hide batch 3's file for the first run
+    hidden = tmp_path / "hidden"
+    hidden.mkdir()
+    b2 = src / "b2.parquet"
+    b2.rename(hidden / "b2.parquet")
+
+    store, ckpt = str(tmp_path / "store3"), str(tmp_path / "ckpt3")
+    q = streaming_near_dedup(spark, str(src), store, ckpt, threshold=0.7)
+    q.awaitTermination()
+    first_ids = {
+        r.doc_id for r in NearDedupPipeline(store).curated(spark).collect()
+    }
+
+    (hidden / "b2.parquet").rename(b2)
+    os.utime(str(b2), (1_700_000_020,) * 2)
+    q2 = streaming_near_dedup(spark, str(src), store, ckpt, threshold=0.7)
+    q2.awaitTermination()
+    final_ids = {
+        r.doc_id for r in NearDedupPipeline(store).curated(spark).collect()
+    }
+
+    # resumed run only added batch-3 survivors on top of the first run
+    assert first_ids <= final_ids
+    from cassandra_iot_pipeline_spark.functions.incremental import (
+        near_dedup_replay,
+    )
+
+    expect = {
+        r.doc_id
+        for r in near_dedup_replay(batches, threshold=0.7)
+        .select("doc_id")
+        .collect()
+    }
+    assert final_ids == expect
