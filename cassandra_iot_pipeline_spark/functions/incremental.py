@@ -213,29 +213,89 @@ def incremental_near_dedup(
         )
     n = max_id + 1
     batch_col = F.expr(f"CAST((doc_id * {n_batches}) DIV {n} AS INT)")
-    # no .cache(): each slice is read twice (shingle materialization,
-    # final anti-join) and a parquet re-scan of a document slice is
-    # cheaper than pinning n_batches slices in executor storage for the
-    # lifetime of a 50-query driver session.
-    batches = [documents.filter(batch_col == k) for k in range(n_batches)]
-    # the corpus split is known up front, so the replay's shingle sets
-    # and band rows come from ONE whole-corpus scan (two checkpoints
-    # total) — per-step frames are filters over them, replacing the
-    # 2-jobs-per-step materialization of the general online path
-    # (measured: 9.6 s -> ~6 s at sf0.1)
-    sh_all = shingled_docs(documents).localCheckpoint(eager=True)
-    bands_all = banded_rows(sh_all).localCheckpoint(eager=True)
-    precomputed = [
-        (
-            sh_all.filter(batch_col == k),
-            bands_all.filter(batch_col == k),
-        )
-        for k in range(n_batches)
-    ]
-    out = near_dedup_replay(batches, threshold=threshold, precomputed=precomputed)
-    return out.select(
-        "doc_id",
-        F.expr(f"CAST((doc_id * {n_batches}) DIV {n} AS INT)").alias("batch"),
+
+    # Single-pass fast path. With id-range batches and doc_a < doc_b,
+    # an edge's visibility batch max(batch_a, batch_b) is simply
+    # batch(doc_b) — so the per-step pair sets of the store replay are
+    # exactly the GLOBAL verified pair set partitioned by batch(doc_b),
+    # and the whole replay collapses to one distributed LSH+verify pass
+    # (the minhash_lsh_pairs plan) plus an in-driver union-find that
+    # adds edges in batch order and decides each batch's docs at its
+    # own round — the oracle's semantics, executed literally.
+    # The pair graph is control-plane-sized on any deduplicatable
+    # corpus; past MAX_DRIVER_PAIRS we fall back to the store replay
+    # (near_dedup_replay), which is the general unbounded path. The
+    # two paths are interchangeable by construction — pinned against
+    # each other in tests/test_incremental.py.
+    from .clusters import MAX_DRIVER_PAIRS
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(documents, threshold).select("doc_a", "doc_b")
+    pairs = pairs.persist()
+    try:
+        head = pairs.limit(MAX_DRIVER_PAIRS + 1).collect()
+        if len(head) > MAX_DRIVER_PAIRS:
+            batches = [documents.filter(batch_col == k) for k in range(n_batches)]
+            sh_all = shingled_docs(documents).localCheckpoint(eager=True)
+            bands_all = banded_rows(sh_all).localCheckpoint(eager=True)
+            precomputed = [
+                (sh_all.filter(batch_col == k), bands_all.filter(batch_col == k))
+                for k in range(n_batches)
+            ]
+            out = near_dedup_replay(
+                batches, threshold=threshold, precomputed=precomputed
+            )
+            return out.select(
+                "doc_id",
+                F.expr(
+                    f"CAST((doc_id * {n_batches}) DIV {n} AS INT)"
+                ).alias("batch"),
+            )
+    finally:
+        pairs.unpersist()
+
+    def batch_of(d: int) -> int:
+        return (d * n_batches) // n
+
+    # union-find with component-minimum tracking
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    comp_min: dict[int, int] = {}
+    by_round: dict[int, list[tuple[int, int]]] = {}
+    for r in head:
+        by_round.setdefault(batch_of(r[1]), []).append((r[0], r[1]))
+    dropped: list[int] = []
+    seen: set[int] = set()
+    for k in range(n_batches):
+        for a, b in by_round.get(k, ()):
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+                    comp_min[v] = v
+                    seen.add(v)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                comp_min[rb] = min(comp_min[ra], comp_min[rb])
+        # decide THIS batch's docs now: a doc whose edges all arrive in
+        # later rounds is a singleton at its own round and survives
+        for v in seen:
+            if batch_of(v) == k and comp_min[find(v)] < v:
+                dropped.append(v)
+        seen = {v for v in seen if batch_of(v) > k}
+    spark = documents.sparkSession
+    dropped_df = spark.createDataFrame(
+        [(int(d),) for d in dropped], "doc_id BIGINT"
+    )
+    return (
+        documents.join(F.broadcast(dropped_df), "doc_id", "left_anti")
+        .select("doc_id", batch_col.alias("batch"))
     )
 
 

@@ -143,3 +143,32 @@ def test_survivor_schema_matches_batch(spark, documents):
     assert step.survivors.columns == documents.columns
     assert step.band_delta.columns == ["doc_id", "band", "bucket"]
     assert step.shingle_delta.columns == ["doc_id", "sh"]
+
+
+def test_registry_fast_path_equals_store_replay(spark, documents):
+    """incremental_near_dedup's single-pass fast path (global LSH pairs
+    + in-driver batch-ordered union-find) must admit exactly the same
+    docs as the store replay it optimizes — the two implementations of
+    the online keep-first semantics, pinned against each other."""
+    perturbed = documents.limit(6).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = documents.unionByName(perturbed).cache()
+    fast = {
+        r.doc_id
+        for r in incremental.incremental_near_dedup(corpus, 0.7).collect()
+    }
+    n = corpus.agg(F.max("doc_id")).first()[0] + 1
+    bc = (F.col("doc_id") * 3 / n).cast("int")
+    batches = [corpus.filter(bc == k).cache() for k in range(3)]
+    store = {
+        r.doc_id
+        for r in incremental.near_dedup_replay(batches, threshold=0.7)
+        .select("doc_id")
+        .collect()
+    }
+    assert fast == store
