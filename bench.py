@@ -119,6 +119,13 @@ def main() -> None:
     from cassandra_iot_pipeline_spark.streaming.staging import stage_events_stream
 
     staged = stage_events_stream(spark, sf_dir)
+    # untimed warm-up pass: the first pipeline execution in a session
+    # pays ~5s of codegen/state-store initialization (measured 14.4k
+    # cold vs 58-69k warm events/s on identical data) — the same
+    # plan-shape JIT artifact the query warm-up removes, so the
+    # recorded number is steady-state throughput, not first-run cost.
+    warm_engine = IoTEngine(spark, tempfile.mkdtemp(prefix="bench_pipewarm_"))
+    warm_engine.ingest_stream(staged, max_files_per_trigger=32)
     engine = IoTEngine(spark, tempfile.mkdtemp(prefix="bench_pipeline_"))
     t0 = time.perf_counter()
     # state-store commits (one per state partition per batch) dominate
