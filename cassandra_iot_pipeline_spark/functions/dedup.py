@@ -89,6 +89,19 @@ def exact_dedup_oracle() -> str:
 MAX_JACCARD_BLOCK = 10_000
 
 
+def hashed_tokens(tok: Column) -> Column:
+    """Token array -> int64 xxhash64 array, the Jaccard-verification
+    representation: set sizes and intersections are unchanged (xxhash64
+    is injective on any realistic per-pair vocabulary — a collision
+    needs ~2^32 distinct tokens within one pair's union to become
+    likely), while array_intersect over fixed-width longs is ~2x the
+    string form on the quadratic pair stage. ONE definition shared by
+    both verification sites (exact tier, LSH tier) — the tier
+    equivalence contract requires them representation-identical. No
+    sort: ArrayIntersect hashes its inputs and ignores order."""
+    return F.transform(tok, lambda t: F.xxhash64(t))
+
+
 def _exact_block_pairs(
     docs: DataFrame, threshold: float, docs_b: DataFrame | None = None
 ) -> DataFrame:
@@ -101,17 +114,14 @@ def _exact_block_pairs(
     skips the sizes join entirely, halving that subtree's occurrences in
     the self-join plan.
 
-    Tokens are hashed to sorted int64 arrays *at the verification site*
-    (per doc, below the join): array_intersect over fixed-width longs
-    beats string arrays ~2x on the quadratic pair stage (measured
-    7.5 -> 2.2 s at sf0.1), and |set| / |∩| are unchanged —
-    xxhash64 is injective on any realistic vocabulary (a collision
-    needs ~2^32 distinct tokens *within one pair's union* to become
-    likely; the probed corpora carry thousands)."""
+    Tokens are hashed to int64 arrays *at the verification site* (per
+    doc, below the join — see :func:`hashed_tokens`): array_intersect
+    over fixed-width longs beats string arrays ~2x on the quadratic
+    pair stage (measured 7.5 -> 2.2 s at sf0.1)."""
 
     def _hashed(frame: DataFrame) -> DataFrame:
         return frame.withColumn("n_tok", F.size("tok")).withColumn(
-            "tok", F.array_sort(F.transform("tok", lambda t: F.xxhash64(t)))
+            "tok", hashed_tokens(F.col("tok"))
         )
 
     docs = _hashed(docs)
@@ -250,14 +260,11 @@ def _lsh_block_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # same hashed-verification trick as _exact_block_pairs: the tier
-    # equivalence ("SAME exact token-Jaccard") is preserved because the
-    # signature stage above still hashes the ORIGINAL string tokens —
-    # only the pair-verification intersect switches representation.
-    toksets = base.select(
-        "doc_id",
-        F.array_sort(F.transform("tok", lambda t: F.xxhash64(t))).alias("tok"),
-    )
+    # same hashed-verification representation as _exact_block_pairs
+    # (one shared helper — tier equivalence requires the two sites to
+    # stay representation-identical): the signature stage above still
+    # hashes the ORIGINAL string tokens, only verification switches.
+    toksets = base.select("doc_id", hashed_tokens(F.col("tok")).alias("tok"))
     verified = candidates.join(
         toksets.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a")),
         "doc_a",

@@ -192,6 +192,7 @@ def incremental_near_dedup(
     documents: DataFrame,
     threshold: float = 0.8,
     n_batches: int = 3,
+    max_driver_pairs: int | None = None,
 ) -> DataFrame:
     """Driver-facing form: replay ``documents`` as ``n_batches``
     contiguous doc_id ranges through the online dedup and return the
@@ -223,36 +224,41 @@ def incremental_near_dedup(
     # adds edges in batch order and decides each batch's docs at its
     # own round — the oracle's semantics, executed literally.
     # The pair graph is control-plane-sized on any deduplicatable
-    # corpus; past MAX_DRIVER_PAIRS we fall back to the store replay
-    # (near_dedup_replay), which is the general unbounded path. The
-    # two paths are interchangeable by construction — pinned against
-    # each other in tests/test_incremental.py.
+    # corpus; past the bound we fall back to the store replay
+    # (near_dedup_replay), which is the general unbounded path. Both
+    # paths are pinned equal in tests/test_incremental.py (the
+    # fallback forced via max_driver_pairs=0).
     from .clusters import MAX_DRIVER_PAIRS
-    from .dedup import minhash_lsh_pairs
+    from .dedup import candidate_pairs_from_bands, verify_jaccard_pairs
 
-    pairs = minhash_lsh_pairs(documents, threshold).select("doc_a", "doc_b")
-    pairs = pairs.persist()
-    try:
-        head = pairs.limit(MAX_DRIVER_PAIRS + 1).collect()
-        if len(head) > MAX_DRIVER_PAIRS:
-            batches = [documents.filter(batch_col == k) for k in range(n_batches)]
-            sh_all = shingled_docs(documents).localCheckpoint(eager=True)
-            bands_all = banded_rows(sh_all).localCheckpoint(eager=True)
-            precomputed = [
-                (sh_all.filter(batch_col == k), bands_all.filter(batch_col == k))
-                for k in range(n_batches)
-            ]
-            out = near_dedup_replay(
-                batches, threshold=threshold, precomputed=precomputed
-            )
-            return out.select(
-                "doc_id",
-                F.expr(
-                    f"CAST((doc_id * {n_batches}) DIV {n} AS INT)"
-                ).alias("batch"),
-            )
-    finally:
-        pairs.unpersist()
+    bound = MAX_DRIVER_PAIRS if max_driver_pairs is None else max_driver_pairs
+    # Both branches build on the SAME two checkpoints: the probe's pair
+    # plan is candidate+verify over them (identical signatures, band
+    # geometry, and verification as minhash_lsh_pairs — same
+    # construction, shared code), so exceeding the bound wastes nothing:
+    # the fallback replay reuses the materialized frames instead of
+    # re-shingling the corpus.
+    sh_all = shingled_docs(documents).localCheckpoint(eager=True)
+    bands_all = banded_rows(sh_all).localCheckpoint(eager=True)
+    pairs = verify_jaccard_pairs(
+        candidate_pairs_from_bands(bands_all), sh_all, sh_all, threshold
+    ).select("doc_a", "doc_b")
+    head = pairs.limit(bound + 1).collect()
+    if len(head) > bound:
+        batches = [documents.filter(batch_col == k) for k in range(n_batches)]
+        precomputed = [
+            (sh_all.filter(batch_col == k), bands_all.filter(batch_col == k))
+            for k in range(n_batches)
+        ]
+        out = near_dedup_replay(
+            batches, threshold=threshold, precomputed=precomputed
+        )
+        return out.select(
+            "doc_id",
+            F.expr(
+                f"CAST((doc_id * {n_batches}) DIV {n} AS INT)"
+            ).alias("batch"),
+        )
 
     def batch_of(d: int) -> int:
         return (d * n_batches) // n

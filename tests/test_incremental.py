@@ -172,3 +172,12 @@ def test_registry_fast_path_equals_store_replay(spark, documents):
         .collect()
     }
     assert fast == store
+    # force the over-bound fallback (precomputed single-scan replay):
+    # same survivors again, and the precomputed wiring is exercised
+    fallback = {
+        r.doc_id
+        for r in incremental.incremental_near_dedup(
+            corpus, 0.7, max_driver_pairs=0
+        ).collect()
+    }
+    assert fallback == store

@@ -24,9 +24,28 @@ def vanilla_session(app_name: str) -> SparkSession:
     Python UDF workers can unpickle closures that reference engine
     modules — the driver runs from the repo root and gets this for
     free; the rehearsal must not silently depend on its own cwd (4
-    Pandas-UDF queries fail when launched from elsewhere otherwise)."""
+    Pandas-UDF queries fail when launched from elsewhere otherwise).
+
+    Ordering contract: the env mutation only reaches workers if the
+    py4j gateway JVM has not been launched yet — call this BEFORE any
+    other SparkSession in the process (asserted below rather than
+    silently not working)."""
+    from pyspark import SparkContext
+
     existing = os.environ.get("PYTHONPATH", "")
     if _REPO_ROOT not in existing.split(os.pathsep):
+        if (
+            SparkContext._gateway is not None
+            and os.path.realpath(os.getcwd()) != os.path.realpath(_REPO_ROOT)
+        ):
+            # cwd == repo root covers workers by itself; otherwise a
+            # pre-existing gateway means the fix can no longer land
+            raise RuntimeError(
+                "vanilla_session must run before any SparkSession in this "
+                "process (or from the repo root): the JVM gateway is "
+                "already up, so the PYTHONPATH fix for forked UDF workers "
+                "cannot take effect"
+            )
         os.environ["PYTHONPATH"] = (
             _REPO_ROOT + (os.pathsep + existing if existing else "")
         )
