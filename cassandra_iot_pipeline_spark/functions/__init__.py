@@ -14,6 +14,7 @@ pipeline runs over document/embedding tables.
     bloom      -- persistable corpus sketch for incremental landing dedup
     lm         -- n-gram perplexity scoring (CCNet-style quality filter)
     sketches   -- Count-Min frequency sketch (mergeable, cross-engine exact)
+                  + CMS-routed EXACT phi-heavy hitters (frequent_tokens)
     incremental-- online near-dup dedup against a persisted MinHash store
                   (batch step + replay; streaming form in streaming/dedup)
 """

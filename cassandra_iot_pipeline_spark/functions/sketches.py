@@ -98,3 +98,104 @@ def cm_estimate(
         "token", F.coalesce(F.col("c"), F.lit(0)).alias("cj")
     )
     return joined.groupBy("token").agg(F.min("cj").alias("est"))
+
+
+# --- exact heavy hitters via CMS routing -------------------------------------
+
+
+def _sketch_arrays_row(sketch: DataFrame, width: int, depth: int):
+    """Collect the (bounded: depth*width counters, ~32 KB at defaults)
+    sketch into ONE broadcastable row of position-indexed counter
+    arrays, plus the exact total N (the sum of any one depth row — each
+    token occurrence increments exactly one counter per row). The
+    collect is control-plane-sized by construction — the sketch's whole
+    point is fixed memory — the same bounded class as the IVF centroid
+    fetch."""
+    rows = sketch.collect()
+    arrays = [[0] * width for _ in range(depth)]
+    for r in rows:
+        arrays[r["j"]][r["bucket"]] = r["c"]
+    n_total = sum(arrays[0])
+    spark = sketch.sparkSession
+    row_df = spark.createDataFrame(
+        [tuple(arrays)],
+        ", ".join(f"row{j} ARRAY<BIGINT>" for j in range(depth)),
+    )
+    return row_df, n_total
+
+
+def frequent_tokens(
+    documents: DataFrame,
+    phi: float = 0.001,
+    text_col: str = "text",
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+) -> DataFrame:
+    """EXACT phi-heavy hitters — every token whose occurrence count is
+    >= phi * N (N = total token occurrences) with its exact count —
+    without ever aggregating the full token population.
+
+    Two passes, the classic sketch-routed shape:
+
+    1. ``cm_sketch`` summarizes all token rows into depth x width
+       counters (map-side combinable, fixed memory);
+    2. the token rows stream again against ONE broadcast row holding
+       the counters as arrays: each row's CM upper bound is a pure
+       projection (``least`` over depth array lookups), and only rows
+       whose bound clears phi*N — the candidate sliver — reach the
+       exact groupBy; a final exact filter removes the sketch's
+       overestimates.
+
+    CMS never underestimates, so no true heavy hitter can be routed
+    away: the result is bit-identical to the brute-force groupBy for
+    EVERY sketch geometry (pinned in tests) — width/depth tune only how
+    small the sliver is, never correctness. At 100 TB the first pass is
+    a map-side-combined aggregation to a constant-size sketch and the
+    second shuffles only candidate-token rows: the full-population
+    shuffle of a naive groupBy never happens.
+    """
+    from .text import tokens
+
+    _check_params(width, depth)
+    rows = documents.select(
+        F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    sketch = cm_sketch(rows, width=width, depth=depth)
+    row_df, n_total = _sketch_arrays_row(sketch, width, depth)
+    threshold = phi * n_total
+    hx = F.sha2(F.col("t"), 256)
+    lookups = [
+        F.element_at(
+            F.col(f"row{j}"), (_bucket(hx, F.lit(j), width) + 1).cast("int")
+        )
+        for j in range(depth)
+    ]
+    est = lookups[0] if depth == 1 else F.least(*lookups)
+    candidates = (
+        rows.join(F.broadcast(row_df))
+        .filter(est >= F.lit(threshold))
+        .select("t")
+    )
+    return (
+        candidates.groupBy(F.col("t").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(threshold))
+    )
+
+
+def frequent_tokens_oracle(phi: float = 0.001) -> str:
+    """Brute-force DuckDB twin: exact counts over the full token
+    population, same tokenizer, same >= phi*N rule."""
+    from .text import _oracle_tokens
+
+    toks = _oracle_tokens("text")
+    return f"""
+        WITH tok AS (
+            SELECT unnest({toks}) AS t FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM tok)
+        SELECT t AS token, count(*) AS n_occurrences
+        FROM tok
+        GROUP BY t
+        HAVING count(*) >= {phi} * (SELECT n FROM tot)
+    """

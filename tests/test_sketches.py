@@ -98,3 +98,74 @@ def test_cm_bitwise_duckdb_parity(spark):
     want = con.execute(q).fetchdf().set_index("token").sort_index()
     assert list(est.index) == list(want.index)
     assert (est.est == want.est).all()
+
+
+# --- exact heavy hitters (CMS-routed) ----------------------------------------
+
+
+def _brute_frequent(duck, phi):
+    from cassandra_iot_pipeline_spark.functions.sketches import (
+        frequent_tokens_oracle,
+    )
+
+    return {
+        (r[0], int(r[1]))
+        for r in duck.execute(frequent_tokens_oracle(phi)).fetchall()
+    }
+
+
+def test_frequent_tokens_exact_vs_duckdb(spark, duck):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.sketches import frequent_tokens
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r.token, r.n_occurrences)
+        for r in frequent_tokens(docs, phi=0.002).collect()
+    }
+    assert got == _brute_frequent(duck, 0.002)
+    assert got  # fixture has tokens above the bar — a real comparison
+
+
+def test_frequent_tokens_exact_for_every_geometry(spark, duck):
+    """CMS overestimates only, so the routed result is bit-identical to
+    brute force for ANY width/depth — including a deliberately tiny,
+    collision-heavy sketch where nearly everything becomes a candidate
+    (correctness never depends on sketch tuning, only the sliver size
+    does)."""
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.sketches import frequent_tokens
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expect = _brute_frequent(duck, 0.003)
+    for width, depth in ((8, 1), (64, 2), (2048, 4)):
+        got = {
+            (r.token, r.n_occurrences)
+            for r in frequent_tokens(
+                docs, phi=0.003, width=width, depth=depth
+            ).collect()
+        }
+        assert got == expect, f"width={width} depth={depth}"
+
+
+def test_frequent_tokens_single_exchange(spark):
+    """The routing is map-side: one Exchange total (the exact groupBy
+    over the candidate sliver) — the full token population never
+    shuffles."""
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.sketches import frequent_tokens
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        frequent_tokens(docs, phi=0.002)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = plan.count("Exchange ") + plan.count("Exchange\n")
+    assert "BroadcastExchange" in plan
+    shuffle_exchanges = plan.count("Exchange hashpartitioning")
+    assert shuffle_exchanges <= 1, plan
