@@ -165,7 +165,5 @@ def test_frequent_tokens_single_exchange(spark):
         .executedPlan()
         .toString()
     )
-    n_exchanges = plan.count("Exchange ") + plan.count("Exchange\n")
     assert "BroadcastExchange" in plan
-    shuffle_exchanges = plan.count("Exchange hashpartitioning")
-    assert shuffle_exchanges <= 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
