@@ -157,6 +157,8 @@ def frequent_tokens(
     from .text import tokens
 
     _check_params(width, depth)
+    if not 0 < phi <= 1:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
     rows = documents.select(
         F.explode(tokens(F.col(text_col))).alias("t")
     )

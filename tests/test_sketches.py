@@ -4,6 +4,7 @@ bound, mergeability, and bitwise DuckDB parity of sketch + estimates."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from cassandra_iot_pipeline_spark.catalog import load_table, table_path
@@ -167,3 +168,14 @@ def test_frequent_tokens_single_exchange(spark):
     )
     assert "BroadcastExchange" in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_frequent_tokens_rejects_bad_phi(spark):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.sketches import frequent_tokens
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="phi"):
+            frequent_tokens(docs, phi=bad)
