@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import _oracle_tokens, tokens
 
@@ -42,6 +43,18 @@ N_HASHES = 64
 LSH_BANDS = 8
 LSH_ROWS = 8
 MERSENNE_P = 2_147_483_647  # 2^31-1, the universal-hash modulus
+#: per-(band, bucket) population cap for LSH candidate generation. The
+#: in-bucket self-join is exactly quadratic, and on web corpora a
+#: boilerplate template shared by k near-identical documents puts all k
+#: into ONE bucket in EVERY band (the same near-identical signature) —
+#: k in the millions for common headers/footers, i.e. ~bands*k^2/2
+#: candidate pairs concentrated on single tasks. Buckets above the cap
+#: are *star-routed*: each doc pairs only with the bucket's minimum
+#: doc_id (O(k) candidates; cluster connectivity is preserved through
+#: the verified hub, which is what downstream connected-components
+#: dedup consumes). Fixture bucket populations max out at 8 (sf0.1),
+#: so the default never fires on the driver corpora.
+LSH_MAX_BUCKET = 256
 
 
 def canonical(col: Column) -> Column:
@@ -247,18 +260,12 @@ def _lsh_block_pairs(
         "doc_id", "lang", "source",
         F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    # same capped self-join as the global tier (hot buckets star-routed
+    # — a block large enough to route here is exactly the corpus shape
+    # where one template dominates), block keys included in the bucket
+    # identity so pairs stay within their (lang, source) block
+    candidates = _capped_bucket_pairs(
+        banded, ("lang", "source", "band", "bucket"), LSH_MAX_BUCKET
     )
     # same hashed-verification representation as _exact_block_pairs
     # (one shared helper — tier equivalence requires the two sites to
@@ -468,6 +475,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup candidate generation + verification:
 
@@ -480,9 +488,12 @@ def minhash_lsh_pairs(
     4. verification: join the shingle arrays back for the candidates
        only, exact Jaccard >= threshold.
 
-    Scale: the only wide operations are keyed by 8-byte hashes, and the
-    heavy payload (shingle sets) moves only for candidate pairs — the
-    standard near-linear web-dedup plan (Broder-style MinHash + LSH).
+    Scale: the only wide operations are keyed by 8-byte hashes, the
+    heavy payload (shingle sets) moves only for candidate pairs, and
+    buckets above ``max_bucket_size`` are star-routed so no bucket's
+    in-join work exceeds the cap (boilerplate-skew guard — see
+    :data:`LSH_MAX_BUCKET`) — the standard near-linear web-dedup plan
+    (Broder-style MinHash + LSH).
     One corpus scan total: signatures are re-derived from the shingle-set
     frame (MIN is duplicate-insensitive, so sets lose nothing), so the
     banding path and both verification joins all sit above ``sh_df``'s
@@ -491,7 +502,7 @@ def minhash_lsh_pairs(
     times.
     """
     sh_df = shingled_docs(documents)
-    candidates = _candidates_from_sets(sh_df, n_hashes, bands)
+    candidates = _candidates_from_sets(sh_df, n_hashes, bands, max_bucket_size)
     return verify_jaccard_pairs(candidates, sh_df, sh_df, threshold)
 
 
@@ -527,6 +538,7 @@ def minhash_lsh_candidates(
     documents: DataFrame,
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """The pre-verification candidate stage of :func:`minhash_lsh_pairs`
     — exposed so recall is directly testable: the LSH output equals the
@@ -535,7 +547,9 @@ def minhash_lsh_candidates(
     driver's oracle gate runs at, so a fixture/seed/band-geometry change
     fails with a diagnosable recall message instead of an opaque oracle
     hash mismatch)."""
-    return _candidates_from_sets(shingled_docs(documents), n_hashes, bands)
+    return _candidates_from_sets(
+        shingled_docs(documents), n_hashes, bands, max_bucket_size
+    )
 
 
 def banded_rows(
@@ -592,6 +606,7 @@ def _candidates_from_sets(
     sh_df: DataFrame,
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from the (doc_id, sh) shingle-set
     frame. Deriving signatures from the sets (not the raw shingle rows)
@@ -599,31 +614,125 @@ def _candidates_from_sets(
     the explode preserves that partitioning, so the signature groupBy is
     partition-local and no second corpus scan exists anywhere in the
     plan."""
-    return candidate_pairs_from_bands(banded_rows(sh_df, n_hashes, bands))
+    return candidate_pairs_from_bands(
+        banded_rows(sh_df, n_hashes, bands), max_bucket_size
+    )
 
 
-def candidate_pairs_from_bands(banded: DataFrame) -> DataFrame:
+def _capped_bucket_pairs(
+    banded: DataFrame,
+    keys: tuple[str, ...],
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """(doc_a, doc_b, via_hot_bucket) candidate pairs from bucket rows
+    with hot-bucket star routing — the one capped-self-join definition
+    shared by the global LSH tier (keys = (band, bucket)) and the
+    blocked tier (keys = (lang, source, band, bucket)).
+
+    Population and hub (bucket-minimum doc_id) come from a window over
+    the bucket keys — the window's exchange IS the self-join's required
+    partitioning, so capping adds a partition-local sort but no extra
+    shuffle and no second pass over the signature pipeline. Buckets at
+    or under the cap take the exact all-pairs join; hot buckets emit
+    only (hub, doc) star pairs, each still subject to the caller's
+    exact-Jaccard verification. ``via_hot_bucket`` is false for any
+    pair some small bucket also produced (min-aggregated across
+    origins) — the audit trail for the capped sliver.
+
+    The star trade, stated precisely: within a hot bucket, a pair of
+    non-hub docs is linked only *through* the hub, so the pairwise
+    output loses (non-hub, non-hub) pairs whose Jaccard clears the
+    threshold while their hub links fail verification. Hot buckets are
+    overwhelmingly boilerplate (near-identical docs, all links verify),
+    which is why production web-dedup caps or drops them outright;
+    :func:`hot_bucket_audit` surfaces exactly which buckets were
+    routed. ``max_bucket_size=None`` disables capping (the r3
+    semantics).
+
+    Physical shape: NOT a self-join. Each bucket's member list is
+    collected into one sorted array (ObjectHashAggregate with
+    sort+spill fallback — a pathological bucket buffers k longs
+    transiently, 8 MB at k=1M, and its *output* is O(k) star pairs
+    either way), and the pair list is generated by a branch of pure
+    array expressions: nested transform/flatten for small buckets,
+    hub×tail for hot ones. One shuffle on the bucket keys replaces the
+    r3 self-join's exchange + two sorted join sides — measured faster
+    than the uncapped join at sf0.1 *and* immune to the quadratic
+    in-bucket nested loop."""
+    key_cols = list(keys)
+    grouped = banded.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    n = F.size("ids")
+
+    def pair_structs(a_col, tail, via: bool):
+        return F.transform(
+            tail,
+            lambda y: F.struct(
+                a_col.alias("doc_a"),
+                y.alias("doc_b"),
+                F.lit(via).alias("via_hot_bucket"),
+            ),
+        )
+
+    # all pairs (i < j by the sort): element i pairs with the tail
+    # starting at 1-based position i+2
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: pair_structs(
+                x, F.slice(F.col("ids"), i + F.lit(2), n - i - F.lit(1)), False
+            ),
+        )
+    )
+    if max_bucket_size is None:
+        pairs = all_pairs
+    else:
+        star = pair_structs(
+            F.element_at(F.col("ids"), 1),
+            F.slice(F.col("ids"), F.lit(2), n - F.lit(1)),
+            True,
+        )
+        pairs = F.when(n <= F.lit(max_bucket_size), all_pairs).otherwise(star)
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.via_hot_bucket")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("via_hot_bucket").alias("via_hot_bucket"))
+    )
+
+
+def candidate_pairs_from_bands(
+    banded: DataFrame, max_bucket_size: int | None = LSH_MAX_BUCKET
+) -> DataFrame:
     """Distinct candidate pairs from (doc_id, band, bucket) band rows —
     the self-join stage of banded LSH, split out so callers that already
     materialized band rows (functions/incremental.py reuses one band
     frame for store probing, intra-batch candidates, AND the store
-    delta) don't pay the signature aggregation once per consumer."""
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    delta) don't pay the signature aggregation once per consumer.
+
+    Buckets whose population exceeds ``max_bucket_size`` are
+    star-routed instead of all-paired (see :func:`_capped_bucket_pairs`
+    for the exact semantics and :data:`LSH_MAX_BUCKET` for why) — the
+    boilerplate-skew guard that keeps the stage near-linear at web
+    scale. Output carries a ``via_hot_bucket`` audit column;
+    verification stages drop it."""
+    return _capped_bucket_pairs(banded, ("band", "bucket"), max_bucket_size)
+
+
+def hot_bucket_audit(
+    banded: DataFrame,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+    keys: tuple[str, ...] = ("band", "bucket"),
+) -> DataFrame:
+    """(keys..., population) — the buckets :func:`_capped_bucket_pairs`
+    star-routes at this cap, for curation reports ("which templates did
+    we refuse to all-pair?"). One thin aggregation over the band rows."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("population"))
+        .filter(F.col("population") > max_bucket_size)
     )
-    return candidates
 
 
 def minhash_lsh_pairs_oracle(

@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from .clusters import connected_components_routed
 from .dedup import (
     LSH_BANDS,
+    LSH_MAX_BUCKET,
     N_HASHES,
     banded_rows,
     candidate_pairs_from_bands,
@@ -63,6 +64,23 @@ from .dedup import (
 #: store schemas (DDL form, for empty-store bootstrap and docs)
 BAND_STORE_SCHEMA = "band INT, bucket BIGINT, doc_id BIGINT"
 SHINGLE_STORE_SCHEMA = "doc_id BIGINT, sh ARRAY<STRING>"
+#: per-(band, bucket) population + hub summary of the band store —
+#: control-plane-sized metadata (one row per populated bucket) that
+#: lets the store probe cap hot buckets WITHOUT shuffling the store
+#: (the hot-bucket list broadcasts). Maintained incrementally by
+#: streaming/dedup.py: each epoch appends its delta's aggregate; stats
+#: fold by SUM(population) / MIN(min_doc).
+BUCKET_STATS_SCHEMA = "band INT, bucket BIGINT, population BIGINT, min_doc BIGINT"
+
+
+def bucket_stats_delta(band_delta: DataFrame) -> DataFrame:
+    """Aggregate a band-store delta into its bucket-stats delta rows
+    (schema :data:`BUCKET_STATS_SCHEMA`). Folding deltas = the same
+    aggregation over their union — associative by construction."""
+    return band_delta.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("population"),
+        F.min("doc_id").alias("min_doc"),
+    )
 
 
 class NearDedupBatch(NamedTuple):
@@ -89,13 +107,64 @@ def empty_stores(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     )
 
 
-def store_candidates(band_store: DataFrame, batch_bands: DataFrame) -> DataFrame:
+def store_candidates(
+    band_store: DataFrame,
+    batch_bands: DataFrame,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    store_bucket_stats: DataFrame | None = None,
+) -> DataFrame:
     """(doc_a=store id, doc_b=batch id) LSH collisions between the store
     and a batch. The batch band rows are broadcast — the store side is a
     map-side probe with no shuffle (and, with the store partitioned by
     ``band``, a pruned scan). Exposed separately so the no-store-shuffle
     property is plan-assertable in isolation (the intra-batch self-join
-    has its own, size-based strategy)."""
+    has its own, size-based strategy).
+
+    Hot-bucket capping, both directions (the store probe's sibling of
+    :func:`~.dedup.candidate_pairs_from_bands`' star routing):
+
+    - **batch side** — a batch bucket holding more than
+      ``max_bucket_size`` docs probes the store through its minimum
+      doc_id only (the other members reach the store transitively via
+      the intra-batch star pairs of the same bucket). Computed with a
+      window over the (small, already-materialized) batch band frame.
+    - **store side** — requires ``store_bucket_stats``
+      (:data:`BUCKET_STATS_SCHEMA`, maintained by the store lifecycle):
+      store buckets with ``population > max_bucket_size`` answer probes
+      with their ``min_doc`` representative only, applied as a
+      broadcast filter so the store side STILL never shuffles. Without
+      stats the store side is uncapped (documented trade of the
+      in-memory replay harness).
+    """
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bucket")
+        batch_bands = (
+            batch_bands.select(
+                "doc_id",
+                "band",
+                "bucket",
+                F.count(F.lit(1)).over(w).alias("_pop"),
+                F.min("doc_id").over(w).alias("_hub"),
+            )
+            .filter(
+                (F.col("_pop") <= max_bucket_size)
+                | (F.col("doc_id") == F.col("_hub"))
+            )
+            .select("doc_id", "band", "bucket")
+        )
+        if store_bucket_stats is not None:
+            hot = store_bucket_stats.filter(
+                F.col("population") > max_bucket_size
+            ).select("band", "bucket", F.col("min_doc").alias("_hub"))
+            band_store = (
+                band_store.join(F.broadcast(hot), ["band", "bucket"], "left")
+                .filter(
+                    F.col("_hub").isNull() | (F.col("doc_id") == F.col("_hub"))
+                )
+                .drop("_hub")
+            )
     return (
         band_store.join(
             F.broadcast(batch_bands.withColumnRenamed("doc_id", "doc_b")),
@@ -116,6 +185,8 @@ def near_dedup_batch(
     bands: int = LSH_BANDS,
     sh_batch: DataFrame | None = None,
     batch_bands: DataFrame | None = None,
+    store_bucket_stats: DataFrame | None = None,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> NearDedupBatch:
     """One online near-dedup step: admit the batch docs that are not
     near-dups of the store or of an earlier doc in the same batch.
@@ -158,8 +229,12 @@ def near_dedup_batch(
             eager=True
         )
 
-    # store ⋈ broadcast(batch bands): shuffle-free on the store side.
-    cross_candidates = store_candidates(band_store, batch_bands)
+    # store ⋈ broadcast(batch bands): shuffle-free on the store side;
+    # hot buckets capped on both directions (store side only when the
+    # caller maintains bucket stats — the streaming pipeline does).
+    cross_candidates = store_candidates(
+        band_store, batch_bands, max_bucket_size, store_bucket_stats
+    )
     # shingle payloads move only for candidate store ids (semi-join
     # keyed by the small candidate frame, broadcast).
     store_hit_ids = cross_candidates.select(
@@ -170,7 +245,7 @@ def near_dedup_batch(
         cross_candidates, store_payloads, sh_batch, threshold
     )
 
-    intra_candidates = candidate_pairs_from_bands(batch_bands)
+    intra_candidates = candidate_pairs_from_bands(batch_bands, max_bucket_size)
     intra_pairs = verify_jaccard_pairs(intra_candidates, sh_batch, sh_batch, threshold)
 
     pairs = cross_pairs.unionByName(intra_pairs).select("doc_a", "doc_b")
@@ -237,7 +312,14 @@ def incremental_near_dedup(
     # geometry, and verification as minhash_lsh_pairs — same
     # construction, shared code), so exceeding the bound wastes nothing:
     # the fallback replay reuses the materialized frames instead of
-    # re-shingling the corpus.
+    # re-shingling the corpus. Block release: localCheckpoint blocks
+    # are freed by the ContextCleaner once the frames become
+    # unreachable — on return for the fast path (its result depends
+    # only on `documents` + the driver-built dropped list), and when
+    # the caller drops the result for the fallback (whose survivors
+    # frame reads the checkpointed partitions). A long-lived session
+    # replaying many corpora holds at most one generation live at a
+    # time for that reason.
     sh_all = shingled_docs(documents).localCheckpoint(eager=True)
     bands_all = banded_rows(sh_all).localCheckpoint(eager=True)
     pairs = verify_jaccard_pairs(
