@@ -23,6 +23,7 @@ exactly like the reference's Kafka + Cassandra pair.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: how long a key is remembered = the maximum redelivery lag absorbed.
 #: The bounded replays deliver whole day-files, so duplicates of an
@@ -76,6 +77,29 @@ DOCUMENTS_STREAM_SCHEMA = (
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
 )
 
+#: schema of the per-epoch ingest watermark row (monotone-id guard)
+WATERMARK_SCHEMA = "epoch BIGINT, max_doc BIGINT"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — the store
+    may live on any Hadoop filesystem (hdfs://, s3a://), where os.path
+    listing/renames would silently misreport. NOTE: the compaction
+    commit below relies on ``rename`` being atomic-ish (true on local
+    and HDFS; on S3 rename is copy+delete — use a longer compaction
+    quiesce there)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _list_children(spark: SparkSession, path: str) -> list[str]:
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
 
 class NearDedupPipeline:
     """Continuous near-dup curation: each micro-batch of documents is
@@ -84,12 +108,19 @@ class NearDedupPipeline:
 
     This is the streaming form of ``incremental_near_dedup`` — the same
     ``near_dedup_batch`` step runs inside ``foreachBatch``, with the
-    band + shingle stores living as parquet tables next to the curated
-    output:
+    stores living as parquet tables next to the curated output:
 
-    - ``<dir>/bands/epoch=N/``     LSH index delta of batch N
-    - ``<dir>/shingles/epoch=N/``  verification payload delta of batch N
-    - ``<dir>/curated/epoch=N/``   admitted documents of batch N
+    - ``<dir>/bands/``         LSH index: ``epoch=N`` deltas + at most
+      one compacted ``base_upto=K`` (band-partitioned — partition
+      pruning on ``band`` is available to pruned probes)
+    - ``<dir>/shingles/``      verification payloads, same delta+base
+      layout
+    - ``<dir>/bucket_stats/``  per-(band, bucket) population + hub
+      summaries (functions/incremental.py BUCKET_STATS_SCHEMA) — what
+      lets the store probe cap hot buckets without shuffling the store
+    - ``<dir>/curated/epoch=N/``  admitted documents of batch N
+    - ``<dir>/watermark/epoch=N/`` one-row (epoch, max_doc) ingest
+      watermark — the monotone-id guard's memory
 
     **Idempotence** (foreachBatch is at-least-once): every epoch writes
     by *overwriting its own epoch directory*, so a replayed epoch lands
@@ -98,67 +129,188 @@ class NearDedupPipeline:
     construction: a doc's collision with itself is removed by the
     ``doc_a < doc_b`` filter, and any same-batch pair the first attempt
     caught as an intra pair is caught on replay as a cross pair with
-    the same survivor outcome (pinned in tests).
+    the same survivor outcome (pinned in tests). A replay landing
+    *after* a compaction folded its epoch re-creates the epoch dir, but
+    readers ignore epochs at or under the base's ``upto`` — no double
+    count — and the next compaction deletes the leftover.
+
+    **Monotone-id guard**: ``near_dedup_batch`` requires every batch
+    doc_id to exceed every stored doc_id, and deliberately does not
+    guard in-plan (idempotent replay legitimately violates it — see its
+    docstring). The *pipeline* layer knows epochs, so it can tell a
+    replay from fresh data: a batch whose ``epoch_id`` is NEW (above
+    the recorded watermark epoch) but whose min doc_id is at or below
+    the previous epochs' max fails loudly here instead of silently
+    inverting keep-first survivorship.
+
+    **Store lifecycle**: every micro-batch appends three delta dirs, so
+    a long-running stream accumulates files linearly; :meth:`compact`
+    folds base + deltas into a fresh ``base_upto=N`` (bands
+    band-partitioned, bucket stats re-aggregated to one row per
+    bucket), commits it with a rename, then deletes the folded inputs.
+    Readers pick the highest complete base + newer epochs, so a crash
+    at ANY point leaves a readable, non-duplicated store. Pass
+    ``compact_every`` to run it on an epoch cadence inside the stream.
 
     **Scale**: the per-batch work is the documented near_dedup_batch
-    plan — the store scan is shuffle-free (broadcast batch band rows)
-    and, because the band store is laid out under ``epoch=N``
-    partitions, restarts never rewrite old data. The store scan cost
-    grows with the corpus; on a cluster, partition the band store by
-    ``band`` as well and the probe prunes to the batch's bands.
+    plan — the store scan is shuffle-free (broadcast batch band rows),
+    hot buckets are capped on both probe directions via the maintained
+    bucket stats, and compaction keeps file counts bounded.
     """
 
-    def __init__(self, base_dir: str, threshold: float = 0.8) -> None:
+    def __init__(
+        self,
+        base_dir: str,
+        threshold: float = 0.8,
+        compact_every: int | None = None,
+    ) -> None:
         self.base_dir = base_dir
         self.threshold = threshold
+        self.compact_every = compact_every
         self.bands_dir = f"{base_dir}/bands"
         self.shingles_dir = f"{base_dir}/shingles"
+        self.stats_dir = f"{base_dir}/bucket_stats"
         self.curated_dir = f"{base_dir}/curated"
+        self.watermark_dir = f"{base_dir}/watermark"
 
     # -- store access -------------------------------------------------
     @staticmethod
     def _read_path(spark: SparkSession, path: str, empty: DataFrame) -> DataFrame:
-        """Read a store directory, falling back to ``empty`` only when
-        the path does not exist yet. Existence is probed by attempting
-        the read (AnalysisException PATH_NOT_FOUND), not os.path — the
-        store may live on any Hadoop filesystem (hdfs://, s3a://),
-        where a local isdir check would silently report 'no store' and
-        re-admit duplicates forever."""
+        """Read a plain epoch-partitioned directory (curated output),
+        falling back to ``empty`` only when the path does not exist
+        yet. Existence is probed by attempting the read, matching on
+        the error class where the API provides it (message-substring
+        fallback for older wordings) — not os.path, which on a remote
+        filesystem would silently report 'no store' and re-admit
+        duplicates forever."""
         from pyspark.errors import AnalysisException
 
         try:
             df = spark.read.parquet(path)
         except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            get_class = getattr(exc, "getErrorClass", None)
+            klass = get_class() if callable(get_class) else None
+            if (
+                klass == "PATH_NOT_FOUND"
+                or "PATH_NOT_FOUND" in str(exc)
+                or "Path does not exist" in str(exc)
+            ):
                 return empty
             raise
         return df.select(*empty.columns)  # drop the epoch partition col
 
-    def _read_or_empty(self, spark: SparkSession, path: str, which: str):
-        from ..functions.incremental import empty_stores
+    @staticmethod
+    def _store_parts(
+        spark: SparkSession, path: str
+    ) -> tuple[str | None, int, list[tuple[int, str]]]:
+        """(base_path, base_upto, [(epoch, path) for epochs > upto]) —
+        the reader's view of a delta+base store directory. Stale bases
+        (below the max upto) and already-folded epoch dirs (re-created
+        by a post-compaction replay) are ignored, which is what makes
+        every compaction crash window readable."""
+        names = _list_children(spark, path)
+        bases = sorted(
+            int(n.split("=", 1)[1]) for n in names if n.startswith("base_upto=")
+        )
+        upto = bases[-1] if bases else -1
+        base_path = f"{path}/base_upto={upto}" if bases else None
+        epochs = sorted(
+            (int(n.split("=", 1)[1]), f"{path}/{n}")
+            for n in names
+            if n.startswith("epoch=")
+        )
+        return base_path, upto, [(e, p) for e, p in epochs if e > upto]
+
+    def _read_store(self, spark: SparkSession, path: str, empty: DataFrame):
+        base_path, _, epochs = self._store_parts(spark, path)
+        parts = []
+        if base_path is not None:
+            parts.append(spark.read.parquet(base_path).select(*empty.columns))
+        if epochs:
+            parts.append(
+                spark.read.parquet(*[p for _, p in epochs]).select(*empty.columns)
+            )
+        if not parts:
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _empty_for(self, spark: SparkSession, which: str) -> DataFrame:
+        from ..functions.incremental import (
+            BUCKET_STATS_SCHEMA,
+            empty_stores,
+        )
 
         band_empty, shingle_empty = empty_stores(spark)
-        empty = band_empty if which == "bands" else shingle_empty
-        return self._read_path(spark, path, empty)
+        return {
+            "bands": band_empty,
+            "shingles": shingle_empty,
+            "bucket_stats": spark.createDataFrame([], BUCKET_STATS_SCHEMA),
+        }[which]
+
+    def _read_or_empty(self, spark: SparkSession, path: str, which: str):
+        return self._read_store(spark, path, self._empty_for(spark, which))
+
+    def bucket_stats(self, spark: SparkSession) -> DataFrame:
+        """Folded per-bucket stats: deltas (and any compacted base) sum
+        by bucket. A post-compaction epoch replay can double-count its
+        own population — conservative only (a bucket can read hotter
+        than it is, never colder), so capping stays sound."""
+        raw = self._read_or_empty(spark, self.stats_dir, "bucket_stats")
+        return raw.groupBy("band", "bucket").agg(
+            F.sum("population").alias("population"),
+            F.min("min_doc").alias("min_doc"),
+        )
 
     def curated(self, spark: SparkSession) -> DataFrame:
         """The admitted corpus so far (empty-safe)."""
         empty = spark.createDataFrame([], DOCUMENTS_STREAM_SCHEMA)
         return self._read_path(spark, self.curated_dir, empty)
 
+    def watermark(self, spark: SparkSession) -> tuple[int, int] | None:
+        """(latest epoch, its running max doc_id) or None before the
+        first batch."""
+        names = _list_children(spark, self.watermark_dir)
+        epochs = sorted(
+            int(n.split("=", 1)[1]) for n in names if n.startswith("epoch=")
+        )
+        if not epochs:
+            return None
+        row = spark.read.parquet(
+            f"{self.watermark_dir}/epoch={epochs[-1]}"
+        ).first()
+        return (epochs[-1], row["max_doc"])
+
     # -- write path (called from foreachBatch) ------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        from ..functions.incremental import near_dedup_batch
+        from ..functions.incremental import bucket_stats_delta, near_dedup_batch
 
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)
+        bounds = batch.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        wm = self.watermark(spark)
+        if wm is not None and epoch_id > wm[0] and bounds["lo"] <= wm[1]:
+            raise ValueError(
+                f"near-dedup ingest out of order: epoch {epoch_id} carries "
+                f"doc_id {bounds['lo']} <= {wm[1]}, the max already ingested "
+                f"through epoch {wm[0]}. near_dedup_batch's keep-first rule "
+                "is id-ordered (cluster minimum survives), so an id below "
+                "the watermark would silently lose to a LATER-ingested store "
+                "doc with a larger id. Stage files in ascending id ranges "
+                "(mtime order), or re-number the ingest sequence."
+            )
         step = near_dedup_batch(
             batch,
             self._read_or_empty(spark, self.bands_dir, "bands"),
             self._read_or_empty(spark, self.shingles_dir, "shingles"),
             self.threshold,
+            store_bucket_stats=self.bucket_stats(spark),
         )
         # epoch-dir overwrite => replaying an epoch is a no-op rewrite
         step.survivors.write.mode("overwrite").parquet(
@@ -170,6 +322,103 @@ class NearDedupPipeline:
         step.shingle_delta.write.mode("overwrite").parquet(
             f"{self.shingles_dir}/epoch={epoch_id}"
         )
+        bucket_stats_delta(step.band_delta).write.mode("overwrite").parquet(
+            f"{self.stats_dir}/epoch={epoch_id}"
+        )
+        # watermark last: a crash before this point replays the epoch,
+        # which the guard exempts (epoch_id not above the recorded max)
+        max_doc = bounds["hi"] if wm is None else max(bounds["hi"], wm[1])
+        spark.createDataFrame(
+            [(int(epoch_id), int(max_doc))], WATERMARK_SCHEMA
+        ).write.mode("overwrite").parquet(
+            f"{self.watermark_dir}/epoch={epoch_id}"
+        )
+        if (
+            self.compact_every is not None
+            and (epoch_id + 1) % self.compact_every == 0
+        ):
+            self.compact(spark)
+
+    # -- maintenance ---------------------------------------------------
+    def compact(self, spark: SparkSession) -> dict[str, int]:
+        """Fold every store's base + epoch deltas into a fresh
+        ``base_upto=N``: bands band-partitioned (partition pruning for
+        band-filtered probes), bucket stats re-aggregated to one row
+        per bucket, shingles coalesced. Commit per store is
+        write-to-hidden-dir then rename; the folded inputs are deleted
+        only after the rename, and readers ignore stale bases / folded
+        epochs, so every crash window stays readable with no double
+        counts. Watermark history is pruned to its latest epoch.
+        Returns {store: new upto} for the stores that had anything to
+        fold."""
+        done: dict[str, int] = {}
+        for which, path in (
+            ("bands", self.bands_dir),
+            ("shingles", self.shingles_dir),
+            ("bucket_stats", self.stats_dir),
+        ):
+            base_path, upto, epochs = self._store_parts(spark, path)
+            if not epochs and base_path is not None:
+                # nothing new — but clear replay leftovers under upto
+                self._delete_under(spark, path, "epoch=", upto)
+                continue
+            if not epochs:
+                continue
+            new_upto = max(upto, epochs[-1][0])
+            df = self._read_store(spark, path, self._empty_for(spark, which))
+            fs, _ = _hadoop_fs(spark, path)
+            Path = spark._jvm.org.apache.hadoop.fs.Path
+            tmp = f"{path}/.compacting"
+            fs.delete(Path(tmp), True)  # crash leftover
+            if which == "bands":
+                (
+                    df.repartition("band")
+                    .write.mode("overwrite")
+                    .partitionBy("band")
+                    .parquet(tmp)
+                )
+            elif which == "bucket_stats":
+                (
+                    df.groupBy("band", "bucket")
+                    .agg(
+                        F.sum("population").alias("population"),
+                        F.min("min_doc").alias("min_doc"),
+                    )
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+            else:
+                df.repartition(8).write.mode("overwrite").parquet(tmp)
+            dest = Path(f"{path}/base_upto={new_upto}")
+            fs.delete(dest, True)  # crash leftover with the same upto
+            fs.rename(Path(tmp), dest)
+            # committed — now drop the folded inputs
+            if base_path is not None:
+                fs.delete(Path(base_path), True)
+            self._delete_under(spark, path, "epoch=", new_upto)
+            done[which] = new_upto
+        # watermark: only the latest epoch matters
+        wm_names = _list_children(spark, self.watermark_dir)
+        wm_epochs = sorted(
+            int(n.split("=", 1)[1]) for n in wm_names if n.startswith("epoch=")
+        )
+        if len(wm_epochs) > 1:
+            self._delete_under(
+                spark, self.watermark_dir, "epoch=", wm_epochs[-1] - 1
+            )
+        return done
+
+    @staticmethod
+    def _delete_under(
+        spark: SparkSession, path: str, prefix: str, upto: int
+    ) -> None:
+        """Delete every ``<prefix><n>`` child of ``path`` with n <= upto."""
+        fs, _ = _hadoop_fs(spark, path)
+        Path = spark._jvm.org.apache.hadoop.fs.Path
+        for n in _list_children(spark, path):
+            if n.startswith(prefix) and int(n.split("=", 1)[1]) <= upto:
+                fs.delete(Path(f"{path}/{n}"), True)
 
     def foreach_batch(self):
         return self.write_batch
@@ -183,6 +432,7 @@ def streaming_near_dedup(
     threshold: float = 0.8,
     max_files_per_trigger: int = 1,
     trigger: dict | None = None,
+    compact_every: int | None = None,
 ):
     """Wire a staged document directory through the near-dup pipeline.
     Returns the started StreamingQuery; await it, then read the curated
@@ -191,8 +441,10 @@ def streaming_near_dedup(
     File order is the ingest order (file source lists by modification
     time), so the doc_id-monotonicity contract of near_dedup_batch means
     staged files must carry ascending id ranges — the natural layout for
-    an ingest sequence number."""
-    pipe = NearDedupPipeline(base_dir, threshold)
+    an ingest sequence number; the pipeline's watermark guard fails
+    loudly on a violation instead of silently mis-surviving.
+    ``compact_every`` folds the delta stores on that epoch cadence."""
+    pipe = NearDedupPipeline(base_dir, threshold, compact_every=compact_every)
     stream = (
         spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
