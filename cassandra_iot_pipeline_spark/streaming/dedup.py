@@ -57,16 +57,22 @@ def dedup_within_watermark(
 def double_delivery(
     spark: SparkSession, staged_dir: str, max_files_per_trigger: int
 ) -> DataFrame:
-    """Deterministic at-least-once worst case: two independent file
-    sources over the same staging union into one stream, so every
-    record is delivered exactly twice. Both sources list the same files
-    in the same order, so the copies co-arrive within a trigger of each
-    other — inside ``DEDUP_DELAY`` by construction."""
+    """Deterministic at-least-once worst case: every record is
+    delivered exactly twice. ONE file source, duplicates synthesized
+    in-stream by exploding a two-element array per record — the same
+    at-least-once contract the earlier two-source union modeled, at
+    half the source I/O (a second streaming source re-lists and
+    re-reads every staged file; the synthetic copy is a Generate node
+    over rows already in memory). The copies co-arrive within the same
+    micro-batch — inside ``DEDUP_DELAY`` by construction; cross-batch
+    redelivery (the other arrival shape) is exercised directly in
+    tests/test_streaming_dedup.py with explicitly staged duplicates."""
     from .pipeline import read_event_stream
 
-    first = read_event_stream(spark, staged_dir, max_files_per_trigger)
-    second = read_event_stream(spark, staged_dir, max_files_per_trigger)
-    return first.unionByName(second)
+    stream = read_event_stream(spark, staged_dir, max_files_per_trigger)
+    return stream.withColumn(
+        "_delivery", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).drop("_delivery")
 
 
 # --- streaming near-dup dedup (continuous corpus curation) -----------------
