@@ -29,6 +29,7 @@ from cassandra_iot_pipeline_spark.functions import (
     incremental,
     multimodal,
     similarity,
+    sketches,
     text,
 )
 from cassandra_iot_pipeline_spark.operators import (
@@ -65,6 +66,11 @@ ANN_K = 5
 # fixture embeddings are near-random (max pairwise cosine ~0.39);
 # 0.3 yields a meaningful pair set to verify against the oracle
 EMB_DUP_THRESHOLD = 0.3
+TOKEN_TOP_K = 10  # token_frequencies: exact top-k side
+# heavy-hitter share: the fixture vocabulary is ~31 tokens, 30 of them
+# near-uniform at ~3.2% and one ('dup') at ~0.1% across every SF — 2%
+# selects the 30 with wide margin on both sides of the threshold
+HEAVY_PHI = 0.02
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -200,8 +206,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": lambda s, d: text.doc_fingerprints(
             _t("documents")(s, d)
         ),
-        "word_frequencies": lambda s, d: text.word_frequencies(
-            _t("documents")(s, d)
+        # word_frequencies moved to tests/test_legacy_parity.py
+        # (registry cap 50): this slot now fuses the exact top-k with
+        # the CMS-routed exact phi-heavy hitters (functions/sketches.py
+        # frequent_tokens) so the sketch-routed plan is driver-checked.
+        "token_frequencies": lambda s, d: sketches.token_frequency_profile(
+            _t("documents")(s, d), TOKEN_TOP_K, HEAVY_PHI
         ),
         # --- deduplication ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_t("documents")(s, d)),
@@ -332,7 +342,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_conversion_pairs": rangejoin.conversion_pairs_oracle(),
         "text_profile": text.text_profile_oracle(),
         "doc_fingerprints": text.doc_fingerprints_oracle(),
-        "word_frequencies": text.word_frequencies_oracle(),
+        "token_frequencies": sketches.token_frequency_profile_oracle(
+            TOKEN_TOP_K, HEAVY_PHI
+        ),
         "exact_dedup": dedup.exact_dedup_oracle(),
         "blocked_jaccard_pairs": dedup.blocked_jaccard_pairs_oracle(JACCARD_THRESHOLD),
         # minhash_lsh_pairs: the exhaustive exact-Jaccard oracle — the

@@ -149,7 +149,12 @@ def frequent_tokens(
     CMS never underestimates, so no true heavy hitter can be routed
     away: the result is bit-identical to the brute-force groupBy for
     EVERY sketch geometry (pinned in tests) — width/depth tune only how
-    small the sliver is, never correctness. At 100 TB the first pass is
+    small the sliver is, never correctness. Precision caveat: the
+    ``phi * N`` threshold is computed and compared in double, so the
+    bit-identity claim assumes counts below 2^53 (~9e15 — holds at any
+    plausible corpus; the brute-force twin evaluates the identical
+    double comparison, which is what makes the parity exact rather
+    than merely close). At 100 TB the first pass is
     a map-side-combined aggregation to a constant-size sketch and the
     second shuffles only candidate-token rows: the full-population
     shuffle of a naive groupBy never happens.
@@ -183,6 +188,81 @@ def frequent_tokens(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= F.lit(threshold))
     )
+
+
+def token_frequency_profile(
+    documents: DataFrame,
+    k: int = 10,
+    phi: float = 0.02,
+    text_col: str = "text",
+    width: int = CM_WIDTH,
+    depth: int = CM_DEPTH,
+) -> DataFrame:
+    """The two token-frequency surfaces in one result (the driver's
+    registered form): (token, n_occurrences, in_topk, is_heavy) for
+    every token that is in the exact top-``k`` by occurrence count
+    (count desc, token asc tie-break) OR is an exact ``phi``-heavy
+    hitter.
+
+    The top-k side is the canonical explode/aggregate/heap plan
+    (text.word_frequencies); the heavy side is the CMS-routed exact
+    path (:func:`frequent_tokens` — fixed-memory sketch pass, map-side
+    candidate filter against one broadcast counter row, exact groupBy
+    over the candidate sliver only). Fusing them in one registered
+    query keeps BOTH plans driver-checked under the 50-name cap; the
+    un-fused word_frequencies keeps its own oracle in
+    tests/test_legacy_parity.py. Both sides end in a full outer join on
+    the token — their exact counts agree wherever both sides emit, so
+    n_occurrences coalesces either way.
+    """
+    from .text import word_frequencies
+
+    topk = word_frequencies(documents, k).withColumn("in_topk", F.lit(True))
+    heavy = frequent_tokens(
+        documents, phi, text_col=text_col, width=width, depth=depth
+    ).withColumn("is_heavy", F.lit(True))
+    return (
+        topk.join(
+            heavy.select(
+                "token",
+                F.col("n_occurrences").alias("_n_heavy"),
+                "is_heavy",
+            ),
+            "token",
+            "full_outer",
+        )
+        .select(
+            "token",
+            F.coalesce("n_occurrences", "_n_heavy").alias("n_occurrences"),
+            F.coalesce("in_topk", F.lit(False)).alias("in_topk"),
+            F.coalesce("is_heavy", F.lit(False)).alias("is_heavy"),
+        )
+    )
+
+
+def token_frequency_profile_oracle(k: int = 10, phi: float = 0.02) -> str:
+    """Brute-force DuckDB twin of :func:`token_frequency_profile`: one
+    exact count per token, top-k and >= phi*N selections, full outer
+    join. The heavy threshold is the same double-precision
+    ``count >= phi * N`` comparison the Spark side evaluates (exact
+    below 2^53 — see the :func:`frequent_tokens` docstring)."""
+    from .text import _oracle_tokens
+
+    toks = _oracle_tokens("text")
+    return f"""
+        WITH tok AS (
+            SELECT unnest({toks}) AS t FROM documents
+        ),
+        c AS (SELECT t AS token, count(*) AS n FROM tok GROUP BY t),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        topk AS (SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT {k}),
+        heavy AS (SELECT token, n FROM c, tot WHERE n >= {phi} * total)
+        SELECT COALESCE(tk.token, h.token) AS token,
+               COALESCE(tk.n, h.n) AS n_occurrences,
+               (tk.token IS NOT NULL) AS in_topk,
+               (h.token IS NOT NULL) AS is_heavy
+        FROM topk tk FULL OUTER JOIN heavy h ON tk.token = h.token
+    """
 
 
 def frequent_tokens_oracle(phi: float = 0.001) -> str:

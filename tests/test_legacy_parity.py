@@ -49,6 +49,13 @@ LEGACY = {
         json_decode.props_bucket_rollup,
         json_decode.props_bucket_rollup_oracle(),
     ),
+    # deregistered r4: slot given to token_frequencies (top-k fused
+    # with the CMS-routed exact heavy hitters)
+    "word_frequencies": (
+        "documents",
+        text.word_frequencies,
+        text.word_frequencies_oracle(),
+    ),
     "text_stats": ("documents", text.text_stats, text.text_stats_oracle()),
     "language_guess": (
         "documents",
