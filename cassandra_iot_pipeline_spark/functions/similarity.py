@@ -983,70 +983,12 @@ def _ivf_rerank(queries: DataFrame, cands: DataFrame, k: int) -> DataFrame:
 # --- product quantization (ADC candidate generation) -------------------------
 
 
-def _pq_codebook(
-    embeddings: DataFrame, m: int, ks: int, dims: int
-) -> DataFrame:
-    """(s, code_id, cw) codebook: codeword ``code_id`` of subspace ``s``
-    is the s-th slice of the ``code_id``-th sha256-minimizer-sampled
-    corpus vector (the same deterministic, layout-stable sampling as the
-    IVF coarse centroids — a production build would k-means-refine each
-    subspace's codewords; the plumbing is identical). Quantized to exact
-    integers like every similarity operator here."""
+def _sub_rows(embeddings: DataFrame, m: int, dims: int) -> DataFrame:
+    """(vec_id, s, x): the corpus split into quantized sub-vectors, one
+    row per (vector, subspace) — the working representation shared by
+    the encoder and the codebook refiner."""
     sub = dims // m
-    sample = (
-        embeddings.select(
-            "vec_id",
-            "embedding",
-            F.sha2(F.col("vec_id").cast("string"), 256).alias("h"),
-        )
-        .orderBy("h", "vec_id")
-        .limit(ks)
-        .withColumn(
-            "code_id",
-            F.row_number().over(Window.orderBy("h", "vec_id")) - 1,
-        )
-    )
-    return sample.select(
-        "code_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        _quantized(
-                            F.slice(F.col("embedding"), s * sub + 1, sub)
-                        ).alias("cw"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("sc"),
-    ).select("code_id", F.col("sc.s").alias("s"), F.col("sc.cw").alias("cw"))
-
-
-def pq_encode(
-    embeddings: DataFrame,
-    m: int = 8,
-    ks: int = 16,
-    dims: int = 64,
-    codebook: DataFrame | None = None,
-) -> DataFrame:
-    """Product-quantize the corpus: (vec_id, codes ARRAY<INT>) where
-    ``codes[s]`` is the nearest codeword (max inner product, exact
-    integer arithmetic, code_id tiebreak) of subspace ``s``.
-
-    This is the 100 TB storage story: a 64-dim float vector (256 B)
-    compresses to ``m`` small ints (8 B at m=8) — the at-rest /
-    shuffle-time representation for candidate generation, with exact
-    vectors fetched only for the final re-rank sliver. All Catalyst:
-    slice explode -> broadcast codebook join -> per-(vec, s) ranking.
-
-    ``codebook`` lets a caller that already built the codebook (pq_topk,
-    or an incremental encoder reusing a persisted one) pass it in; by
-    default it is derived from ``embeddings`` itself."""
-    sub = dims // m
-    cb = codebook if codebook is not None else _pq_codebook(embeddings, m, ks, dims)
-    sub_rows = embeddings.select(
+    return embeddings.select(
         "vec_id",
         F.explode(
             F.array(
@@ -1062,6 +1004,132 @@ def pq_encode(
             )
         ).alias("sx"),
     ).select("vec_id", F.col("sx.s").alias("s"), F.col("sx.x").alias("x"))
+
+
+def _lloyd_step(sub_rows: DataFrame, cb: DataFrame) -> DataFrame:
+    """One Lloyd iteration per subspace, in the codebook's own
+    assignment metric: every sub-vector is assigned to its best
+    codeword exactly as ``pq_encode`` will assign it (max inner
+    product, code_id tiebreak), then each (s, code_id) cell's codeword
+    moves to the element-wise mean of its assigned sub-vectors —
+    integer mean (``sum DIV count`` per dimension: exact longs, so the
+    step is bitwise partition-invariant). Codewords that attracted
+    nothing keep their previous value (the empty-cluster rule)."""
+    scored = sub_rows.join(F.broadcast(cb), "s").withColumn(
+        "ip", _dot(F.col("x"), F.col("cw"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("ip").desc(), F.col("code_id").asc()
+    )
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("s", "code_id", "x")
+    )
+    means = (
+        assigned.select(
+            "s", "code_id", F.posexplode("x").alias("pos", "v")
+        )
+        .groupBy("s", "code_id", "pos")
+        .agg(F.expr("sum(v) DIV count(1)").alias("cv"))
+    )
+    new_cw = means.groupBy("s", "code_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("cv")))),
+            lambda p: p["cv"],
+        ).alias("cw_new")
+    )
+    return cb.join(new_cw, ["s", "code_id"], "left").select(
+        "code_id", "s", F.coalesce("cw_new", "cw").alias("cw")
+    )
+
+
+def _pq_codebook(
+    embeddings: DataFrame,
+    m: int,
+    ks: int,
+    dims: int,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """(s, code_id, cw) codebook. Initialization: codeword ``code_id``
+    of subspace ``s`` is the s-th slice of the ``code_id``-th
+    sha256-minimizer-sampled corpus vector (the same deterministic,
+    layout-stable sampling as the IVF coarse centroids). Quantized to
+    exact integers like every similarity operator here.
+
+    ``refine_iters`` runs that many Lloyd iterations per subspace on
+    top of the sample (:func:`_lloyd_step`): each iteration is one
+    corpus pass — broadcast-codebook assignment + a tiny
+    (m·ks·sub)-row mean aggregation, the identical join machinery the
+    encoder itself uses — and the refined codebook stays deterministic
+    and partition-invariant (integer means, fixed tiebreaks). The
+    (tiny) codebook is checkpointed per iteration so the lineage stays
+    flat. 0 keeps the plain sampled codebook (the r3 behavior)."""
+    sub = dims // m
+    sample = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.sha2(F.col("vec_id").cast("string"), 256).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(ks)
+        .withColumn(
+            "code_id",
+            F.row_number().over(Window.orderBy("h", "vec_id")) - 1,
+        )
+    )
+    cb = sample.select(
+        "code_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        _quantized(
+                            F.slice(F.col("embedding"), s * sub + 1, sub)
+                        ).alias("cw"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sc"),
+    ).select("code_id", F.col("sc.s").alias("s"), F.col("sc.cw").alias("cw"))
+    if refine_iters > 0:
+        rows = _sub_rows(embeddings, m, dims)
+        for _ in range(refine_iters):
+            cb = _lloyd_step(rows, cb).localCheckpoint(eager=True)
+    return cb
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    dims: int = 64,
+    codebook: DataFrame | None = None,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Product-quantize the corpus: (vec_id, codes ARRAY<INT>) where
+    ``codes[s]`` is the nearest codeword (max inner product, exact
+    integer arithmetic, code_id tiebreak) of subspace ``s``.
+
+    This is the 100 TB storage story: a 64-dim float vector (256 B)
+    compresses to ``m`` small ints (8 B at m=8) — the at-rest /
+    shuffle-time representation for candidate generation, with exact
+    vectors fetched only for the final re-rank sliver. All Catalyst:
+    slice explode -> broadcast codebook join -> per-(vec, s) ranking.
+
+    ``codebook`` lets a caller that already built the codebook (pq_topk,
+    or an incremental encoder reusing a persisted one) pass it in; by
+    default it is derived from ``embeddings`` itself, with
+    ``refine_iters`` Lloyd iterations (see :func:`_pq_codebook`)."""
+    cb = (
+        codebook
+        if codebook is not None
+        else _pq_codebook(embeddings, m, ks, dims, refine_iters)
+    )
+    sub_rows = _sub_rows(embeddings, m, dims)
     scored = sub_rows.join(F.broadcast(cb), "s").withColumn(
         "ip", _dot(F.col("x"), F.col("cw"))
     )
@@ -1089,6 +1157,7 @@ def pq_topk(
     ks: int = 16,
     dims: int = 64,
     rerank: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """PQ-ADC top-k: asymmetric-distance candidate generation over
     ``m``-byte codes, exact-cosine re-rank of the top ``rerank``
@@ -1120,7 +1189,7 @@ def pq_topk(
     # structural rather than coincidental — and saves a second
     # sha2-order sample scan); queries are filtered out BEFORE
     # encoding so their codes are never computed just to be dropped.
-    cb = _pq_codebook(embeddings, m, ks, dims)
+    cb = _pq_codebook(embeddings, m, ks, dims, refine_iters)
     codes = pq_encode(
         embeddings.filter(F.col("vec_id") >= n_queries),
         m,
@@ -1250,6 +1319,7 @@ def ivf_pq_topk(
     ks: int = 16,
     dims: int = 64,
     rerank: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF routing composed in front of the PQ-ADC scan — the full
     billion-scale ANN shape (FAISS-style IVFADC) in Catalyst terms:
@@ -1287,7 +1357,7 @@ def ivf_pq_topk(
         (F.col("vec_id") < n_queries) & (F.col("crank") <= n_probe)
     ).select(F.col("vec_id").alias("query_id"), F.col("cent_vid").alias("lst"))
 
-    cb = _pq_codebook(embeddings, m, ks, dims)
+    cb = _pq_codebook(embeddings, m, ks, dims, refine_iters)
     codes = pq_encode(
         embeddings.filter(F.col("vec_id") >= n_queries), m, ks, dims, codebook=cb
     )
