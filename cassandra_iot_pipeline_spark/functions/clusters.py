@@ -136,6 +136,13 @@ def connected_components_routed(
     # pairs subtree (LSH candidates + shingle verification, in the
     # incremental caller) would otherwise execute twice — once for this
     # probe, again for the distributed tier's edge materialization.
+    # persist (not an eager localCheckpoint) is deliberate: the common
+    # small-graph case may satisfy limit(n+1) from a few partitions,
+    # and an eager checkpoint would force the full subtree up front for
+    # every caller. The trade is that a MEMORY_AND_DISK eviction
+    # between probe and fallback re-runs the subtree — accepted: the
+    # pair frame is two longs per edge (control-plane-sized at the
+    # bound), far below any realistic eviction pressure.
     pairs = pairs.select(src, dst).persist()
     try:
         head = pairs.limit(max_driver_pairs + 1).collect()

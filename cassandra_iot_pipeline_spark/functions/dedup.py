@@ -374,6 +374,14 @@ def blocked_jaccard_pairs(
 
 
 def blocked_jaccard_pairs_oracle(threshold: float = 0.5) -> str:
+    """DuckDB twin over STRING token arrays. The Spark side verifies
+    over xxhash64-hashed token arrays (:func:`hashed_tokens`), so the
+    parity contract is with-high-probability rather than absolute: a
+    cross-token xxhash64 collision *within one pair's vocabulary* would
+    perturb the Spark intersection but not this oracle. Stated at both
+    ends (see hashed_tokens) — the collision needs ~2^32 distinct
+    tokens inside a single pair's union to become likely, negligible at
+    any realistic document size."""
     toks = f"list_distinct({_oracle_tokens('text')})"
     return f"""
         WITH docs AS (
@@ -748,6 +756,14 @@ def minhash_lsh_pairs_oracle(
     Comparing against the exhaustive form therefore checks both the
     verification arithmetic (bitwise: |∩|/|∪| is one IEEE division of
     exact integers in both engines) and that banding dropped nothing.
+
+    Equality additionally assumes no (band, bucket) population exceeds
+    ``LSH_MAX_BUCKET`` (buckets above it are star-routed, a deliberate
+    pairwise-recall trade on boilerplate corpora — see
+    :func:`_capped_bucket_pairs`); fixture bucket populations max out
+    at 8, nowhere near the 256 default, so the capped and exact plans
+    coincide on every driver corpus (pinned in
+    tests/test_hot_buckets.py).
 
     The shingling mirrors ``shingle_rows`` exactly: canonical text
     (lower, whitespace collapse, trim), 1-based substrings of length

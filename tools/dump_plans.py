@@ -93,12 +93,38 @@ def _extras(spark, sf_dir):
             "Incremental near-dup dedup, store-probe stage: the batch's "
             "band rows broadcast against the persisted band store — "
             "BroadcastHashJoin on (band, bucket), the store side never "
-            "shuffles however large the corpus index grows. The "
-            "payload (shingle) joins downstream move rows only for "
-            "candidate ids.",
+            "shuffles however large the corpus index grows (the r4 "
+            "hot-bucket caps keep that property: batch-side capping is "
+            "a window over the already-broadcast side, store-side "
+            "capping a broadcast bucket-stats filter). The payload "
+            "(shingle) joins downstream move rows only for candidate "
+            "ids.",
             _near_dedup_probe(spark, sf_dir),
         ),
+        "capped_lsh_candidates": (
+            "Hot-bucket-capped LSH candidate generation "
+            "(candidate_pairs_from_bands, r4): ONE Exchange on "
+            "(band, bucket) into an ObjectHashAggregate collecting "
+            "each bucket's sorted member array; the pair expansion — "
+            "all-pairs under the cap, hub-star above it — is a pure "
+            "array-expression branch inside the projection, so there "
+            "is NO self-join and no second pass over the signature "
+            "pipeline; the only other Exchange is the final pair "
+            "distinct. A boilerplate bucket of k docs emits k-1 star "
+            "pairs instead of k^2/2.",
+            _capped_candidates(spark, sf_dir),
+        ),
     }
+
+
+def _capped_candidates(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.candidate_pairs_from_bands(
+        dedup.banded_rows(dedup.shingled_docs(docs))
+    )
 
 
 def _near_dedup_probe(spark, sf_dir):

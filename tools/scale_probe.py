@@ -292,6 +292,112 @@ def main() -> None:
     finally:
         shutil.rmtree(zdir, ignore_errors=True)
 
+    # Hot-bucket skew: ONE boilerplate template x 10k near-identical
+    # docs — every doc lands in the same bucket in every band, the
+    # corpus shape that kills uncapped banded LSH (~bands*k^2/2
+    # candidates on single tasks). The capped operator star-routes it;
+    # candidate count recorded to show the O(k) bound. The uncapped
+    # contrast runs at 1/8 the size (its cost is quadratic — the point).
+    from cassandra_iot_pipeline_spark.functions.dedup import (
+        banded_rows as _banded,
+        candidate_pairs_from_bands,
+        shingled_docs as _shingled,
+    )
+
+    template = F.lit(
+        "all rights reserved terms of service privacy policy cookie "
+        "notice subscribe to our newsletter copyright footer boilerplate "
+    )
+    n_hot = 10_000
+    hot_docs = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.concat(template, F.lit("variant "), (F.col("id") % 7).cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.lit(0).alias("n_chars"),
+    )
+    t0 = time.perf_counter()
+    n_cand = candidate_pairs_from_bands(
+        _banded(_shingled(hot_docs))
+    ).count()
+    results["hot_bucket_capped_10k_template"] = round(time.perf_counter() - t0, 2)
+    results["hot_bucket_capped_candidates"] = n_cand
+    hot_small = hot_docs.filter(F.col("doc_id") < n_hot // 8)
+    t0 = time.perf_counter()
+    n_unc = candidate_pairs_from_bands(
+        _banded(_shingled(hot_small)), max_bucket_size=None
+    ).count()
+    results["hot_bucket_uncapped_1250_template"] = round(
+        time.perf_counter() - t0, 2
+    )
+    results["hot_bucket_uncapped_candidates"] = n_unc
+    print(
+        f"[probe] hot_bucket capped 10k: "
+        f"{results['hot_bucket_capped_10k_template']}s / {n_cand} candidates; "
+        f"uncapped 1250: {results['hot_bucket_uncapped_1250_template']}s / "
+        f"{n_unc} candidates",
+        file=sys.stderr, flush=True,
+    )
+
+    # IVFADC (ivf_pq_topk) over hash-derived embeddings: the PQ code
+    # scan moves 8-byte codes, the coarse stage prunes to n_probe/16 of
+    # the corpus, the exact re-rank touches only the shortlist sliver.
+    from cassandra_iot_pipeline_spark.functions.similarity import ivf_pq_topk
+
+    n_vecs = 100_000
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000
+            ).cast("double")
+            / 1000.0,
+        ).alias("embedding"),
+        F.lit("probe").alias("label"),
+    )
+    t0 = time.perf_counter()
+    ivf_pq_topk(emb, n_queries=10, k=5, n_probe=4).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    results["ivf_pq_topk_100k"] = round(time.perf_counter() - t0, 2)
+    results["ivf_pq_n_vecs"] = n_vecs
+    print(
+        f"[probe] ivf_pq_topk_100k: {results['ivf_pq_topk_100k']}s",
+        file=sys.stderr, flush=True,
+    )
+
+    # Streaming near-dup store mechanics at scale: 10 epochs of 5k docs
+    # through the parquet-backed pipeline (real store reads/writes,
+    # bucket stats, watermark guard) with a mid-replay compaction.
+    # First vs last epoch timing shows per-batch cost tracking the
+    # batch, not the accumulated corpus (the store side is a broadcast
+    # probe of the batch's band rows).
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from cassandra_iot_pipeline_spark.streaming.dedup import NearDedupPipeline
+
+    store_dir = _tempfile.mkdtemp(prefix="scale_probe_neardedup_")
+    pipe = NearDedupPipeline(store_dir, threshold=0.8, compact_every=5)
+    per_epoch = 5_000
+    epoch_times = []
+    try:
+        for e in range(10):
+            b = probe_documents(spark, per_epoch, start=e * per_epoch)
+            t0 = time.perf_counter()
+            pipe.write_batch(b, epoch_id=e)
+            epoch_times.append(round(time.perf_counter() - t0, 2))
+        results["near_dedup_pipeline_epoch_first"] = epoch_times[0]
+        results["near_dedup_pipeline_epoch_last"] = epoch_times[-1]
+        results["near_dedup_pipeline_total_50k"] = round(sum(epoch_times), 2)
+    finally:
+        _shutil.rmtree(store_dir, ignore_errors=True)
+    print(
+        f"[probe] near_dedup_pipeline 10x5k epochs: {epoch_times}",
+        file=sys.stderr, flush=True,
+    )
+
     rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
     print(
         json.dumps(
