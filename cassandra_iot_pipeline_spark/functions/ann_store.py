@@ -1,0 +1,208 @@
+"""Persisted ANN index: the IVFADC pipeline (functions/similarity.py)
+restated as a build-once / query-many / ingest-continuously artifact —
+the similarity-search sibling of the near-dup signature store
+(functions/incremental.py + streaming/dedup.py).
+
+The inline operators (`ivf_pq_topk` etc.) re-derive codebook, coarse
+centroids, and codes from the corpus on every call — right for a
+one-shot query, wrong for a serving index over a growing corpus. This
+module persists the three artifacts with the engine's shared delta+base
+store layout (store.py):
+
+- ``<dir>/meta/``       one row (m, ks, dims, n_centroids) — the
+                        geometry every later call must agree on, read
+                        back instead of trusted to callers
+- ``<dir>/codebook/``   (code_id, s, cw) PQ codebook — IMMUTABLE after
+                        build: codes are only comparable against the
+                        codebook that produced them, so incremental
+                        batches encode against the persisted one
+- ``<dir>/centroids/``  (vec_id, embedding) coarse-quantizer rows —
+                        immutable for the same reason
+- ``<dir>/codes/``      (vec_id, lst, codes) epoch deltas + compacted
+                        ``base_upto=K`` partitioned by ``lst``
+
+Why partition the compacted base by list id: the ADC scan joins codes
+against the (broadcast) probed query tables ON ``lst`` — with the base
+laid out as ``lst=N`` directories, Spark's dynamic partition pruning
+turns the probe into a scan of only the probed lists' files
+(asserted in tests), i.e. the on-disk analogue of FAISS's inverted
+lists. At 100 TB the index scan reads n_probe/n_centroids of the
+corpus codes — 8-byte codes, partition-pruned.
+
+Reference anchor: the reference pipeline has no ANN surface (this is
+LLM-extension territory); the persistence discipline mirrors its
+Cassandra posture — immutable artifacts + append deltas + compaction
+(iot-cassandra-pipeline/cassandra/init.cql compaction strategies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..store import compact_store, read_store
+from .similarity import (
+    _centroid_ranked,
+    _exact_rerank_pairs,
+    _pq_adc,
+    _pq_codebook,
+    pq_encode,
+    query_adc_tables,
+)
+
+#: stored codes schema (DDL, for empty-store bootstrap)
+CODES_SCHEMA = "vec_id BIGINT, lst BIGINT, codes ARRAY<INT>"
+META_SCHEMA = "m INT, ks INT, dims INT, n_centroids INT"
+
+
+class AnnIndexStore:
+    """Build / incrementally extend / query a persisted IVFADC index."""
+
+    def __init__(self, base_dir: str) -> None:
+        self.base_dir = base_dir
+        self.meta_dir = f"{base_dir}/meta"
+        self.codebook_dir = f"{base_dir}/codebook"
+        self.centroids_dir = f"{base_dir}/centroids"
+        self.codes_dir = f"{base_dir}/codes"
+
+    # -- artifacts ------------------------------------------------------
+    def meta(self, spark: SparkSession) -> dict[str, int]:
+        row = spark.read.parquet(self.meta_dir).first()
+        return {k: row[k] for k in ("m", "ks", "dims", "n_centroids")}
+
+    def codebook(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.codebook_dir)
+
+    def centroids(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.centroids_dir)
+
+    def codes(self, spark: SparkSession) -> DataFrame:
+        empty = spark.createDataFrame([], CODES_SCHEMA)
+        return read_store(spark, self.codes_dir, empty)
+
+    # -- build / ingest --------------------------------------------------
+    def build(
+        self,
+        embeddings: DataFrame,
+        n_centroids: int = 16,
+        m: int = 8,
+        ks: int = 16,
+        dims: int = 64,
+        refine_iters: int = 0,
+    ) -> None:
+        """One-time index build: derive the coarse centroids (the same
+        deterministic sha256-minimizer sample as ``ivf_topk``) and the
+        PQ codebook (optionally Lloyd-refined) from ``embeddings``,
+        persist both plus the corpus codes as epoch 0."""
+        spark = embeddings.sparkSession
+        spark.createDataFrame(
+            [(m, ks, dims, n_centroids)], META_SCHEMA
+        ).write.mode("overwrite").parquet(self.meta_dir)
+        cents = (
+            embeddings.select(
+                "vec_id",
+                "embedding",
+                F.sha2(F.col("vec_id").cast("string"), 256).alias("h"),
+            )
+            .orderBy("h", "vec_id")
+            .limit(n_centroids)
+            .select("vec_id", "embedding")
+        )
+        cents.write.mode("overwrite").parquet(self.centroids_dir)
+        cb = _pq_codebook(embeddings, m, ks, dims, refine_iters)
+        cb.write.mode("overwrite").parquet(self.codebook_dir)
+        self.add_batch(embeddings, epoch_id=0)
+
+    def add_batch(self, embeddings: DataFrame, epoch_id: int) -> None:
+        """Encode a batch against the PERSISTED codebook/centroids and
+        land it as ``codes/epoch=N`` (overwrite — idempotent under
+        at-least-once replay, same contract as the dedup store). Codes
+        from any batching of the same vectors are bit-identical because
+        the artifacts they are computed against never change after
+        build (pinned in tests)."""
+        spark = embeddings.sparkSession
+        meta = self.meta(spark)
+        cb = self.codebook(spark)
+        ranked = _centroid_ranked(embeddings, self.centroids(spark))
+        lists = ranked.filter(F.col("crank") == 1).select(
+            "vec_id", F.col("cent_vid").alias("lst")
+        )
+        codes = pq_encode(
+            embeddings, meta["m"], meta["ks"], meta["dims"], codebook=cb
+        )
+        (
+            codes.join(lists, "vec_id")
+            .select("vec_id", "lst", "codes")
+            .write.mode("overwrite")
+            .parquet(f"{self.codes_dir}/epoch={epoch_id}")
+        )
+
+    def compact(self, spark: SparkSession) -> int | None:
+        """Fold code deltas into a ``base_upto=K`` partitioned by
+        ``lst`` — the layout that gives probes dynamic partition
+        pruning (only the probed lists' directories are read)."""
+        empty = spark.createDataFrame([], CODES_SCHEMA)
+        return compact_store(
+            spark, self.codes_dir, empty, partition_by="lst"
+        )
+
+    # -- query ------------------------------------------------------------
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        rerank: int | None = None,
+        corpus: DataFrame | None = None,
+    ) -> DataFrame:
+        """IVFADC top-k against the persisted index. ``queries`` is a
+        standalone (query_id, embedding) frame — query vectors need not
+        be index members.
+
+        With ``corpus`` (vec_id, embedding) the top-``rerank`` ADC
+        shortlist is exact-cosine re-ranked against it, matching the
+        inline ``ivf_pq_topk`` output schema (query_id, cand_id,
+        cosine, rank). Without it the index answers from codes alone —
+        (query_id, cand_id, adc, rank) — the pure-index form for when
+        the original vectors live elsewhere.
+        """
+        spark = queries.sparkSession
+        meta = self.meta(spark)
+        if rerank is None:
+            rerank = 4 * k
+        cb = self.codebook(spark)
+        ranked = _centroid_ranked(
+            queries.select(F.col("query_id").alias("vec_id"), "embedding"),
+            self.centroids(spark),
+        )
+        query_lists = ranked.filter(F.col("crank") <= n_probe).select(
+            F.col("vec_id").alias("query_id"), F.col("cent_vid").alias("lst")
+        )
+        tables = query_adc_tables(queries, cb, meta["m"], meta["dims"])
+        qt = tables.join(query_lists, "query_id")
+        scored = (
+            self.codes(spark)
+            .withColumnRenamed("vec_id", "cand_id")
+            .join(F.broadcast(qt), "lst")
+            .select(
+                "query_id",
+                "cand_id",
+                _pq_adc(F.col("t"), F.col("codes")).alias("adc"),
+            )
+            .dropDuplicates(["query_id", "cand_id"])
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc").desc(), F.col("cand_id").asc()
+        )
+        shortlist = scored.withColumn("r", F.row_number().over(w)).filter(
+            F.col("r") <= rerank
+        )
+        if corpus is None:
+            return (
+                shortlist.filter(F.col("r") <= k)
+                .select("query_id", "cand_id", "adc", F.col("r").alias("rank"))
+            )
+        return _exact_rerank_pairs(
+            shortlist.select("query_id", "cand_id"), corpus, k
+        )

@@ -1220,13 +1220,34 @@ def _pq_query_tables(
     m: int,
     dims: int,
 ) -> DataFrame:
-    """(query_id, t) per-query ADC tables: ``t[s][code]`` is the exact
-    integer inner product of the query's s-th sub-vector with codeword
-    ``code`` — array-of-array ordered positionally by (s, code_id), one
-    broadcast codebook join to build."""
+    """(query_id, t) ADC tables for the first ``n_queries`` corpus
+    vectors — the inline operators' query convention; delegates to
+    :func:`query_adc_tables`."""
+    return query_adc_tables(
+        embeddings.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        cb,
+        m,
+        dims,
+    )
+
+
+def query_adc_tables(
+    queries: DataFrame,
+    cb: DataFrame,
+    m: int,
+    dims: int,
+) -> DataFrame:
+    """(query_id, t) per-query ADC tables from a standalone
+    (query_id, embedding) frame: ``t[s][code]`` is the exact integer
+    inner product of the query's s-th sub-vector with codeword ``code``
+    — array-of-array ordered positionally by (s, code_id), one
+    broadcast codebook join to build. Shared by the inline PQ operators
+    and the persisted ANN index (functions/ann_store.py)."""
     sub = dims // m
-    q_sub = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
+    q_sub = queries.select(
+        F.col("query_id"),
         F.explode(
             F.array(
                 *[

@@ -1,0 +1,139 @@
+"""Delta+base parquet store layout — the shared persistence shape of
+the engine's incremental stores (the near-dup dedup store in
+streaming/dedup.py, the ANN index in functions/ann_store.py).
+
+Layout of one store directory:
+
+- ``epoch=N/``       delta written by batch N (overwrite = idempotent
+                     under at-least-once replay)
+- ``base_upto=K/``   at most one compacted base folding epochs <= K
+
+Readers (:func:`read_store`) pick the highest complete base plus every
+epoch ABOVE its ``upto`` — so stale bases, folded epochs, and epoch
+dirs re-created by a post-compaction replay are all ignored, which is
+what makes every compaction crash window readable with no double
+counts. Compaction (:func:`compact_store`) writes the new base to a
+hidden ``.compacting`` dir (invisible to Spark's file listing), commits
+with a single rename, and only then deletes the folded inputs.
+
+All filesystem operations go through the Hadoop FileSystem API, so the
+stores work on any Hadoop filesystem (file://, hdfs://, s3a://) —
+an os.path listing would silently misreport on remote stores. NOTE:
+the rename commit is atomic on local/HDFS; on S3 rename is
+copy+delete — quiesce writers for the compaction there.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path class) for ``path`` via the Hadoop FS API."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def list_children(spark: SparkSession, path: str) -> list[str]:
+    fs, Path = hadoop_fs(spark, path)
+    if not fs.exists(Path(path)):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(Path(path))]
+
+
+def store_parts(
+    spark: SparkSession, path: str
+) -> tuple[str | None, int, list[tuple[int, str]]]:
+    """(base_path, base_upto, [(epoch, path) for epochs > upto]) — the
+    reader's view of a delta+base store directory."""
+    names = list_children(spark, path)
+    bases = sorted(
+        int(n.split("=", 1)[1]) for n in names if n.startswith("base_upto=")
+    )
+    upto = bases[-1] if bases else -1
+    base_path = f"{path}/base_upto={upto}" if bases else None
+    epochs = sorted(
+        (int(n.split("=", 1)[1]), f"{path}/{n}")
+        for n in names
+        if n.startswith("epoch=")
+    )
+    return base_path, upto, [(e, p) for e, p in epochs if e > upto]
+
+
+def read_store(spark: SparkSession, path: str, empty: DataFrame) -> DataFrame:
+    """Base + newer epochs, projected to ``empty``'s columns (the base
+    may carry some of them as partition directories)."""
+    base_path, _, epochs = store_parts(spark, path)
+    parts = []
+    if base_path is not None:
+        parts.append(spark.read.parquet(base_path).select(*empty.columns))
+    if epochs:
+        parts.append(
+            spark.read.parquet(*[p for _, p in epochs]).select(*empty.columns)
+        )
+    if not parts:
+        return empty
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delete_children_upto(
+    spark: SparkSession, path: str, prefix: str, upto: int
+) -> None:
+    """Delete every ``<prefix><n>`` child of ``path`` with n <= upto."""
+    fs, Path = hadoop_fs(spark, path)
+    for n in list_children(spark, path):
+        if n.startswith(prefix) and int(n.split("=", 1)[1]) <= upto:
+            fs.delete(Path(f"{path}/{n}"), True)
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    empty: DataFrame,
+    fold: Callable[[DataFrame], DataFrame] | None = None,
+    partition_by: str | None = None,
+    n_files: int = 8,
+) -> int | None:
+    """Fold the store's base + epoch deltas into a fresh
+    ``base_upto=N``; returns the new upto, or None when there was
+    nothing to fold (replay leftovers at or under the current upto are
+    still cleared). ``fold`` transforms the unioned frame before the
+    write (e.g. re-aggregate summary rows); ``partition_by`` lays the
+    base out as partition directories (readers recover the column from
+    the dir names; probes get partition pruning)."""
+    base_path, upto, epochs = store_parts(spark, path)
+    if not epochs:
+        if base_path is not None:
+            delete_children_upto(spark, path, "epoch=", upto)
+        return None
+    new_upto = max(upto, epochs[-1][0])
+    df = read_store(spark, path, empty)
+    if fold is not None:
+        df = fold(df)
+    fs, Path = hadoop_fs(spark, path)
+    tmp = f"{path}/.compacting"
+    fs.delete(Path(tmp), True)  # crash leftover
+    if partition_by is not None:
+        (
+            df.repartition(partition_by)
+            .write.mode("overwrite")
+            .partitionBy(partition_by)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    dest = Path(f"{path}/base_upto={new_upto}")
+    fs.delete(dest, True)  # crash leftover with the same upto
+    fs.rename(Path(tmp), dest)
+    # committed — now drop the folded inputs
+    if base_path is not None:
+        fs.delete(Path(base_path), True)
+    delete_children_upto(spark, path, "epoch=", new_upto)
+    return new_upto

@@ -87,24 +87,12 @@ DOCUMENTS_STREAM_SCHEMA = (
 WATERMARK_SCHEMA = "epoch BIGINT, max_doc BIGINT"
 
 
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for ``path`` via the Hadoop FS API — the store
-    may live on any Hadoop filesystem (hdfs://, s3a://), where os.path
-    listing/renames would silently misreport. NOTE: the compaction
-    commit below relies on ``rename`` being atomic-ish (true on local
-    and HDFS; on S3 rename is copy+delete — use a longer compaction
-    quiesce there)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath
-
-
-def _list_children(spark: SparkSession, path: str) -> list[str]:
-    fs, hpath = _hadoop_fs(spark, path)
-    if not fs.exists(hpath):
-        return []
-    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+from ..store import (
+    compact_store,
+    delete_children_upto,
+    list_children,
+    read_store,
+)
 
 
 class NearDedupPipeline:
@@ -205,43 +193,9 @@ class NearDedupPipeline:
             raise
         return df.select(*empty.columns)  # drop the epoch partition col
 
-    @staticmethod
-    def _store_parts(
-        spark: SparkSession, path: str
-    ) -> tuple[str | None, int, list[tuple[int, str]]]:
-        """(base_path, base_upto, [(epoch, path) for epochs > upto]) —
-        the reader's view of a delta+base store directory. Stale bases
-        (below the max upto) and already-folded epoch dirs (re-created
-        by a post-compaction replay) are ignored, which is what makes
-        every compaction crash window readable."""
-        names = _list_children(spark, path)
-        bases = sorted(
-            int(n.split("=", 1)[1]) for n in names if n.startswith("base_upto=")
-        )
-        upto = bases[-1] if bases else -1
-        base_path = f"{path}/base_upto={upto}" if bases else None
-        epochs = sorted(
-            (int(n.split("=", 1)[1]), f"{path}/{n}")
-            for n in names
-            if n.startswith("epoch=")
-        )
-        return base_path, upto, [(e, p) for e, p in epochs if e > upto]
-
     def _read_store(self, spark: SparkSession, path: str, empty: DataFrame):
-        base_path, _, epochs = self._store_parts(spark, path)
-        parts = []
-        if base_path is not None:
-            parts.append(spark.read.parquet(base_path).select(*empty.columns))
-        if epochs:
-            parts.append(
-                spark.read.parquet(*[p for _, p in epochs]).select(*empty.columns)
-            )
-        if not parts:
-            return empty
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        # delta+base layout shared with the ANN index — see store.py
+        return read_store(spark, path, empty)
 
     def _empty_for(self, spark: SparkSession, which: str) -> DataFrame:
         from ..functions.incremental import (
@@ -278,7 +232,7 @@ class NearDedupPipeline:
     def watermark(self, spark: SparkSession) -> tuple[int, int] | None:
         """(latest epoch, its running max doc_id) or None before the
         first batch."""
-        names = _list_children(spark, self.watermark_dir)
+        names = list_children(spark, self.watermark_dir)
         epochs = sorted(
             int(n.split("=", 1)[1]) for n in names if n.startswith("epoch=")
         )
@@ -357,74 +311,38 @@ class NearDedupPipeline:
         counts. Watermark history is pruned to its latest epoch.
         Returns {store: new upto} for the stores that had anything to
         fold."""
+        def fold_stats(df: DataFrame) -> DataFrame:
+            return df.groupBy("band", "bucket").agg(
+                F.sum("population").alias("population"),
+                F.min("min_doc").alias("min_doc"),
+            )
+
         done: dict[str, int] = {}
-        for which, path in (
-            ("bands", self.bands_dir),
-            ("shingles", self.shingles_dir),
-            ("bucket_stats", self.stats_dir),
+        for which, path, fold, part in (
+            ("bands", self.bands_dir, None, "band"),
+            ("shingles", self.shingles_dir, None, None),
+            ("bucket_stats", self.stats_dir, fold_stats, None),
         ):
-            base_path, upto, epochs = self._store_parts(spark, path)
-            if not epochs and base_path is not None:
-                # nothing new — but clear replay leftovers under upto
-                self._delete_under(spark, path, "epoch=", upto)
-                continue
-            if not epochs:
-                continue
-            new_upto = max(upto, epochs[-1][0])
-            df = self._read_store(spark, path, self._empty_for(spark, which))
-            fs, _ = _hadoop_fs(spark, path)
-            Path = spark._jvm.org.apache.hadoop.fs.Path
-            tmp = f"{path}/.compacting"
-            fs.delete(Path(tmp), True)  # crash leftover
-            if which == "bands":
-                (
-                    df.repartition("band")
-                    .write.mode("overwrite")
-                    .partitionBy("band")
-                    .parquet(tmp)
-                )
-            elif which == "bucket_stats":
-                (
-                    df.groupBy("band", "bucket")
-                    .agg(
-                        F.sum("population").alias("population"),
-                        F.min("min_doc").alias("min_doc"),
-                    )
-                    .repartition(1)
-                    .write.mode("overwrite")
-                    .parquet(tmp)
-                )
-            else:
-                df.repartition(8).write.mode("overwrite").parquet(tmp)
-            dest = Path(f"{path}/base_upto={new_upto}")
-            fs.delete(dest, True)  # crash leftover with the same upto
-            fs.rename(Path(tmp), dest)
-            # committed — now drop the folded inputs
-            if base_path is not None:
-                fs.delete(Path(base_path), True)
-            self._delete_under(spark, path, "epoch=", new_upto)
-            done[which] = new_upto
+            upto = compact_store(
+                spark,
+                path,
+                self._empty_for(spark, which),
+                fold=fold,
+                partition_by=part,
+            )
+            if upto is not None:
+                done[which] = upto
         # watermark: only the latest epoch matters
-        wm_names = _list_children(spark, self.watermark_dir)
         wm_epochs = sorted(
-            int(n.split("=", 1)[1]) for n in wm_names if n.startswith("epoch=")
+            int(n.split("=", 1)[1])
+            for n in list_children(spark, self.watermark_dir)
+            if n.startswith("epoch=")
         )
         if len(wm_epochs) > 1:
-            self._delete_under(
+            delete_children_upto(
                 spark, self.watermark_dir, "epoch=", wm_epochs[-1] - 1
             )
         return done
-
-    @staticmethod
-    def _delete_under(
-        spark: SparkSession, path: str, prefix: str, upto: int
-    ) -> None:
-        """Delete every ``<prefix><n>`` child of ``path`` with n <= upto."""
-        fs, _ = _hadoop_fs(spark, path)
-        Path = spark._jvm.org.apache.hadoop.fs.Path
-        for n in _list_children(spark, path):
-            if n.startswith(prefix) and int(n.split("=", 1)[1]) <= upto:
-                fs.delete(Path(f"{path}/{n}"), True)
 
     def foreach_batch(self):
         return self.write_batch

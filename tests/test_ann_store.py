@@ -1,0 +1,178 @@
+"""Persisted ANN index (functions/ann_store.py).
+
+Contracts:
+
+1. parity — a store whose artifacts mirror the inline derivation
+   answers ivf_pq_topk's exact output (same centroid sample, same
+   codebook, same ADC + re-rank arithmetic);
+2. incremental ingest — codes encoded against the persisted codebook
+   are bit-identical however the corpus is batched, so add_batch
+   equals rebuild;
+3. compaction — read-identity, and the lst-partitioned base gives the
+   probe dynamic partition pruning (only probed lists' files read);
+4. the planted-duplicate guarantee survives persistence;
+5. the pure-index form (no corpus for re-rank) answers from codes
+   alone.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.functions import similarity
+from cassandra_iot_pipeline_spark.functions.ann_store import AnnIndexStore
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def _queries(embeddings, n=10):
+    return embeddings.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_store_matches_inline_ivf_pq(spark, embeddings, tmp_path):
+    """Artifacts laid down to mirror the inline derivation (centroids +
+    codebook sampled from the full corpus, codes over the non-query
+    vectors — epoch 0 re-landed with the candidate subset, which the
+    overwrite contract makes legal): the persisted index answers
+    ivf_pq_topk bit-for-bit."""
+    store = AnnIndexStore(str(tmp_path / "idx"))
+    store.build(embeddings, n_centroids=16)
+    store.add_batch(embeddings.filter(F.col("vec_id") >= 10), epoch_id=0)
+    got = sorted(
+        map(
+            tuple,
+            store.topk(
+                _queries(embeddings), k=5, n_probe=8, corpus=embeddings
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_pq_topk(
+                embeddings, n_queries=10, k=5, n_probe=8
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 50
+
+
+def test_incremental_add_equals_rebuild(spark, embeddings, tmp_path):
+    """Same corpus, different batching: a store built over the first
+    half then extended twice carries bit-identical codes (and answers)
+    to one that ingested the remainder in a single epoch — the
+    immutable-codebook contract."""
+    first = embeddings.filter(F.col("vec_id") < 250)
+    rest = embeddings.filter(F.col("vec_id") >= 250)
+    a = AnnIndexStore(str(tmp_path / "a"))
+    a.build(first)
+    a.add_batch(rest, epoch_id=1)
+    b = AnnIndexStore(str(tmp_path / "b"))
+    b.build(first)
+    b.add_batch(rest.filter(F.col("vec_id") < 375), epoch_id=1)
+    b.add_batch(rest.filter(F.col("vec_id") >= 375), epoch_id=2)
+    codes_a = sorted(
+        (r["vec_id"], r["lst"], tuple(r["codes"]))
+        for r in a.codes(spark).collect()
+    )
+    codes_b = sorted(
+        (r["vec_id"], r["lst"], tuple(r["codes"]))
+        for r in b.codes(spark).collect()
+    )
+    assert codes_a == codes_b and len(codes_a) == embeddings.count()
+    qa = sorted(map(tuple, a.topk(_queries(embeddings), corpus=embeddings).collect()))
+    qb = sorted(map(tuple, b.topk(_queries(embeddings), corpus=embeddings).collect()))
+    assert qa == qb
+
+
+def test_compaction_identity_and_partition_pruning(spark, embeddings, tmp_path):
+    """compact() folds epochs into an lst-partitioned base without
+    changing reads, and the probe's code scan is dynamically
+    partition-pruned to the probed lists."""
+    store = AnnIndexStore(str(tmp_path / "c"))
+    store.build(embeddings.filter(F.col("vec_id") < 300))
+    store.add_batch(
+        embeddings.filter(F.col("vec_id").between(300, 399)), epoch_id=1
+    )
+    store.add_batch(embeddings.filter(F.col("vec_id") >= 400), epoch_id=2)
+    before = sorted(
+        (r["vec_id"], r["lst"], tuple(r["codes"]))
+        for r in store.codes(spark).collect()
+    )
+    ans_before = sorted(
+        map(tuple, store.topk(_queries(embeddings), corpus=embeddings).collect())
+    )
+    upto = store.compact(spark)
+    assert upto == 2
+    base = glob.glob(str(tmp_path / "c" / "codes" / "base_upto=2" / "lst=*"))
+    assert len(base) > 1  # laid out as one directory per inverted list
+    assert not glob.glob(str(tmp_path / "c" / "codes" / "epoch=*"))
+    after = sorted(
+        (r["vec_id"], r["lst"], tuple(r["codes"]))
+        for r in store.codes(spark).collect()
+    )
+    assert before == after
+    ans_after = sorted(
+        map(tuple, store.topk(_queries(embeddings), corpus=embeddings).collect())
+    )
+    assert ans_before == ans_after
+    # the ADC scan joins the lst-partitioned base against a broadcast
+    # probe table on lst -> dynamic partition pruning in the scan
+    plan = (
+        store.topk(_queries(embeddings), n_probe=2, corpus=embeddings)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_planted_duplicate_survives_persistence(spark, embeddings, tmp_path):
+    """An exact copy of each query vector, ingested as a later epoch,
+    is found at rank 1 (cosine 1.0) through the persisted index."""
+    store = AnnIndexStore(str(tmp_path / "d"))
+    store.build(embeddings.filter(F.col("vec_id") >= 10))
+    dups = embeddings.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    store.add_batch(dups, epoch_id=1)
+    corpus = embeddings.unionByName(
+        dups.withColumn("label", F.lit("dup")), allowMissingColumns=False
+    ) if "label" not in embeddings.columns else embeddings.select(
+        "vec_id", "embedding", "label"
+    ).unionByName(dups.withColumn("label", F.lit("dup")))
+    got = store.topk(
+        _queries(embeddings, 5), k=3, n_probe=1, corpus=corpus
+    )
+    top1 = {
+        (r["query_id"], r["cand_id"])
+        for r in got.filter(F.col("rank") == 1).collect()
+    }
+    assert top1 == {(q, q + 100000) for q in range(5)}
+
+
+def test_pure_index_answers_without_corpus(spark, embeddings, tmp_path):
+    """Without a re-rank corpus the index answers from codes alone:
+    (query_id, cand_id, adc, rank), k rows per query, ADC-ordered."""
+    store = AnnIndexStore(str(tmp_path / "e"))
+    store.build(embeddings)
+    got = store.topk(_queries(embeddings), k=5, n_probe=8).collect()
+    assert {r["query_id"] for r in got} == set(range(10))
+    assert all(1 <= r["rank"] <= 5 for r in got)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["adc"]))
+    for rows in per_q.values():
+        rows.sort()
+        adcs = [a for _, a in rows]
+        assert adcs == sorted(adcs, reverse=True)
