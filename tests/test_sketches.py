@@ -179,3 +179,18 @@ def test_frequent_tokens_rejects_bad_phi(spark):
     for bad in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError, match="phi"):
             frequent_tokens(docs, phi=bad)
+
+
+def test_frequent_tokens_family_independent(spark):
+    """The exact heavy-hitter output cannot depend on the routing
+    sketch's hash family: the fast xxhash64 family (default) and the
+    portable sha256 family route different candidate slivers, but the
+    exact filter lands on identical results."""
+    from cassandra_iot_pipeline_spark.functions.sketches import frequent_tokens
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fast = sorted(map(tuple, frequent_tokens(docs, 0.02).collect()))
+    portable = sorted(
+        map(tuple, frequent_tokens(docs, 0.02, portable=True).collect())
+    )
+    assert fast == portable and len(fast) > 0
