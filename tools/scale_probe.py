@@ -398,6 +398,51 @@ def main() -> None:
         file=sys.stderr, flush=True,
     )
 
+    # Persisted ANN index lifecycle at the same 100k-vector scale:
+    # build (centroids + codebook + epoch-0 codes), one incremental
+    # 10k-vector add, compaction into lst=-partitioned inverted lists,
+    # then a 10-query probe answered from the partition-pruned store.
+    from cassandra_iot_pipeline_spark.functions.ann_store import AnnIndexStore
+
+    ann_dir = _tempfile.mkdtemp(prefix="scale_probe_ann_")
+    try:
+        idx = AnnIndexStore(ann_dir)
+        t0 = time.perf_counter()
+        idx.build(emb)
+        results["ann_store_build_100k"] = round(time.perf_counter() - t0, 2)
+        delta = spark.range(n_vecs, n_vecs + 10_000).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: (
+                    F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000
+                ).cast("double")
+                / 1000.0,
+            ).alias("embedding"),
+        )
+        t0 = time.perf_counter()
+        idx.add_batch(delta, epoch_id=1)
+        results["ann_store_add_10k"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        idx.compact(spark)
+        results["ann_store_compact"] = round(time.perf_counter() - t0, 2)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        t0 = time.perf_counter()
+        idx.topk(queries, k=5, n_probe=4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results["ann_store_query_10"] = round(time.perf_counter() - t0, 2)
+    finally:
+        _shutil.rmtree(ann_dir, ignore_errors=True)
+    print(
+        f"[probe] ann_store build/add/compact/query: "
+        f"{results['ann_store_build_100k']}/{results['ann_store_add_10k']}/"
+        f"{results['ann_store_compact']}/{results['ann_store_query_10']}s",
+        file=sys.stderr, flush=True,
+    )
+
     rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
     print(
         json.dumps(
