@@ -17,4 +17,6 @@ pipeline runs over document/embedding tables.
                   + CMS-routed EXACT phi-heavy hitters (frequent_tokens)
     incremental-- online near-dup dedup against a persisted MinHash store
                   (batch step + replay; streaming form in streaming/dedup)
+    ann_store  -- persisted IVFADC index (build / add_batch / compact /
+                  topk; streaming ingestion in streaming/ann)
 """

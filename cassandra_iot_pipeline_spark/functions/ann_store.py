@@ -94,8 +94,29 @@ class AnnIndexStore:
         """One-time index build: derive the coarse centroids (the same
         deterministic sha256-minimizer sample as ``ivf_topk``) and the
         PQ codebook (optionally Lloyd-refined) from ``embeddings``,
-        persist both plus the corpus codes as epoch 0."""
+        persist both plus the corpus codes as epoch 0.
+
+        Refuses a directory that already carries codes beyond epoch 0:
+        rebuilding the codebook in place would silently invalidate
+        every previously-stored code (codes are only comparable against
+        the codebook that produced them) — swap directories for a
+        rebuild instead."""
+        from ..store import list_children
+
         spark = embeddings.sparkSession
+        stale = [
+            n
+            for n in list_children(spark, self.codes_dir)
+            if n != "epoch=0"
+        ]
+        if stale:
+            raise ValueError(
+                f"AnnIndexStore.build: {self.codes_dir} already holds "
+                f"{sorted(stale)} — rebuilding the codebook in place would "
+                "invalidate previously stored codes. Build into a fresh "
+                "directory and swap, or keep extending this index with "
+                "add_batch."
+            )
         spark.createDataFrame(
             [(m, ks, dims, n_centroids)], META_SCHEMA
         ).write.mode("overwrite").parquet(self.meta_dir)

@@ -65,16 +65,22 @@ def store_parts(
 
 
 def read_store(spark: SparkSession, path: str, empty: DataFrame) -> DataFrame:
-    """Base + newer epochs, projected to ``empty``'s columns (the base
-    may carry some of them as partition directories)."""
+    """Base + newer epochs, projected and CAST to ``empty``'s schema —
+    the cast matters for columns the base carries as partition
+    directories (partition inference types them int, while the declared
+    schema may say bigint; without the cast a base-only read would leak
+    the narrower type to callers)."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name) for f in empty.schema
+    ]
     base_path, _, epochs = store_parts(spark, path)
     parts = []
     if base_path is not None:
-        parts.append(spark.read.parquet(base_path).select(*empty.columns))
+        parts.append(spark.read.parquet(base_path).select(*cols))
     if epochs:
-        parts.append(
-            spark.read.parquet(*[p for _, p in epochs]).select(*empty.columns)
-        )
+        parts.append(spark.read.parquet(*[p for _, p in epochs]).select(*cols))
     if not parts:
         return empty
     out = parts[0]

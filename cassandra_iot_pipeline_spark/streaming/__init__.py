@@ -12,6 +12,9 @@
                 when the runtime has protobuf; applyInPandasWithState
                 fallback otherwise)
     dedup    -- exactly-once ingest landing via
-                dropDuplicatesWithinWatermark
+                dropDuplicatesWithinWatermark + the near-dup curation
+                pipeline (foreachBatch over the persisted LSH store)
+    ann      -- continuous ANN-index ingestion (foreachBatch over the
+                persisted IVFADC store)
     cassandra -- connector sink options (prod backend; no cluster here)
 """

@@ -176,3 +176,20 @@ def test_pure_index_answers_without_corpus(spark, embeddings, tmp_path):
         rows.sort()
         adcs = [a for _, a in rows]
         assert adcs == sorted(adcs, reverse=True)
+
+
+def test_rebuild_on_dirty_index_refused(spark, embeddings, tmp_path):
+    """build() into a directory already carrying post-build codes
+    raises: a new codebook would silently invalidate every stored
+    code."""
+    store = AnnIndexStore(str(tmp_path / "f"))
+    store.build(embeddings.filter(F.col("vec_id") < 100))
+    store.add_batch(
+        embeddings.filter(F.col("vec_id").between(100, 199)), epoch_id=1
+    )
+    with pytest.raises(ValueError, match="invalidate previously stored"):
+        store.build(embeddings)
+    # a compacted store is equally protected
+    store.compact(spark)
+    with pytest.raises(ValueError, match="invalidate previously stored"):
+        store.build(embeddings)
