@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 
 from .cleaning import pack_concat, redact_pii
 from .clusters import resolve_duplicates
-from .dedup import canonical, minhash_lsh_pairs
+from .dedup import (
+    banded_rows,
+    canonical,
+    hot_bucket_audit,
+    minhash_lsh_pairs,
+    shingled_docs,
+)
 from .sampling import hash_split
 from .text import repetition_signals, text_profile
 
@@ -73,6 +79,10 @@ class CuratedCorpus:
     dup_pairs: DataFrame      # near-dup pairs among kept docs
     curated: DataFrame        # one survivor per cluster + split column
     packing: DataFrame        # pack_concat layout of the train split
+    hot_buckets: DataFrame    # LSH buckets the near-dup tier star-routed
+                              # (band, bucket, population) — "which
+                              # boilerplate templates did dedup refuse
+                              # to all-pair?"
 
     def report(self) -> dict[str, int]:
         """Row accounting per stage. Four actions — audit tool, not a
@@ -99,6 +109,11 @@ class CuratedCorpus:
             "after_dedup": n_curated,
             "removed_by_filter": n_total - n_kept,
             "removed_as_duplicates": n_kept - n_curated,
+            # one thin aggregation over the band rows; nonzero means the
+            # near-dup stage capped boilerplate buckets (pairwise recall
+            # trade documented at dedup.LSH_MAX_BUCKET) — a curation run
+            # report should say so, not bury it
+            "hot_lsh_buckets": self.hot_buckets.count(),
         }
 
 
@@ -175,6 +190,9 @@ def curate_corpus(
         redacted_docs, config.minhash_threshold
     ).select("doc_a", "doc_b")
     dup_pairs = exact_pairs.unionByName(near_pairs)
+    hot_buckets = hot_bucket_audit(
+        banded_rows(shingled_docs(redacted_docs))
+    )
 
     resolved = resolve_duplicates(redacted_docs, dup_pairs)
     curated = hash_split(
@@ -192,4 +210,5 @@ def curate_corpus(
         dup_pairs=dup_pairs,
         curated=curated,
         packing=packing,
+        hot_buckets=hot_buckets,
     )

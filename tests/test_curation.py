@@ -181,3 +181,31 @@ def test_repetition_gate(spark, corpus):
     # the gate only ever removes: everything else it kept is what the
     # ungated run kept
     assert gated_ids <= ungated_ids
+
+
+def test_report_surfaces_hot_lsh_buckets(spark):
+    """A boilerplate-heavy corpus (one template x 300 docs) trips the
+    near-dup tier's hot-bucket routing, and the curation report says so
+    instead of burying the recall trade; the corpus still collapses to
+    one survivor per template."""
+    from cassandra_iot_pipeline_spark.functions.curation import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    template = (
+        "all rights reserved subscribe to the newsletter terms of "
+        "service privacy policy copyright footer boilerplate text "
+    )
+    rows = [
+        (i, template + f"tail {i % 2}", "en", "web", len(template))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    out = curate_corpus(docs, CurationConfig(min_alpha_ratio=0.2))
+    rep = out.report()
+    assert rep["hot_lsh_buckets"] > 0
+    assert rep["after_dedup"] == 1  # near-identical template corpus
