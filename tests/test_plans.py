@@ -182,3 +182,42 @@ def test_tfidf_plan_shape(spark):
     for m in re.finditer(r"\(\d+\) Sort", plan):
         pass
     assert "rangepartitioning" not in plan, plan
+
+
+def test_capped_lsh_candidates_no_self_join(spark):
+    """r4 hot-bucket formulation: candidate generation is ONE bucket
+    aggregation + array-expression pair expansion — the plan must carry
+    no join at all (the r3 self-join is gone), and no per-row Python."""
+    from cassandra_iot_pipeline_spark.functions.dedup import (
+        banded_rows,
+        candidate_pairs_from_bands,
+        shingled_docs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = formatted_plan(
+        candidate_pairs_from_bands(banded_rows(shingled_docs(docs)))
+    )
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_frequent_tokens_routes_sliver_not_population(spark):
+    """The CMS-routed exact heavy hitters must keep the sketch-routed
+    shape: the candidate filter sits UNDER the exact aggregation (only
+    the sliver shuffles), the counter row arrives by broadcast, and
+    nothing leaves the JVM."""
+    from cassandra_iot_pipeline_spark.functions.sketches import frequent_tokens
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = formatted_plan(frequent_tokens(docs, 0.02))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # exactly ONE hash-partitioned exchange — the exact groupBy of the
+    # candidate sliver. A second one would mean the full token
+    # population is shuffling somewhere (the naive plan this operator
+    # exists to avoid). The CM-bound Filter sits below it.
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "Filter" in plan
