@@ -37,6 +37,8 @@ Cassandra posture — immutable artifacts + append deltas + compaction
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -53,7 +55,24 @@ from .similarity import (
 
 #: stored codes schema (DDL, for empty-store bootstrap)
 CODES_SCHEMA = "vec_id BIGINT, lst BIGINT, codes ARRAY<INT>"
-META_SCHEMA = "m INT, ks INT, dims INT, n_centroids INT"
+META_SCHEMA = "m INT, ks INT, dims INT, n_centroids INT, store_vectors BOOLEAN"
+#: full-vector side table (only when store_vectors=True): the exact-
+#: verification payload for ingest-time near-dup detection, stored as
+#: double (the quantizer's working type)
+VECTORS_SCHEMA = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+
+
+class AnnDedupBatch(NamedTuple):
+    """Result of one ingest-time embedding-dedup step.
+
+    ``survivors`` — batch rows with no verified near-dup in the store
+                    or earlier in the batch (batch schema).
+    ``pairs``     — the verified (vec_a, vec_b) near-dup pairs that
+                    drove the decision (audit surface).
+    """
+
+    survivors: DataFrame
+    pairs: DataFrame
 
 
 class AnnIndexStore:
@@ -65,11 +84,15 @@ class AnnIndexStore:
         self.codebook_dir = f"{base_dir}/codebook"
         self.centroids_dir = f"{base_dir}/centroids"
         self.codes_dir = f"{base_dir}/codes"
+        self.vectors_dir = f"{base_dir}/vectors"
 
     # -- artifacts ------------------------------------------------------
     def meta(self, spark: SparkSession) -> dict[str, int]:
         row = spark.read.parquet(self.meta_dir).first()
-        return {k: row[k] for k in ("m", "ks", "dims", "n_centroids")}
+        return {
+            k: row[k]
+            for k in ("m", "ks", "dims", "n_centroids", "store_vectors")
+        }
 
     def codebook(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.codebook_dir)
@@ -81,6 +104,10 @@ class AnnIndexStore:
         empty = spark.createDataFrame([], CODES_SCHEMA)
         return read_store(spark, self.codes_dir, empty)
 
+    def vectors(self, spark: SparkSession) -> DataFrame:
+        empty = spark.createDataFrame([], VECTORS_SCHEMA)
+        return read_store(spark, self.vectors_dir, empty)
+
     # -- build / ingest --------------------------------------------------
     def build(
         self,
@@ -90,6 +117,7 @@ class AnnIndexStore:
         ks: int = 16,
         dims: int = 64,
         refine_iters: int = 0,
+        store_vectors: bool = False,
     ) -> None:
         """One-time index build: derive the coarse centroids (the same
         deterministic sha256-minimizer sample as ``ivf_topk``) and the
@@ -118,7 +146,7 @@ class AnnIndexStore:
                 "add_batch."
             )
         spark.createDataFrame(
-            [(m, ks, dims, n_centroids)], META_SCHEMA
+            [(m, ks, dims, n_centroids, store_vectors)], META_SCHEMA
         ).write.mode("overwrite").parquet(self.meta_dir)
         cents = (
             embeddings.select(
@@ -158,40 +186,41 @@ class AnnIndexStore:
             .write.mode("overwrite")
             .parquet(f"{self.codes_dir}/epoch={epoch_id}")
         )
+        if meta["store_vectors"]:
+            (
+                embeddings.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{self.vectors_dir}/epoch={epoch_id}")
+            )
 
     def compact(self, spark: SparkSession) -> int | None:
         """Fold code deltas into a ``base_upto=K`` partitioned by
         ``lst`` — the layout that gives probes dynamic partition
-        pruning (only the probed lists' directories are read)."""
+        pruning (only the probed lists' directories are read). The
+        vector side table (when kept) folds plain."""
+        if self.meta(spark)["store_vectors"]:
+            compact_store(
+                spark,
+                self.vectors_dir,
+                spark.createDataFrame([], VECTORS_SCHEMA),
+            )
         empty = spark.createDataFrame([], CODES_SCHEMA)
         return compact_store(
             spark, self.codes_dir, empty, partition_by="lst"
         )
 
     # -- query ------------------------------------------------------------
-    def topk(
-        self,
-        queries: DataFrame,
-        k: int = 5,
-        n_probe: int = 4,
-        rerank: int | None = None,
-        corpus: DataFrame | None = None,
+    def _adc_shortlist(
+        self, queries: DataFrame, n_probe: int, limit: int
     ) -> DataFrame:
-        """IVFADC top-k against the persisted index. ``queries`` is a
-        standalone (query_id, embedding) frame — query vectors need not
-        be index members.
-
-        With ``corpus`` (vec_id, embedding) the top-``rerank`` ADC
-        shortlist is exact-cosine re-ranked against it, matching the
-        inline ``ivf_pq_topk`` output schema (query_id, cand_id,
-        cosine, rank). Without it the index answers from codes alone —
-        (query_id, cand_id, adc, rank) — the pure-index form for when
-        the original vectors live elsewhere.
-        """
+        """(query_id, cand_id, adc, r): per-query top-``limit`` stored
+        candidates by ADC over the probed lists — the shared candidate
+        stage of :meth:`topk` and :meth:`near_dup_batch`."""
         spark = queries.sparkSession
         meta = self.meta(spark)
-        if rerank is None:
-            rerank = 4 * k
         cb = self.codebook(spark)
         ranked = _centroid_ranked(
             queries.select(F.col("query_id").alias("vec_id"), "embedding"),
@@ -216,9 +245,32 @@ class AnnIndexStore:
         w = Window.partitionBy("query_id").orderBy(
             F.col("adc").desc(), F.col("cand_id").asc()
         )
-        shortlist = scored.withColumn("r", F.row_number().over(w)).filter(
-            F.col("r") <= rerank
+        return scored.withColumn("r", F.row_number().over(w)).filter(
+            F.col("r") <= limit
         )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        rerank: int | None = None,
+        corpus: DataFrame | None = None,
+    ) -> DataFrame:
+        """IVFADC top-k against the persisted index. ``queries`` is a
+        standalone (query_id, embedding) frame — query vectors need not
+        be index members.
+
+        With ``corpus`` (vec_id, embedding) the top-``rerank`` ADC
+        shortlist is exact-cosine re-ranked against it, matching the
+        inline ``ivf_pq_topk`` output schema (query_id, cand_id,
+        cosine, rank). Without it the index answers from codes alone —
+        (query_id, cand_id, adc, rank) — the pure-index form for when
+        the original vectors live elsewhere.
+        """
+        if rerank is None:
+            rerank = 4 * k
+        shortlist = self._adc_shortlist(queries, n_probe, rerank)
         if corpus is None:
             return (
                 shortlist.filter(F.col("r") <= k)
@@ -227,3 +279,81 @@ class AnnIndexStore:
         return _exact_rerank_pairs(
             shortlist.select("query_id", "cand_id"), corpus, k
         )
+
+    # -- ingest-time near-dup detection -----------------------------------
+    def near_dup_batch(
+        self,
+        batch: DataFrame,
+        threshold: float = 0.9,
+        n_probe: int = 4,
+        shortlist: int = 32,
+    ) -> "AnnDedupBatch":
+        """SemDeDup-shaped ingest dedup: which batch vectors are
+        near-duplicates (cosine >= threshold) of the stored corpus or
+        of an earlier batch vector? Returns survivors plus the verified
+        pairs; land the FULL batch afterwards with :meth:`add_batch`
+        (duplicates included — transitive suppression across batches
+        needs their codes/vectors, same as the text dedup store).
+
+        Requires ``store_vectors=True`` at build time: candidates come
+        from the ADC scan (approximate — the documented ANN recall
+        trade; ``embedding_near_dups`` is the exact batch tier), but
+        every pair is verified by EXACT quantized cosine against the
+        stored vector before anything is dropped. Keep-first semantics
+        by vec_id under the same monotone-id contract as
+        ``near_dedup_batch`` (functions/incremental.py); intra-batch
+        pairs come from the exact tier over the (small) batch.
+        """
+        from .clusters import connected_components_routed
+        from .similarity import _dot, _quantized, embedding_near_dups
+
+        spark = batch.sparkSession
+        if not self.meta(spark)["store_vectors"]:
+            raise ValueError(
+                "near_dup_batch requires an index built with "
+                "store_vectors=True (exact verification needs the stored "
+                "vectors; codes alone only bound the cosine)"
+            )
+        queries = batch.select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cand = self._adc_shortlist(queries, n_probe, shortlist).select(
+            "query_id", "cand_id"
+        )
+
+        def quant_side(df, id_out, v_out, n_out, id_in="vec_id"):
+            q = df.select(
+                F.col(id_in).alias(id_out),
+                _quantized(F.col("embedding")).alias(v_out),
+            )
+            return q.withColumn(n_out, _dot(F.col(v_out), F.col(v_out)))
+
+        qs = quant_side(batch, "query_id", "qv", "qn2")
+        cs = quant_side(self.vectors(spark), "cand_id", "cv", "cn2")
+        cos = _dot(F.col("qv"), F.col("cv")).cast("double") / (
+            F.sqrt(F.col("qn2").cast("double"))
+            * F.sqrt(F.col("cn2").cast("double"))
+        )
+        cross = (
+            cand.join(qs, "query_id")
+            .join(cs, "cand_id")
+            .select(
+                F.col("cand_id").alias("vec_a"),
+                F.col("query_id").alias("vec_b"),
+                cos.alias("cosine"),
+            )
+            .filter(
+                (F.col("cosine") >= F.lit(threshold))
+                & (F.col("vec_a") < F.col("vec_b"))
+            )
+        )
+        intra = embedding_near_dups(batch, threshold).select(
+            "vec_a", "vec_b", "cosine"
+        )
+        pairs = cross.unionByName(intra).select("vec_a", "vec_b")
+        cc = connected_components_routed(pairs, src="vec_a", dst="vec_b")
+        dropped = cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("vec_id")
+        )
+        survivors = batch.join(dropped, "vec_id", "left_anti")
+        return AnnDedupBatch(survivors=survivors, pairs=pairs)

@@ -193,3 +193,49 @@ def test_rebuild_on_dirty_index_refused(spark, embeddings, tmp_path):
     store.compact(spark)
     with pytest.raises(ValueError, match="invalidate previously stored"):
         store.build(embeddings)
+
+
+def test_near_dup_batch_drops_planted_dups(spark, embeddings, tmp_path):
+    """Ingest-time embedding dedup: exact copies of stored vectors (and
+    an intra-batch copy) are dropped with keep-first semantics; novel
+    vectors survive. Transitivity across batches: a later copy of a
+    DROPPED vector is still caught because the full batch (duplicates
+    included) was landed in the index."""
+    store = AnnIndexStore(str(tmp_path / "nd"))
+    base = embeddings.filter(F.col("vec_id") < 300)
+    store.build(base, store_vectors=True)
+
+    def copy_of(src_id, new_id):
+        return embeddings.filter(F.col("vec_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("vec_id"), "embedding", "label"
+        )
+
+    # 1000: novel (copy of 350, which is NOT in the store)
+    # 1001: intra-batch duplicate of 1000
+    # 1100, 1200: duplicates of stored vectors 5 and 7
+    # 1300: novel (copy of 360, not in the store)
+    batch1 = (
+        copy_of(350, 1000)
+        .unionByName(copy_of(350, 1001))
+        .unionByName(copy_of(5, 1100))
+        .unionByName(copy_of(7, 1200))
+        .unionByName(copy_of(360, 1300))
+    )
+    step = store.near_dup_batch(batch1, threshold=0.999)
+    kept = {r["vec_id"] for r in step.survivors.collect()}
+    assert kept == {1000, 1300}
+    pair_set = {tuple(r) for r in step.pairs.collect()}
+    assert (1000, 1001) in pair_set  # keep-first: min id is the survivor
+    store.add_batch(batch1, epoch_id=1)  # land ALL, duplicates included
+
+    # batch 2: a copy of DROPPED 1001 — caught via its stored vector
+    batch2 = copy_of(350, 2000)
+    step2 = store.near_dup_batch(batch2, threshold=0.999)
+    assert step2.survivors.count() == 0
+
+
+def test_near_dup_batch_requires_stored_vectors(spark, embeddings, tmp_path):
+    store = AnnIndexStore(str(tmp_path / "nv"))
+    store.build(embeddings.filter(F.col("vec_id") < 100))
+    with pytest.raises(ValueError, match="store_vectors=True"):
+        store.near_dup_batch(embeddings.filter(F.col("vec_id") >= 100))
