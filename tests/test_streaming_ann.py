@@ -116,3 +116,57 @@ def test_unbuilt_index_fails_loudly(spark, embeddings, tmp_path):
         (StreamingQueryException, AnalysisException, Py4JJavaError)
     ):
         q.awaitTermination()
+
+
+def test_streaming_embedding_dedup_curates(spark, embeddings, tmp_path):
+    """The full embedding-curation stream: planted copies of stored and
+    in-stream vectors are dropped from the curated output, novel
+    vectors admitted, and a crash-replay of the last epoch leaves the
+    curated corpus identical (idempotence against the store that
+    already holds the batch's own vectors)."""
+    from cassandra_iot_pipeline_spark.streaming.ann import (
+        EmbeddingDedupPipeline,
+        streaming_embedding_dedup,
+    )
+
+    boot = embeddings.filter(F.col("vec_id") < 300)
+    idx_dir = str(tmp_path / "eidx")
+    AnnIndexStore(idx_dir).build(boot, store_vectors=True)
+
+    def copy_of(src_id, new_id):
+        return embeddings.filter(F.col("vec_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("vec_id"), "embedding", "label"
+        )
+
+    src = tmp_path / "esrc"
+    src.mkdir()
+    # file 1: novel 1000 + a copy of stored vec 5 (1001)
+    b1 = copy_of(350, 1000).unionByName(copy_of(5, 1001))
+    # file 2: a copy of in-stream-admitted 1000 (2000) + novel 2001
+    b2 = copy_of(350, 2000).unionByName(copy_of(360, 2001))
+    for name, frame, mtime in (
+        ("b1.parquet", b1, 1_700_000_000),
+        ("b2.parquet", b2, 1_700_000_010),
+    ):
+        path = os.path.join(str(src), name)
+        pq.write_table(
+            pa.Table.from_pandas(frame.toPandas(), preserve_index=False), path
+        )
+        os.utime(path, (mtime, mtime))
+
+    cur_dir = str(tmp_path / "ecur")
+    q = streaming_embedding_dedup(
+        spark, str(src), idx_dir, cur_dir, str(tmp_path / "eckpt"),
+        threshold=0.999,
+    )
+    q.awaitTermination()
+    pipe = EmbeddingDedupPipeline(idx_dir, cur_dir, threshold=0.999)
+    kept = {r["vec_id"] for r in pipe.curated(spark).collect()}
+    assert kept == {1000, 2001}
+
+    # crash-replay of stream epoch 1 (file b2): curated unchanged
+    pipe.write_batch(
+        b2.select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"),
+        epoch_id=1,
+    )
+    assert {r["vec_id"] for r in pipe.curated(spark).collect()} == {1000, 2001}
