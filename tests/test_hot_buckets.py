@@ -192,3 +192,81 @@ def test_incremental_near_dedup_survives_hot_corpus(spark):
         ).collect()
     }
     assert fast == replay == {0}
+
+
+def test_capped_pairs_properties_random_corpora(spark):
+    """Property pass over randomized corpora (deterministic seeds):
+
+    - identity: with the cap at or above the max bucket population the
+      capped operator equals the uncapped one exactly;
+    - coverage: under an aggressive cap, every doc that shares a bucket
+      with another doc still appears in at least one candidate pair
+      (star routing may thin pairs, never orphan a bucket member);
+    - the flag partitions the output: unflagged pairs are exactly the
+      uncapped pairs of the small buckets.
+    """
+    import random
+
+    from pyspark.sql import functions as F
+
+    for seed in (7, 19, 23):
+        rng = random.Random(seed)
+        vocab = [f"w{i:03d}" for i in range(40)]
+        rows = []
+        for i in range(rng.randint(40, 80)):
+            n = rng.randint(8, 20)
+            rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(n)),
+                 "en", "web", n)
+            )
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        )
+        banded = dedup.banded_rows(dedup.shingled_docs(docs)).localCheckpoint(
+            eager=True
+        )
+        pops = banded.groupBy("band", "bucket").count()
+        max_pop = pops.agg(F.max("count")).first()[0]
+        capped = {
+            tuple(r)
+            for r in dedup.candidate_pairs_from_bands(
+                banded, max_bucket_size=max_pop
+            ).collect()
+        }
+        uncapped = {
+            tuple(r)
+            for r in dedup.candidate_pairs_from_bands(
+                banded, max_bucket_size=None
+            ).collect()
+        }
+        assert capped == uncapped, seed
+
+        tight = dedup.candidate_pairs_from_bands(banded, max_bucket_size=2)
+        tight_rows = tight.collect()
+        paired = {r["doc_a"] for r in tight_rows} | {
+            r["doc_b"] for r in tight_rows
+        }
+        multi = {
+            r["doc_id"]
+            for r in banded.join(
+                pops.filter(F.col("count") >= 2), ["band", "bucket"]
+            ).collect()
+        }
+        assert multi <= paired, seed
+        unflagged = {
+            (r["doc_a"], r["doc_b"])
+            for r in tight_rows
+            if not r["via_hot_bucket"]
+        }
+        small_only = {
+            tuple(r)
+            for r in dedup.candidate_pairs_from_bands(
+                banded.join(
+                    pops.filter(F.col("count") <= 2).drop("count"),
+                    ["band", "bucket"],
+                ),
+                max_bucket_size=None,
+            ).select("doc_a", "doc_b").collect()
+        }
+        assert unflagged == small_only, seed
