@@ -191,6 +191,7 @@ def _lsh_block_pairs(
     threshold: float,
     n_hashes: int = N_HASHES,
     bands: int | None = None,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH tier for oversized blocks: candidates from banded
     token-set signatures (block keys in the bucket join so pairs stay
@@ -263,9 +264,10 @@ def _lsh_block_pairs(
     # same capped self-join as the global tier (hot buckets star-routed
     # — a block large enough to route here is exactly the corpus shape
     # where one template dominates), block keys included in the bucket
-    # identity so pairs stay within their (lang, source) block
+    # identity so pairs stay within their (lang, source) block; the cap
+    # is caller-tunable like minhash_lsh_pairs' (None disables)
     candidates = _capped_bucket_pairs(
-        banded, ("lang", "source", "band", "bucket"), LSH_MAX_BUCKET
+        banded, ("lang", "source", "band", "bucket"), max_bucket_size
     )
     # same hashed-verification representation as _exact_block_pairs
     # (one shared helper — tier equivalence requires the two sites to
@@ -292,6 +294,7 @@ def blocked_jaccard_pairs(
     threshold: float = 0.5,
     max_block_size: int = MAX_JACCARD_BLOCK,
     strict: bool = False,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Exact token-set Jaccard within (lang, source) blocks — the exact
     tier of the near-dup suite (MinHash-LSH is the scale tier).
@@ -311,7 +314,14 @@ def blocked_jaccard_pairs(
     DuckDB oracle row) are unchanged. With ``strict=True`` the operator
     instead fails fast in-plan (``raise_error`` on a broadcast
     block-size join) naming the oversized block — for pipelines that
-    must not silently accept approximate recall on the routed sliver."""
+    must not silently accept approximate recall on the routed sliver.
+
+    ``max_bucket_size`` tunes the routed LSH sub-tier's hot-bucket cap
+    exactly as in :func:`minhash_lsh_pairs` (``None`` disables it) —
+    previously hard-coded, so exact-oracle parity silently depended on
+    every (lang, source, band, bucket) population staying under
+    :data:`LSH_MAX_BUCKET`; now the assumption is caller-visible and
+    stated in the oracle docstring."""
     docs = documents.select(
         "doc_id",
         "lang",
@@ -369,7 +379,7 @@ def blocked_jaccard_pairs(
     small = docs.join(F.broadcast(small_keys), ["lang", "source"])
     big = docs.join(F.broadcast(big_keys), ["lang", "source"])
     return _exact_block_pairs(small, threshold, docs_b=docs).unionByName(
-        _lsh_block_pairs(big, threshold)
+        _lsh_block_pairs(big, threshold, max_bucket_size=max_bucket_size)
     )
 
 
@@ -381,7 +391,17 @@ def blocked_jaccard_pairs_oracle(threshold: float = 0.5) -> str:
     perturb the Spark intersection but not this oracle. Stated at both
     ends (see hashed_tokens) — the collision needs ~2^32 distinct
     tokens inside a single pair's union to become likely, negligible at
-    any realistic document size."""
+    any realistic document size.
+
+    Parity additionally assumes that when a block routes to the LSH
+    sub-tier, no (lang, source, band, bucket) population exceeds the
+    operator's ``max_bucket_size`` (default :data:`LSH_MAX_BUCKET`) —
+    buckets above it are star-routed, the deliberate pairwise-recall
+    trade of :func:`_capped_bucket_pairs`. On the driver fixtures no
+    block exceeds ``MAX_JACCARD_BLOCK`` at all, so the LSH sub-tier
+    (and with it the cap) never engages; callers running template-heavy
+    corpora can pass ``max_bucket_size=None`` to restore exact parity
+    at quadratic in-bucket cost."""
     toks = f"list_distinct({_oracle_tokens('text')})"
     return f"""
         WITH docs AS (
@@ -484,6 +504,7 @@ def minhash_lsh_pairs(
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
+    hot_bucket_mode: str = "star",
 ) -> DataFrame:
     """Near-dup candidate generation + verification:
 
@@ -508,9 +529,17 @@ def minhash_lsh_pairs(
     single doc_id exchange and exchange reuse collapses them — the
     earlier formulation re-scanned and re-shingled the corpus three
     times.
+
+    ``hot_bucket_mode``: ``"star"`` (default) hub-routes oversized
+    buckets; ``"subshard"`` salts them on a secondary signature and
+    all-pairs within sub-shards — no through-the-hub recall loss for
+    corpora whose hot buckets are diverse rather than boilerplate
+    (see :func:`_capped_bucket_pairs` for the exact semantics).
     """
     sh_df = shingled_docs(documents)
-    candidates = _candidates_from_sets(sh_df, n_hashes, bands, max_bucket_size)
+    candidates = _candidates_from_sets(
+        sh_df, n_hashes, bands, max_bucket_size, hot_bucket_mode
+    )
     return verify_jaccard_pairs(candidates, sh_df, sh_df, threshold)
 
 
@@ -547,6 +576,7 @@ def minhash_lsh_candidates(
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
+    hot_bucket_mode: str = "star",
 ) -> DataFrame:
     """The pre-verification candidate stage of :func:`minhash_lsh_pairs`
     — exposed so recall is directly testable: the LSH output equals the
@@ -556,7 +586,8 @@ def minhash_lsh_candidates(
     fails with a diagnosable recall message instead of an opaque oracle
     hash mismatch)."""
     return _candidates_from_sets(
-        shingled_docs(documents), n_hashes, bands, max_bucket_size
+        shingled_docs(documents), n_hashes, bands, max_bucket_size,
+        hot_bucket_mode,
     )
 
 
@@ -564,6 +595,7 @@ def banded_rows(
     sh_df: DataFrame,
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
+    with_salt: bool = False,
 ) -> DataFrame:
     """(doc_id, band, bucket) LSH band rows from the (doc_id, sh)
     shingle-set frame — the 16-bytes-per-row index form that both the
@@ -571,7 +603,16 @@ def banded_rows(
     incremental store (functions/incremental.py) join on. Signatures
     are identical to :func:`minhash_signatures` (MIN over a set == MIN
     over the multiset), so band rows computed in different batches /
-    sessions are comparable as long as (n_hashes, bands) match."""
+    sessions are comparable as long as (n_hashes, bands) match.
+
+    ``with_salt`` adds a ``salt`` column: band ``b``'s salt is the
+    NEXT band's bucket hash (``bucket`` of band ``(b+1) % bands``) — a
+    secondary signature of the same document that true near-dups agree
+    on with the banding probability but that is independent of band
+    ``b``'s own bucket identity. It is what the ``subshard``
+    hot-bucket mode salts oversized buckets on
+    (:func:`_capped_bucket_pairs`); the default schema stays
+    unchanged because the persisted band stores don't carry it."""
     a_const, b_const = _perm_constants(n_hashes)
     rows_per_band = n_hashes // bands
     exploded = sh_df.select("doc_id", F.explode("sh").alias("s")).select(
@@ -589,25 +630,28 @@ def banded_rows(
             for i in range(n_hashes)
         ]
     )
+
+    def bucket_of(b: int) -> Column:
+        return F.xxhash64(
+            *[
+                F.col(f"m{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
+        )
+
+    def band_struct(b: int) -> Column:
+        fields = [F.lit(b).alias("band"), bucket_of(b).alias("bucket")]
+        if with_salt:
+            fields.append(bucket_of((b + 1) % bands).alias("salt"))
+        return F.struct(*fields)
+
+    out_cols = ["doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")]
+    if with_salt:
+        out_cols.append(F.col("bb.salt").alias("salt"))
     return sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"m{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.explode(F.array(*[band_struct(b) for b in range(bands)])).alias("bb"),
+    ).select(*out_cols)
 
 
 def _candidates_from_sets(
@@ -615,15 +659,22 @@ def _candidates_from_sets(
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
+    hot_bucket_mode: str = "star",
 ) -> DataFrame:
     """Banded-LSH candidate pairs from the (doc_id, sh) shingle-set
     frame. Deriving signatures from the sets (not the raw shingle rows)
     keeps every downstream consumer above sh_df's one doc_id exchange:
     the explode preserves that partitioning, so the signature groupBy is
     partition-local and no second corpus scan exists anywhere in the
-    plan."""
+    plan. Subshard mode carries the salt column only when asked — the
+    default band-row shape (and the persisted stores') is unchanged."""
     return candidate_pairs_from_bands(
-        banded_rows(sh_df, n_hashes, bands), max_bucket_size
+        banded_rows(
+            sh_df, n_hashes, bands,
+            with_salt=(hot_bucket_mode == "subshard"),
+        ),
+        max_bucket_size,
+        hot_bucket_mode,
     )
 
 
@@ -631,6 +682,7 @@ def _capped_bucket_pairs(
     banded: DataFrame,
     keys: tuple[str, ...],
     max_bucket_size: int | None,
+    hot_bucket_mode: str = "star",
 ) -> DataFrame:
     """(doc_a, doc_b, via_hot_bucket) candidate pairs from bucket rows
     with hot-bucket star routing — the one capped-self-join definition
@@ -657,6 +709,24 @@ def _capped_bucket_pairs(
     routed. ``max_bucket_size=None`` disables capping (the r3
     semantics).
 
+    ``hot_bucket_mode="subshard"`` (opt-in; requires a ``salt`` column
+    — :func:`banded_rows` ``with_salt=True``) replaces the star with
+    salted sub-sharding for corpora whose hot buckets are NOT
+    boilerplate: a hot bucket's rows split into
+    ``ceil(population / max_bucket_size)`` sub-shards keyed by
+    ``pmod(salt, n_shards)`` and all-pair WITHIN each sub-shard. True
+    near-dups agree on the salt (it is the next band's bucket hash) so
+    they land in the same sub-shard and keep their direct pair —
+    bounded fan-out without the star's through-the-hub indirection. A
+    sub-shard that still exceeds the cap (identical salts ⇒
+    near-identical docs — the boilerplate regime, where the star is
+    correct) falls back to star routing within the shard, so per-group
+    work stays bounded in every regime. Residual trade: a true pair
+    whose salts differ in THIS band is missed here but caught in any
+    other shared band (multiplied across ``bands`` band rows — the
+    same independence argument banding itself rests on). Pairs from
+    hot buckets are flagged ``via_hot_bucket`` in both modes.
+
     Physical shape: NOT a self-join. Each bucket's member list is
     collected into one sorted array (ObjectHashAggregate with
     sort+spill fallback — a pathological bucket buffers k longs
@@ -667,19 +737,50 @@ def _capped_bucket_pairs(
     r3 self-join's exchange + two sorted join sides — measured faster
     than the uncapped join at sf0.1 *and* immune to the quadratic
     in-bucket nested loop."""
+    if hot_bucket_mode not in ("star", "subshard"):
+        raise ValueError(
+            f"hot_bucket_mode must be 'star' or 'subshard', got "
+            f"{hot_bucket_mode!r}"
+        )
     key_cols = list(keys)
-    grouped = banded.groupBy(*key_cols).agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
-    )
+    if hot_bucket_mode == "subshard" and max_bucket_size is not None:
+        if "salt" not in banded.columns:
+            raise ValueError(
+                "hot_bucket_mode='subshard' needs a salt column on the "
+                "band rows — build them with banded_rows(with_salt=True)"
+            )
+        # population via a window over the bucket keys (its exchange is
+        # the grouping's required partitioning — same no-extra-shuffle
+        # argument as the star path's hub window)
+        pop = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+        n_shards = F.ceil(pop / F.lit(max_bucket_size)).cast("long")
+        salted = banded.withColumn(
+            "_hot", pop > F.lit(max_bucket_size)
+        ).withColumn(
+            "_shard",
+            F.when(~F.col("_hot"), F.lit(0).cast("long")).otherwise(
+                F.pmod(F.col("salt"), n_shards)
+            ),
+        )
+        grouped = salted.groupBy(*key_cols, "_shard").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ids"),
+            F.first("_hot").alias("hot"),
+        )
+        hot_col = F.col("hot")
+    else:
+        grouped = banded.groupBy(*key_cols).agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ids")
+        )
+        hot_col = F.lit(False)
     n = F.size("ids")
 
-    def pair_structs(a_col, tail, via: bool):
+    def pair_structs(a_col, tail, via: Column):
         return F.transform(
             tail,
             lambda y: F.struct(
                 a_col.alias("doc_a"),
                 y.alias("doc_b"),
-                F.lit(via).alias("via_hot_bucket"),
+                via.alias("via_hot_bucket"),
             ),
         )
 
@@ -689,7 +790,7 @@ def _capped_bucket_pairs(
         F.transform(
             F.col("ids"),
             lambda x, i: pair_structs(
-                x, F.slice(F.col("ids"), i + F.lit(2), n - i - F.lit(1)), False
+                x, F.slice(F.col("ids"), i + F.lit(2), n - i - F.lit(1)), hot_col
             ),
         )
     )
@@ -699,8 +800,11 @@ def _capped_bucket_pairs(
         star = pair_structs(
             F.element_at(F.col("ids"), 1),
             F.slice(F.col("ids"), F.lit(2), n - F.lit(1)),
-            True,
+            F.lit(True),
         )
+        # in subshard mode ``ids`` is one sub-shard's members: small
+        # shards all-pair (flagged by their bucket's hotness), shards
+        # still over the cap (identical salts = boilerplate) star
         pairs = F.when(n <= F.lit(max_bucket_size), all_pairs).otherwise(star)
     return (
         grouped.select(F.explode(pairs).alias("p"))
@@ -711,7 +815,9 @@ def _capped_bucket_pairs(
 
 
 def candidate_pairs_from_bands(
-    banded: DataFrame, max_bucket_size: int | None = LSH_MAX_BUCKET
+    banded: DataFrame,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    hot_bucket_mode: str = "star",
 ) -> DataFrame:
     """Distinct candidate pairs from (doc_id, band, bucket) band rows —
     the self-join stage of banded LSH, split out so callers that already
@@ -724,8 +830,13 @@ def candidate_pairs_from_bands(
     for the exact semantics and :data:`LSH_MAX_BUCKET` for why) — the
     boilerplate-skew guard that keeps the stage near-linear at web
     scale. Output carries a ``via_hot_bucket`` audit column;
-    verification stages drop it."""
-    return _capped_bucket_pairs(banded, ("band", "bucket"), max_bucket_size)
+    verification stages drop it. ``hot_bucket_mode="subshard"``
+    (requires salt-bearing band rows) trades the star's hub
+    indirection for salted in-shard all-pairs — see
+    :func:`_capped_bucket_pairs`."""
+    return _capped_bucket_pairs(
+        banded, ("band", "bucket"), max_bucket_size, hot_bucket_mode
+    )
 
 
 def hot_bucket_audit(

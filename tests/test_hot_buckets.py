@@ -194,6 +194,39 @@ def test_incremental_near_dedup_survives_hot_corpus(spark):
     assert fast == replay == {0}
 
 
+def test_blocked_tier_threads_bucket_cap(spark):
+    """blocked_jaccard_pairs exposes the LSH sub-tier's hot-bucket cap
+    (previously hard-coded): with ``max_bucket_size=None`` a routed
+    oversized block reproduces the exact tier's pairs bit-for-bit; with
+    a tight cap the routed pairs thin to the star sliver but cluster
+    connectivity — what dedup consumes — is unchanged."""
+    hot = _hot_corpus(spark, 120, n_variants=2).cache()
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.blocked_jaccard_pairs(
+            hot, 0.8, max_block_size=None
+        ).collect()
+    }
+    routed_uncapped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.blocked_jaccard_pairs(
+            hot, 0.8, max_block_size=50, max_bucket_size=None
+        ).collect()
+    }
+    assert routed_uncapped == exact and len(exact) > 0
+    routed_capped = dedup.blocked_jaccard_pairs(
+        hot, 0.8, max_block_size=50, max_bucket_size=10
+    )
+    capped_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in routed_capped.collect()
+    }
+    assert capped_pairs < {(a, b) for a, b, _ in exact}  # thinned, subset
+    kept = {
+        r["doc_id"] for r in resolve_duplicates(hot, routed_capped).collect()
+    }
+    assert kept == {0}  # connectivity through hubs intact
+
+
 def test_capped_pairs_properties_random_corpora(spark):
     """Property pass over randomized corpora (deterministic seeds):
 

@@ -114,7 +114,30 @@ def _extras(spark, sf_dir):
             "pairs instead of k^2/2.",
             _capped_candidates(spark, sf_dir),
         ),
+        "subshard_lsh_candidates": (
+            "Opt-in subshard hot-bucket mode (r5): the salt column "
+            "rides the band rows from the signature stage, bucket "
+            "population comes from a window over the bucket keys, and "
+            "sub-shard assignment is a pure projection — the plan is "
+            "the capped plan plus one window function. Still no "
+            "self-join: one Exchange into the collect_list aggregate "
+            "(keyed by (band, bucket, _shard)) plus the final pair "
+            "distinct; a diverse hot bucket all-pairs within "
+            "~cap-sized shards instead of losing non-hub pairs.",
+            _subshard_candidates(spark, sf_dir),
+        ),
     }
+
+
+def _subshard_candidates(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.candidate_pairs_from_bands(
+        dedup.banded_rows(dedup.shingled_docs(docs), with_salt=True),
+        hot_bucket_mode="subshard",
+    )
 
 
 def _capped_candidates(spark, sf_dir):
