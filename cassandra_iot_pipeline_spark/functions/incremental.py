@@ -312,14 +312,13 @@ def incremental_near_dedup(
     # geometry, and verification as minhash_lsh_pairs — same
     # construction, shared code), so exceeding the bound wastes nothing:
     # the fallback replay reuses the materialized frames instead of
-    # re-shingling the corpus. Block release: localCheckpoint blocks
-    # are freed by the ContextCleaner once the frames become
-    # unreachable — on return for the fast path (its result depends
-    # only on `documents` + the driver-built dropped list), and when
-    # the caller drops the result for the fallback (whose survivors
-    # frame reads the checkpointed partitions). A long-lived session
-    # replaying many corpora holds at most one generation live at a
-    # time for that reason.
+    # re-shingling the corpus. Block release: the fast path's result
+    # depends only on `documents` + the driver-built dropped list, so
+    # its checkpoint blocks are released EXPLICITLY before return
+    # (blocks.py — deterministic, not ContextCleaner timing); the
+    # fallback's survivors frame reads the checkpointed partitions, so
+    # there release stays with the ContextCleaner once the caller
+    # drops the result.
     sh_all = shingled_docs(documents).localCheckpoint(eager=True)
     bands_all = banded_rows(sh_all).localCheckpoint(eager=True)
     pairs = verify_jaccard_pairs(
@@ -341,6 +340,11 @@ def incremental_near_dedup(
                 f"CAST((doc_id * {n_batches}) DIV {n} AS INT)"
             ).alias("batch"),
         )
+
+    from ..blocks import release_local_checkpoint
+
+    release_local_checkpoint(bands_all)
+    release_local_checkpoint(sh_all)
 
     def batch_of(d: int) -> int:
         return (d * n_batches) // n
@@ -502,6 +506,10 @@ def near_dedup_replay(
         band_store = band_store.unionByName(step.band_delta)
         shingle_store = shingle_store.unionByName(step.shingle_delta)
         if (i + 1) % 8 == 0:
+            # no deterministic release here (blocks.py): every prior
+            # store generation is still read lazily by the accumulated
+            # `out` survivors until the CALLER materializes the result,
+            # so these blocks are ContextCleaner-owned by construction
             band_store = band_store.localCheckpoint(eager=True)
             shingle_store = shingle_store.localCheckpoint(eager=True)
         out = (

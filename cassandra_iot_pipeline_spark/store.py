@@ -99,6 +99,92 @@ def delete_children_upto(
             fs.delete(Path(f"{path}/{n}"), True)
 
 
+#: schema of one ingest-watermark row (epoch, running max id)
+INGEST_WATERMARK_SCHEMA = "epoch BIGINT, max_id BIGINT"
+
+
+class IngestWatermark:
+    """Per-epoch ``(epoch, max_id)`` side-store backing the monotone-id
+    ingest guard shared by the incremental dedup pipelines (text:
+    streaming/dedup.py, embedding: streaming/ann.py).
+
+    Both pipelines' keep-first survivorship is id-ordered (cluster
+    minimum survives), which is only correct when every NEW batch's ids
+    exceed every previously ingested id. Replays of an already-recorded
+    epoch legitimately violate that (the store already holds the
+    batch's own delta), so the guard keys on the epoch number: a batch
+    whose epoch is ABOVE the recorded watermark but whose min id is at
+    or below the recorded max fails loudly instead of silently
+    inverting survivorship.
+
+    Layout: ``<dir>/epoch=N`` one-row parquet per recorded epoch,
+    written AFTER the epoch's data (a crash in between replays the
+    epoch, which the guard exempts); :meth:`prune` keeps only the
+    latest row (compaction cadence)."""
+
+    def __init__(self, wm_dir: str, id_name: str = "doc_id", what: str = "ingest"):
+        self.wm_dir = wm_dir
+        self.id_name = id_name
+        self.what = what
+
+    def read(self, spark: SparkSession) -> tuple[int, int] | None:
+        """(latest epoch, its running max id) or None before the first
+        recorded batch."""
+        names = list_children(spark, self.wm_dir)
+        epochs = sorted(
+            int(n.split("=", 1)[1]) for n in names if n.startswith("epoch=")
+        )
+        if not epochs:
+            return None
+        row = spark.read.parquet(f"{self.wm_dir}/epoch={epochs[-1]}").first()
+        return (epochs[-1], row["max_id"])
+
+    def guard(
+        self, spark: SparkSession, epoch_id: int, batch_min: int
+    ) -> tuple[int, int] | None:
+        """Raise on a genuinely out-of-order NEW epoch; return the
+        current watermark (for :meth:`record`). Replayed epochs
+        (epoch_id at or under the recorded epoch) are exempt."""
+        wm = self.read(spark)
+        if wm is not None and epoch_id > wm[0] and batch_min <= wm[1]:
+            raise ValueError(
+                f"{self.what} out of order: epoch {epoch_id} carries "
+                f"{self.id_name} {batch_min} <= {wm[1]}, the max already "
+                f"ingested through epoch {wm[0]}. Keep-first survivorship "
+                f"is id-ordered (cluster minimum survives), so an id below "
+                "the watermark would silently lose to a LATER-ingested "
+                "store row with a larger id. Stage files in ascending id "
+                "ranges (mtime order), or re-number the ingest sequence."
+            )
+        return wm
+
+    def record(
+        self,
+        spark: SparkSession,
+        epoch_id: int,
+        batch_max: int,
+        wm: tuple[int, int] | None,
+    ) -> None:
+        """Persist the epoch's watermark row (call AFTER the epoch's
+        data writes — the crash window then replays, which the guard
+        exempts)."""
+        max_id = batch_max if wm is None else max(batch_max, wm[1])
+        spark.createDataFrame(
+            [(int(epoch_id), int(max_id))], INGEST_WATERMARK_SCHEMA
+        ).write.mode("overwrite").parquet(f"{self.wm_dir}/epoch={epoch_id}")
+
+    def prune(self, spark: SparkSession) -> None:
+        """Drop all but the latest epoch row — only the running max
+        matters; history is replay bookkeeping."""
+        epochs = sorted(
+            int(n.split("=", 1)[1])
+            for n in list_children(spark, self.wm_dir)
+            if n.startswith("epoch=")
+        )
+        if len(epochs) > 1:
+            delete_children_upto(spark, self.wm_dir, "epoch=", epochs[-1] - 1)
+
+
 def compact_store(
     spark: SparkSession,
     path: str,

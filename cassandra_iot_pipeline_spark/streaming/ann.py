@@ -18,8 +18,10 @@ re-trained in place either).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.ann_store import AnnIndexStore
+from ..store import IngestWatermark
 
 #: embeddings fixture schema for the file-source stand-in (embedding is
 #: float32 at rest; the quantizer casts to double itself)
@@ -71,10 +73,20 @@ class EmbeddingDedupPipeline:
 
     Layout: survivors at ``<curated_dir>/epoch=N`` (overwrite —
     idempotent under at-least-once replay: a replayed batch re-probes a
-    store already holding its own vectors, and self-collisions are
-    removed by the id ordering exactly as in the text pipeline), index
-    epochs at stream epoch + 1 (store epoch 0 is the bootstrap build).
-    Requires an index built with ``store_vectors=True``."""
+    store already holding its own vectors; self-collisions are removed
+    by the id ordering, and the batch's own replayed copies are
+    filtered OUT of the ADC shortlist before its cap so they cannot
+    displace genuine candidates — replay survivors are exactly the
+    first attempt's), index epochs at stream epoch + 1 (store epoch 0
+    is the bootstrap build). Requires an index built with stored
+    vectors (``store_vectors=True`` or ``"int8"``).
+
+    **Monotone-id guard** (same contract as the text pipeline,
+    streaming/dedup.py): keep-first survivorship is vec_id-ordered, so
+    a NEW epoch whose min vec_id is at or below the previously
+    ingested max would silently invert survivorship — the shared
+    ``IngestWatermark`` side-store at ``<curated_dir>_watermark``
+    fails it loudly instead; replayed epochs stay exempt."""
 
     def __init__(
         self,
@@ -87,12 +99,23 @@ class EmbeddingDedupPipeline:
         self.curated_dir = curated_dir
         self.threshold = threshold
         self.compact_every = compact_every
+        # sibling of curated/, not inside it (curated/ is epoch-partitioned)
+        stripped = curated_dir.rstrip("/")
+        base = stripped.rsplit("/", 1)[0] if "/" in stripped else "."
+        self.watermark_dir = f"{base}/{stripped.rsplit('/', 1)[-1]}_watermark"
+        self._wm = IngestWatermark(
+            self.watermark_dir, id_name="vec_id", what="embedding ingest"
+        )
 
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)
+        bounds = batch.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).first()
+        wm = self._wm.guard(spark, epoch_id, bounds["lo"])
         step = self.store.near_dup_batch(batch, self.threshold)
         step.survivors.write.mode("overwrite").parquet(
             f"{self.curated_dir}/epoch={epoch_id}"
@@ -100,17 +123,43 @@ class EmbeddingDedupPipeline:
         # land ALL batch vectors, duplicates included — transitive
         # suppression across batches needs their codes and vectors
         self.store.add_batch(batch, epoch_id=epoch_id + 1)
+        # watermark last: a crash before this point replays the epoch,
+        # which the guard exempts
+        self._wm.record(spark, epoch_id, bounds["hi"], wm)
+        # survivors + codes (+ vectors) are on disk — the batch
+        # checkpoint is spent; free its blocks deterministically
+        from ..blocks import release_local_checkpoint
+
+        release_local_checkpoint(batch)
         if (
             self.compact_every is not None
             and (epoch_id + 1) % self.compact_every == 0
         ):
-            self.store.compact(spark)
+            self.compact(spark)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the index's code/vector deltas AND the curated output
+        into their ``base_upto=N`` bases (shared store.py lifecycle —
+        the curated dir would otherwise grow one directory per
+        micro-batch forever), then prune the watermark history."""
+        from ..store import compact_store
+
+        self.store.compact(spark)
+        compact_store(
+            spark,
+            self.curated_dir,
+            spark.createDataFrame([], EMBEDDINGS_STREAM_SCHEMA),
+        )
+        self._wm.prune(spark)
 
     def curated(self, spark: SparkSession) -> DataFrame:
-        from .dedup import NearDedupPipeline
+        """The admitted embeddings so far (empty-safe, delta+base
+        reader — epochs at or under the compacted base's upto are
+        ignored, so post-compaction replays cannot resurrect rows)."""
+        from ..store import read_store
 
         empty = spark.createDataFrame([], EMBEDDINGS_STREAM_SCHEMA)
-        return NearDedupPipeline._read_path(spark, self.curated_dir, empty)
+        return read_store(spark, self.curated_dir, empty)
 
     def foreach_batch(self):
         return self.write_batch
@@ -129,8 +178,11 @@ def streaming_embedding_dedup(
 ):
     """Wire staged embedding files through the continuous embedding
     dedup. Files must carry ascending vec_id ranges in mtime order
-    (the keep-first id contract); the index must be pre-built with
-    ``store_vectors=True``."""
+    (the keep-first id contract — violations now fail loudly at the
+    ingest watermark); the index must be pre-built with stored
+    vectors (``store_vectors=True``/``'full'`` or ``'int8'`` — the
+    latter is the 100 TB default posture: dims+8 bytes/vector instead
+    of a full-precision second copy of the corpus)."""
     pipe = EmbeddingDedupPipeline(
         index_dir, curated_dir, threshold, compact_every=compact_every
     )

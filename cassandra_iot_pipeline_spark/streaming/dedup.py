@@ -83,16 +83,7 @@ DOCUMENTS_STREAM_SCHEMA = (
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
 )
 
-#: schema of the per-epoch ingest watermark row (monotone-id guard)
-WATERMARK_SCHEMA = "epoch BIGINT, max_doc BIGINT"
-
-
-from ..store import (
-    compact_store,
-    delete_children_upto,
-    list_children,
-    read_store,
-)
+from ..store import IngestWatermark, compact_store, read_store
 
 
 class NearDedupPipeline:
@@ -166,33 +157,11 @@ class NearDedupPipeline:
         self.stats_dir = f"{base_dir}/bucket_stats"
         self.curated_dir = f"{base_dir}/curated"
         self.watermark_dir = f"{base_dir}/watermark"
+        self._wm = IngestWatermark(
+            self.watermark_dir, id_name="doc_id", what="near-dedup ingest"
+        )
 
     # -- store access -------------------------------------------------
-    @staticmethod
-    def _read_path(spark: SparkSession, path: str, empty: DataFrame) -> DataFrame:
-        """Read a plain epoch-partitioned directory (curated output),
-        falling back to ``empty`` only when the path does not exist
-        yet. Existence is probed by attempting the read, matching on
-        the error class where the API provides it (message-substring
-        fallback for older wordings) — not os.path, which on a remote
-        filesystem would silently report 'no store' and re-admit
-        duplicates forever."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            df = spark.read.parquet(path)
-        except AnalysisException as exc:
-            get_class = getattr(exc, "getErrorClass", None)
-            klass = get_class() if callable(get_class) else None
-            if (
-                klass == "PATH_NOT_FOUND"
-                or "PATH_NOT_FOUND" in str(exc)
-                or "Path does not exist" in str(exc)
-            ):
-                return empty
-            raise
-        return df.select(*empty.columns)  # drop the epoch partition col
-
     def _read_store(self, spark: SparkSession, path: str, empty: DataFrame):
         # delta+base layout shared with the ANN index — see store.py
         return read_store(spark, path, empty)
@@ -225,26 +194,24 @@ class NearDedupPipeline:
         )
 
     def curated(self, spark: SparkSession) -> DataFrame:
-        """The admitted corpus so far (empty-safe)."""
+        """The admitted corpus so far (empty-safe). Delta+base reader:
+        curated output participates in the same compaction lifecycle as
+        the index stores (one dir per micro-batch forever is the
+        small-files pathology compaction exists to kill), and the
+        reader ignoring epochs at or under the base's upto is what
+        keeps a post-compaction replay from resurrecting rows."""
         empty = spark.createDataFrame([], DOCUMENTS_STREAM_SCHEMA)
-        return self._read_path(spark, self.curated_dir, empty)
+        return read_store(spark, self.curated_dir, empty)
 
     def watermark(self, spark: SparkSession) -> tuple[int, int] | None:
         """(latest epoch, its running max doc_id) or None before the
-        first batch."""
-        names = list_children(spark, self.watermark_dir)
-        epochs = sorted(
-            int(n.split("=", 1)[1]) for n in names if n.startswith("epoch=")
-        )
-        if not epochs:
-            return None
-        row = spark.read.parquet(
-            f"{self.watermark_dir}/epoch={epochs[-1]}"
-        ).first()
-        return (epochs[-1], row["max_doc"])
+        first batch (shared IngestWatermark side-store — store.py)."""
+        return self._wm.read(spark)
 
     # -- write path (called from foreachBatch) ------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..blocks import release_local_checkpoint
+        from ..functions.dedup import banded_rows, shingled_docs
         from ..functions.incremental import bucket_stats_delta, near_dedup_batch
 
         if batch_df.isEmpty():
@@ -254,22 +221,20 @@ class NearDedupPipeline:
         bounds = batch.agg(
             F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
         ).first()
-        wm = self.watermark(spark)
-        if wm is not None and epoch_id > wm[0] and bounds["lo"] <= wm[1]:
-            raise ValueError(
-                f"near-dedup ingest out of order: epoch {epoch_id} carries "
-                f"doc_id {bounds['lo']} <= {wm[1]}, the max already ingested "
-                f"through epoch {wm[0]}. near_dedup_batch's keep-first rule "
-                "is id-ordered (cluster minimum survives), so an id below "
-                "the watermark would silently lose to a LATER-ingested store "
-                "doc with a larger id. Stage files in ascending id ranges "
-                "(mtime order), or re-number the ingest sequence."
-            )
+        wm = self._wm.guard(spark, epoch_id, bounds["lo"])
+        # the shared-subtree checkpoints are built HERE (not left to
+        # near_dedup_batch's defaults) so this layer owns their
+        # lifecycle: once the epoch's parquet writes land, the blocks
+        # are spent and released deterministically below
+        sh_batch = shingled_docs(batch).localCheckpoint(eager=True)
+        batch_bands = banded_rows(sh_batch).localCheckpoint(eager=True)
         step = near_dedup_batch(
             batch,
             self._read_or_empty(spark, self.bands_dir, "bands"),
             self._read_or_empty(spark, self.shingles_dir, "shingles"),
             self.threshold,
+            sh_batch=sh_batch,
+            batch_bands=batch_bands,
             store_bucket_stats=self.bucket_stats(spark),
         )
         # epoch-dir overwrite => replaying an epoch is a no-op rewrite
@@ -287,12 +252,12 @@ class NearDedupPipeline:
         )
         # watermark last: a crash before this point replays the epoch,
         # which the guard exempts (epoch_id not above the recorded max)
-        max_doc = bounds["hi"] if wm is None else max(bounds["hi"], wm[1])
-        spark.createDataFrame(
-            [(int(epoch_id), int(max_doc))], WATERMARK_SCHEMA
-        ).write.mode("overwrite").parquet(
-            f"{self.watermark_dir}/epoch={epoch_id}"
-        )
+        self._wm.record(spark, epoch_id, bounds["hi"], wm)
+        # every epoch artifact is on disk — the batch checkpoints are
+        # spent; free their blocks now instead of at GC time
+        release_local_checkpoint(batch_bands)
+        release_local_checkpoint(sh_batch)
+        release_local_checkpoint(batch)
         if (
             self.compact_every is not None
             and (epoch_id + 1) % self.compact_every == 0
@@ -304,7 +269,10 @@ class NearDedupPipeline:
         """Fold every store's base + epoch deltas into a fresh
         ``base_upto=N``: bands band-partitioned (partition pruning for
         band-filtered probes), bucket stats re-aggregated to one row
-        per bucket, shingles coalesced. Commit per store is
+        per bucket, shingles coalesced, and the CURATED OUTPUT folded
+        plain (append-only rows keyed by doc_id — a union fold; readers
+        ignore epochs at or under the base upto, so a post-compaction
+        replay cannot resurrect rows). Commit per store is
         write-to-hidden-dir then rename; the folded inputs are deleted
         only after the rename, and readers ignore stale bases / folded
         epochs, so every crash window stays readable with no double
@@ -322,26 +290,24 @@ class NearDedupPipeline:
             ("bands", self.bands_dir, None, "band"),
             ("shingles", self.shingles_dir, None, None),
             ("bucket_stats", self.stats_dir, fold_stats, None),
+            ("curated", self.curated_dir, None, None),
         ):
+            empty = (
+                spark.createDataFrame([], DOCUMENTS_STREAM_SCHEMA)
+                if which == "curated"
+                else self._empty_for(spark, which)
+            )
             upto = compact_store(
                 spark,
                 path,
-                self._empty_for(spark, which),
+                empty,
                 fold=fold,
                 partition_by=part,
             )
             if upto is not None:
                 done[which] = upto
         # watermark: only the latest epoch matters
-        wm_epochs = sorted(
-            int(n.split("=", 1)[1])
-            for n in list_children(spark, self.watermark_dir)
-            if n.startswith("epoch=")
-        )
-        if len(wm_epochs) > 1:
-            delete_children_upto(
-                spark, self.watermark_dir, "epoch=", wm_epochs[-1] - 1
-            )
+        self._wm.prune(spark)
         return done
 
     def foreach_batch(self):

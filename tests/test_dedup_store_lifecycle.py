@@ -5,7 +5,9 @@ bucket-stats maintenance, and the monotone-id watermark guard.
 The contracts:
 
 1. a long replay with a compaction cadence keeps store file counts
-   bounded (base + a bounded tail of deltas, not one dir per epoch);
+   bounded (base + a bounded tail of deltas, not one dir per epoch) —
+   including the CURATED OUTPUT, which folds through the same
+   delta+base lifecycle as the index stores;
 2. compaction never changes what readers see — the curated corpus and
    the folded store contents are identical before/after;
 3. the compacted band base is band-partitioned, so a band filter
@@ -64,7 +66,7 @@ def test_compaction_bounds_files_and_preserves_reads(spark, tmp_path):
         b = _batch(spark, e * 10, (e + 1) * 10)
         plain.write_batch(b, epoch_id=e)
         compacted.write_batch(b, epoch_id=e)
-    for kind in ("bands", "shingles", "bucket_stats"):
+    for kind in ("bands", "shingles", "bucket_stats", "curated"):
         dirs = _store_dirs(str(tmp_path / "compacted"), kind)
         bases = [d for d in dirs if d.startswith("base_upto=")]
         epochs = [d for d in dirs if d.startswith("epoch=")]
