@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 from ..store import compact_store, read_store
 from .similarity import (
     _centroid_ranked,
+    _coarse_centroids,
     _exact_rerank_pairs,
     _pq_adc,
     _pq_codebook,
@@ -55,11 +56,33 @@ from .similarity import (
 
 #: stored codes schema (DDL, for empty-store bootstrap)
 CODES_SCHEMA = "vec_id BIGINT, lst BIGINT, codes ARRAY<INT>"
-META_SCHEMA = "m INT, ks INT, dims INT, n_centroids INT, store_vectors BOOLEAN"
-#: full-vector side table (only when store_vectors=True): the exact-
-#: verification payload for ingest-time near-dup detection, stored as
-#: double (the quantizer's working type)
+META_SCHEMA = (
+    "m INT, ks INT, dims INT, n_centroids INT, store_vectors BOOLEAN, "
+    "vector_mode STRING"
+)
+#: full-vector side table (vector_mode='full'): the exact-verification
+#: payload for ingest-time near-dup detection, stored as double (the
+#: quantizer's working type) — 8*dims+8 bytes/vector
 VECTORS_SCHEMA = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+#: int8 side table (vector_mode='int8'): per-vector max-abs-scaled
+#: 8-bit quantization — dims+8 bytes/vector (~7x smaller than 'full';
+#: cosine is scale-invariant per side, so no scale column is needed
+#: for verification)
+VECTORS_INT8_SCHEMA = "vec_id BIGINT, q8 ARRAY<TINYINT>"
+
+
+def _int8(col):
+    """Per-vector max-abs-scaled 8-bit quantization:
+    ``round(x / max(|x|) * 127)`` per element (zero vectors map to
+    zeros). The scale is not stored — cosine verification normalizes
+    each side, so per-vector scales cancel."""
+    x = col.cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v))), F.lit(1e-30)
+    )
+    return F.transform(
+        x, lambda v: F.round(v / scale * F.lit(127.0)).cast("tinyint")
+    )
 
 
 class AnnDedupBatch(NamedTuple):
@@ -91,7 +114,10 @@ class AnnIndexStore:
         row = spark.read.parquet(self.meta_dir).first()
         return {
             k: row[k]
-            for k in ("m", "ks", "dims", "n_centroids", "store_vectors")
+            for k in (
+                "m", "ks", "dims", "n_centroids", "store_vectors",
+                "vector_mode",
+            )
         }
 
     def codebook(self, spark: SparkSession) -> DataFrame:
@@ -105,7 +131,12 @@ class AnnIndexStore:
         return read_store(spark, self.codes_dir, empty)
 
     def vectors(self, spark: SparkSession) -> DataFrame:
-        empty = spark.createDataFrame([], VECTORS_SCHEMA)
+        """The stored verification side table in its at-rest form —
+        (vec_id, embedding) for ``vector_mode='full'``, (vec_id, q8)
+        for ``'int8'``."""
+        mode = self.meta(spark)["vector_mode"]
+        schema = VECTORS_INT8_SCHEMA if mode == "int8" else VECTORS_SCHEMA
+        empty = spark.createDataFrame([], schema)
         return read_store(spark, self.vectors_dir, empty)
 
     # -- build / ingest --------------------------------------------------
@@ -117,20 +148,42 @@ class AnnIndexStore:
         ks: int = 16,
         dims: int = 64,
         refine_iters: int = 0,
-        store_vectors: bool = False,
+        store_vectors: bool | str = False,
+        coarse_refine_iters: int = 0,
     ) -> None:
         """One-time index build: derive the coarse centroids (the same
-        deterministic sha256-minimizer sample as ``ivf_topk``) and the
-        PQ codebook (optionally Lloyd-refined) from ``embeddings``,
+        deterministic sha256-minimizer sample as ``ivf_topk``;
+        ``coarse_refine_iters`` Lloyd-refines them on whole vectors —
+        see ``_coarse_centroids`` for why list balance needs it at
+        real centroid counts) and the PQ codebook (optionally
+        Lloyd-refined via ``refine_iters``) from ``embeddings``,
         persist both plus the corpus codes as epoch 0.
 
         Refuses a directory that already carries codes beyond epoch 0:
         rebuilding the codebook in place would silently invalidate
         every previously-stored code (codes are only comparable against
         the codebook that produced them) — swap directories for a
-        rebuild instead."""
+        rebuild instead.
+
+        ``store_vectors``: ``False`` keeps no verification side table;
+        ``True`` (= ``'full'``) stores full-precision doubles
+        (8*dims+8 bytes/vector — a second copy of the corpus at
+        100 TB); ``'int8'`` stores per-vector max-abs-scaled 8-bit
+        vectors (dims+8 bytes/vector, ~7x smaller) whose cosine is
+        within ~1e-3 of exact for near-dup verification — scale
+        factors cancel in cosine, so no scale column is kept. The
+        precision/recall trade vs ``'full'`` is pinned in
+        tests/test_ann_store.py; SCALE.md records bytes/vector."""
         from ..store import list_children
 
+        mode = {False: "none", True: "full", "full": "full", "int8": "int8"}.get(
+            store_vectors
+        )
+        if mode is None:
+            raise ValueError(
+                f"store_vectors must be False, True/'full', or 'int8'; "
+                f"got {store_vectors!r}"
+            )
         spark = embeddings.sparkSession
         stale = [
             n
@@ -146,19 +199,13 @@ class AnnIndexStore:
                 "add_batch."
             )
         spark.createDataFrame(
-            [(m, ks, dims, n_centroids, store_vectors)], META_SCHEMA
+            [(m, ks, dims, n_centroids, mode != "none", mode)], META_SCHEMA
         ).write.mode("overwrite").parquet(self.meta_dir)
-        cents = (
-            embeddings.select(
-                "vec_id",
-                "embedding",
-                F.sha2(F.col("vec_id").cast("string"), 256).alias("h"),
-            )
-            .orderBy("h", "vec_id")
-            .limit(n_centroids)
-            .select("vec_id", "embedding")
-        )
+        cents = _coarse_centroids(embeddings, n_centroids, coarse_refine_iters)
         cents.write.mode("overwrite").parquet(self.centroids_dir)
+        from ..blocks import release_local_checkpoint
+
+        release_local_checkpoint(cents)  # no-op for the unrefined sample
         cb = _pq_codebook(embeddings, m, ks, dims, refine_iters)
         cb.write.mode("overwrite").parquet(self.codebook_dir)
         self.add_batch(embeddings, epoch_id=0)
@@ -186,12 +233,18 @@ class AnnIndexStore:
             .write.mode("overwrite")
             .parquet(f"{self.codes_dir}/epoch={epoch_id}")
         )
-        if meta["store_vectors"]:
+        if meta["vector_mode"] == "full":
             (
                 embeddings.select(
                     "vec_id",
                     F.col("embedding").cast("array<double>").alias("embedding"),
                 )
+                .write.mode("overwrite")
+                .parquet(f"{self.vectors_dir}/epoch={epoch_id}")
+            )
+        elif meta["vector_mode"] == "int8":
+            (
+                embeddings.select("vec_id", _int8(F.col("embedding")).alias("q8"))
                 .write.mode("overwrite")
                 .parquet(f"{self.vectors_dir}/epoch={epoch_id}")
             )
@@ -201,11 +254,15 @@ class AnnIndexStore:
         ``lst`` — the layout that gives probes dynamic partition
         pruning (only the probed lists' directories are read). The
         vector side table (when kept) folds plain."""
-        if self.meta(spark)["store_vectors"]:
+        mode = self.meta(spark)["vector_mode"]
+        if mode != "none":
             compact_store(
                 spark,
                 self.vectors_dir,
-                spark.createDataFrame([], VECTORS_SCHEMA),
+                spark.createDataFrame(
+                    [],
+                    VECTORS_INT8_SCHEMA if mode == "int8" else VECTORS_SCHEMA,
+                ),
             )
         empty = spark.createDataFrame([], CODES_SCHEMA)
         return compact_store(
@@ -214,11 +271,23 @@ class AnnIndexStore:
 
     # -- query ------------------------------------------------------------
     def _adc_shortlist(
-        self, queries: DataFrame, n_probe: int, limit: int
+        self,
+        queries: DataFrame,
+        n_probe: int,
+        limit: int,
+        cand_bound: DataFrame | None = None,
     ) -> DataFrame:
         """(query_id, cand_id, adc, r): per-query top-``limit`` stored
         candidates by ADC over the probed lists — the shared candidate
-        stage of :meth:`topk` and :meth:`near_dup_batch`."""
+        stage of :meth:`topk` and :meth:`near_dup_batch`.
+
+        ``cand_bound`` (optional): a ONE-ROW (bound BIGINT) frame;
+        stored candidates with ``cand_id >= bound`` are dropped BEFORE
+        the per-query cap. Under the monotone-id ingest contract those
+        rows can only be a replayed batch's own earlier copies, and
+        filtering them pre-cap keeps them from displacing genuine
+        candidates out of the shortlist (exact replay idempotence for
+        :meth:`near_dup_batch`). In-plan broadcast — no driver value."""
         spark = queries.sparkSession
         meta = self.meta(spark)
         cb = self.codebook(spark)
@@ -242,6 +311,12 @@ class AnnIndexStore:
             )
             .dropDuplicates(["query_id", "cand_id"])
         )
+        if cand_bound is not None:
+            scored = (
+                scored.join(F.broadcast(cand_bound))
+                .filter(F.col("cand_id") < F.col("bound"))
+                .drop("bound")
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.col("adc").desc(), F.col("cand_id").asc()
         )
@@ -264,9 +339,13 @@ class AnnIndexStore:
         With ``corpus`` (vec_id, embedding) the top-``rerank`` ADC
         shortlist is exact-cosine re-ranked against it, matching the
         inline ``ivf_pq_topk`` output schema (query_id, cand_id,
-        cosine, rank). Without it the index answers from codes alone —
-        (query_id, cand_id, adc, rank) — the pure-index form for when
-        the original vectors live elsewhere.
+        cosine, rank). The rerank's QUERY side is built from
+        ``queries`` itself (it already carries the embeddings), so a
+        query_id absent from ``corpus`` still gets its rows — only
+        candidate vectors must be present in ``corpus``. Without
+        ``corpus`` the index answers from codes alone — (query_id,
+        cand_id, adc, rank) — the pure-index form for when the
+        original vectors live elsewhere.
         """
         if rerank is None:
             rerank = 4 * k
@@ -277,7 +356,10 @@ class AnnIndexStore:
                 .select("query_id", "cand_id", "adc", F.col("r").alias("rank"))
             )
         return _exact_rerank_pairs(
-            shortlist.select("query_id", "cand_id"), corpus, k
+            shortlist.select("query_id", "cand_id"),
+            corpus,
+            k,
+            query_embeddings=queries,
         )
 
     # -- ingest-time near-dup detection -----------------------------------
@@ -295,31 +377,43 @@ class AnnIndexStore:
         (duplicates included — transitive suppression across batches
         needs their codes/vectors, same as the text dedup store).
 
-        Requires ``store_vectors=True`` at build time: candidates come
-        from the ADC scan (approximate — the documented ANN recall
-        trade; ``embedding_near_dups`` is the exact batch tier), but
-        every pair is verified by EXACT quantized cosine against the
-        stored vector before anything is dropped. Keep-first semantics
-        by vec_id under the same monotone-id contract as
-        ``near_dedup_batch`` (functions/incremental.py); intra-batch
-        pairs come from the exact tier over the (small) batch.
+        Requires a stored verification side table
+        (``store_vectors=True``/``'full'`` or ``'int8'`` at build
+        time): candidates come from the ADC scan (approximate — the
+        documented ANN recall trade; ``embedding_near_dups`` is the
+        exact batch tier), but every pair is verified by cosine
+        against the STORED vector before anything is dropped — exact
+        quantized cosine in 'full' mode, 8-bit-reconstructed cosine
+        (within ~1e-3 of exact; per-side scales cancel) in 'int8'
+        mode, where near-dup thresholds like 0.9 sit far from the
+        quantization error. Keep-first semantics by vec_id under the
+        same monotone-id contract as ``near_dedup_batch``
+        (functions/incremental.py); intra-batch pairs come from the
+        exact tier over the (small) batch.
         """
         from .clusters import connected_components_routed
         from .similarity import _dot, _quantized, embedding_near_dups
 
         spark = batch.sparkSession
-        if not self.meta(spark)["store_vectors"]:
+        mode = self.meta(spark)["vector_mode"]
+        if mode == "none":
             raise ValueError(
                 "near_dup_batch requires an index built with "
-                "store_vectors=True (exact verification needs the stored "
-                "vectors; codes alone only bound the cosine)"
+                "store_vectors=True/'full' or 'int8' (verification needs a "
+                "stored vector form; codes alone only bound the cosine)"
             )
         queries = batch.select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        cand = self._adc_shortlist(queries, n_probe, shortlist).select(
-            "query_id", "cand_id"
-        )
+        # Stored candidates at or above the batch's min vec_id can only
+        # be the batch's own replayed copies (monotone-id contract) —
+        # filtered BEFORE the shortlist cap so a replay cannot displace
+        # genuine near-dup candidates out of the capped shortlist
+        # (exact idempotence; pinned in tests/test_streaming_ann.py).
+        bound = batch.agg(F.min("vec_id").alias("bound"))
+        cand = self._adc_shortlist(
+            queries, n_probe, shortlist, cand_bound=bound
+        ).select("query_id", "cand_id")
 
         def quant_side(df, id_out, v_out, n_out, id_in="vec_id"):
             q = df.select(
@@ -329,7 +423,20 @@ class AnnIndexStore:
             return q.withColumn(n_out, _dot(F.col(v_out), F.col(v_out)))
 
         qs = quant_side(batch, "query_id", "qv", "qn2")
-        cs = quant_side(self.vectors(spark), "cand_id", "cv", "cn2")
+        if mode == "int8":
+            # the stored side is already an integer vector; cosine is
+            # scale-invariant per side, so int8 ints stand in for the
+            # 1e-6-grid quantization directly (cast wide for the dot)
+            cs = (
+                self.vectors(spark)
+                .select(
+                    F.col("vec_id").alias("cand_id"),
+                    F.col("q8").cast("array<long>").alias("cv"),
+                )
+                .withColumn("cn2", _dot(F.col("cv"), F.col("cv")))
+            )
+        else:
+            cs = quant_side(self.vectors(spark), "cand_id", "cv", "cn2")
         cos = _dot(F.col("qv"), F.col("cv")).cast("double") / (
             F.sqrt(F.col("qn2").cast("double"))
             * F.sqrt(F.col("cn2").cast("double"))

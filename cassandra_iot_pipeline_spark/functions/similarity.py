@@ -958,6 +958,78 @@ def _centroid_ranked(embeddings: DataFrame, cent_rows: DataFrame) -> DataFrame:
     )
 
 
+def _coarse_centroids(
+    embeddings: DataFrame, n_centroids: int, refine_iters: int = 0
+) -> DataFrame:
+    """(vec_id, embedding) coarse-quantizer rows for IVF routing.
+
+    Initialization is the deterministic sha256-minimizer corpus sample
+    every IVF operator here uses (layout-stable, partition-invariant).
+    ``refine_iters`` runs that many Lloyd iterations on the WHOLE
+    vectors in the router's own metric: every corpus vector is
+    assigned exactly as ``_centroid_ranked`` will route it (max
+    quantized cosine, cent_vid tiebreak), then each centroid moves to
+    the element-wise integer mean (``sum DIV count`` on the quantized
+    grid — exact longs, bitwise partition-invariant) of its assigned
+    vectors; a centroid that attracted nothing keeps its previous
+    value. Refined centroids are stored as ``mean / QUANT`` doubles,
+    which ``_quantized`` recovers bit-exactly, so routing stays on the
+    integer grid end-to-end.
+
+    Why it matters at scale: the raw sample puts centroids wherever
+    the corpus is dense, so at real ``n_centroids`` (>= 256 at 100 TB)
+    inverted lists go unbalanced and the ``n_probe/n_centroids`` scan
+    fraction stops holding — the hottest list dominates every probe.
+    One or two Lloyd passes (each one corpus scan against a broadcast
+    centroid table) pull centroids apart and flatten the list
+    histogram (measured in tools/scale_probe.py; SCALE.md). Keeps each
+    sampled vec_id as the stable centroid/list id."""
+    cents = (
+        embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.sha2(F.col("vec_id").cast("string"), 256).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .select("vec_id", "embedding")
+    )
+    if refine_iters <= 0:
+        return cents
+    from ..blocks import release_local_checkpoint
+
+    cents = cents.localCheckpoint(eager=True)
+    for _ in range(refine_iters):
+        assigned = _centroid_ranked(embeddings, cents).filter(
+            F.col("crank") == 1
+        )
+        means = (
+            assigned.select("cent_vid", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cent_vid", "pos")
+            .agg(F.expr("sum(v) DIV count(1)").alias("cv"))
+        )
+        new_emb = means.groupBy("cent_vid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("cv")))
+                ),
+                lambda p: p["cv"].cast("double") / F.lit(QUANT),
+            ).alias("emb_new")
+        )
+        prev = cents
+        cents = (
+            prev.join(
+                new_emb, prev["vec_id"] == new_emb["cent_vid"], "left"
+            )
+            .select(
+                "vec_id", F.coalesce("emb_new", "embedding").alias("embedding")
+            )
+            .localCheckpoint(eager=True)
+        )
+        release_local_checkpoint(prev)
+    return cents
+
+
 def _ivf_rerank(queries: DataFrame, cands: DataFrame, k: int) -> DataFrame:
     """Exact quantized-cosine re-rank of probed candidates (shared by
     both assignment tiers)."""
@@ -1096,9 +1168,16 @@ def _pq_codebook(
         ).alias("sc"),
     ).select("code_id", F.col("sc.s").alias("s"), F.col("sc.cw").alias("cw"))
     if refine_iters > 0:
+        from ..blocks import release_local_checkpoint
+
         rows = _sub_rows(embeddings, m, dims)
         for _ in range(refine_iters):
+            prev = cb
             cb = _lloyd_step(rows, cb).localCheckpoint(eager=True)
+            # the superseded iteration's blocks feed nothing once the
+            # new checkpoint is eager-materialized (no-op on the
+            # initial sampled codebook, which is not a checkpoint)
+            release_local_checkpoint(prev)
     return cb
 
 
@@ -1293,18 +1372,33 @@ def _pq_adc(t_col: Column, codes_col: Column) -> Column:
 
 
 def _exact_rerank_pairs(
-    shortlist: DataFrame, embeddings: DataFrame, k: int
+    shortlist: DataFrame,
+    embeddings: DataFrame,
+    k: int,
+    query_embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact quantized-cosine re-rank of a (query_id, cand_id)
-    shortlist; full vectors join only for the sliver."""
+    shortlist; full vectors join only for the sliver.
+
+    ``query_embeddings`` (optional, (query_id, embedding)) supplies the
+    QUERY side directly — for callers whose queries are standalone
+    frames rather than ``embeddings`` members (AnnIndexStore.topk: a
+    query_id absent from the corpus frame must still produce rows).
+    Default keeps the in-corpus behavior (both sides from
+    ``embeddings``)."""
     base = embeddings.select(
         "vec_id", _quantized(F.col("embedding")).alias("q")
     ).withColumn("n2", _dot(F.col("q"), F.col("q")))
-    qv = base.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qv"),
-        F.col("n2").alias("qn2"),
-    )
+    if query_embeddings is not None:
+        qv = query_embeddings.select(
+            "query_id", _quantized(F.col("embedding")).alias("qv")
+        ).withColumn("qn2", _dot(F.col("qv"), F.col("qv")))
+    else:
+        qv = base.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("n2").alias("qn2"),
+        )
     cv = base.select(
         F.col("vec_id").alias("cand_id"),
         F.col("q").alias("cv"),

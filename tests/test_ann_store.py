@@ -178,6 +178,24 @@ def test_pure_index_answers_without_corpus(spark, embeddings, tmp_path):
         assert adcs == sorted(adcs, reverse=True)
 
 
+def test_topk_rerank_query_absent_from_corpus(spark, embeddings, tmp_path):
+    """The rerank query side comes from the ``queries`` frame itself
+    (it carries the embeddings), so a query_id that is NOT a corpus
+    member still gets its k rows — the docstring's standalone-queries
+    contract, without unioning queries into the corpus."""
+    store = AnnIndexStore(str(tmp_path / "qa"))
+    store.build(embeddings)
+    probe = embeddings.filter(F.col("vec_id") == 7).select(
+        F.lit(999_999).cast("long").alias("query_id"), "embedding"
+    )
+    got = store.topk(probe, k=5, n_probe=8, corpus=embeddings).collect()
+    assert len(got) == 5
+    assert all(r["query_id"] == 999_999 for r in got)
+    # identical vector 7 is the exact-cosine top hit
+    top = min(got, key=lambda r: r["rank"])
+    assert top["cand_id"] == 7 and top["cosine"] == pytest.approx(1.0)
+
+
 def test_rebuild_on_dirty_index_refused(spark, embeddings, tmp_path):
     """build() into a directory already carrying post-build codes
     raises: a new codebook would silently invalidate every stored
@@ -239,3 +257,59 @@ def test_near_dup_batch_requires_stored_vectors(spark, embeddings, tmp_path):
     store.build(embeddings.filter(F.col("vec_id") < 100))
     with pytest.raises(ValueError, match="store_vectors=True"):
         store.near_dup_batch(embeddings.filter(F.col("vec_id") >= 100))
+    with pytest.raises(ValueError, match="store_vectors must be"):
+        AnnIndexStore(str(tmp_path / "bad")).build(
+            embeddings.limit(10), store_vectors="int4"
+        )
+
+
+def test_near_dup_batch_int8_mode_matches_full(spark, embeddings, tmp_path):
+    """vector_mode='int8' (dims+8 bytes/vector vs 8*dims+8 for 'full'):
+    on planted exact dups, perturbed near-dups, and novel vectors the
+    int8-verified decision equals the full-precision one — the 8-bit
+    cosine error (~1e-3) sits far from any near-dup threshold — while
+    the side table stores tinyint arrays, not doubles."""
+    boot = embeddings.filter(F.col("vec_id") < 300)
+    full = AnnIndexStore(str(tmp_path / "vf"))
+    full.build(boot, store_vectors="full")
+    int8 = AnnIndexStore(str(tmp_path / "vi"))
+    int8.build(boot, store_vectors="int8")
+    assert int8.meta(spark)["vector_mode"] == "int8"
+    assert int8.meta(spark)["store_vectors"] is True
+
+    def copy_of(src_id, new_id, jitter=0.0):
+        emb = F.col("embedding")
+        if jitter:
+            emb = F.transform(emb, lambda x: x + F.lit(jitter))
+        return embeddings.filter(F.col("vec_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("vec_id"),
+            emb.cast("array<float>").alias("embedding"),
+            "label",
+        )
+
+    batch = (
+        copy_of(5, 1000)  # exact copy of stored 5 -> dropped
+        .unionByName(copy_of(7, 1001, jitter=0.003))  # near-dup -> dropped
+        .unionByName(copy_of(350, 1002))  # novel (350 not stored)
+    )
+    step_f = full.near_dup_batch(batch, threshold=0.99)
+    step_i = int8.near_dup_batch(batch, threshold=0.99)
+    kept_f = {r["vec_id"] for r in step_f.survivors.collect()}
+    kept_i = {r["vec_id"] for r in step_i.survivors.collect()}
+    assert kept_f == kept_i == {1002}
+    pairs_f = {(r["vec_a"], r["vec_b"]) for r in step_f.pairs.collect()}
+    pairs_i = {(r["vec_a"], r["vec_b"]) for r in step_i.pairs.collect()}
+    assert pairs_i == pairs_f
+
+    # the at-rest form really is 8-bit
+    vecs = int8.vectors(spark)
+    assert vecs.schema["q8"].dataType.simpleString() == "array<tinyint>"
+    sample = vecs.limit(5).collect()
+    assert all(
+        all(-127 <= v <= 127 for v in r["q8"]) for r in sample
+    ) and sample
+
+    # lifecycle parity: compaction folds the int8 table too
+    int8.add_batch(batch, epoch_id=1)
+    int8.compact(spark)
+    assert int8.vectors(spark).count() == boot.count() + 3

@@ -170,3 +170,81 @@ def test_streaming_embedding_dedup_curates(spark, embeddings, tmp_path):
         epoch_id=1,
     )
     assert {r["vec_id"] for r in pipe.curated(spark).collect()} == {1000, 2001}
+
+    # monotone-id guard (same contract as the text pipeline): a NEW
+    # epoch carrying ids at or below the ingested max fails loudly
+    stale = copy_of(370, 1500)  # 1500 <= 2001, the recorded max
+    with pytest.raises(ValueError, match="out of order.*epoch 2"):
+        pipe.write_batch(
+            stale.select(
+                "vec_id",
+                F.col("embedding").cast("array<float>").alias("embedding"),
+                "label",
+            ),
+            epoch_id=2,
+        )
+
+
+def test_embedding_curated_compaction_bounds_files(spark, embeddings, tmp_path):
+    """The curated output and watermark history fold through the same
+    delta+base lifecycle as the index stores: after a compaction
+    cadence the curated dir holds one base and no epoch leftovers, the
+    read is unchanged, and a post-compaction replay cannot resurrect
+    rows (readers ignore epochs at or under the base upto)."""
+    from cassandra_iot_pipeline_spark.streaming.ann import EmbeddingDedupPipeline
+
+    boot = embeddings.filter(F.col("vec_id") < 300)
+    idx_dir = str(tmp_path / "cidx")
+    AnnIndexStore(idx_dir).build(boot, store_vectors=True)
+    cur_dir = str(tmp_path / "ccur")
+    pipe = EmbeddingDedupPipeline(
+        idx_dir, cur_dir, threshold=0.999, compact_every=2
+    )
+    slices = [(300, 320), (320, 340), (340, 360), (360, 380)]
+    for e, (lo, hi) in enumerate(slices):
+        batch = embeddings.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        pipe.write_batch(batch, epoch_id=e)
+    dirs = sorted(os.path.basename(p) for p in glob.glob(cur_dir + "/*"))
+    assert dirs == ["base_upto=3"], dirs
+    wm_dirs = sorted(
+        os.path.basename(p) for p in glob.glob(pipe.watermark_dir + "/*")
+    )
+    assert wm_dirs == ["epoch=3"], wm_dirs
+    before = sorted(r["vec_id"] for r in pipe.curated(spark).collect())
+    assert before == list(range(300, 380))  # novel slices all admitted
+    # post-compaction replay of a folded epoch: read unchanged
+    pipe.write_batch(
+        embeddings.filter(
+            (F.col("vec_id") >= 340) & (F.col("vec_id") < 360)
+        ),
+        epoch_id=2,
+    )
+    assert sorted(r["vec_id"] for r in pipe.curated(spark).collect()) == before
+
+
+def test_embedding_replay_does_not_displace_shortlist(spark, embeddings, tmp_path):
+    """Crash between add_batch and checkpoint commit: the replayed
+    batch re-probes a store holding its own vectors. An identical copy
+    maximizes ADC, so with a tight shortlist it would displace the
+    genuine near-dup candidate — the pre-cap ``cand_id < batch min``
+    filter removes the replayed copies instead, making replay survivors
+    exactly the first attempt's."""
+    boot = embeddings.filter(F.col("vec_id") < 300)
+    idx_dir = str(tmp_path / "ridx")
+    store = AnnIndexStore(idx_dir)
+    store.build(boot, store_vectors=True)
+
+    batch = embeddings.filter(F.col("vec_id") == 5).select(
+        F.lit(1000).cast("long").alias("vec_id"), "embedding"
+    )
+    first = store.near_dup_batch(batch, threshold=0.999, shortlist=1)
+    assert first.survivors.count() == 0  # dup of stored vec 5 — dropped
+
+    store.add_batch(batch, epoch_id=1)  # crash happened after this
+    replay = store.near_dup_batch(batch, threshold=0.999, shortlist=1)
+    # without the bound filter, the batch's own stored copy (ADC max)
+    # fills the 1-slot shortlist, the self-pair is discarded, and the
+    # replay would admit a vector the first attempt dropped
+    assert replay.survivors.count() == 0
