@@ -126,16 +126,27 @@ def main() -> None:
     # recorded number is steady-state throughput, not first-run cost.
     warm_engine = IoTEngine(spark, tempfile.mkdtemp(prefix="bench_pipewarm_"))
     warm_engine.ingest_stream(staged, max_files_per_trigger=32)
-    engine = IoTEngine(spark, tempfile.mkdtemp(prefix="bench_pipeline_"))
-    t0 = time.perf_counter()
-    # state-store commits (one per state partition per batch) dominate
-    # bounded-replay cost, so bigger batches are strictly faster with
-    # identical results (measured 6.2k -> 42.7k events/s at sf0.1; the
-    # current sf0.1 staging is ~30 day files, so 32/trigger is already a
-    # single availableNow batch).
-    engine.ingest_stream(staged, max_files_per_trigger=32)
-    pipe_sec = time.perf_counter() - t0
-    n_events = engine.table_counts()["sensor_events"]
+    # median-of-3 with spread (r4 verdict: one contended run made the
+    # committed pipeline number unattributable round-over-round; the
+    # median is robust to a single noisy run and the spread says how
+    # much to trust the delta).
+    runs: list[float] = []
+    n_events = 0
+    for i in range(3):
+        engine = IoTEngine(
+            spark, tempfile.mkdtemp(prefix=f"bench_pipeline{i}_")
+        )
+        t0 = time.perf_counter()
+        # state-store commits (one per state partition per batch)
+        # dominate bounded-replay cost, so bigger batches are strictly
+        # faster with identical results (measured 6.2k -> 42.7k
+        # events/s at sf0.1; the current sf0.1 staging is ~30 day
+        # files, so 32/trigger is already a single availableNow batch).
+        engine.ingest_stream(staged, max_files_per_trigger=32)
+        pipe_sec = time.perf_counter() - t0
+        n_events = engine.table_counts()["sensor_events"]
+        runs.append(round(n_events / pipe_sec, 1))
+    med = sorted(runs)[1]
 
     print(
         json.dumps(
@@ -145,9 +156,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "pipeline_events_per_sec": round(n_events / pipe_sec, 1),
+                "pipeline_events_per_sec": med,
                 "pipeline_events": n_events,
-                "pipeline_sec": round(pipe_sec, 3),
+                "pipeline_sec": round(n_events / med, 3),
+                "pipeline_runs_events_per_sec": runs,
+                "pipeline_spread_events_per_sec": round(
+                    max(runs) - min(runs), 1
+                ),
                 **calib,
             }
         )

@@ -82,8 +82,9 @@ def timed(label, df, results):
 
 
 def main() -> None:
-    n_events = int(float(sys.argv[1]) * 1_000_000) if len(sys.argv) > 1 else 20_000_000
-    n_devices = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_events = int(float(args[0]) * 1_000_000) if args else 20_000_000
+    n_devices = int(args[1]) if len(args) > 1 else 10_000
     spark = build_session("scale-probe")
     events = probe_events(spark, n_events, n_devices)
 
@@ -442,6 +443,181 @@ def main() -> None:
         f"{results['ann_store_compact']}/{results['ann_store_query_10']}s",
         file=sys.stderr, flush=True,
     )
+
+    # Streaming embedding dedup at the same index scale (r4 verdict #8:
+    # the one operator family with no SCALE row): bootstrap a 100k
+    # int8-verified index, then 10 epochs of 2k-vector batches through
+    # the full write path (watermark guard, ADC probe with the
+    # replayed-copy bound, exact-verified drop, curated write, index
+    # landing, compaction cadence). Flat per-epoch times = per-batch
+    # cost tracks the batch, not the accumulated index.
+    from cassandra_iot_pipeline_spark.streaming.ann import (
+        EmbeddingDedupPipeline,
+    )
+
+    def probe_embeddings(lo: int, hi: int):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: (
+                    F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000
+                ).cast("float")
+                / 1000.0,
+            ).alias("embedding"),
+            F.lit(0).alias("label"),
+        )
+
+    edd_dir = _tempfile.mkdtemp(prefix="scale_probe_edd_")
+    try:
+        eidx = AnnIndexStore(f"{edd_dir}/idx")
+        eidx.build(probe_embeddings(0, n_vecs), store_vectors="int8")
+        epipe = EmbeddingDedupPipeline(
+            f"{edd_dir}/idx", f"{edd_dir}/curated", threshold=0.95,
+            compact_every=5,
+        )
+        e_times = []
+        per_epoch_vecs = 2_000
+        for e in range(10):
+            b = probe_embeddings(
+                n_vecs + e * per_epoch_vecs, n_vecs + (e + 1) * per_epoch_vecs
+            )
+            t0 = time.perf_counter()
+            epipe.write_batch(b, epoch_id=e)
+            e_times.append(round(time.perf_counter() - t0, 2))
+        results["embedding_dedup_epoch_first"] = e_times[0]
+        results["embedding_dedup_epoch_last"] = e_times[-1]
+        results["embedding_dedup_total_20k_vs_100k_index"] = round(
+            sum(e_times), 2
+        )
+    finally:
+        _shutil.rmtree(edd_dir, ignore_errors=True)
+    print(
+        f"[probe] embedding_dedup 10x2k epochs vs 100k index: {e_times}",
+        file=sys.stderr, flush=True,
+    )
+
+    # Coarse-centroid Lloyd refinement at n_centroids=64 (r4 verdict
+    # #5): a clustered corpus (32 true clusters) where the raw sample
+    # lands centroids by corpus density — some true clusters get
+    # several, some none — vs 2 Lloyd passes. Reported: list-size
+    # max/mean (the n_probe/n_centroids scan-fraction claim holds only
+    # when this is ~1) and routing recall of brute-force top-5.
+    from cassandra_iot_pipeline_spark.functions.similarity import (
+        _centroid_ranked,
+        _coarse_centroids,
+    )
+
+    n_clustered = 100_000
+    center = F.pmod(F.col("id"), F.lit(32))
+    clustered = spark.range(n_clustered).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: (
+                (F.pmod(F.xxhash64(center, d), F.lit(2001)) - 1000).cast(
+                    "double"
+                )
+                / 1000.0
+                + (F.pmod(F.xxhash64(F.col("id"), d), F.lit(201)) - 100).cast(
+                    "double"
+                )
+                / 2000.0
+            ),
+        ).alias("embedding"),
+    )
+    truth = None
+    for iters in (0, 2):
+        t0 = time.perf_counter()
+        cents = _coarse_centroids(clustered, 64, iters)
+        ranked = _centroid_ranked(clustered, cents)
+        lists = (
+            ranked.filter(F.col("crank") == 1).groupBy("cent_vid").count()
+        )
+        row = lists.agg(
+            F.max("count").alias("mx"), F.avg("count").alias("mean")
+        ).first()
+        results[f"coarse_iters{iters}_max_over_mean_list"] = round(
+            row["mx"] / row["mean"], 2
+        )
+        results[f"coarse_iters{iters}_sec"] = round(
+            time.perf_counter() - t0, 2
+        )
+        # routing recall: is a true top-5 neighbor's list probed
+        # (n_probe=8) for its query?
+        from cassandra_iot_pipeline_spark.functions.similarity import (
+            cosine_topk,
+        )
+
+        if truth is None:
+            truth = cosine_topk(clustered, n_queries=10, k=5).select(
+                "query_id", "cand_id"
+            ).localCheckpoint(eager=True)
+        cand_lists = ranked.filter(F.col("crank") == 1).select(
+            F.col("vec_id").alias("cand_id"), F.col("cent_vid").alias("lst")
+        )
+        probe_lists = ranked.filter(
+            (F.col("vec_id") < 10) & (F.col("crank") <= 8)
+        ).select(F.col("vec_id").alias("query_id"), F.col("cent_vid").alias("lst"))
+        hit = truth.join(cand_lists, "cand_id").join(
+            probe_lists, ["query_id", "lst"]
+        )
+        results[f"coarse_iters{iters}_routing_recall"] = round(
+            hit.count() / truth.count(), 2
+        )
+    print(
+        f"[probe] coarse refine: balance "
+        f"{results['coarse_iters0_max_over_mean_list']} -> "
+        f"{results['coarse_iters2_max_over_mean_list']}, recall "
+        f"{results['coarse_iters0_routing_recall']} -> "
+        f"{results['coarse_iters2_routing_recall']}",
+        file=sys.stderr, flush=True,
+    )
+
+    # Optional 1M-vector AnnIndexStore row (pass --ann-1m): build +
+    # 10-query probe at 10x the standard probe's index size.
+    if "--ann-1m" in sys.argv:
+        big_dir = _tempfile.mkdtemp(prefix="scale_probe_ann1m_")
+        try:
+            n_big = 1_000_000
+            big = spark.range(n_big).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda d: (
+                        F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000
+                    ).cast("double")
+                    / 1000.0,
+                ).alias("embedding"),
+            )
+            bidx = AnnIndexStore(big_dir)
+            t0 = time.perf_counter()
+            bidx.build(big, n_centroids=64)
+            results["ann_store_build_1m"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            bidx.compact(spark)
+            results["ann_store_compact_1m"] = round(
+                time.perf_counter() - t0, 2
+            )
+            q10 = big.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            t0 = time.perf_counter()
+            bidx.topk(q10, k=5, n_probe=8).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results["ann_store_query_10_of_1m"] = round(
+                time.perf_counter() - t0, 2
+            )
+        finally:
+            _shutil.rmtree(big_dir, ignore_errors=True)
+        print(
+            f"[probe] ann_store 1m build/compact/query: "
+            f"{results['ann_store_build_1m']}/"
+            f"{results['ann_store_compact_1m']}/"
+            f"{results['ann_store_query_10_of_1m']}s",
+            file=sys.stderr, flush=True,
+        )
 
     rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
     print(
