@@ -195,7 +195,9 @@ def test_embedding_curated_compaction_bounds_files(spark, embeddings, tmp_path):
 
     boot = embeddings.filter(F.col("vec_id") < 300)
     idx_dir = str(tmp_path / "cidx")
-    AnnIndexStore(idx_dir).build(boot, store_vectors=True)
+    # int8 verification vectors: the 100 TB-default side-table mode,
+    # exercised through the full streaming write path here
+    AnnIndexStore(idx_dir).build(boot, store_vectors="int8")
     cur_dir = str(tmp_path / "ccur")
     pipe = EmbeddingDedupPipeline(
         idx_dir, cur_dir, threshold=0.999, compact_every=2
