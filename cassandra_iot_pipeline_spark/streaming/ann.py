@@ -35,7 +35,14 @@ class AnnIngestPipeline:
     :class:`AnnIndexStore` (raises on an unbuilt index rather than
     silently deriving a codebook from an arbitrary first micro-batch).
     ``compact_every`` folds code deltas into the lst-partitioned base
-    on that epoch cadence."""
+    on that epoch cadence.
+
+    No monotone-id watermark guard here, deliberately: pure index
+    ingestion has no keep-first survivorship to invert — topk answers
+    are id-order-independent — so out-of-order vec_id ranges are
+    merely unusual, not wrong. The guard lives where the contract
+    does: :class:`EmbeddingDedupPipeline` (and the text pipeline),
+    whose drop decisions ARE id-ordered."""
 
     def __init__(
         self, index_dir: str, compact_every: int | None = None
