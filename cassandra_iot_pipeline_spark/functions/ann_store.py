@@ -276,6 +276,7 @@ class AnnIndexStore:
         n_probe: int,
         limit: int,
         cand_bound: DataFrame | None = None,
+        impl: str = "catalyst",
     ) -> DataFrame:
         """(query_id, cand_id, adc, r): per-query top-``limit`` stored
         candidates by ADC over the probed lists — the shared candidate
@@ -287,7 +288,12 @@ class AnnIndexStore:
         rows can only be a replayed batch's own earlier copies, and
         filtering them pre-cap keeps them from displacing genuine
         candidates out of the shortlist (exact replay idempotence for
-        :meth:`near_dup_batch`). In-plan broadcast — no driver value."""
+        :meth:`near_dup_batch`). In-plan broadcast — no driver value.
+
+        ``impl``: ``"catalyst"`` (default — pure expressions, the
+        serving-topk path) or ``"arrow"`` (numpy-vectorized ADC scan
+        with per-partition partial top-k; bit-identical output, built
+        for LARGE query batches — see :meth:`_adc_shortlist_arrow`)."""
         spark = queries.sparkSession
         meta = self.meta(spark)
         cb = self.codebook(spark)
@@ -300,8 +306,28 @@ class AnnIndexStore:
         )
         tables = query_adc_tables(queries, cb, meta["m"], meta["dims"])
         qt = tables.join(query_lists, "query_id")
+        if impl == "arrow":
+            return self._adc_shortlist_arrow(spark, qt, limit, cand_bound)
+        if impl != "catalyst":
+            raise ValueError(f"impl must be 'catalyst' or 'arrow': {impl!r}")
+        # Dedup at the CODE level, not the scored-pair level: every
+        # vector lives in exactly one list, so a (query, cand) pair is
+        # scored at most once and pair-level dropDuplicates would
+        # shuffle the full SCORED frame — |codes| x (avg probes per
+        # list), ~500x the code rows for a 2k-vector batch (measured:
+        # the dominant cost of a streaming embedding-dedup epoch).
+        # Duplicate CODE rows exist only when an epoch re-landed the
+        # same vec_ids (the documented bootstrap re-stream case) and
+        # are full-row identical, so a hash shuffle of the compact
+        # code rows restores uniqueness — and only the PROBED lists'
+        # rows pay it (broadcast semi-join first, which also keeps the
+        # partition-pruned scan of the compacted base). Compaction
+        # eventually folds the duplicates away at the store level.
+        probed = qt.select("lst").dropDuplicates(["lst"])
         scored = (
             self.codes(spark)
+            .join(F.broadcast(probed), "lst", "left_semi")
+            .dropDuplicates(["vec_id"])
             .withColumnRenamed("vec_id", "cand_id")
             .join(F.broadcast(qt), "lst")
             .select(
@@ -309,7 +335,6 @@ class AnnIndexStore:
                 "cand_id",
                 _pq_adc(F.col("t"), F.col("codes")).alias("adc"),
             )
-            .dropDuplicates(["query_id", "cand_id"])
         )
         if cand_bound is not None:
             scored = (
@@ -321,6 +346,114 @@ class AnnIndexStore:
             F.col("adc").desc(), F.col("cand_id").asc()
         )
         return scored.withColumn("r", F.row_number().over(w)).filter(
+            F.col("r") <= limit
+        )
+
+    def _adc_shortlist_arrow(
+        self,
+        spark: SparkSession,
+        qt: DataFrame,
+        limit: int,
+        cand_bound: DataFrame | None,
+    ) -> DataFrame:
+        """Vectorized ADC scan for LARGE query batches (the ingest-
+        dedup shape: every batch vector is a query, so the scored
+        frame is |codes| x (batch x n_probe / n_centroids) rows —
+        measured to dominate a streaming embedding-dedup epoch when
+        evaluated as per-row Catalyst lambdas, ~50M interpreted
+        ``aggregate``/``zip_with`` calls plus a 50M-row ranking
+        shuffle for a 2k-vector batch against a 100k index).
+
+        Shape: the per-query ADC tables (batch-sized: B x m x ks
+        longs — the same payload the catalyst path broadcasts) are
+        collected and broadcast as numpy arrays; the code scan runs
+        through ``mapInPandas``, scoring each partition's codes
+        against its probed lists' query tables with integer numpy
+        gathers and reducing to an EXACT per-partition top-``limit``
+        per query (stable sort on (-adc, cand_id) — same tiebreak as
+        the window). The final global window then ranks partitions x
+        limit rows per query instead of the full scored frame. All
+        arithmetic is int64 — output is bit-identical to the catalyst
+        path (pinned in tests/test_ann_store.py)."""
+        import numpy as np
+        import pandas as pd
+
+        # batch-sized driver collect, same payload the catalyst path
+        # ships as a broadcast join side (B x m x ks x 8 bytes)
+        qt_pdf = qt.toPandas()
+        by_lst: dict[int, tuple] = {}
+        for lst, grp in qt_pdf.groupby("lst"):
+            qids = grp["query_id"].to_numpy(np.int64)
+            T = np.array(
+                [[np.asarray(row, dtype=np.int64) for row in t] for t in grp["t"]],
+                dtype=np.int64,
+            )  # [q, m, ks]
+            by_lst[int(lst)] = (qids, T)
+        bc = spark.sparkContext.broadcast(by_lst)
+        bound = None
+        if cand_bound is not None:  # 1-row bounded read (documented class)
+            row = cand_bound.first()
+            bound = None if row is None else row["bound"]
+
+        def score(batches):
+            parts = []
+            for pdf in batches:
+                for lst, grp in pdf.groupby("lst"):
+                    ent = bc.value.get(int(lst))
+                    if ent is None:
+                        continue
+                    qids, T = ent
+                    grp = grp.sort_values("vec_id")  # cand_id asc for ties
+                    cand = grp["vec_id"].to_numpy(np.int64)
+                    if bound is not None:
+                        keep = cand < bound
+                        grp, cand = grp[keep], cand[keep]
+                    if cand.size == 0:
+                        continue
+                    C = np.array(
+                        [np.asarray(c, dtype=np.int64) for c in grp["codes"]]
+                    )  # [n, m]
+                    scores = np.zeros((qids.size, cand.size), dtype=np.int64)
+                    for s in range(T.shape[1]):
+                        scores += T[:, s, :][:, C[:, s]]
+                    k = min(limit, cand.size)
+                    # stable argsort of -adc over ascending cand_id ==
+                    # the window's (adc DESC, cand_id ASC) exactly
+                    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.repeat(qids, k),
+                                "cand_id": cand[order].ravel(),
+                                "adc": np.take_along_axis(
+                                    scores, order, axis=1
+                                ).ravel(),
+                            }
+                        )
+                    )
+            if parts:
+                allp = pd.concat(parts, ignore_index=True)
+                # exact per-partition top-limit per query (stable)
+                allp = allp.sort_values(
+                    ["adc", "cand_id"],
+                    ascending=[False, True],
+                    kind="mergesort",
+                )
+                yield allp.groupby("query_id", sort=False).head(limit)
+
+        probed = qt.select("lst").dropDuplicates(["lst"])
+        codes = (
+            self.codes(spark)
+            .join(F.broadcast(probed), "lst", "left_semi")
+            .dropDuplicates(["vec_id"])
+        )
+        pre = codes.mapInPandas(
+            score, "query_id BIGINT, cand_id BIGINT, adc BIGINT"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc").desc(), F.col("cand_id").asc()
+        )
+        return pre.withColumn("r", F.row_number().over(w)).filter(
             F.col("r") <= limit
         )
 
@@ -411,8 +544,12 @@ class AnnIndexStore:
         # genuine near-dup candidates out of the capped shortlist
         # (exact idempotence; pinned in tests/test_streaming_ann.py).
         bound = batch.agg(F.min("vec_id").alias("bound"))
+        # arrow tier: every batch vector is a query, so the scored
+        # frame is |codes| x (B x n_probe / n_centroids) — the
+        # vectorized scan with per-partition top-k is the batch shape's
+        # plan (bit-identical to catalyst; serving topk stays catalyst)
         cand = self._adc_shortlist(
-            queries, n_probe, shortlist, cand_bound=bound
+            queries, n_probe, shortlist, cand_bound=bound, impl="arrow"
         ).select("query_id", "cand_id")
 
         def quant_side(df, id_out, v_out, n_out, id_in="vec_id"):

@@ -263,6 +263,52 @@ def test_near_dup_batch_requires_stored_vectors(spark, embeddings, tmp_path):
         )
 
 
+def test_adc_shortlist_arrow_bit_parity(spark, embeddings, tmp_path):
+    """The vectorized (mapInPandas) ADC scan returns exactly the
+    catalyst expression path's shortlist — same candidates, same int64
+    ADC values, same ranks, same tie resolution — on a query batch
+    that includes planted exact duplicates (maximal ties)."""
+    store = AnnIndexStore(str(tmp_path / "ap"))
+    base = embeddings.filter(F.col("vec_id") < 400)
+    store.build(base)
+    # queries = 60 corpus members + 5 out-of-corpus exact copies
+    queries = base.filter(F.col("vec_id") < 60).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).unionByName(
+        base.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 90000).alias("query_id"), "embedding"
+        )
+    )
+
+    def rows(impl):
+        return sorted(
+            map(
+                tuple,
+                store._adc_shortlist(queries, 4, 16, impl=impl).collect(),
+            )
+        )
+
+    cat, arw = rows("catalyst"), rows("arrow")
+    assert cat == arw and len(cat) > 0
+
+    # and with the replay bound applied on both paths
+    bound = spark.createDataFrame([(200,)], "bound BIGINT")
+
+    def rows_b(impl):
+        return sorted(
+            map(
+                tuple,
+                store._adc_shortlist(
+                    queries, 4, 16, cand_bound=bound, impl=impl
+                ).collect(),
+            )
+        )
+
+    cat_b, arw_b = rows_b("catalyst"), rows_b("arrow")
+    assert cat_b == arw_b and len(cat_b) > 0
+    assert all(r[1] < 200 for r in arw_b)
+
+
 def test_near_dup_batch_int8_mode_matches_full(spark, embeddings, tmp_path):
     """vector_mode='int8' (dims+8 bytes/vector vs 8*dims+8 for 'full'):
     on planted exact dups, perturbed near-dups, and novel vectors the
