@@ -307,11 +307,11 @@ def incremental_near_dedup(
     from .dedup import candidate_pairs_from_bands, verify_jaccard_pairs
 
     bound = MAX_DRIVER_PAIRS if max_driver_pairs is None else max_driver_pairs
-    # Both branches build on the SAME two checkpoints: the probe's pair
-    # plan is candidate+verify over them (identical signatures, band
+    # Both branches build on the SAME shingle checkpoint: the probe's
+    # pair plan is candidate+verify over it (identical signatures, band
     # geometry, and verification as minhash_lsh_pairs — same
     # construction, shared code), so exceeding the bound wastes nothing:
-    # the fallback replay reuses the materialized frames instead of
+    # the fallback replay reuses the materialized shingles instead of
     # re-shingling the corpus. Block release: the fast path's result
     # depends only on `documents` + the driver-built dropped list, so
     # its checkpoint blocks are released EXPLICITLY before return
@@ -320,12 +320,19 @@ def incremental_near_dedup(
     # there release stays with the ContextCleaner once the caller
     # drops the result.
     sh_all = shingled_docs(documents).localCheckpoint(eager=True)
-    bands_all = banded_rows(sh_all).localCheckpoint(eager=True)
+    # band rows stay LAZY on the fast path: the pair probe reads them
+    # exactly once, so an eager checkpoint would only add a
+    # materialize-and-read-back job the fast path never amortizes
+    # (the signature aggregation runs inside the probe job either
+    # way); the fallback — whose per-step consumers DO reuse them —
+    # checkpoints on entry
+    bands_lazy = banded_rows(sh_all)
     pairs = verify_jaccard_pairs(
-        candidate_pairs_from_bands(bands_all), sh_all, sh_all, threshold
+        candidate_pairs_from_bands(bands_lazy), sh_all, sh_all, threshold
     ).select("doc_a", "doc_b")
     head = pairs.limit(bound + 1).collect()
     if len(head) > bound:
+        bands_all = bands_lazy.localCheckpoint(eager=True)
         batches = [documents.filter(batch_col == k) for k in range(n_batches)]
         precomputed = [
             (sh_all.filter(batch_col == k), bands_all.filter(batch_col == k))
@@ -343,7 +350,6 @@ def incremental_near_dedup(
 
     from ..blocks import release_local_checkpoint
 
-    release_local_checkpoint(bands_all)
     release_local_checkpoint(sh_all)
 
     def batch_of(d: int) -> int:

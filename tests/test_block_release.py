@@ -71,7 +71,10 @@ def test_incremental_replays_do_not_grow_storage(spark):
     for seed in range(3):
         out = incremental_near_dedup(_corpus(spark, seed), threshold=0.8)
         out.count()  # materialize the operator's result
-        assert _settled_count(spark, baseline) == baseline, f"corpus {seed}"
+        # <= not ==: earlier tests' ContextCleaner-owned blocks may be
+        # GC'd mid-loop, legitimately dropping the count BELOW the
+        # baseline; the property under test is no-growth
+        assert _settled_count(spark, baseline) <= baseline, f"corpus {seed}"
 
 
 def test_pipeline_batches_do_not_grow_storage(spark, tmp_path):
@@ -85,4 +88,4 @@ def test_pipeline_batches_do_not_grow_storage(spark, tmp_path):
             "doc_id", F.col("doc_id") + F.lit(e * 100)
         )
         pipe.write_batch(batch, epoch_id=e)
-        assert _settled_count(spark, baseline) == baseline, f"epoch {e}"
+        assert _settled_count(spark, baseline) <= baseline, f"epoch {e}"
