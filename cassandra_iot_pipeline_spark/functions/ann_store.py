@@ -464,6 +464,7 @@ class AnnIndexStore:
         n_probe: int = 4,
         rerank: int | None = None,
         corpus: DataFrame | None = None,
+        impl: str = "catalyst",
     ) -> DataFrame:
         """IVFADC top-k against the persisted index. ``queries`` is a
         standalone (query_id, embedding) frame — query vectors need not
@@ -479,10 +480,15 @@ class AnnIndexStore:
         ``corpus`` the index answers from codes alone — (query_id,
         cand_id, adc, rank) — the pure-index form for when the
         original vectors live elsewhere.
+
+        ``impl="arrow"`` routes the ADC scan through the vectorized
+        tier (bit-identical; see :meth:`_adc_shortlist`) — pick it
+        when the QUERY side is batch-sized (thousands of rows), where
+        the scored frame outgrows per-row expression evaluation.
         """
         if rerank is None:
             rerank = 4 * k
-        shortlist = self._adc_shortlist(queries, n_probe, rerank)
+        shortlist = self._adc_shortlist(queries, n_probe, rerank, impl=impl)
         if corpus is None:
             return (
                 shortlist.filter(F.col("r") <= k)

@@ -308,6 +308,15 @@ def test_adc_shortlist_arrow_bit_parity(spark, embeddings, tmp_path):
     assert cat_b == arw_b and len(cat_b) > 0
     assert all(r[1] < 200 for r in arw_b)
 
+    # the public topk surface routes through the same tiers identically
+    t_cat = sorted(
+        map(tuple, store.topk(queries, k=5, n_probe=4).collect())
+    )
+    t_arw = sorted(
+        map(tuple, store.topk(queries, k=5, n_probe=4, impl="arrow").collect())
+    )
+    assert t_cat == t_arw and len(t_cat) > 0
+
 
 def test_near_dup_batch_int8_mode_matches_full(spark, embeddings, tmp_path):
     """vector_mode='int8' (dims+8 bytes/vector vs 8*dims+8 for 'full'):
