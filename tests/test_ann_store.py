@@ -318,6 +318,50 @@ def test_adc_shortlist_arrow_bit_parity(spark, embeddings, tmp_path):
     assert t_cat == t_arw and len(t_cat) > 0
 
 
+def test_adc_shortlist_arrow_parity_random(spark, tmp_path):
+    """Randomized corpora (deterministic seeds): catalyst/arrow ADC
+    parity holds for odd shapes — tiny lists, limit larger than the
+    list population, duplicate code rows from a re-landed epoch."""
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        n = rng.randint(120, 220)
+        rows = [
+            (i, [round(rng.uniform(-1, 1), 4) for _ in range(64)])
+            for i in range(n)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+        )
+        store = AnnIndexStore(str(tmp_path / f"rp{seed}"))
+        store.build(emb, n_centroids=8)
+        # re-land a slice as a NEW epoch -> duplicate code rows, the
+        # exact case the code-level dedup exists for
+        store.add_batch(emb.filter(F.col("vec_id") < 30), epoch_id=1)
+        queries = emb.filter(F.col("vec_id") % 3 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        for limit in (7, 500):  # 500 > corpus: no-cap regime
+            cat = sorted(
+                map(
+                    tuple,
+                    store._adc_shortlist(
+                        queries, 3, limit, impl="catalyst"
+                    ).collect(),
+                )
+            )
+            arw = sorted(
+                map(
+                    tuple,
+                    store._adc_shortlist(
+                        queries, 3, limit, impl="arrow"
+                    ).collect(),
+                )
+            )
+            assert cat == arw and len(cat) > 0, (seed, limit)
+
+
 def test_near_dup_batch_int8_mode_matches_full(spark, embeddings, tmp_path):
     """vector_mode='int8' (dims+8 bytes/vector vs 8*dims+8 for 'full'):
     on planted exact dups, perturbed near-dups, and novel vectors the
