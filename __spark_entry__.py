@@ -35,6 +35,7 @@ from cassandra_iot_pipeline_spark.functions import (
 from cassandra_iot_pipeline_spark.operators import (
     agg,
     asof,
+    gapfill,
     joins,
     rangejoin,
     profiles,
@@ -116,9 +117,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- statistical aggregates / grouping sets ---
         "value_quantiles": lambda s, d: stats.value_quantiles(events(s, d)),
         "orders_cube": lambda s, d: stats.orders_cube(_t("orders")(s, d)),
-        "orders_rollup_hierarchy": lambda s, d: stats.orders_rollup_hierarchy(
-            _t("orders")(s, d)
-        ),
+        # orders_rollup_hierarchy moved to tests/test_legacy_parity.py
+        # (registry cap 50): orders_cube keeps the grouping-sets/Expand
+        # surface driver-checked; this slot now carries the hypertable
+        # gap-fill (dense bucket spine + LOCF + linear interpolation —
+        # the serving primitive the reference's sparse hourly_aggregates
+        # table pushes onto every dashboard client).
+        "gapfill_hourly": lambda s, d: gapfill.gapfill_hourly(events(s, d)),
         # KMV sketch: cross-engine-reproducible approximate distinct —
         # hash-checkable by the driver, unlike the HLL library variant
         # (stats.approx_user_count, accuracy-pinned in tests).
@@ -271,7 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "top_k_orders": serving.top_k_orders_oracle(TOP_K),
         "value_quantiles": stats.value_quantiles_oracle(),
         "orders_cube": stats.orders_cube_oracle(),
-        "orders_rollup_hierarchy": stats.orders_rollup_hierarchy_oracle(),
+        "gapfill_hourly": gapfill.gapfill_hourly_oracle(),
         # approx_user_count: KMV sketch — every step exact + portable
         # (sha256 hex ordering, 52-bit prefix arithmetic), so even the
         # *approximate* estimate hash-matches DuckDB. The HLL variant

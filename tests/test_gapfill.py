@@ -1,0 +1,104 @@
+"""Hypertable gap-fill: dense spine + LOCF + linear interpolation
+(operators/gapfill.py). Hand-computed semantics on a synthetic frame,
+fixture-level DuckDB parity, and the plan shape (single raw-events
+shuffle; one window Exchange serving all four fill frames)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.operators import gapfill
+from tests.conftest import SF_DIR
+from tools.oracle_check import compare
+
+
+def _ts(hour: int, minute: int = 30) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, hour, minute)
+
+
+@pytest.fixture(scope="module")
+def filled(spark):
+    # user 1: observations in hours 0 (31.00), 3 (37.00) and 4
+    # (two events, 10.00 + 11.01 -> mean 10505 millicents); hours 1-2
+    # are gaps. user 2: a single hour -> a one-row spine, no gaps.
+    rows = [
+        (1, _ts(0), 31.00),
+        (1, _ts(3), 37.00),
+        (1, _ts(4, 10), 10.00),
+        (1, _ts(4, 50), 11.01),
+        (2, _ts(7), 5.55),
+    ]
+    events = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    out = gapfill.gapfill_hourly(events).orderBy("user_id", "bucket_us").collect()
+    return {(r["user_id"], r["bucket_us"]): r for r in out}, out
+
+
+def test_spine_is_dense_and_bounded_by_observations(filled):
+    by_key, rows = filled
+    u1 = [r for r in rows if r["user_id"] == 1]
+    # hours 0..4 inclusive: 5 rows, first and last observed
+    assert len(u1) == 5
+    assert [r["is_gap"] for r in u1] == [False, True, True, False, False]
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert len(u2) == 1 and not u2[0]["is_gap"]
+
+
+def test_locf_carries_last_observation(filled):
+    by_key, rows = filled
+    u1 = [r for r in rows if r["user_id"] == 1]
+    # 31.00 -> 3100 cents -> 3_100_000 mc carried through hours 1-2
+    assert [r["locf_millicents"] for r in u1] == [
+        3_100_000,
+        3_100_000,
+        3_100_000,
+        3_700_000,
+        1_050_500,  # mean of 1000 + 1101 cents = 1050.5 cents
+    ]
+
+
+def test_linear_interpolation_is_exact_bigint(filled):
+    by_key, rows = filled
+    u1 = [r for r in rows if r["user_id"] == 1]
+    # between 3_100_000 (h0) and 3_700_000 (h3): +600_000 over 3 hours
+    assert [r["interp_millicents"] for r in u1] == [
+        3_100_000,
+        3_300_000,
+        3_500_000,
+        3_700_000,
+        1_050_500,
+    ]
+    assert [r["n_events"] for r in u1] == [1, 0, 0, 1, 2]
+
+
+def test_no_nulls_anywhere(filled):
+    _, rows = filled
+    for r in rows:
+        assert None not in r.asDict().values()
+
+
+def test_fixture_duckdb_parity(spark, duck):
+    events = load_table(spark, SF_DIR, "events")
+    spark_pdf = gapfill.gapfill_hourly(events).toPandas()
+    oracle_pdf = duck.sql(gapfill.gapfill_hourly_oracle()).df()
+    assert compare(spark_pdf, oracle_pdf) == []
+
+
+def test_plan_shape(spark):
+    events = load_table(spark, SF_DIR, "events")
+    df = gapfill.gapfill_hourly(events)
+    df.collect()  # run THIS queryExecution so AQE finalizes its plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    # the lead()-anchored formulation: ONE raw scan, the gap runs are
+    # generated from the aggregate itself — no spine, no join back
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    # exactly two exchanges: raw -> (user, bucket) aggregate, then the
+    # lead() window over the ~10^3x-smaller hourly aggregate
+    assert final.count("Exchange hashpartitioning") == 2
+    assert final.count("Generate explode") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

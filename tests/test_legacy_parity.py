@@ -10,7 +10,7 @@ import pytest
 
 from cassandra_iot_pipeline_spark.catalog import load_table
 from cassandra_iot_pipeline_spark.functions import multimodal, text
-from cassandra_iot_pipeline_spark.operators import agg, joins, setops, windows
+from cassandra_iot_pipeline_spark.operators import agg, joins, setops, stats, windows
 from cassandra_iot_pipeline_spark.sources import json_decode
 from tests.conftest import SF_DIR
 from tools.oracle_check import compare
@@ -48,6 +48,14 @@ LEGACY = {
         "events",
         json_decode.props_bucket_rollup,
         json_decode.props_bucket_rollup_oracle(),
+    ),
+    # deregistered r5: slot given to gapfill_hourly (hypertable dense
+    # spine + LOCF + linear interpolation); orders_cube keeps the
+    # grouping-sets/Expand surface driver-checked
+    "orders_rollup_hierarchy": (
+        "orders",
+        stats.orders_rollup_hierarchy,
+        stats.orders_rollup_hierarchy_oracle(),
     ),
     # deregistered r4: slot given to token_frequencies (top-k fused
     # with the CMS-routed exact heavy hitters)

@@ -45,6 +45,14 @@ SHOWCASE = {
         "(user, bucket) with the exact range filter after — candidates "
         "bounded to two buckets per row."
     ),
+    "gapfill_hourly": (
+        "Hypertable gap-fill via lead()-anchored gap-run expansion: one "
+        "raw scan, Exchange to the hourly aggregate, one lead() window "
+        "over the ~10^3x-smaller aggregate, Generate(sequence) emits "
+        "each observation's own gap run carrying its LOCF value and "
+        "interpolation anchors — no spine, no join-back, no "
+        "IGNORE-NULLS search."
+    ),
 }
 
 
