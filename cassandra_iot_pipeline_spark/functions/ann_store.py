@@ -305,9 +305,10 @@ class AnnIndexStore:
             F.col("vec_id").alias("query_id"), F.col("cent_vid").alias("lst")
         )
         tables = query_adc_tables(queries, cb, meta["m"], meta["dims"])
-        qt = tables.join(query_lists, "query_id")
         if impl == "arrow":
-            return self._adc_shortlist_arrow(spark, qt, limit, cand_bound)
+            return self._adc_shortlist_arrow(
+                spark, tables, query_lists, limit, cand_bound
+            )
         if impl != "catalyst":
             raise ValueError(f"impl must be 'catalyst' or 'arrow': {impl!r}")
         # Dedup at the CODE level, not the scored-pair level: every
@@ -323,13 +324,22 @@ class AnnIndexStore:
         # rows pay it (broadcast semi-join first, which also keeps the
         # partition-pruned scan of the compacted base). Compaction
         # eventually folds the duplicates away at the store level.
-        probed = qt.select("lst").dropDuplicates(["lst"])
+        #
+        # The m x ks table payload ships ONCE per query: codes first
+        # broadcast-join the (query_id, lst) id pairs (16 bytes/row) on
+        # lst, then attach each query's table by query_id — broadcast
+        # memory is B tables + B*n_probe id pairs instead of the
+        # earlier tables-joined-to-lists frame that replicated every
+        # table n_probe-fold (~4-8x, the binding constraint on raising
+        # dedup batch sizes).
+        probed = query_lists.select("lst").dropDuplicates(["lst"])
         scored = (
             self.codes(spark)
             .join(F.broadcast(probed), "lst", "left_semi")
             .dropDuplicates(["vec_id"])
             .withColumnRenamed("vec_id", "cand_id")
-            .join(F.broadcast(qt), "lst")
+            .join(F.broadcast(query_lists), "lst")
+            .join(F.broadcast(tables), "query_id")
             .select(
                 "query_id",
                 "cand_id",
@@ -352,7 +362,8 @@ class AnnIndexStore:
     def _adc_shortlist_arrow(
         self,
         spark: SparkSession,
-        qt: DataFrame,
+        tables: DataFrame,
+        query_lists: DataFrame,
         limit: int,
         cand_bound: DataFrame | None,
     ) -> DataFrame:
@@ -374,22 +385,42 @@ class AnnIndexStore:
         the window). The final global window then ranks partitions x
         limit rows per query instead of the full scored frame. All
         arithmetic is int64 — output is bit-identical to the catalyst
-        path (pinned in tests/test_ann_store.py)."""
+        path (pinned in tests/test_ann_store.py).
+
+        The driver collect ships each query's m x ks table ONCE
+        (``tables``, B rows) next to the tiny (query_id, lst) probe
+        pairs (``query_lists``, B x n_probe rows); the per-list
+        grouping holds INDICES into the one table array, so driver +
+        broadcast memory is B tables instead of the n_probe-fold
+        replication a pre-joined tables-x-lists frame would carry
+        (~4-8x at the default n_probe — SCALE.md records the bytes)."""
         import numpy as np
         import pandas as pd
 
         # batch-sized driver collect, same payload the catalyst path
-        # ships as a broadcast join side (B x m x ks x 8 bytes)
-        qt_pdf = qt.toPandas()
-        by_lst: dict[int, tuple] = {}
-        for lst, grp in qt_pdf.groupby("lst"):
-            qids = grp["query_id"].to_numpy(np.int64)
-            T = np.array(
-                [[np.asarray(row, dtype=np.int64) for row in t] for t in grp["t"]],
+        # ships as a broadcast join side (B x m x ks x 8 bytes, each
+        # table once) plus B x n_probe 16-byte id pairs
+        t_pdf = tables.toPandas()
+        ql_pdf = query_lists.toPandas()
+        qid_arr = t_pdf["query_id"].to_numpy(np.int64)
+        if len(t_pdf):
+            t_all = np.array(
+                [
+                    [np.asarray(row, dtype=np.int64) for row in t]
+                    for t in t_pdf["t"]
+                ],
                 dtype=np.int64,
-            )  # [q, m, ks]
-            by_lst[int(lst)] = (qids, T)
-        bc = spark.sparkContext.broadcast(by_lst)
+            )  # [B, m, ks]
+        else:
+            t_all = np.zeros((0, 0, 0), dtype=np.int64)
+        pos = {int(q): i for i, q in enumerate(qid_arr)}
+        by_lst: dict[int, object] = {
+            int(lst): np.array(
+                [pos[int(q)] for q in grp["query_id"]], dtype=np.int64
+            )
+            for lst, grp in ql_pdf.groupby("lst")
+        }
+        bc = spark.sparkContext.broadcast((qid_arr, t_all, by_lst))
         bound = None
         if cand_bound is not None:  # 1-row bounded read (documented class)
             row = cand_bound.first()
@@ -399,10 +430,14 @@ class AnnIndexStore:
             parts = []
             for pdf in batches:
                 for lst, grp in pdf.groupby("lst"):
-                    ent = bc.value.get(int(lst))
-                    if ent is None:
+                    all_qids, all_t, idx_by_lst = bc.value
+                    idx = idx_by_lst.get(int(lst))
+                    if idx is None:
                         continue
-                    qids, T = ent
+                    qids = all_qids[idx]
+                    # transient per-list gather of just this list's
+                    # tables — the broadcast itself holds each table once
+                    T = all_t[idx]
                     grp = grp.sort_values("vec_id")  # cand_id asc for ties
                     cand = grp["vec_id"].to_numpy(np.int64)
                     if bound is not None:
@@ -441,7 +476,7 @@ class AnnIndexStore:
                 )
                 yield allp.groupby("query_id", sort=False).head(limit)
 
-        probed = qt.select("lst").dropDuplicates(["lst"])
+        probed = query_lists.select("lst").dropDuplicates(["lst"])
         codes = (
             self.codes(spark)
             .join(F.broadcast(probed), "lst", "left_semi")
@@ -537,9 +572,13 @@ class AnnIndexStore:
         mode = self.meta(spark)["vector_mode"]
         if mode == "none":
             raise ValueError(
-                "near_dup_batch requires an index built with "
-                "store_vectors=True/'full' or 'int8' (verification needs a "
-                "stored vector form; codes alone only bound the cosine)"
+                "near_dup_batch requires an index built with a stored "
+                "vector form — store_vectors='int8' (the 100 TB default "
+                "posture: dims+8 bytes/vector, near-dup decisions "
+                "identical to full precision) or store_vectors=True/'full' "
+                "— codes alone only bound the cosine. Rebuild the index "
+                "with store_vectors='int8', or use "
+                "EmbeddingDedupPipeline.bootstrap which defaults to it."
             )
         queries = batch.select(
             F.col("vec_id").alias("query_id"), "embedding"
