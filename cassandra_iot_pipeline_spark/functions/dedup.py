@@ -504,7 +504,7 @@ def minhash_lsh_pairs(
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
-    hot_bucket_mode: str = "star",
+    hot_bucket_mode: str = "auto",
 ) -> DataFrame:
     """Near-dup candidate generation + verification:
 
@@ -576,7 +576,7 @@ def minhash_lsh_candidates(
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
-    hot_bucket_mode: str = "star",
+    hot_bucket_mode: str = "auto",
 ) -> DataFrame:
     """The pre-verification candidate stage of :func:`minhash_lsh_pairs`
     — exposed so recall is directly testable: the LSH output equals the
@@ -659,7 +659,7 @@ def _candidates_from_sets(
     n_hashes: int = N_HASHES,
     bands: int = LSH_BANDS,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
-    hot_bucket_mode: str = "star",
+    hot_bucket_mode: str = "auto",
 ) -> DataFrame:
     """Banded-LSH candidate pairs from the (doc_id, sh) shingle-set
     frame. Deriving signatures from the sets (not the raw shingle rows)
@@ -671,7 +671,7 @@ def _candidates_from_sets(
     return candidate_pairs_from_bands(
         banded_rows(
             sh_df, n_hashes, bands,
-            with_salt=(hot_bucket_mode == "subshard"),
+            with_salt=(hot_bucket_mode in ("subshard", "auto")),
         ),
         max_bucket_size,
         hot_bucket_mode,
@@ -682,7 +682,7 @@ def _capped_bucket_pairs(
     banded: DataFrame,
     keys: tuple[str, ...],
     max_bucket_size: int | None,
-    hot_bucket_mode: str = "star",
+    hot_bucket_mode: str = "auto",
 ) -> DataFrame:
     """(doc_a, doc_b, via_hot_bucket) candidate pairs from bucket rows
     with hot-bucket star routing — the one capped-self-join definition
@@ -709,8 +709,8 @@ def _capped_bucket_pairs(
     routed. ``max_bucket_size=None`` disables capping (the r3
     semantics).
 
-    ``hot_bucket_mode="subshard"`` (opt-in; requires a ``salt`` column
-    — :func:`banded_rows` ``with_salt=True``) replaces the star with
+    ``hot_bucket_mode="subshard"`` (requires a ``salt`` column —
+    :func:`banded_rows` ``with_salt=True``) replaces the star with
     salted sub-sharding for corpora whose hot buckets are NOT
     boilerplate: a hot bucket's rows split into
     ``ceil(population / max_bucket_size)`` sub-shards keyed by
@@ -727,6 +727,23 @@ def _capped_bucket_pairs(
     same independence argument banding itself rests on). Pairs from
     hot buckets are flagged ``via_hot_bucket`` in both modes.
 
+    ``hot_bucket_mode="auto"`` (the default) routes PER BUCKET instead
+    of asking the caller to know their corpus's skew character in
+    advance: a hot bucket whose salt column shows real diversity —
+    approx-distinct salts above ``n_shards``, the point where salting
+    can actually spread the shards under the cap — takes the subshard
+    path; a near-constant-salt bucket (boilerplate: near-identical
+    docs share the secondary signature too, so at most a handful of
+    salt values exist and every shard would re-exceed the cap anyway)
+    keeps the star plan directly, one hub, no shard fan. The signal is
+    already in the window that computes the population (one
+    ``approx_count_distinct`` next to the ``count`` — fixed-memory
+    HLL, order-independent, no second pass), so auto costs nothing a
+    subshard run didn't. On band rows WITHOUT a salt column (the
+    persisted incremental stores deliberately don't carry one —
+    functions/incremental.py) auto degrades to star, the pre-r5
+    semantics, rather than failing a frame that cannot be salted.
+
     Physical shape: NOT a self-join. Each bucket's member list is
     collected into one sorted array (ObjectHashAggregate with
     sort+spill fallback — a pathological bucket buffers k longs
@@ -737,13 +754,16 @@ def _capped_bucket_pairs(
     r3 self-join's exchange + two sorted join sides — measured faster
     than the uncapped join at sf0.1 *and* immune to the quadratic
     in-bucket nested loop."""
-    if hot_bucket_mode not in ("star", "subshard"):
+    if hot_bucket_mode not in ("star", "subshard", "auto"):
         raise ValueError(
-            f"hot_bucket_mode must be 'star' or 'subshard', got "
+            f"hot_bucket_mode must be 'star', 'subshard', or 'auto', got "
             f"{hot_bucket_mode!r}"
         )
     key_cols = list(keys)
-    if hot_bucket_mode == "subshard" and max_bucket_size is not None:
+    salt_mode = hot_bucket_mode == "subshard" or (
+        hot_bucket_mode == "auto" and "salt" in banded.columns
+    )
+    if salt_mode and max_bucket_size is not None:
         if "salt" not in banded.columns:
             raise ValueError(
                 "hot_bucket_mode='subshard' needs a salt column on the "
@@ -752,15 +772,25 @@ def _capped_bucket_pairs(
         # population via a window over the bucket keys (its exchange is
         # the grouping's required partitioning — same no-extra-shuffle
         # argument as the star path's hub window)
-        pop = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+        w = Window.partitionBy(*key_cols)
+        pop = F.count(F.lit(1)).over(w)
         n_shards = F.ceil(pop / F.lit(max_bucket_size)).cast("long")
+        if hot_bucket_mode == "auto":
+            # per-bucket routing signal, in the same window pass:
+            # subshard only when distinct salts exceed the shard count
+            # (below that, >= one shard re-exceeds the cap by
+            # pigeonhole and star's single hub is the cheaper identical
+            # output). HLL is order-independent — deterministic.
+            diverse = F.approx_count_distinct("salt").over(w) > n_shards
+        else:
+            diverse = F.lit(True)
         salted = banded.withColumn(
             "_hot", pop > F.lit(max_bucket_size)
         ).withColumn(
             "_shard",
-            F.when(~F.col("_hot"), F.lit(0).cast("long")).otherwise(
-                F.pmod(F.col("salt"), n_shards)
-            ),
+            F.when(
+                ~F.col("_hot") | ~diverse, F.lit(0).cast("long")
+            ).otherwise(F.pmod(F.col("salt"), n_shards)),
         )
         grouped = salted.groupBy(*key_cols, "_shard").agg(
             F.array_sort(F.collect_list("doc_id")).alias("ids"),
@@ -817,7 +847,7 @@ def _capped_bucket_pairs(
 def candidate_pairs_from_bands(
     banded: DataFrame,
     max_bucket_size: int | None = LSH_MAX_BUCKET,
-    hot_bucket_mode: str = "star",
+    hot_bucket_mode: str = "auto",
 ) -> DataFrame:
     """Distinct candidate pairs from (doc_id, band, bucket) band rows —
     the self-join stage of banded LSH, split out so callers that already
