@@ -86,6 +86,103 @@ def test_fixture_duckdb_parity(spark, duck):
     assert compare(spark_pdf, oracle_pdf) == []
 
 
+def test_library_stride_15min(spark, duck):
+    """The general surface (r5 verdict item #5) at a non-hourly grain:
+    15-minute buckets over a synthetic frame, checked hand-computed AND
+    against the parameterized DuckDB twin."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 5), 10.00),
+        (1, dt.datetime(2024, 1, 1, 0, 10), 20.00),  # same bucket: mean 15
+        (1, dt.datetime(2024, 1, 1, 1, 0), 35.00),  # 3 gap buckets between
+        (2, dt.datetime(2024, 1, 1, 2, 59, 59), 1.25),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    out = (
+        gapfill.gapfill(events, stride_seconds=900)
+        .orderBy("user_id", "bucket_us")
+        .collect()
+    )
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert len(u1) == 5  # 00:00, 00:15, 00:30, 00:45, 01:00
+    assert [r["is_gap"] for r in u1] == [False, True, True, True, False]
+    assert [r["n_events"] for r in u1] == [2, 0, 0, 0, 1]
+    # mean(1000, 2000 cents) = 1500 cents = 1_500_000 milli-units
+    assert [r["locf_milliunits"] for r in u1] == [1_500_000] * 4 + [3_500_000]
+    # linear: +2_000_000 over 4 strides = +500_000 per bucket
+    assert [r["interp_milliunits"] for r in u1] == [
+        1_500_000, 2_000_000, 2_500_000, 3_000_000, 3_500_000,
+    ]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["bucket_us"] == int(
+        dt.datetime(2024, 1, 1, 2, 45, tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000
+    duck.register("gf_events", events.toPandas())
+    oracle_pdf = duck.sql(
+        gapfill.gapfill_oracle(table="gf_events", stride_seconds=900)
+    ).df()
+    assert compare(
+        gapfill.gapfill(events, stride_seconds=900).toPandas(), oracle_pdf
+    ) == []
+
+
+def test_library_null_values_become_gaps(spark):
+    """r5 ADVICE: an all-NULL-valued bucket is a GAP (count and sum
+    cover the same rows), and every output column stays non-null."""
+    rows = [
+        (1, _ts(0), 10.0),
+        (1, _ts(1), None),  # whole bucket NULL-valued -> gap
+        (1, _ts(2), 30.0),
+        (1, _ts(2, 40), None),  # mixed bucket: NULL row excluded
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    out = gapfill.gapfill_hourly(events).orderBy("bucket_us").collect()
+    assert [r["n_events"] for r in out] == [1, 0, 1]
+    assert [r["is_gap"] for r in out] == [False, True, False]
+    assert [r["interp_millicents"] for r in out] == [
+        1_000_000, 2_000_000, 3_000_000,
+    ]
+    for r in out:
+        assert None not in r.asDict().values()
+
+
+def test_library_max_gap_truncates(spark):
+    """max_gap bounds each observation's generated run; the grid
+    resumes at the next observation, and rows within the bound still
+    interpolate against the TRUE next anchor."""
+    rows = [(1, _ts(0), 10.0), (1, _ts(10), 20.0)]
+    events = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    out = (
+        gapfill.gapfill(events, max_gap=3)
+        .orderBy("bucket_us")
+        .collect()
+    )
+    # hours 0,1,2,3 (run capped at 3 gap buckets) then the hour-10 obs
+    assert [r["bucket_us"] // 3_600_000_000 % 24 for r in out] == [0, 1, 2, 3, 10]
+    assert [r["is_gap"] for r in out] == [False, True, True, True, False]
+    # interp anchors remain the real next observation (hour 10)
+    assert out[1]["interp_milliunits"] == 1_000_000 + (1_000_000 * 1) // 10
+    assert out[3]["interp_milliunits"] == 1_000_000 + (1_000_000 * 3) // 10
+
+
+def test_library_max_gap_error_mode(spark):
+    rows = [(1, _ts(0), 10.0), (1, _ts(10), 20.0)]
+    events = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    ok = gapfill.gapfill(events, max_gap=9, on_long_gap="error").collect()
+    assert len(ok) == 11  # bound not exceeded: full spine
+    with pytest.raises(Exception, match="exceeds max_gap"):
+        gapfill.gapfill(events, max_gap=3, on_long_gap="error").collect()
+    with pytest.raises(ValueError, match="on_long_gap"):
+        gapfill.gapfill(events, max_gap=3, on_long_gap="typo")
+
+
 def test_plan_shape(spark):
     events = load_table(spark, SF_DIR, "events")
     df = gapfill.gapfill_hourly(events)
