@@ -114,6 +114,33 @@ class EmbeddingDedupPipeline:
             self.watermark_dir, id_name="vec_id", what="embedding ingest"
         )
 
+    @classmethod
+    def bootstrap(
+        cls,
+        bootstrap_embeddings: DataFrame,
+        index_dir: str,
+        curated_dir: str,
+        threshold: float = 0.9,
+        compact_every: int | None = None,
+        store_vectors: bool | str = "int8",
+        **build_kwargs,
+    ) -> "EmbeddingDedupPipeline":
+        """Build the verification-capable index from a bootstrap corpus
+        and return the pipeline over it — the dedup-shaped entry point,
+        so a caller never has to know the ``AnnIndexStore.build``
+        incantation. ``store_vectors`` defaults to ``'int8'`` (the
+        100 TB posture: dims+8 bytes/vector instead of a full-precision
+        second corpus copy; near-dup decisions identical in tests —
+        SCALE.md records the bytes). Pass ``'full'`` to keep exact
+        doubles; ``**build_kwargs`` forwards the index geometry
+        (n_centroids, m, ks, dims, refine_iters, coarse_refine_iters)."""
+        AnnIndexStore(index_dir).build(
+            bootstrap_embeddings, store_vectors=store_vectors, **build_kwargs
+        )
+        return cls(
+            index_dir, curated_dir, threshold, compact_every=compact_every
+        )
+
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return

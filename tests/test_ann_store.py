@@ -255,7 +255,7 @@ def test_near_dup_batch_drops_planted_dups(spark, embeddings, tmp_path):
 def test_near_dup_batch_requires_stored_vectors(spark, embeddings, tmp_path):
     store = AnnIndexStore(str(tmp_path / "nv"))
     store.build(embeddings.filter(F.col("vec_id") < 100))
-    with pytest.raises(ValueError, match="store_vectors=True"):
+    with pytest.raises(ValueError, match="store_vectors='int8'"):
         store.near_dup_batch(embeddings.filter(F.col("vec_id") >= 100))
     with pytest.raises(ValueError, match="store_vectors must be"):
         AnnIndexStore(str(tmp_path / "bad")).build(

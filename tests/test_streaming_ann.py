@@ -226,6 +226,35 @@ def test_embedding_curated_compaction_bounds_files(spark, embeddings, tmp_path):
     assert sorted(r["vec_id"] for r in pipe.curated(spark).collect()) == before
 
 
+def test_bootstrap_defaults_to_int8(spark, embeddings, tmp_path):
+    """r5 verdict item #6: the dedup-shaped entry point builds the
+    verification side table in 'int8' mode by DEFAULT (the 100 TB
+    posture), the pipeline over it drops a planted dup, and
+    full-precision stays one argument away."""
+    from cassandra_iot_pipeline_spark.streaming.ann import EmbeddingDedupPipeline
+
+    boot = embeddings.filter(F.col("vec_id") < 300)
+    pipe = EmbeddingDedupPipeline.bootstrap(
+        boot, str(tmp_path / "bidx"), str(tmp_path / "bcur"), threshold=0.999
+    )
+    assert pipe.store.meta(spark)["vector_mode"] == "int8"
+    dup = embeddings.filter(F.col("vec_id") == 5).select(
+        F.lit(1000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    novel = embeddings.filter(F.col("vec_id") == 350).select(
+        F.lit(1001).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    pipe.write_batch(dup.unionByName(novel), epoch_id=0)
+    assert sorted(
+        r["vec_id"] for r in pipe.curated(spark).collect()
+    ) == [1001]
+    full = EmbeddingDedupPipeline.bootstrap(
+        boot, str(tmp_path / "fidx"), str(tmp_path / "fcur"),
+        store_vectors="full",
+    )
+    assert full.store.meta(spark)["vector_mode"] == "full"
+
+
 def test_embedding_replay_does_not_displace_shortlist(spark, embeddings, tmp_path):
     """Crash between add_batch and checkpoint commit: the replayed
     batch re-probes a store holding its own vectors. An identical copy
