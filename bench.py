@@ -63,6 +63,74 @@ def host_calibration(spark) -> dict[str, float]:
     }
 
 
+def io_calibration(spark) -> dict[str, float]:
+    """I/O-bound calibration probes (r5 verdict item #1): the CPU
+    probes above cannot attribute deltas in the PIPELINE number, which
+    is state-store/disk-bound, so two fixed-work disk probes sit next
+    to them — a 5M-row parquet write+read and an 8-micro-batch keyed
+    aggregation whose cost is state-store commits + checkpoint I/O
+    (the pipeline's own bound). Data-independent (spark.range), fixed
+    shuffle width, min-of-2 each (first run pays dir creation / page
+    cache cold-start the pipeline numbers don't)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    base = tempfile.mkdtemp(prefix="bench_calib_io_")
+    frame = spark.range(5_000_000).select(
+        "id",
+        (F.col("id") % 997).alias("k"),
+        F.pmod(F.col("id") * 2654435761, F.lit(1000003)).alias("v"),
+    )
+    w_secs, r_secs = [], []
+    for i in range(2):
+        d = f"{base}/pq{i}"
+        t0 = time.perf_counter()
+        frame.write.mode("overwrite").parquet(d)
+        w_secs.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.read.parquet(d).write.format("noop").mode("overwrite").save()
+        r_secs.append(time.perf_counter() - t0)
+    out["calib_parquet_write_5m_sec"] = round(min(w_secs), 3)
+    out["calib_parquet_read_5m_sec"] = round(min(r_secs), 3)
+
+    src = f"{base}/state_src"
+    spark.range(200_000).select(
+        "id", (F.col("id") % 5000).alias("k")
+    ).repartition(8).write.parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    s_secs = []
+    try:
+        for i in range(2):
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.schema("id BIGINT, k BIGINT")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .groupBy("k")
+                .count()
+                .writeStream.foreachBatch(
+                    lambda df, eid: df.write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                .outputMode("update")
+                .option("checkpointLocation", f"{base}/ckpt{i}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            s_secs.append(time.perf_counter() - t0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out["calib_state_commit_8batch_sec"] = round(min(s_secs), 3)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -99,15 +167,28 @@ def main() -> None:
     # between back-to-back identical runs (calibration probes stay
     # flat, so it is host noise, not the engine). min-of-2 is the
     # least-noise estimator of the plan's cost and keeps round-over-
-    # round comparisons about code, not scheduling luck.
-    timings: dict[str, float] = {}
+    # round comparisons about code, not scheduling luck. EVERY pass is
+    # recorded in the JSON (queries_runs) so a per-query delta can be
+    # classified host/noise/code without guessing (r5 verdict item #3),
+    # and a query whose two passes disagree by >40% gets a third pass —
+    # the cheap escalation form of "re-run what looks noisy".
+    runs_by_query: dict[str, list[float]] = {n: [] for n in names}
+
+    def timed(name: str) -> float:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        elapsed = round(time.perf_counter() - t0, 3)
+        runs_by_query[name].append(elapsed)
+        return elapsed
+
     for _pass in range(2):
         for name in names:
-            t0 = time.perf_counter()
-            materialize(qs[name](spark, sf_dir))
-            elapsed = round(time.perf_counter() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            timed(name)
+    for name in names:
+        a, b = runs_by_query[name]
+        if max(a, b) > 1.4 * min(a, b) and max(a, b) - min(a, b) > 0.2:
+            timed(name)
+    timings = {n: min(r) for n, r in runs_by_query.items()}
     total = round(sum(timings.values()), 3)
 
     # streaming-pipeline ingest throughput (reference baseline: ~105
@@ -131,6 +212,7 @@ def main() -> None:
     # median is robust to a single noisy run and the spread says how
     # much to trust the delta).
     runs: list[float] = []
+    progresses: list[dict] = []
     n_events = 0
     for i in range(3):
         engine = IoTEngine(
@@ -142,11 +224,20 @@ def main() -> None:
         # faster with identical results (measured 6.2k -> 42.7k
         # events/s at sf0.1; the current sf0.1 staging is ~30 day
         # files, so 32/trigger is already a single availableNow batch).
-        engine.ingest_stream(staged, max_files_per_trigger=32)
+        res = engine.ingest_stream(staged, max_files_per_trigger=32)
         pipe_sec = time.perf_counter() - t0
         n_events = engine.table_counts()["sensor_events"]
         runs.append(round(n_events / pipe_sec, 1))
+        progresses.append(res["progress"])
     med = sorted(runs)[1]
+    # per-micro-batch timings for the MEDIAN run (r5 verdict item #1):
+    # which batches, and which phase (addBatch vs state commit), so a
+    # round-over-round pipeline delta is attributable to a specific
+    # stage instead of one opaque events/s number. The I/O calibration
+    # probes (calib_parquet_*/calib_state_commit_*) say how much of any
+    # delta is the host's disk, the way calib_jvm_* does for CPU.
+    med_progress = progresses[runs.index(med)]
+    io_calib = io_calibration(spark)
 
     print(
         json.dumps(
@@ -155,6 +246,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_runs": runs_by_query,
                 "sf": sf,
                 "pipeline_events_per_sec": med,
                 "pipeline_events": n_events,
@@ -163,7 +255,9 @@ def main() -> None:
                 "pipeline_spread_events_per_sec": round(
                     max(runs) - min(runs), 1
                 ),
+                "pipeline_batches": med_progress,
                 **calib,
+                **io_calib,
             }
         )
     )

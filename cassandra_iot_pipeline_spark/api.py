@@ -52,11 +52,14 @@ class IoTEngine:
         )
 
     # --- ingest ---------------------------------------------------------
-    def ingest_stream(self, staged_dir: str, max_files_per_trigger: int = 4) -> None:
+    def ingest_stream(
+        self, staged_dir: str, max_files_per_trigger: int = 4
+    ) -> dict:
         """The reference pipeline: both continuous queries (raw
         passthrough + watermarked hourly rollup) over a replayable
-        source, landing in this engine's tables."""
-        run_pipeline(
+        source, landing in this engine's tables. Returns run_pipeline's
+        result (sinks + per-micro-batch ``progress`` timings)."""
+        return run_pipeline(
             self.spark,
             staged_dir,
             out_dir=self.warehouse_dir,

@@ -189,7 +189,44 @@ def run_pipeline(
         q2.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return {"raw": raw_sink, "agg": agg_sink}
+    return {
+        "raw": raw_sink,
+        "agg": agg_sink,
+        "progress": {
+            "raw": query_progress(q1),
+            "agg": query_progress(q2),
+        },
+    }
+
+
+def query_progress(q) -> list[dict]:
+    """Compact per-micro-batch timing rows from a (finished) streaming
+    query's ``recentProgress`` — the attribution surface the bench
+    records so a round-over-round pipeline delta decomposes into which
+    batches (and which phase: planning, addBatch, state commit) moved,
+    instead of one opaque events/s number (r5 verdict item #1).
+    Driver-side metadata only (Spark keeps the last 100 progress
+    events in memory); no executor work."""
+    import json as _json
+
+    rows = []
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        dur = d.get("durationMs") or {}
+        state = d.get("stateOperators") or []
+        rows.append(
+            {
+                "batch_id": d.get("batchId"),
+                "input_rows": d.get("numInputRows"),
+                "trigger_ms": dur.get("triggerExecution"),
+                "add_batch_ms": dur.get("addBatch"),
+                "state_commit_ms": sum(
+                    s.get("commitTimeMs") or 0 for s in state
+                ),
+                "state_rows": sum(s.get("numRowsTotal") or 0 for s in state),
+            }
+        )
+    return rows
 
 
 def sliding_agg_query(
