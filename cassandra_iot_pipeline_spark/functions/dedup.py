@@ -237,6 +237,14 @@ def _lsh_block_pairs(
             for i in range(n_hashes)
         ]
     )
+    def bucket_of(bd: int) -> Column:
+        return F.xxhash64(
+            *[
+                F.col(f"m{bd * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
+        )
+
     banded = sig.select(
         "doc_id",
         "lang",
@@ -246,12 +254,12 @@ def _lsh_block_pairs(
                 *[
                     F.struct(
                         F.lit(bd).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"m{bd * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
+                        bucket_of(bd).alias("bucket"),
+                        # next band's bucket hash — the secondary
+                        # signature the default auto hot-bucket router
+                        # shards on (same construction as banded_rows
+                        # with_salt=True)
+                        bucket_of((bd + 1) % bands).alias("salt"),
                     )
                     for bd in range(bands)
                 ]
@@ -260,12 +268,14 @@ def _lsh_block_pairs(
     ).select(
         "doc_id", "lang", "source",
         F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+        F.col("bb.salt").alias("salt"),
     )
-    # same capped self-join as the global tier (hot buckets star-routed
-    # — a block large enough to route here is exactly the corpus shape
-    # where one template dominates), block keys included in the bucket
-    # identity so pairs stay within their (lang, source) block; the cap
-    # is caller-tunable like minhash_lsh_pairs' (None disables)
+    # same capped self-join as the global tier — the salt-bearing band
+    # rows give hot buckets the default per-bucket auto routing (a
+    # boilerplate-dominated block keeps the star plan, a diverse
+    # collision sub-shards), block keys included in the bucket identity
+    # so pairs stay within their (lang, source) block; the cap is
+    # caller-tunable like minhash_lsh_pairs' (None disables)
     candidates = _capped_bucket_pairs(
         banded, ("lang", "source", "band", "bucket"), max_bucket_size
     )

@@ -119,19 +119,27 @@ def _extras(spark, sf_dir):
             "is NO self-join and no second pass over the signature "
             "pipeline; the only other Exchange is the final pair "
             "distinct. A boilerplate bucket of k docs emits k-1 star "
-            "pairs instead of k^2/2.",
+            "pairs instead of k^2/2. Since r6 this is the shape "
+            "'auto' takes on SALT-LESS band rows (the persisted "
+            "stores' frames); salt-bearing rows get the per-bucket "
+            "router below.",
             _capped_candidates(spark, sf_dir),
         ),
         "subshard_lsh_candidates": (
-            "Opt-in subshard hot-bucket mode (r5): the salt column "
-            "rides the band rows from the signature stage, bucket "
-            "population comes from a window over the bucket keys, and "
-            "sub-shard assignment is a pure projection — the plan is "
-            "the capped plan plus one window function. Still no "
-            "self-join: one Exchange into the collect_list aggregate "
-            "(keyed by (band, bucket, _shard)) plus the final pair "
-            "distinct; a diverse hot bucket all-pairs within "
-            "~cap-sized shards instead of losing non-hub pairs.",
+            "Salted hot-bucket routing — since r6 the DEFAULT "
+            "(hot_bucket_mode='auto') whenever the band rows carry a "
+            "salt: the salt column rides the band rows from the "
+            "signature stage; bucket population AND the per-bucket "
+            "diversity signal (approx_count_distinct of the salt — "
+            "fixed-memory HLL) come from ONE window over the bucket "
+            "keys; shard assignment is a pure projection (diverse hot "
+            "buckets pmod-salt into sub-shards, near-constant-salt "
+            "boilerplate keeps shard 0 = the single-hub star). Still "
+            "no self-join: one Exchange into the collect_list "
+            "aggregate (keyed by (band, bucket, _shard)) plus the "
+            "final pair distinct; a diverse hot bucket all-pairs "
+            "within ~cap-sized shards instead of losing non-hub "
+            "pairs.",
             _subshard_candidates(spark, sf_dir),
         ),
     }
@@ -142,9 +150,10 @@ def _subshard_candidates(spark, sf_dir):
     from cassandra_iot_pipeline_spark.functions import dedup
 
     docs = load_table(spark, sf_dir, "documents")
+    # default mode (auto) over salt-bearing band rows — the shape every
+    # default minhash_lsh_pairs run takes since r6
     return dedup.candidate_pairs_from_bands(
         dedup.banded_rows(dedup.shingled_docs(docs), with_salt=True),
-        hot_bucket_mode="subshard",
     )
 
 
