@@ -629,6 +629,100 @@ def main() -> None:
             file=sys.stderr, flush=True,
         )
 
+    if "--hot-route" in sys.argv:
+        # r6: the auto hot-bucket router at band-row scale. Two
+        # questions a 100 TB reviewer asks of a new default: what does
+        # the routing window (count + approx_count_distinct over the
+        # bucket keys) cost on a frame DOMINATED by cold buckets, and
+        # does per-bucket routing actually produce the star output on
+        # the boilerplate bucket and the subshard output on the diverse
+        # one when both live in the same frame?
+        from cassandra_iot_pipeline_spark.functions.dedup import (
+            _capped_bucket_pairs,
+        )
+
+        n_band_rows = 4_000_000
+        cold = spark.range(n_band_rows).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).alias("band"),
+            # population 8 per bucket — the fixture-like cold regime
+            (F.col("id") % (n_band_rows // 8)).alias("bucket"),
+            F.xxhash64(F.col("id")).alias("salt"),
+        )
+        hot = spark.range(n_band_rows, n_band_rows + 40_000).select(
+            F.col("id").alias("doc_id"),
+            F.lit(1).alias("band"),
+            (F.col("id") % 2).cast("long").alias("bucket"),  # 2x 20k-row hot
+            F.when(F.col("id") % 2 == 0, F.xxhash64(F.col("id")))
+            .otherwise(F.lit(99))
+            .cast("long")
+            .alias("salt"),  # bucket 0 diverse, bucket 1 boilerplate
+        )
+        banded = cold.unionByName(hot).localCheckpoint(eager=True)
+        counts: dict[str, dict[str, int]] = {}
+        for mode in ("star", "subshard", "auto"):
+            pairs = _capped_bucket_pairs(
+                banded, ("band", "bucket"), 256, hot_bucket_mode=mode
+            )
+            t0 = time.perf_counter()
+            pairs.write.format("noop").mode("overwrite").save()
+            results[f"hot_route_{mode}"] = round(time.perf_counter() - t0, 2)
+            is_hot = F.col("doc_a") >= n_band_rows
+            diverse = is_hot & (F.col("doc_a") % 2 == 0)
+            boiler = is_hot & (F.col("doc_a") % 2 == 1)
+            row = pairs.agg(
+                F.count(F.when(~is_hot, 1)).alias("cold"),
+                F.count(F.when(diverse, 1)).alias("diverse"),
+                F.count(F.when(boiler, 1)).alias("boiler"),
+            ).first()
+            counts[mode] = {k: row[k] for k in ("cold", "diverse", "boiler")}
+            print(
+                f"[probe] hot_route {mode}: {results[f'hot_route_{mode}']}s "
+                f"{counts[mode]}",
+                file=sys.stderr, flush=True,
+            )
+        # per-bucket routing contract: cold pairs identical everywhere;
+        # auto == star on the boilerplate bucket, == subshard on the
+        # diverse one
+        assert counts["star"]["cold"] == counts["auto"]["cold"]
+        assert counts["auto"]["boiler"] == counts["star"]["boiler"]
+        assert counts["auto"]["diverse"] == counts["subshard"]["diverse"]
+        assert counts["auto"]["diverse"] > counts["star"]["diverse"]
+        results["hot_route_counts"] = counts  # type: ignore[assignment]
+
+    if "--gapfill" in sys.argv:
+        # r6: gapfill max_gap at the pathological shape it exists for —
+        # 10k keys, 10 observations each, ~6 months of silence between
+        # them. Uncapped, every observation fan-outs its whole gap run
+        # (~4.38k hourly rows); max_gap=24 bounds each run to a day.
+        from cassandra_iot_pipeline_spark.operators.gapfill import gapfill
+
+        gap_hours = 4_380
+        obs = spark.range(10_000 * 10).select(
+            (F.col("id") % 10_000).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000)
+                + (F.col("id") / 10_000).cast("long")
+                * F.lit(gap_hours * 3600)
+            ).alias("ts"),
+            (F.pmod(F.col("id"), F.lit(997)) / 10.0).alias("value"),
+        )
+        t0 = time.perf_counter()
+        capped = gapfill(obs, max_gap=24)
+        n_capped = capped.count()
+        results["gapfill_capped_24_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_full = gapfill(obs).count()
+        results["gapfill_uncapped_sec"] = round(time.perf_counter() - t0, 2)
+        results["gapfill_rows_capped"] = n_capped
+        results["gapfill_rows_uncapped"] = n_full
+        print(
+            f"[probe] gapfill: uncapped {n_full} rows "
+            f"{results['gapfill_uncapped_sec']}s, max_gap=24 {n_capped} "
+            f"rows {results['gapfill_capped_24_sec']}s",
+            file=sys.stderr, flush=True,
+        )
+
     rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
     print(
         json.dumps(
