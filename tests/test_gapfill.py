@@ -183,6 +183,95 @@ def test_library_max_gap_error_mode(spark):
         gapfill.gapfill(events, max_gap=3, on_long_gap="typo")
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark DIV / DuckDB //
+    semantics (Python // floors, which differs on negative quotients
+    like a falling interpolation slope)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _gapfill_reference(rows, stride_sec=3600, max_gap=None, scale=2):
+    """Pure-Python reference of gapfill() semantics: NULL pre-filter,
+    stride-aligned bucket means in milli-units (trunc division), LOCF +
+    trunc-division linear interpolation, per-observation gap runs
+    bounded by max_gap. rows: (key, epoch_sec, value|None)."""
+    from collections import defaultdict
+
+    agg: dict = defaultdict(lambda: [0, 0])  # (k, bucket) -> [n, sum_units]
+    for k, sec, v in rows:
+        if v is None:
+            continue
+        b = (sec // stride_sec) * stride_sec
+        cell = agg[(k, b)]
+        cell[0] += 1
+        cell[1] += round(v * 10**scale)
+    by_key: dict = defaultdict(list)
+    for (k, b), (n, su) in agg.items():
+        by_key[k].append((b, n, _tdiv(su * 1000, n)))
+    out = []
+    for k, obs in by_key.items():
+        obs.sort()
+        for i, (b, n, mu) in enumerate(obs):
+            nxt = obs[i + 1] if i + 1 < len(obs) else None
+            if nxt is None:
+                out.append((k, b * 1_000_000, n, mu, mu, False))
+                continue
+            nb, _, nmu = nxt
+            run_end = nb - stride_sec
+            if max_gap is not None:
+                run_end = min(run_end, b + max_gap * stride_sec)
+            pos, npos = b // stride_sec, nb // stride_sec
+            for g in range(b, run_end + 1, stride_sec):
+                gpos = g // stride_sec
+                observed = gpos == pos
+                interp = mu if observed else mu + _tdiv(
+                    (nmu - mu) * (gpos - pos), npos - pos
+                )
+                out.append(
+                    (k, g * 1_000_000, n if observed else 0, mu, interp,
+                     not observed)
+                )
+    return sorted(out)
+
+
+def test_randomized_reference_parity(spark):
+    """Randomized cross-validation of the library surface against the
+    pure-Python reference: seeded corpora with NULLs, rising AND
+    falling slopes (negative interpolation deltas exercise the
+    truncate-vs-floor division edge), multiple strides, and a max_gap
+    configuration."""
+    import random
+
+    for seed, stride, max_gap in [(7, 3600, None), (11, 900, None), (13, 3600, 5)]:
+        rng = random.Random(seed)
+        rows = []
+        for _ in range(400):
+            k = rng.randrange(6)
+            sec = rng.randrange(0, 3_000_000)
+            # value = n/4: exact in binary, so unit scaling has no
+            # rounding ambiguity between engines
+            v = None if rng.random() < 0.1 else rng.randrange(0, 40_000) / 4
+            rows.append((k, sec, v))
+        events = spark.createDataFrame(
+            [
+                (k, dt.datetime.fromtimestamp(sec, dt.timezone.utc)
+                 .replace(tzinfo=None), v)
+                for k, sec, v in rows
+            ],
+            "user_id BIGINT, ts TIMESTAMP, value DOUBLE",
+        )
+        got = sorted(
+            tuple(r)
+            for r in gapfill.gapfill(
+                events, stride_seconds=stride, max_gap=max_gap
+            ).collect()
+        )
+        assert got == _gapfill_reference(
+            rows, stride_sec=stride, max_gap=max_gap
+        ), f"seed={seed} stride={stride} max_gap={max_gap}"
+
+
 def test_plan_shape(spark):
     events = load_table(spark, SF_DIR, "events")
     df = gapfill.gapfill_hourly(events)
