@@ -1,0 +1,108 @@
+"""Hypertable serving primitives over irregular samples
+(operators/timeseries.py): time-weighted averages and counter rates.
+Hand-computed semantics, fixture-scale DuckDB parity (the
+displaced-registry discipline: full value oracles in pytest), and the
+plan shape (one scan, one window exchange, no joins)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.operators import timeseries
+from tests.conftest import SF_DIR
+from tools.oracle_check import compare
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """The motivating case: 59 min of 20.0 then 1 min of 80.0. COUNT
+    weighting says 50.0; LOCF time weighting says 21.0 over the hour
+    (the 80.0 closes the span with weight 0 at minute 60)."""
+    rows = [
+        (1, _ts(0), 20.00),
+        (1, _ts(59), 80.00),
+        (1, dt.datetime(2024, 1, 1, 1, 0), 80.00),
+        (2, _ts(5), 7.25),  # single-sample key: tw = the sample
+        (3, _ts(1), 10.00),  # NULL neither anchors nor weights
+        (3, _ts(2), None),
+        (3, _ts(3), 30.00),
+    ]
+    got = {
+        r["user_id"]: r
+        for r in timeseries.time_weighted_avg(_frame(spark, rows)).collect()
+    }
+    # user 1: 2000u*3540s + 8000u*60s over 3600s = 2100u = 21.00
+    assert got[1]["span_secs"] == 3600 and got[1]["n_samples"] == 3
+    assert got[1]["tw_avg"] == 21.0
+    assert got[2]["span_secs"] == 0 and got[2]["tw_avg"] == 7.25
+    # user 3: 1000u*120s + 3000u*0 over 120s = 10.00 (NULL skipped)
+    assert got[3]["n_samples"] == 2 and got[3]["tw_avg"] == 10.0
+
+
+def test_counter_rate_resets_and_zero_duration(spark):
+    rows = [
+        (1, _ts(0), 100.00),
+        (1, _ts(1), 160.00),   # +60.00 over 60s -> 1.0/s
+        (1, _ts(2), 10.00),    # reset: delta = new reading (10.00)
+        (1, _ts(2), 10.50),    # same ts: delta carried, rate 0.0
+    ]
+    got = timeseries.counter_rate(_frame(spark, rows)).orderBy(
+        "ts_us", "delta_units"
+    ).collect()
+    assert [r["delta_units"] for r in got] == [6000, 1000, 50]
+    assert [r["secs"] for r in got] == [60, 60, 0]
+    # the op's exact division order: (delta_units / secs) / 10^scale
+    assert [r["rate_per_sec"] for r in got] == [1.0, 1000.0 / 60 / 100, 0.0]
+    for r in got:
+        assert r["next_ts_us"] - r["ts_us"] == r["secs"] * 1_000_000
+
+
+def test_fixture_duckdb_parity(spark, duck):
+    events = load_table(spark, SF_DIR, "events")
+    for op, oracle in (
+        (timeseries.time_weighted_avg, timeseries.time_weighted_avg_oracle),
+        (timeseries.counter_rate, timeseries.counter_rate_oracle),
+    ):
+        spark_pdf = op(events).toPandas()
+        oracle_pdf = duck.sql(oracle()).df()
+        assert compare(spark_pdf, oracle_pdf) == [], op.__name__
+
+
+def test_multi_key_and_device_grain(spark, duck):
+    """Both primitives accept composite keys; parity holds at the
+    (user_id, event_type) grain the fixture actually mixes."""
+    events = load_table(spark, SF_DIR, "events")
+    keys = ("user_id", "event_type")
+    spark_pdf = timeseries.time_weighted_avg(events, key=keys).toPandas()
+    oracle_pdf = duck.sql(
+        timeseries.time_weighted_avg_oracle(keys=keys)
+    ).df()
+    assert compare(spark_pdf, oracle_pdf) == []
+
+
+def test_plan_shape(spark):
+    events = load_table(spark, SF_DIR, "events")
+    for op in (timeseries.time_weighted_avg, timeseries.counter_rate):
+        df = op(events)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Scan parquet") == 1
+        assert "Join" not in final
+        # one exchange into the per-key window; the tw groupBy reuses
+        # that clustering (partial agg + no second hash exchange on a
+        # superset key is not guaranteed by AQE coalescing, so allow
+        # <= 2 but never a third)
+        assert final.count("Exchange hashpartitioning") <= 2
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
