@@ -164,7 +164,10 @@ def counter_rate(
     next_ts_us, delta_units BIGINT, secs, rate_per_sec DOUBLE). Zero-
     duration pairs (duplicate timestamps) report rate 0.0 rather than
     an infinity that would poison downstream sums — the delta is still
-    carried. Deterministic tie order as in :func:`time_weighted_avg`."""
+    carried. Tie order is (t, u, t_us) — fully deterministic down to
+    the microsecond column so the streaming form
+    (streaming/rates.py) can be bit-identical, not just
+    content-identical."""
     keys = _keys(key)
     vcol = F.col(value) if isinstance(value, str) else value
     units = exactmath.units(vcol, scale)
@@ -174,7 +177,7 @@ def counter_rate(
         F.unix_micros(F.col(ts_col)).alias("t_us"),
         units.alias("u"),
     )
-    w = Window.partitionBy(*keys).orderBy("t", "u")
+    w = Window.partitionBy(*keys).orderBy("t", "u", "t_us")
     paired = pts.select(
         *keys,
         "t",
@@ -228,7 +231,7 @@ def counter_rate_oracle(
                    LEAD(t_us) OVER w AS t2_us,
                    LEAD(u) OVER w AS u2
             FROM pts
-            WINDOW w AS (PARTITION BY {ks} ORDER BY t, u)
+            WINDOW w AS (PARTITION BY {ks} ORDER BY t, u, t_us)
         )
         SELECT {ks},
                t_us AS ts_us,
