@@ -46,13 +46,28 @@ DEFAULT_K = 40
 
 
 def duplicated_spans(
-    documents: DataFrame, k: int = DEFAULT_K, min_count: int = 2
+    documents: DataFrame,
+    k: int = DEFAULT_K,
+    min_count: int = 2,
+    hash_shuffle: bool = False,
 ) -> DataFrame:
     """(doc_id, span_start, span_end): maximal merged spans of the
     canonical text covered by length-``k`` grams occurring at least
     ``min_count`` times corpus-wide (all occurrences count, including
     repeats within one document — the paper's semantics). 1-based,
-    end-exclusive. Documents shorter than ``k`` emit nothing."""
+    end-exclusive. Documents shorter than ``k`` emit nothing.
+
+    ``hash_shuffle=True`` is the 100 TB tier: the count window
+    partitions on ``xxhash64(gram)`` and the gram string is dropped
+    before the exchange, so the wide stage moves 16 bytes/row instead
+    of ~k — the exact tier's shuffle is a k-fold amplification of the
+    corpus, which is the binding cost at scale. The trade is the
+    hashed_tokens contract (functions/dedup.py): a cross-gram xxhash64
+    collision would over-mark w.h.p. ~n_grams²/2^64 — negligible below
+    ~10^9 distinct grams, and over-marking only ever removes a little
+    extra text, never corrupts spans. The default stays exact (the
+    DuckDB oracle compares bitwise); tests pin tier equality on the
+    fixtures."""
     canon = documents.select(
         "doc_id", canonical(F.col("text")).alias("canon")
     )
@@ -67,6 +82,8 @@ def duplicated_spans(
     ).select(
         "doc_id", "i", F.col("canon").substr(F.col("i"), F.lit(k)).alias("g")
     )
+    if hash_shuffle:
+        grams = grams.select("doc_id", "i", F.xxhash64("g").alias("g"))
     cnt = F.count(F.lit(1)).over(Window.partitionBy("g"))
     dup = grams.withColumn("cnt", cnt).filter(
         F.col("cnt") >= F.lit(min_count)

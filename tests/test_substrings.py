@@ -74,6 +74,23 @@ def test_fixture_duckdb_parity(spark, duck):
     assert len(spark_pdf) > 0
 
 
+def test_hash_shuffle_tier_matches_exact(spark):
+    """The 16-bytes-per-row hashed shuffle tier produces the exact
+    tier's spans on the fixture corpus (no xxhash64 collisions at this
+    gram count, as the w.h.p. contract predicts)."""
+    documents = load_table(spark, SF_DIR, "documents")
+    exact = sorted(
+        tuple(r) for r in substrings.duplicated_spans(documents, 20).collect()
+    )
+    hashed = sorted(
+        tuple(r)
+        for r in substrings.duplicated_spans(
+            documents, 20, hash_shuffle=True
+        ).collect()
+    )
+    assert exact == hashed and len(exact) > 0
+
+
 def test_remove_spans_matches_reference(spark):
     """The expression-fold cut equals the Python reference on random
     corpora with real shared runs (and leaves span-free docs at their
