@@ -690,6 +690,55 @@ def main() -> None:
         assert counts["auto"]["diverse"] > counts["star"]["diverse"]
         results["hot_route_counts"] = counts  # type: ignore[assignment]
 
+    if "--substrings" in sys.argv:
+        # r6: substring dedup tiers at 10x fixture scale. The claim
+        # under test: the hashed tier moves 16 bytes/row through the
+        # count-window exchange instead of ~k, and both tiers mark the
+        # same spans when grams stay collision-free.
+        from cassandra_iot_pipeline_spark.functions.substrings import (
+            duplicated_spans,
+        )
+
+        # plant a real boilerplate run on 10% of docs — the random
+        # shared-vocabulary corpus has no exact 40-char repeats of its
+        # own, and an operator probe that marks nothing measures only
+        # the happy path
+        boiler = (
+            " subscribe to our newsletter all rights reserved terms of"
+            " service privacy policy"
+        )
+        sdocs = (
+            probe_documents(spark, 20_000)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.concat(F.col("text"), F.lit(boiler)),
+                ).otherwise(F.col("text")),
+            )
+            .localCheckpoint(eager=True)
+        )
+        timed(
+            "substring_spans_exact",
+            duplicated_spans(sdocs, k=40),
+            results,
+        )
+        timed(
+            "substring_spans_hashed",
+            duplicated_spans(sdocs, k=40, hash_shuffle=True),
+            results,
+        )
+        n_ex = duplicated_spans(sdocs, k=40).count()
+        n_h = duplicated_spans(sdocs, k=40, hash_shuffle=True).count()
+        assert n_ex == n_h, (n_ex, n_h)
+        results["substring_spans_rows"] = n_ex
+        print(
+            f"[probe] substring spans: {n_ex} rows, exact "
+            f"{results['substring_spans_exact']}s vs hashed "
+            f"{results['substring_spans_hashed']}s",
+            file=sys.stderr, flush=True,
+        )
+
     if "--gapfill" in sys.argv:
         # r6: gapfill max_gap at the pathological shape it exists for —
         # 10k keys, 10 observations each, ~6 months of silence between
