@@ -19,4 +19,6 @@ pipeline runs over document/embedding tables.
                   (batch step + replay; streaming form in streaming/dedup)
     ann_store  -- persisted IVFADC index (build / add_batch / compact /
                   topk; streaming ingestion in streaming/ann)
+    substrings -- exact substring-level dedup (duplicated k-gram spans,
+                  merged + removable; hashed 100 TB shuffle tier)
 """

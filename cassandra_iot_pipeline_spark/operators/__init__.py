@@ -10,4 +10,7 @@ path):
     joins      -- enrichment + relational join surface (§2.D)
     upsert     -- PK last-write-wins semantics (§2.K K3)
     setops     -- union / intersect / except surface (§2.H)
+    gapfill    -- hypertable gap-fill (dense grid, LOCF, interpolation)
+    timeseries -- time-weighted averages + counter rates over
+                  irregular samples (exact integer arithmetic)
 """

@@ -16,5 +16,7 @@
                 pipeline (foreachBatch over the persisted LSH store)
     ann      -- continuous ANN-index ingestion (foreachBatch over the
                 persisted IVFADC store)
+    rates    -- continuous counter-rate (bit-identical to the batch
+                operator on day-ordered replays)
     cassandra -- connector sink options (prod backend; no cluster here)
 """
