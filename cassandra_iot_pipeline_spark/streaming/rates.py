@@ -107,6 +107,118 @@ def _rates_group(key, pdfs, state: GroupState, divisor: float):
     yield pd.DataFrame(out, columns=_COLS)
 
 
+TW_OUTPUT = "user_id long, span_secs long, n_samples long, tw_avg double"
+_TW_STATE = "last_t long, last_u long, num long, span long, n long"
+_TW_COLS = ["user_id", "span_secs", "n_samples", "tw_avg"]
+
+
+def _tw_walk(user_id, pdf, st, divisor):
+    """Running LOCF integral: fold this batch's (t, u) rows into the
+    carried (last_t, last_u, num, span, n). Returns (output row, new
+    state). The final division repeats the batch plan op-for-op
+    (float(num)/span/divisor), so the last emitted row of a replay is
+    bit-identical to ``operators/timeseries.py::time_weighted_avg``."""
+    if st is None:
+        last_t = last_u = None
+        num = span = n = 0
+    else:
+        last_t, last_u, num, span, n = (int(x) for x in st)
+    for t, u in zip(pdf["t"], pdf["u"]):
+        t, u = int(t), int(u)
+        if last_t is not None:
+            num += last_u * (t - last_t)
+            span += t - last_t
+        n += 1
+        last_t, last_u = t, u
+    tw = float(num) / span / divisor if span > 0 else float(last_u) / divisor
+    return (
+        (int(user_id), span, n, tw),
+        (last_t, last_u, num, span, n),
+    )
+
+
+class TimeWeightTracker(StatefulProcessor):
+    """StatefulProcessor carrying the running LOCF integral per key."""
+
+    def __init__(self, scale: int = 2, state_ttl_ms: int | None = None):
+        self._divisor = float(10**scale)
+        self._ttl = state_ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("tw", _TW_STATE, self._ttl)
+
+    def handleInputRows(
+        self,
+        key: Any,
+        rows: Iterator[pd.DataFrame],
+        timerValues: TimerValues,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        pdf = pd.concat(list(rows)).sort_values(["t", "u"])
+        st = tuple(self._st.get()) if self._st.exists() else None
+        row, new_st = _tw_walk(user_id, pdf, st, self._divisor)
+        self._st.update(new_st)
+        yield pd.DataFrame([row], columns=_TW_COLS)
+
+    def close(self) -> None:
+        pass
+
+
+def _tw_group(key, pdfs, state: GroupState, divisor: float):
+    """applyInPandasWithState twin of TimeWeightTracker."""
+    (user_id,) = key
+    pdf = pd.concat(list(pdfs)).sort_values(["t", "u"])
+    st = tuple(state.get) if state.exists else None
+    row, new_st = _tw_walk(user_id, pdf, st, divisor)
+    state.update(new_st)
+    yield pd.DataFrame([row], columns=_TW_COLS)
+
+
+def streaming_time_weighted_avg(
+    stream: DataFrame,
+    scale: int = 2,
+    state_ttl_ms: int | None = None,
+    use_tws: bool | None = None,
+) -> DataFrame:
+    """Continuous LOCF time-weighted average: every micro-batch, each
+    key that received samples emits its REFRESHED (span_secs,
+    n_samples, tw_avg) — the live-dashboard form of
+    ``time_weighted_avg``, built to land in a PK-upsert table (the
+    engine's Cassandra-LWW analogue, streaming/sinks.py) where the
+    newest row per key is the serving answer. n_samples strictly
+    increases per emitted row of a key, so "latest" is also
+    "max(n_samples)". After a day-ordered bounded replay the final row
+    per key is bit-identical to the batch operator (asserted in
+    tests)."""
+    if use_tws is None:
+        use_tws = tws_available()
+    prepared = stream.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.unix_timestamp(F.col("ts")).alias("t"),
+        exactmath.units(F.col("value"), scale).alias("u"),
+    )
+    if use_tws:
+        proc = TimeWeightTracker(scale, state_ttl_ms)
+        return prepared.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=TW_OUTPUT,
+            outputMode="Append",
+            timeMode="None" if state_ttl_ms is None else "ProcessingTime",
+        )
+    divisor = float(10**scale)
+
+    def fn(key, pdfs, state):
+        yield from _tw_group(key, pdfs, state, divisor)
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TW_OUTPUT,
+        stateStructType=_TW_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_counter_rate(
     stream: DataFrame,
     scale: int = 2,

@@ -62,6 +62,61 @@ def test_stream_equals_batch_operator_bitwise(spark):
     assert got == want
 
 
+def test_time_weight_final_rows_equal_batch(spark):
+    """Continuous time-weighted avg: after a many-micro-batch bounded
+    replay, each key's LAST emitted row (the one a PK-upsert table
+    would serve; n_samples strictly increases per key) is bit-identical
+    to the batch time_weighted_avg operator."""
+    from cassandra_iot_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+    from cassandra_iot_pipeline_spark.streaming.rates import (
+        streaming_time_weighted_avg,
+    )
+
+    staged = stage_events_stream(spark, SF_DIR)
+    out_dir = tempfile.mkdtemp(prefix="twa_")
+    sink_path = os.path.join(out_dir, "twa")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            streaming_time_weighted_avg(
+                read_event_stream(spark, staged, max_files_per_trigger=8)
+            )
+            .writeStream.format("parquet")
+            .option("path", sink_path)
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    emitted = spark.read.parquet(sink_path).collect()
+    latest = {}
+    for r in emitted:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_samples"] > cur["n_samples"]:
+            latest[r["user_id"]] = r
+    got = sorted(
+        (r["user_id"], r["span_secs"], r["n_samples"], r["tw_avg"])
+        for r in latest.values()
+    )
+    events = load_table(spark, SF_DIR, "events")
+    want = sorted(
+        (r["user_id"], r["span_secs"], r["n_samples"], r["tw_avg"])
+        for r in time_weighted_avg(events).collect()
+    )
+    assert len(want) > 0
+    assert got == want
+    # every key emits at least once per batch it appears in — the
+    # replay had many batches, so refreshes genuinely accumulated
+    assert len(emitted) > len(latest)
+
+
 def test_both_paths_build_plans(spark):
     staged = stage_events_stream(spark, SF_DIR)
     stream = read_event_stream(spark, staged, max_files_per_trigger=8)
