@@ -125,6 +125,27 @@ def _extras(spark, sf_dir):
             "router below.",
             _capped_candidates(spark, sf_dir),
         ),
+        "time_weighted_avg": (
+            "Hypertable serving (r6): LOCF time-weighted average over "
+            "irregular samples. One scan, one Exchange into the "
+            "per-key window (lead pairs each sample with its "
+            "successor), then the groupBy reuses that clustering — no "
+            "joins, no second scan; the BIGINT units x seconds "
+            "numerator is partial-aggregable so partition layout "
+            "cannot perturb the result.",
+            _time_weighted(spark, sf_dir),
+        ),
+        "substring_dedup_spans": (
+            "Exact substring dedup (r6, Lee-et-al semantics without "
+            "the suffix array): length-k windows explode from ONE "
+            "scan; the only wide operation is the count window keyed "
+            "by the gram; overlapping marks merge per doc via the "
+            "running-max window + running-sum span numbering; final "
+            "groupBy emits (span_start, span_end). hash_shuffle=True "
+            "swaps the gram string for xxhash64 before the exchange "
+            "(16 bytes/row, the 100 TB tier).",
+            _substring_spans(spark, sf_dir),
+        ),
         "subshard_lsh_candidates": (
             "Salted hot-bucket routing — since r6 the DEFAULT "
             "(hot_bucket_mode='auto') whenever the band rows carry a "
@@ -143,6 +164,24 @@ def _extras(spark, sf_dir):
             _subshard_candidates(spark, sf_dir),
         ),
     }
+
+
+def _time_weighted(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+def _substring_spans(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.substrings import (
+        duplicated_spans,
+    )
+
+    return duplicated_spans(load_table(spark, sf_dir, "documents"), k=20)
 
 
 def _subshard_candidates(spark, sf_dir):
