@@ -43,6 +43,7 @@ from cassandra_iot_pipeline_spark.operators import (
     setops,
     stats,
     subqueries,
+    timeseries,
     upsert,
     windows,
 )
@@ -189,8 +190,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- set ops (SURVEY §2.H: union + intersect + except, tagged) ---
         "setops_users": lambda s, d: setops.setops_users(events(s, d)),
         # --- projections / decode (SURVEY §2.B, §2.I) ---
-        "raw_projection": lambda s, d: projections.raw_projection(events(s, d)),
+        # (raw_projection deregistered r7 — a strict subset of
+        # decode_props' projection surface; slot given to the r6
+        # hypertable serving operator below. Its bitwise oracle lives
+        # on in tests/test_legacy_parity.py.)
         "decode_props": lambda s, d: json_decode.decode_props(events(s, d)),
+        # --- hypertable serving: LOCF time-weighted average (r6) ---
+        "time_weighted_avg": lambda s, d: timeseries.time_weighted_avg(
+            events(s, d)
+        ),
         # --- device-profile time-series similarity (IoT capstone) ---
         # fleet_size hint keeps query construction lazy (zero jobs): the
         # fixture fleets are <= 15k devices at every driver scale, far
@@ -302,8 +310,8 @@ def oracle_sql() -> dict[str, str]:
         "part_name_search": subqueries.part_name_search_oracle(),
         "last_event_per_user_type": upsert.last_event_per_user_type_oracle(),
         "setops_users": setops.setops_users_oracle(),
-        "raw_projection": projections.raw_projection_oracle(),
         "decode_props": json_decode.decode_props_oracle(),
+        "time_weighted_avg": timeseries.time_weighted_avg_oracle(),
         "similar_devices": profiles.similar_devices_oracle(),
         "streaming_hourly_rollup": agg.hourly_rollup_oracle(),
         "streaming_raw_passthrough": """

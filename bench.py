@@ -239,28 +239,48 @@ def main() -> None:
     med_progress = progresses[runs.index(med)]
     io_calib = io_calibration(spark)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_runs": runs_by_query,
-                "sf": sf,
-                "pipeline_events_per_sec": med,
-                "pipeline_events": n_events,
-                "pipeline_sec": round(n_events / med, 3),
-                "pipeline_runs_events_per_sec": runs,
-                "pipeline_spread_events_per_sec": round(
-                    max(runs) - min(runs), 1
-                ),
-                "pipeline_batches": med_progress,
-                **calib,
-                **io_calib,
-            }
-        )
+    # The driver records only the LAST 2000 chars of bench output
+    # (r6 verdict item #3: the r6 JSON overflowed the capture and 17
+    # of 50 per-query timings were cut, "parsed": null). So stdout is
+    # exactly ONE compact line guaranteed to fit —
+    # `python bench.py | tail -c 2000` round-trips through json.loads
+    # — and the bulky diagnostics (per-pass runs, per-micro-batch
+    # pipeline timings) go to bench_full.json next to this script.
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_runs": runs_by_query,
+        "sf": sf,
+        "pipeline_events_per_sec": med,
+        "pipeline_events": n_events,
+        "pipeline_sec": round(n_events / med, 3),
+        "pipeline_runs_events_per_sec": runs,
+        "pipeline_spread_events_per_sec": round(max(runs) - min(runs), 1),
+        "pipeline_batches": med_progress,
+        **calib,
+        **io_calib,
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
     )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(f"[bench] full diagnostics -> {full_path}", file=sys.stderr)
+
+    compact = {k: v for k, v in full.items()
+               if k not in ("queries_runs", "pipeline_batches")}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1990:  # belt-and-braces: shed precision, then calib
+        compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1990:
+        for k in list(compact):
+            if k.startswith("calib_"):
+                del compact[k]
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

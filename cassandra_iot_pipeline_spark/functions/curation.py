@@ -3,7 +3,9 @@ actually runs, built purely from the engine's own operators.
 
     profile -> quality/language filter -> PII redaction
             -> exact dedup -> MinHash-LSH near-dup clusters
-            -> cluster resolution -> split assignment -> packing layout
+            -> cluster resolution
+            -> [optional] substring-level boilerplate cut (Lee et al.)
+            -> split assignment -> packing layout
 
 Each stage is one of the already-tested primitives (text.text_profile,
 cleaning.redact_pii, dedup.exact_dedup/minhash_lsh_pairs,
@@ -42,6 +44,7 @@ from .dedup import (
     shingled_docs,
 )
 from .sampling import hash_split
+from .substrings import DEFAULT_K, _spans_from_canon, cut_spans
 from .text import repetition_signals, text_profile
 
 
@@ -59,6 +62,17 @@ class CurationConfig:
     max_top_2gram_frac: float | None = None
     max_dup_5gram_frac: float | None = None
     minhash_threshold: float = 0.8
+    # substring-level dedup (Lee et al.) over the dedup SURVIVORS —
+    # document-level dedup removes whole near-copies first, then this
+    # stage cuts the boilerplate RUNS that survive it (license
+    # headers, chrome) out of the remaining texts. When on, the
+    # curated/packed text is the CANONICAL form with spans cut (span
+    # positions are defined over the canonical text — the paper's
+    # operating mode trains on the deduplicated form).
+    substring_dedup: bool = False
+    substring_k: int = DEFAULT_K
+    substring_min_count: int = 2
+    substring_hash_shuffle: bool = False
     splits: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
     )
@@ -83,6 +97,12 @@ class CuratedCorpus:
                               # (band, bucket, population) — "which
                               # boilerplate templates did dedup refuse
                               # to all-pair?"
+    substring_stats: DataFrame | None = None
+                              # per-survivor removal accounting when
+                              # substring_dedup is on: (doc_id,
+                              # n_chars_canon, n_spans, chars_removed,
+                              # frac_removed) — every survivor gets a
+                              # row, zero-filled when untouched
 
     def report(self) -> dict[str, int]:
         """Row accounting per stage. Four actions — audit tool, not a
@@ -102,7 +122,7 @@ class CuratedCorpus:
         finally:
             for df in cached:
                 df.unpersist()
-        return {
+        out = {
             "documents": n_total,
             "kept_after_filter": n_kept,
             "docs_with_pii": n_pii,
@@ -115,6 +135,19 @@ class CuratedCorpus:
             # report should say so, not bury it
             "hot_lsh_buckets": self.hot_buckets.count(),
         }
+        if self.substring_stats is not None:
+            # corpus-wide removal accounting (one aggregation): how
+            # much boilerplate the substring pass actually cut — the
+            # dedup-then-train report row of Lee et al.
+            row = self.substring_stats.agg(
+                F.count(F.when(F.col("n_spans") > 0, 1)).alias("docs"),
+                F.coalesce(F.sum("chars_removed"), F.lit(0)).alias("cut"),
+                F.coalesce(F.sum("n_chars_canon"), F.lit(0)).alias("tot"),
+            ).first()
+            out["substring_docs_with_spans"] = row["docs"]
+            out["substring_chars_removed"] = row["cut"]
+            out["substring_chars_total"] = row["tot"]
+        return out
 
 
 def curate_corpus(
@@ -195,6 +228,49 @@ def curate_corpus(
     )
 
     resolved = resolve_duplicates(redacted_docs, dup_pairs)
+
+    # optional substring-level pass (Lee et al.) over the dedup
+    # survivors: duplicated length-k runs are computed ONCE from one
+    # shared canonical frame, then (a) cut out of the curated text and
+    # (b) aggregated into the removal report. The cut text replaces
+    # the survivors' text for split assignment and packing, so the
+    # stage folds through the existing downstream lifecycle untouched.
+    substring_stats = None
+    if config.substring_dedup:
+        canon_docs = resolved.select(
+            "doc_id", canonical(F.col("text")).alias("canon")
+        )
+        spans = _spans_from_canon(
+            canon_docs,
+            config.substring_k,
+            config.substring_min_count,
+            config.substring_hash_shuffle,
+            "auto",
+        )
+        span_agg = spans.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias(
+                "chars_removed"
+            ),
+        )
+        substring_stats = (
+            canon_docs.select(
+                "doc_id", F.length("canon").alias("n_chars_canon")
+            )
+            .join(span_agg, "doc_id", "left")
+            .fillna(0, subset=["n_spans", "chars_removed"])
+            .withColumn(
+                "frac_removed",
+                F.when(
+                    F.col("n_chars_canon") > 0,
+                    F.col("chars_removed") / F.col("n_chars_canon"),
+                ).otherwise(F.lit(0.0)),
+            )
+        )
+        resolved = resolved.drop("text").join(
+            cut_spans(canon_docs, spans), "doc_id"
+        )
+
     curated = hash_split(
         resolved, "doc_id", dict(config.splits), seed=config.split_seed
     )
@@ -211,4 +287,5 @@ def curate_corpus(
         curated=curated,
         packing=packing,
         hot_buckets=hot_buckets,
+        substring_stats=substring_stats,
     )

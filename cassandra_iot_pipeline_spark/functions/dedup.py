@@ -55,6 +55,11 @@ MERSENNE_P = 2_147_483_647  # 2^31-1, the universal-hash modulus
 #: dedup consumes). Fixture bucket populations max out at 8 (sf0.1),
 #: so the default never fires on the driver corpora.
 LSH_MAX_BUCKET = 256
+#: relative standard deviation of the HLL sketch behind the auto
+#: hot-bucket router's diversity signal; the router subtracts this
+#: margin from its threshold so an estimate landing just under the
+#: shard count errs toward subshard (recall) not star (r6 ADVICE)
+_ROUTING_HLL_RSD = 0.05
 
 
 def canonical(col: Column) -> Column:
@@ -790,8 +795,17 @@ def _capped_bucket_pairs(
             # subshard only when distinct salts exceed the shard count
             # (below that, >= one shard re-exceeds the cap by
             # pigeonhole and star's single hub is the cheaper identical
-            # output). HLL is order-independent — deterministic.
-            diverse = F.approx_count_distinct("salt").over(w) > n_shards
+            # output). HLL is order-independent — deterministic. The
+            # (1 - rsd) margin is the r6 ADVICE fix: the HLL estimate
+            # carries ~rsd relative error, so a genuinely diverse
+            # bucket whose estimate lands just under n_shards would be
+            # silently star-routed, losing non-hub pairs; erring
+            # toward subshard costs only a near-empty shard, never
+            # recall. hot_bucket_audit surfaces the same signal so
+            # boundary routing is observable.
+            diverse = F.approx_count_distinct(
+                "salt", _ROUTING_HLL_RSD
+            ).over(w) > n_shards * F.lit(1.0 - _ROUTING_HLL_RSD)
         else:
             diverse = F.lit(True)
         salted = banded.withColumn(
@@ -884,14 +898,43 @@ def hot_bucket_audit(
     max_bucket_size: int = LSH_MAX_BUCKET,
     keys: tuple[str, ...] = ("band", "bucket"),
 ) -> DataFrame:
-    """(keys..., population) — the buckets :func:`_capped_bucket_pairs`
-    star-routes at this cap, for curation reports ("which templates did
-    we refuse to all-pair?"). One thin aggregation over the band rows."""
-    return (
+    """(keys..., population[, salt_estimate, n_shards, routed]) — the
+    buckets :func:`_capped_bucket_pairs` treats as hot at this cap,
+    for curation reports ("which templates did we refuse to
+    all-pair?"). One thin aggregation over the band rows.
+
+    When the band rows carry a salt (banded_rows(with_salt=True) —
+    the default minhash path), the audit also reports the auto
+    router's own signal per hot bucket: the HLL salt estimate, the
+    shard count, and the decision ('subshard' when the estimate
+    clears n_shards * (1 - rsd), 'star' otherwise — the identical
+    margin expression, so boundary routing is observable instead of
+    silent, the r6 ADVICE posture)."""
+    agg_cols = [F.count(F.lit(1)).alias("population")]
+    if "salt" in banded.columns:
+        agg_cols.append(
+            F.approx_count_distinct("salt", _ROUTING_HLL_RSD).alias(
+                "salt_estimate"
+            )
+        )
+    out = (
         banded.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("population"))
+        .agg(*agg_cols)
         .filter(F.col("population") > max_bucket_size)
     )
+    if "salt" in banded.columns:
+        n_shards = F.ceil(
+            F.col("population") / F.lit(max_bucket_size)
+        ).cast("long")
+        out = out.withColumn("n_shards", n_shards).withColumn(
+            "routed",
+            F.when(
+                F.col("salt_estimate")
+                > F.col("n_shards") * F.lit(1.0 - _ROUTING_HLL_RSD),
+                F.lit("subshard"),
+            ).otherwise(F.lit("star")),
+        )
+    return out
 
 
 def minhash_lsh_pairs_oracle(

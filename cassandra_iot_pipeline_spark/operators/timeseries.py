@@ -161,38 +161,43 @@ def counter_rate(
     credited as 0).
 
     Output, one row per consecutive sample pair: (key..., ts_us,
-    next_ts_us, delta_units BIGINT, secs, rate_per_sec DOUBLE). Zero-
-    duration pairs (duplicate timestamps) report rate 0.0 rather than
-    an infinity that would poison downstream sums — the delta is still
-    carried. Tie order is (t, u, t_us) — fully deterministic down to
-    the microsecond column so the streaming form
-    (streaming/rates.py) can be bit-identical, not just
-    content-identical."""
+    next_ts_us, delta_units BIGINT, secs DOUBLE, rate_per_sec DOUBLE).
+    ``secs`` and the rate denominator derive from the MICROSECOND
+    timestamps (r6 ADVICE: the old whole-second ``unix_timestamp``
+    denominator reported rate 0.0 for two distinct samples inside one
+    second and quantized sub-second intervals straddling a boundary);
+    the only zero-duration pairs left are identical-microsecond
+    timestamps, which report rate 0.0 rather than an infinity that
+    would poison downstream sums — the delta is still carried. Sample
+    order is (t_us, u) — pure event-time order, with the units as the
+    deterministic tiebreak for identical microseconds, so the
+    streaming form (streaming/rates.py) can be bit-identical, not
+    just content-identical. ``secs`` is one exact int→double cast and
+    one correctly-rounded division by 1e6; the rate divides through
+    that same value (three IEEE ops total, mirrored by the oracle)."""
     keys = _keys(key)
     vcol = F.col(value) if isinstance(value, str) else value
     units = exactmath.units(vcol, scale)
     pts = df.filter(vcol.isNotNull()).select(
         *keys,
-        F.unix_timestamp(F.col(ts_col)).alias("t"),
         F.unix_micros(F.col(ts_col)).alias("t_us"),
         units.alias("u"),
     )
-    w = Window.partitionBy(*keys).orderBy("t", "u", "t_us")
+    w = Window.partitionBy(*keys).orderBy("t_us", "u")
     paired = pts.select(
         *keys,
-        "t",
         "t_us",
         "u",
-        F.lead("t").over(w).alias("t2"),
         F.lead("t_us").over(w).alias("t2_us"),
         F.lead("u").over(w).alias("u2"),
-    ).filter(F.col("u2").isNotNull())
+    ).filter(F.col("t2_us").isNotNull())
     delta = F.when(
         F.col("u2") >= F.col("u"), F.col("u2") - F.col("u")
     ).otherwise(F.col("u2"))  # reset: the new reading is the increase
-    secs = F.col("t2") - F.col("t")
+    dus = F.col("t2_us") - F.col("t_us")
+    secs = dus.cast("double") / F.lit(1e6)
     rate = F.when(
-        secs > 0, delta.cast("double") / secs / F.lit(float(10**scale))
+        dus > 0, delta.cast("double") / secs / F.lit(float(10**scale))
     ).otherwise(F.lit(0.0))
     return paired.select(
         *keys,
@@ -212,37 +217,38 @@ def counter_rate_oracle(
     scale: int = 2,
 ) -> str:
     """DuckDB twin of :func:`counter_rate` (same reset rule, same
-    integer units, same zero-duration guard)."""
+    integer units, same microsecond denominator, same zero-duration
+    guard, same three-IEEE-op division sequence)."""
     ks = ", ".join(keys)
     units = exactmath.oracle_units(value_expr, scale)
     div = float(10**scale)
     return f"""
         WITH pts AS (
             SELECT {ks},
-                   epoch_us({ts_col}) // 1000000 AS t,
                    epoch_us({ts_col}) AS t_us,
                    {units} AS u
             FROM {table}
             WHERE ({value_expr}) IS NOT NULL
         ),
         paired AS (
-            SELECT {ks}, t, t_us, u,
-                   LEAD(t) OVER w AS t2,
+            SELECT {ks}, t_us, u,
                    LEAD(t_us) OVER w AS t2_us,
                    LEAD(u) OVER w AS u2
             FROM pts
-            WINDOW w AS (PARTITION BY {ks} ORDER BY t, u, t_us)
+            WINDOW w AS (PARTITION BY {ks} ORDER BY t_us, u)
         )
         SELECT {ks},
                t_us AS ts_us,
                t2_us AS next_ts_us,
                CASE WHEN u2 >= u THEN u2 - u ELSE u2 END AS delta_units,
-               t2 - t AS secs,
-               CASE WHEN t2 - t > 0
+               CAST(t2_us - t_us AS DOUBLE) / 1000000.0 AS secs,
+               CASE WHEN t2_us - t_us > 0
                     THEN CAST(CASE WHEN u2 >= u THEN u2 - u ELSE u2 END
-                              AS DOUBLE) / (t2 - t) / {div}
+                              AS DOUBLE)
+                         / (CAST(t2_us - t_us AS DOUBLE) / 1000000.0)
+                         / {div}
                     ELSE 0.0
                END AS rate_per_sec
         FROM paired
-        WHERE u2 IS NOT NULL
+        WHERE t2_us IS NOT NULL
     """

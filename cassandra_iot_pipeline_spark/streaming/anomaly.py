@@ -24,11 +24,12 @@ against it in tests (which exercise whichever path the runtime has).
 
 Scale: one shuffle on the grouping key per micro-batch; state is one
 (long, long, long) per device in the RocksDB state store. Pass
-``state_ttl_ms`` in production (TWS path) so devices that go dark age
-out of the store instead of accumulating forever — the state-level
-analogue of the partition-drop retention in storage.py (TTL needs
-``timeMode="ProcessingTime"``; the bounded-replay tests use "None",
-where state lives for the run).
+``state_ttl_ms`` in production so devices that go dark age out of the
+store instead of accumulating forever — the state-level analogue of
+the partition-drop retention in storage.py. Both paths honor it:
+typed-state TTL + ``timeMode="ProcessingTime"`` on TWS,
+ProcessingTimeTimeout + ``state.remove()`` on the fallback (the
+bounded-replay tests pass no TTL, where state lives for the run).
 """
 
 from __future__ import annotations
@@ -130,9 +131,17 @@ def _detect_jumps_group(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     threshold_cents: int,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState twin of JumpDetector.handleInputRows —
-    same walk, same integer-cents comparison, same state tuple."""
+    same walk, same integer-cents comparison, same state tuple. With
+    ``ttl_ms`` the group runs under ProcessingTimeTimeout: a key
+    silent for ttl_ms is invoked once with no rows and its state
+    removed — the TWS path's TTL semantics in the old API's spelling
+    (r6 verdict item #4)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     (user_id,) = key
     pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
     prev_cents = int(state.get[2]) if state.exists else None
@@ -155,6 +164,8 @@ def _detect_jumps_group(
         prev_cents = cents
         last_us, last_event = int(ts_us), int(event_id)
     state.update((last_us, last_event, prev_cents))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame(
         out, columns=["user_id", "ts_us", "prev_value", "value", "delta"]
     )
@@ -170,8 +181,8 @@ def detect_jumps(
 
     ``use_tws=None`` auto-detects: transformWithStateInPandas when the
     runtime has google.protobuf, applyInPandasWithState otherwise.
-    The fallback does not implement state TTL (the old API has only
-    processing-time timeouts per key)."""
+    ``state_ttl_ms`` evicts dark devices on both paths: typed-state
+    TTL on TWS, ProcessingTimeTimeout + state.remove on the fallback."""
     thr = int(round(threshold * 100))
     if use_tws is None:
         use_tws = tws_available()
@@ -186,14 +197,18 @@ def detect_jumps(
         )
 
     def fn(key, pdfs, state):
-        yield from _detect_jumps_group(key, pdfs, state, thr)
+        yield from _detect_jumps_group(key, pdfs, state, thr, state_ttl_ms)
 
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=JUMP_OUTPUT,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -4,25 +4,46 @@ dual-path pattern of the jump detector (streaming/anomaly.py):
 ``transformWithStateInPandas`` when the runtime has google.protobuf,
 ``applyInPandasWithState`` otherwise, identical semantics either way.
 
-Operator: for every key remember the last observed (t, u, t_us) across
+Operator: for every key remember the last observed (u, t_us) across
 micro-batches; each new sample emits the interval row against its
 predecessor — delta with Prometheus-style reset recovery (a reading
 below its predecessor means the counter reset, and the new reading is
-the interval's increase), seconds, and rate (0.0 for zero-duration
-pairs, never an infinity).
+the interval's increase), microsecond-derived seconds, and rate (0.0
+for identical-microsecond pairs, never an infinity).
 
 Determinism contract (the engine's streaming signature move): samples
-are processed in the batch operator's exact (t, u, t_us) order within
-each micro-batch, units/seconds are integers, and the one IEEE
-division per pair is performed in the same order as the batch plan —
-so for a day-ordered bounded replay the stream output is
+are processed in the batch operator's exact (t_us, u) order within
+each micro-batch, units/microseconds are integers, and the IEEE
+divisions per pair are performed in the same order as the batch plan
+— so for a day-ordered bounded replay the stream output is
 BIT-IDENTICAL to ``counter_rate`` on the same events, asserted in
 tests/test_streaming_rates.py across many small micro-batches (state
 handoff is what's under test).
 
-Scale: one shuffle on the key per micro-batch; state is three longs
-per key in the RocksDB state store; ``state_ttl_ms`` ages out dark
-devices on the TWS path (same knob as the jump detector).
+The per-key folds are vectorized numpy (r6 verdict item #2): each
+pair's delta/secs/rate arithmetic is independent of every other
+pair's, so element-wise ``shift``/``where`` evaluation performs the
+exact same IEEE ops in the exact same per-pair order as the old
+row-at-a-time Python walk — bit parity is pinned by the stream≡batch
+tests — while a hot key receiving a large micro-batch costs numpy
+array ops instead of a Python loop. The time-weighted integral's
+running sums are integer (associative), so vectorized summation is
+exactly the loop's result too.
+
+Scale: one shuffle on the key per micro-batch; state is 2 (rate) or 5
+(integral) longs per key in the RocksDB state store; ``state_ttl_ms``
+ages out dark devices on BOTH paths — typed-state TTL on the TWS
+path, ProcessingTimeTimeout eviction on the applyInPandasWithState
+fallback (r6 verdict item #4: the fallback previously accumulated
+dark-key state forever).
+
+Trigger compatibility: pass ``state_ttl_ms`` only on always-on
+queries (processingTime triggers — the serving posture the knob
+exists for). Processing-time timers are incompatible with
+run-to-completion triggers: under ``availableNow`` the engine loops
+"no new data but cleaning up state" batches forever waiting for
+wall-clock timers that the drained replay will never outlive
+(observed on this runtime; the bounded-replay tests pass no TTL).
 """
 
 from __future__ import annotations
@@ -30,6 +51,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,33 +67,54 @@ from .anomaly import tws_available
 
 RATE_OUTPUT = (
     "user_id long, ts_us long, next_ts_us long, delta_units long,"
-    " secs long, rate_per_sec double"
+    " secs double, rate_per_sec double"
 )
-_STATE_SCHEMA = "last_t long, last_u long, last_us long"
+_STATE_SCHEMA = "last_u long, last_us long"
 _COLS = ["user_id", "ts_us", "next_ts_us", "delta_units", "secs", "rate_per_sec"]
 
 
 def _walk(user_id, pdf, prev, divisor):
-    """The shared per-key walk: rows of (t, t_us, u) in batch order,
-    ``prev`` the carried (t, u, t_us) or None. Returns (rows, state).
-    Arithmetic mirrors the batch plan op-for-op: integer delta/secs,
-    then float(delta)/secs/divisor — two correctly-rounded IEEE
-    divisions in the same order."""
-    out = []
-    for t, t_us, u in zip(pdf["t"], pdf["t_us"], pdf["u"]):
-        t, t_us, u = int(t), int(t_us), int(u)
-        if prev is not None:
-            pt, pu, pus = prev
-            delta = u - pu if u >= pu else u
-            secs = t - pt
-            rate = float(delta) / secs / divisor if secs > 0 else 0.0
-            out.append((int(user_id), pus, t_us, delta, secs, rate))
-        prev = (t, u, t_us)
-    return out, prev
+    """The shared per-key fold: rows of (t_us, u) in batch order,
+    ``prev`` the carried (u, t_us) or None. Returns (frame, state).
+    Arithmetic mirrors the batch plan op-for-op, vectorized: integer
+    delta and microsecond duration, then the three IEEE ops
+    (int→double /1e6 for secs, delta/secs, /divisor) element-wise —
+    per-pair op order identical to the batch plan's projection."""
+    us = pdf["t_us"].to_numpy(dtype=np.int64)
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    if prev is not None:
+        pu0, pus0 = (int(x) for x in prev)
+        us = np.concatenate(([pus0], us))
+        u = np.concatenate(([pu0], u))
+    if len(us) < 2:
+        out = pd.DataFrame(
+            {c: np.array([], dtype=np.float64 if c in ("secs", "rate_per_sec") else np.int64) for c in _COLS}
+        )
+        return out, (int(u[-1]), int(us[-1]))
+    pu, cu = u[:-1], u[1:]
+    pus, cus = us[:-1], us[1:]
+    delta = np.where(cu >= pu, cu - pu, cu)
+    dus = cus - pus
+    secs = dus.astype(np.float64) / 1e6
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rate = np.where(
+            dus > 0, delta.astype(np.float64) / secs / divisor, 0.0
+        )
+    out = pd.DataFrame(
+        {
+            "user_id": np.full(len(delta), int(user_id), dtype=np.int64),
+            "ts_us": pus,
+            "next_ts_us": cus,
+            "delta_units": delta.astype(np.int64),
+            "secs": secs,
+            "rate_per_sec": rate,
+        }
+    )
+    return out, (int(u[-1]), int(us[-1]))
 
 
 class RateTracker(StatefulProcessor):
-    """StatefulProcessor holding the last (t, u, t_us) per key."""
+    """StatefulProcessor holding the last (u, t_us) per key."""
 
     def __init__(self, scale: int = 2, state_ttl_ms: int | None = None):
         self._divisor = float(10**scale)
@@ -87,24 +130,34 @@ class RateTracker(StatefulProcessor):
         timerValues: TimerValues,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        pdf = pd.concat(list(rows)).sort_values(["t", "u", "t_us"])
+        pdf = pd.concat(list(rows)).sort_values(["t_us", "u"])
         prev = tuple(int(x) for x in self._last.get()) if self._last.exists() else None
         out, last = _walk(user_id, pdf, prev, self._divisor)
         self._last.update(last)
-        yield pd.DataFrame(out, columns=_COLS)
+        yield out
 
     def close(self) -> None:
         pass
 
 
-def _rates_group(key, pdfs, state: GroupState, divisor: float):
-    """applyInPandasWithState twin of RateTracker.handleInputRows."""
+def _rates_group(
+    key, pdfs, state: GroupState, divisor: float, ttl_ms: int | None = None
+):
+    """applyInPandasWithState twin of RateTracker.handleInputRows.
+    With ``ttl_ms`` the group runs under ProcessingTimeTimeout: a key
+    silent for ttl_ms is invoked once with no rows and its state
+    removed (the TWS path's TTL semantics, old-API spelling)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     (user_id,) = key
-    pdf = pd.concat(list(pdfs)).sort_values(["t", "u", "t_us"])
+    pdf = pd.concat(list(pdfs)).sort_values(["t_us", "u"])
     prev = tuple(int(x) for x in state.get) if state.exists else None
     out, last = _walk(user_id, pdf, prev, divisor)
     state.update(last)
-    yield pd.DataFrame(out, columns=_COLS)
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
+    yield out
 
 
 TW_OUTPUT = "user_id long, span_secs long, n_samples long, tw_avg double"
@@ -114,22 +167,28 @@ _TW_COLS = ["user_id", "span_secs", "n_samples", "tw_avg"]
 
 def _tw_walk(user_id, pdf, st, divisor):
     """Running LOCF integral: fold this batch's (t, u) rows into the
-    carried (last_t, last_u, num, span, n). Returns (output row, new
-    state). The final division repeats the batch plan op-for-op
-    (float(num)/span/divisor), so the last emitted row of a replay is
-    bit-identical to ``operators/timeseries.py::time_weighted_avg``."""
+    carried (last_t, last_u, num, span, n), vectorized — the integral
+    increments are integer products summed in int64 (associative, so
+    the numpy sum IS the loop's result), and the final division
+    repeats the batch plan op-for-op (float(num)/span/divisor), so the
+    last emitted row of a replay is bit-identical to
+    ``operators/timeseries.py::time_weighted_avg``."""
     if st is None:
         last_t = last_u = None
         num = span = n = 0
     else:
         last_t, last_u, num, span, n = (int(x) for x in st)
-    for t, u in zip(pdf["t"], pdf["u"]):
-        t, u = int(t), int(u)
-        if last_t is not None:
-            num += last_u * (t - last_t)
-            span += t - last_t
-        n += 1
-        last_t, last_u = t, u
+    t = pdf["t"].to_numpy(dtype=np.int64)
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    if last_t is not None:
+        t = np.concatenate(([last_t], t))
+        u = np.concatenate(([last_u], u))
+    if len(t) >= 2:
+        diffs = t[1:] - t[:-1]
+        num += int(np.sum(u[:-1] * diffs, dtype=np.int64))
+        span += int(t[-1] - t[0])
+    n += len(pdf)
+    last_t, last_u = int(t[-1]), int(u[-1])
     tw = float(num) / span / divisor if span > 0 else float(last_u) / divisor
     return (
         (int(user_id), span, n, tw),
@@ -164,13 +223,21 @@ class TimeWeightTracker(StatefulProcessor):
         pass
 
 
-def _tw_group(key, pdfs, state: GroupState, divisor: float):
-    """applyInPandasWithState twin of TimeWeightTracker."""
+def _tw_group(
+    key, pdfs, state: GroupState, divisor: float, ttl_ms: int | None = None
+):
+    """applyInPandasWithState twin of TimeWeightTracker (same
+    ProcessingTimeTimeout eviction contract as _rates_group)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     (user_id,) = key
     pdf = pd.concat(list(pdfs)).sort_values(["t", "u"])
     st = tuple(state.get) if state.exists else None
     row, new_st = _tw_walk(user_id, pdf, st, divisor)
     state.update(new_st)
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame([row], columns=_TW_COLS)
 
 
@@ -189,7 +256,7 @@ def streaming_time_weighted_avg(
     increases per emitted row of a key, so "latest" is also
     "max(n_samples)". After a day-ordered bounded replay the final row
     per key is bit-identical to the batch operator (asserted in
-    tests)."""
+    tests). ``state_ttl_ms`` evicts dark keys on both runtime paths."""
     if use_tws is None:
         use_tws = tws_available()
     prepared = stream.filter(F.col("value").isNotNull()).select(
@@ -208,14 +275,18 @@ def streaming_time_weighted_avg(
     divisor = float(10**scale)
 
     def fn(key, pdfs, state):
-        yield from _tw_group(key, pdfs, state, divisor)
+        yield from _tw_group(key, pdfs, state, divisor, state_ttl_ms)
 
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=TW_OUTPUT,
         stateStructType=_TW_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 
@@ -227,12 +298,12 @@ def streaming_counter_rate(
 ) -> DataFrame:
     """Continuous counter-rate over an events stream (user_id, ts,
     value, ...); see module docstring. ``use_tws=None`` auto-detects
-    the runtime's state API; the fallback has no state TTL."""
+    the runtime's state API; ``state_ttl_ms`` evicts dark keys on
+    both paths (typed-state TTL / ProcessingTimeTimeout)."""
     if use_tws is None:
         use_tws = tws_available()
     prepared = stream.filter(F.col("value").isNotNull()).select(
         "user_id",
-        F.unix_timestamp(F.col("ts")).alias("t"),
         F.unix_micros(F.col("ts")).alias("t_us"),
         exactmath.units(F.col("value"), scale).alias("u"),
     )
@@ -247,12 +318,16 @@ def streaming_counter_rate(
     divisor = float(10**scale)
 
     def fn(key, pdfs, state):
-        yield from _rates_group(key, pdfs, state, divisor)
+        yield from _rates_group(key, pdfs, state, divisor, state_ttl_ms)
 
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=RATE_OUTPUT,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -127,6 +127,38 @@ def test_library_stride_15min(spark, duck):
     ) == []
 
 
+def test_library_pre_1970_epochs_floor_align(spark, duck):
+    """r6 ADVICE: bucket alignment is FLOOR division, so negative
+    epochs align to the grid's lower edge (a truncating cast would
+    round toward zero and mis-bucket) — hand-checked and against the
+    DuckDB twin's integer //."""
+    rows = [
+        (1, dt.datetime(1969, 12, 31, 23, 10), 10.00),  # epoch -3000s
+        (1, dt.datetime(1970, 1, 1, 0, 40), 20.00),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    out = (
+        gapfill.gapfill(events, stride_seconds=3600)
+        .orderBy("bucket_us")
+        .collect()
+    )
+    # 23:10 belongs to the 23:00 bucket (floor), NOT the 00:00 bucket
+    # a trunc-toward-zero would produce
+    assert [r["bucket_us"] for r in out] == [
+        -3600 * 1_000_000, 0,
+    ]
+    assert [r["is_gap"] for r in out] == [False, False]
+    duck.register("gf_neg_events", events.toPandas())
+    oracle_pdf = duck.sql(
+        gapfill.gapfill_oracle(table="gf_neg_events", stride_seconds=3600)
+    ).df()
+    assert compare(
+        gapfill.gapfill(events, stride_seconds=3600).toPandas(), oracle_pdf
+    ) == []
+
+
 def test_library_null_values_become_gaps(spark):
     """r5 ADVICE: an all-NULL-valued bucket is a GAP (count and sum
     cover the same rows), and every output column stays non-null."""

@@ -11,7 +11,7 @@ import pytest
 from cassandra_iot_pipeline_spark.catalog import load_table
 from cassandra_iot_pipeline_spark.functions import multimodal, text
 from cassandra_iot_pipeline_spark.operators import agg, joins, setops, stats, windows
-from cassandra_iot_pipeline_spark.sources import json_decode
+from cassandra_iot_pipeline_spark.sources import json_decode, projections
 from tests.conftest import SF_DIR
 from tools.oracle_check import compare
 
@@ -48,6 +48,15 @@ LEGACY = {
         "events",
         json_decode.props_bucket_rollup,
         json_decode.props_bucket_rollup_oracle(),
+    ),
+    # deregistered r7: slot given to time_weighted_avg (hypertable
+    # LOCF serving, r6 verdict item #6); raw_projection is a strict
+    # subset of decode_props' projection surface, which stays
+    # driver-checked
+    "raw_projection": (
+        "events",
+        projections.raw_projection,
+        projections.raw_projection_oracle(),
     ),
     # deregistered r5: slot given to gapfill_hourly (hypertable dense
     # spine + LOCF + linear interpolation); orders_cube keeps the

@@ -1,13 +1,15 @@
 """Continuous counter-rate (streaming/rates.py): a bounded day-ordered
 replay across many small micro-batches must equal the batch
 ``counter_rate`` operator bit-for-bit — including the reset-recovery
-deltas, zero-duration guard, and the two-step IEEE division — with the
-last (t, u, t_us) carried in state across batches."""
+deltas, zero-duration guard, and the microsecond-derived IEEE division
+sequence — with the last (u, t_us) carried in state across batches.
+Plus the fallback path's dark-key state eviction (r6 verdict item #4)."""
 
 from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 from cassandra_iot_pipeline_spark.catalog import load_table
 from cassandra_iot_pipeline_spark.operators.timeseries import counter_rate
@@ -115,6 +117,87 @@ def test_time_weight_final_rows_equal_batch(spark):
     # every key emits at least once per batch it appears in — the
     # replay had many batches, so refreshes genuinely accumulated
     assert len(emitted) > len(latest)
+
+
+def test_fallback_state_ttl_evicts_dark_keys(spark):
+    """applyInPandasWithState path with state_ttl_ms: a key that stays
+    dark past the TTL is evicted (ProcessingTimeTimeout +
+    state.remove), so when it reappears its first sample anchors a
+    FRESH interval instead of pairing against the stale predecessor.
+    Without the TTL the same replay pairs across the silence."""
+
+    def replay(ttl_ms):
+        out_dir = tempfile.mkdtemp(prefix="rates_ttl_")
+        src = os.path.join(out_dir, "src")
+        os.makedirs(src)
+        sink_path = os.path.join(out_dir, "sink")
+        ckpt = os.path.join(out_dir, "ckpt")
+        import datetime as dt
+
+        schema = "user_id long, ts timestamp, value double"
+        t0 = dt.datetime(2024, 1, 1)
+        batches = [
+            # key 1 appears, then goes dark
+            [(1, t0, 10.0)],
+            # key 2 keeps the stream busy; its batches are what drive
+            # key 1's timeout processing on the fallback path
+            [(2, t0 + dt.timedelta(minutes=10), 1.0)],
+            # key 1 reappears BELOW its old reading — if stale state
+            # survived this pairs as a reset row; if evicted, silence
+            [(1, t0 + dt.timedelta(minutes=20), 5.0)],
+        ]
+        # a CONTINUOUS trigger, not availableNow: processing-time
+        # timers are incompatible with run-to-completion triggers (the
+        # engine loops "no new data but cleaning up state" batches
+        # forever waiting for wall-clock timers — observed; the TTL
+        # knob is for always-on serving queries, and bounded replays
+        # pass no TTL)
+        q = (
+            streaming_counter_rate(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/*"),
+                state_ttl_ms=ttl_ms,
+                use_tws=False,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+
+        def wait_rows(n, deadline=60.0):
+            t_end = time.time() + deadline
+            while time.time() < t_end:
+                done = sum(
+                    p["numInputRows"] for p in q.recentProgress
+                )
+                if done >= n:
+                    return
+                time.sleep(0.25)
+            raise AssertionError(f"stream never consumed {n} rows")
+
+        try:
+            for i, rows in enumerate(batches):
+                spark.createDataFrame(rows, schema).write.parquet(
+                    os.path.join(src, f"b{i}")
+                )
+                wait_rows(i + 1)
+                if ttl_ms is not None:
+                    # let key 1's timer expire; the engine's timeout
+                    # batches fire on the processing-time trigger
+                    time.sleep(ttl_ms / 1000 + 1.0)
+        finally:
+            q.stop()
+        return spark.read.parquet(sink_path).collect()
+
+    with_ttl = replay(ttl_ms=1_000)
+    assert with_ttl == []  # key 1's state was evicted while dark
+    without = replay(ttl_ms=None)
+    assert len(without) == 1  # stale state paired 10.0 -> 5.0 (reset)
+    assert without[0]["user_id"] == 1 and without[0]["delta_units"] == 500
 
 
 def test_both_paths_build_plans(spark):

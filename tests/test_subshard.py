@@ -256,3 +256,53 @@ def test_subshard_boilerplate_connectivity_unchanged(spark):
         ).collect()
     }
     assert kept_star == kept_sub == {0}
+
+
+def test_audit_surfaces_routing_decision(spark):
+    """r6 ADVICE: hot_bucket_audit reports the auto router's own
+    signal per hot bucket — (salt_estimate, n_shards, routed) via the
+    identical margin expression — so boundary routing is observable.
+    Salt-less frames keep the old (keys, population) schema."""
+    diverse = [(d, 0, 42, d * 7919 + 13) for d in range(400)]
+    boiler = [(d, 1, 77, 99) for d in range(400, 800)]
+    banded = spark.createDataFrame(
+        diverse + boiler, "doc_id BIGINT, band INT, bucket BIGINT, salt BIGINT"
+    )
+    audit = {
+        (r["band"], r["bucket"]): r
+        for r in dedup.hot_bucket_audit(
+            banded, max_bucket_size=30
+        ).collect()
+    }
+    assert set(audit) == {(0, 42), (1, 77)}
+    div, boil = audit[(0, 42)], audit[(1, 77)]
+    assert div["routed"] == "subshard" and div["n_shards"] == 14
+    assert div["salt_estimate"] > div["n_shards"]
+    assert boil["routed"] == "star" and boil["salt_estimate"] <= 2
+    # salt-less band rows: population-only audit, as before
+    bare = dedup.hot_bucket_audit(
+        banded.drop("salt"), max_bucket_size=30
+    )
+    assert set(bare.columns) == {"band", "bucket", "population"}
+
+
+def test_router_margin_errs_toward_subshard(spark):
+    """The (1 - rsd) margin: a bucket whose true distinct-salt count
+    sits exactly AT the shard count (where an unlucky HLL estimate
+    could land a hair under) routes subshard, not star — recall is
+    never lost to sketch noise at the boundary."""
+    # pop 120, cap 30 -> n_shards = 4; exactly 4 distinct salts
+    rows = [(d, 0, 5, d % 4) for d in range(120)]
+    banded = spark.createDataFrame(
+        rows, "doc_id BIGINT, band INT, bucket BIGINT, salt BIGINT"
+    )
+    audit = dedup.hot_bucket_audit(banded, max_bucket_size=30).collect()
+    assert len(audit) == 1
+    # 4 > 4 is false, but 4 > 4 * 0.95 is true: the margin routes it
+    assert audit[0]["routed"] == "subshard"
+    # and _capped_bucket_pairs takes the same branch: sharded output
+    # (4 shards of 30 = all-pairs within shards), not one 119-pair star
+    n = dedup._capped_bucket_pairs(
+        banded, ("band", "bucket"), max_bucket_size=30
+    ).count()
+    assert n == 4 * (30 * 29) // 2

@@ -130,13 +130,52 @@ def test_remove_spans_matches_reference(spark):
     assert any(spans.values())  # the corpus really had duplicated runs
 
 
+def test_dup_join_modes_agree(spark):
+    """All four dup-gram strategies (auto / pinned broadcast / pinned
+    shuffle-hash / legacy window) select identical positions, hence
+    identical spans — they evaluate the same cnt >= min_count
+    predicate through different physical plans."""
+    documents = load_table(spark, SF_DIR, "documents")
+    want = None
+    for mode in substrings.DUP_JOIN_MODES:
+        got = sorted(
+            tuple(r)
+            for r in substrings.duplicated_spans(
+                documents, 20, dup_join=mode
+            ).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, mode
+    assert want  # the fixture really produced spans
+
+
+def test_dup_join_rejects_unknown_mode(spark):
+    import pytest
+
+    documents = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="dup_join"):
+        substrings.duplicated_spans(documents, 20, dup_join="bogus")
+
+
 def test_plan_shape(spark):
+    """The r7 de-skewed plan: dup-gram counts come from a partial
+    HashAggregate (hot grams collapse map-side before the exchange),
+    membership is a LeftSemi join that AQE broadcast-converts at this
+    scale, and NO window operator partitions on the gram — the
+    pre-r7 full-corpus Sort+Window on g is gone. The two remaining
+    Window nodes are the per-doc span merge (partitioned by doc_id)."""
     documents = load_table(spark, SF_DIR, "documents")
     df = substrings.duplicated_spans(documents, 20)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("Scan parquet") == 1
-    assert "Join" not in final
+    # count pass + probe pass: two narrow scans replace the k-fold
+    # full-corpus wide stage
+    assert final.count("Scan parquet") == 2
+    assert "partial_count" in final
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final
+    # no window keyed on the gram column
+    assert "windowspecdefinition(g#" not in final
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

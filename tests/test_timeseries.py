@@ -54,17 +54,46 @@ def test_counter_rate_resets_and_zero_duration(spark):
         (1, _ts(0), 100.00),
         (1, _ts(1), 160.00),   # +60.00 over 60s -> 1.0/s
         (1, _ts(2), 10.00),    # reset: delta = new reading (10.00)
-        (1, _ts(2), 10.50),    # same ts: delta carried, rate 0.0
+        (1, _ts(2), 10.50),    # identical us: delta carried, rate 0.0
     ]
     got = timeseries.counter_rate(_frame(spark, rows)).orderBy(
         "ts_us", "delta_units"
     ).collect()
     assert [r["delta_units"] for r in got] == [6000, 1000, 50]
-    assert [r["secs"] for r in got] == [60, 60, 0]
-    # the op's exact division order: (delta_units / secs) / 10^scale
-    assert [r["rate_per_sec"] for r in got] == [1.0, 1000.0 / 60 / 100, 0.0]
+    assert [r["secs"] for r in got] == [60.0, 60.0, 0.0]
+    # the op's exact division order: delta / (us/1e6) / 10^scale
+    assert [r["rate_per_sec"] for r in got] == [
+        6000.0 / 60.0 / 100,
+        1000.0 / 60.0 / 100,
+        0.0,
+    ]
     for r in got:
         assert r["next_ts_us"] - r["ts_us"] == r["secs"] * 1_000_000
+
+
+def test_counter_rate_subsecond_intervals(spark):
+    """r6 ADVICE: the denominator is microsecond-derived — two distinct
+    samples within one second get their true sub-second rate (the old
+    whole-second secs reported 0.0), and an interval straddling a
+    second boundary is not quantized to 1s."""
+    base = dt.datetime(2024, 1, 1)
+
+    def us(micro):
+        return base + dt.timedelta(microseconds=micro)
+
+    rows = [
+        (1, us(0), 1.00),
+        (1, us(250_000), 2.00),        # +1.00 over 0.25s inside one second
+        (1, us(900_000), 3.00),        # +1.00 over 0.65s straddling :01
+        (1, us(1_100_000), 4.00),      # +1.00 over 0.2s across the boundary
+    ]
+    got = timeseries.counter_rate(_frame(spark, rows)).orderBy("ts_us").collect()
+    assert [r["secs"] for r in got] == [0.25, 0.65, 0.2]
+    assert [r["rate_per_sec"] for r in got] == [
+        100.0 / 0.25 / 100,
+        100.0 / 0.65 / 100,
+        100.0 / 0.2 / 100,
+    ]
 
 
 def test_fixture_duckdb_parity(spark, duck):

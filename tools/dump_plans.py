@@ -136,14 +136,21 @@ def _extras(spark, sf_dir):
             _time_weighted(spark, sf_dir),
         ),
         "substring_dedup_spans": (
-            "Exact substring dedup (r6, Lee-et-al semantics without "
-            "the suffix array): length-k windows explode from ONE "
-            "scan; the only wide operation is the count window keyed "
-            "by the gram; overlapping marks merge per doc via the "
-            "running-max window + running-sum span numbering; final "
-            "groupBy emits (span_start, span_end). hash_shuffle=True "
-            "swaps the gram string for xxhash64 before the exchange "
-            "(16 bytes/row, the 100 TB tier).",
+            "Exact substring dedup (Lee-et-al semantics without the "
+            "suffix array), de-skewed in r7: duplicated grams come "
+            "from groupBy(g).count() — the partial HashAggregate "
+            "collapses a boilerplate gram to one row per task BEFORE "
+            "the exchange — then a LeftSemi join back onto the "
+            "positions frame that AQE broadcast-converts when the "
+            "dup-gram set fits (it does here; at scale the fallback "
+            "is AQE skew-split + the native runtime bloom-filter "
+            "join). NO window operator is keyed on the gram anymore "
+            "(the pre-r7 Sort+Window-on-g landed every occurrence of "
+            "a hot gram in one task); the two remaining windows are "
+            "the per-doc span merge, partitioned by doc_id. "
+            "hash_shuffle=True swaps the gram string for xxhash64 "
+            "before any wide stage (8 bytes/gram in both the count "
+            "exchange and the broadcast set).",
             _substring_spans(spark, sf_dir),
         ),
         "subshard_lsh_candidates": (

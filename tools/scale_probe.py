@@ -692,9 +692,9 @@ def main() -> None:
 
     if "--substrings" in sys.argv:
         # r6: substring dedup tiers at 10x fixture scale. The claim
-        # under test: the hashed tier moves 16 bytes/row through the
-        # count-window exchange instead of ~k, and both tiers mark the
-        # same spans when grams stay collision-free.
+        # under test: the hashed tier moves 8 bytes/gram through the
+        # wide stages instead of ~k, and both tiers mark the same
+        # spans when grams stay collision-free.
         from cassandra_iot_pipeline_spark.functions.substrings import (
             duplicated_spans,
         )
@@ -737,6 +737,71 @@ def main() -> None:
             f"{results['substring_spans_exact']}s vs hashed "
             f"{results['substring_spans_hashed']}s",
             file=sys.stderr, flush=True,
+        )
+
+        # r7 de-skew A/B, isolating the hot-KEY claim: each doc is a
+        # unique ~8-char prefix + the same 2000-char constant run, so
+        # ONE distinct gram carries ~23.5M of the ~23.6M position
+        # rows and the dup-gram set is a single row (no broadcast-size
+        # confound — that axis is measured separately below). The
+        # legacy window plan (dup_join='window', pre-r7 default) lands
+        # all 23.5M in a single task's Sort+Window; the r7 default
+        # collapses them map-side in a partial HashAggregate and
+        # broadcast-semi-joins the one-gram set back. Same spans.
+        hot = (
+            spark.range(12_000)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("u"), F.col("id"), F.lit(" "), F.lit("x" * 2_000)
+                ).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hot_counts = {}
+        for mode in ("window", "auto"):
+            timed(
+                f"substring_hotgram_{mode}",
+                duplicated_spans(hot, k=40, dup_join=mode),
+                results,
+            )
+            hot_counts[mode] = duplicated_spans(
+                hot, k=40, dup_join=mode
+            ).count()
+        assert hot_counts["window"] == hot_counts["auto"], hot_counts
+        # hashed tier under the same skew — the de-skew must hold when
+        # the gram is an 8-byte hash too (same hot key, narrower rows)
+        timed(
+            "substring_hotgram_auto_hashed",
+            duplicated_spans(hot, k=40, hash_shuffle=True),
+            results,
+        )
+        results["substring_hotgram_rows"] = hot_counts["auto"]
+        print(
+            f"[probe] substring hot-gram: {hot_counts['auto']} spans, "
+            f"window {results['substring_hotgram_window']}s vs auto "
+            f"{results['substring_hotgram_auto']}s vs auto+hash "
+            f"{results['substring_hotgram_auto_hashed']}s",
+            file=sys.stderr, flush=True,
+        )
+
+        # the other axis: a DIVERSE duplicated-gram set (the r6 10%
+        # shared-vocab corpus above has millions of distinct repeated
+        # 40-char grams). There the exact tier's dup-gram build side
+        # is large — the hashed tier shrinks it 5x (8-byte keys), and
+        # is the prescribed 100 TB posture for such corpora; record
+        # the exact window-vs-auto pair on that corpus too so the
+        # trade is measured, not asserted.
+        for mode in ("window", "auto"):
+            timed(
+                f"substring_vocab_{mode}",
+                duplicated_spans(sdocs, k=40, dup_join=mode),
+                results,
+            )
+        timed(
+            "substring_vocab_auto_hashed",
+            duplicated_spans(sdocs, k=40, hash_shuffle=True),
+            results,
         )
 
     if "--gapfill" in sys.argv:
