@@ -804,6 +804,60 @@ def main() -> None:
             results,
         )
 
+    if "--dedup-batch" in sys.argv:
+        # r6 verdict item #5: the r6 ADC-payload fix removed what r5
+        # called "the binding constraint on raising dedup batch
+        # sizes". Probe the claim: B = 2k / 10k / 20k epochs through
+        # the FULL EmbeddingDedupPipeline write path against a 100k
+        # int8 index, recording per-epoch wall time, vecs/s, and the
+        # driver-collected + broadcast ADC payload (B tables of
+        # m x ks x 8 bytes, shipped once, plus B x n_probe 16-byte id
+        # pairs — deterministic from the geometry: m=8, ks=16,
+        # n_probe=4).
+        from cassandra_iot_pipeline_spark.streaming.ann import (
+            EmbeddingDedupPipeline,
+        )
+
+        bdir = _tempfile.mkdtemp(prefix="scale_probe_bsz_")
+        try:
+            warm = EmbeddingDedupPipeline.bootstrap(
+                probe_embeddings(0, 3_000),
+                f"{bdir}/warm_idx",
+                f"{bdir}/warm_cur",
+                threshold=0.95,
+            )
+            warm.write_batch(probe_embeddings(3_000, 3_500), epoch_id=0)
+            for bsz in (2_000, 10_000, 20_000):
+                pipe = EmbeddingDedupPipeline.bootstrap(
+                    probe_embeddings(0, n_vecs),
+                    f"{bdir}/idx{bsz}",
+                    f"{bdir}/cur{bsz}",
+                    threshold=0.95,
+                )
+                b_times = []
+                for e in range(2):
+                    lo = n_vecs + e * bsz
+                    b = probe_embeddings(lo, lo + bsz)
+                    t0 = time.perf_counter()
+                    pipe.write_batch(b, epoch_id=e)
+                    b_times.append(round(time.perf_counter() - t0, 2))
+                results[f"dedup_batch_{bsz}_epoch_secs"] = b_times  # type: ignore[assignment]
+                results[f"dedup_batch_{bsz}_vecs_per_sec"] = round(
+                    bsz / min(b_times), 1
+                )
+                results[f"dedup_batch_{bsz}_adc_payload_mb"] = round(
+                    bsz * (8 * 16 * 8 + 4 * 16) / 1e6, 2
+                )
+                print(
+                    f"[probe] dedup_batch B={bsz}: {b_times}s, "
+                    f"{results[f'dedup_batch_{bsz}_vecs_per_sec']} vecs/s, "
+                    f"payload {results[f'dedup_batch_{bsz}_adc_payload_mb']}"
+                    " MB",
+                    file=sys.stderr, flush=True,
+                )
+        finally:
+            _shutil.rmtree(bdir, ignore_errors=True)
+
     if "--gapfill" in sys.argv:
         # r6: gapfill max_gap at the pathological shape it exists for —
         # 10k keys, 10 observations each, ~6 months of silence between
