@@ -1,0 +1,229 @@
+"""SCD2 dimension maintenance (operators/scd2.py): hand-computed
+version chains, null-safe change detection, the tie guard,
+fixture-scale DuckDB parity (displaced-registry discipline: full value
+oracles in pytest), merge ≡ snapshot equivalence + idempotence,
+point-in-time enrichment vs DuckDB's native ASOF JOIN, and the plan
+shape (broadcast probes, dimension side never shuffles)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.operators import scd2
+from tests.conftest import SF_DIR
+from tools.oracle_check import compare
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _us(minute: int) -> int:
+    return int(
+        dt.datetime(2024, 1, 1, 0, minute, tzinfo=dt.timezone.utc).timestamp()
+        * 1_000_000
+    )
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, seg STRING"
+    )
+
+
+def test_versions_hand_computed(spark):
+    """Collapse of no-op updates, version close at the next change,
+    re-opening a previously seen value as a NEW version."""
+    rows = [
+        (1, _ts(0), "a"),
+        (1, _ts(1), "a"),   # no-op: collapses into the t0 version
+        (1, _ts(2), "b"),   # change: closes [t0, t2), opens b
+        (1, _ts(3), "b"),   # no-op
+        (1, _ts(4), "a"),   # re-open: a again, NEW version
+        (2, _ts(5), "x"),   # single-version key stays open
+    ]
+    got = sorted(
+        tuple(r)
+        for r in scd2.scd2_snapshot(
+            _log(spark, rows), "user_id", ("seg",), "ts"
+        ).collect()
+    )
+    assert got == [
+        (1, "a", _us(0), _us(2), False),
+        (1, "a", _us(4), None, True),
+        (1, "b", _us(2), _us(4), False),
+        (2, "x", _us(5), None, True),
+    ]
+
+
+def test_null_safe_change_detection(spark):
+    """NULL attribute values: NULL→NULL collapses, NULL→value and
+    value→NULL are real changes (eqNullSafe / IS DISTINCT FROM on
+    both engines)."""
+    rows = [
+        (1, _ts(0), None),
+        (1, _ts(1), None),  # collapse
+        (1, _ts(2), "v"),   # change
+        (1, _ts(3), None),  # change back to NULL
+    ]
+    got = sorted(
+        (
+            (r["seg"], r["valid_from_us"], r["valid_to_us"])
+            for r in scd2.scd2_snapshot(
+                _log(spark, rows), "user_id", ("seg",), "ts"
+            ).collect()
+        ),
+        key=lambda t: t[1],
+    )
+    assert got == [
+        (None, _us(0), _us(2)),
+        ("v", _us(2), _us(3)),
+        (None, _us(3), None),
+    ]
+
+
+def test_tie_guard_and_seq_ordering(spark):
+    """Two updates at one (key, ts): rejected in-plan without a
+    tiebreak; ordered deterministically with one."""
+    rows = [(1, _ts(0), "a", 10), (1, _ts(0), "b", 11)]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, seg STRING, seq BIGINT"
+    )
+    with pytest.raises(Exception, match="share one"):
+        scd2.scd2_snapshot(df, "user_id", ("seg",), "ts").collect()
+    got = sorted(
+        (r["seg"], r["is_current"])
+        for r in scd2.scd2_snapshot(
+            df, "user_id", ("seg",), "ts", seq_col="seq"
+        ).collect()
+    )
+    assert got == [("a", False), ("b", True)]
+
+
+def test_fixture_duckdb_parity(spark, duck):
+    """Snapshot over the events fixture (event_type as the tracked
+    attribute, event_id as the tiebreak) matches the DuckDB twin
+    bitwise."""
+    events = load_table(spark, SF_DIR, "events")
+    spark_pdf = scd2.scd2_snapshot(
+        events, "user_id", ("event_type",), "ts", seq_col="event_id"
+    ).toPandas()
+    oracle_pdf = duck.sql(
+        scd2.scd2_snapshot_oracle(
+            "events", ("user_id",), ("event_type",), "ts", "event_id"
+        )
+    ).df()
+    assert compare(spark_pdf, oracle_pdf) == []
+    assert len(spark_pdf) > 0
+
+
+def test_merge_equals_snapshot_and_is_idempotent(spark):
+    """Landing a second batch on a snapshot of the first equals one
+    snapshot of the concatenated log; replaying the same batch is a
+    no-op; a batch touching NO existing key leaves other keys'
+    rows bit-identical."""
+    first = [
+        (1, _ts(0), "a"), (1, _ts(2), "b"),
+        (2, _ts(1), "x"),
+        (3, _ts(1), "q"),
+    ]
+    second = [
+        (1, _ts(4), "b"),   # no-op vs key 1's newest version
+        (1, _ts(6), "c"),   # real change
+        (2, _ts(5), "y"),
+        (4, _ts(5), "new"),  # brand-new key
+    ]
+    key_rows = lambda df: sorted(tuple(r) for r in df.collect())
+    dim1 = scd2.scd2_snapshot(_log(spark, first), "user_id", ("seg",), "ts")
+    merged = scd2.scd2_merge(
+        dim1, _log(spark, second), "user_id", ("seg",), "ts"
+    )
+    want = scd2.scd2_snapshot(
+        _log(spark, first + second), "user_id", ("seg",), "ts"
+    )
+    assert key_rows(merged) == key_rows(want)
+    # idempotence: the same batch again changes nothing
+    again = scd2.scd2_merge(
+        merged, _log(spark, second), "user_id", ("seg",), "ts"
+    )
+    assert key_rows(again) == key_rows(merged)
+    # untouched key 3 passes through the anti-join bit-identically
+    assert [
+        tuple(r)
+        for r in merged.filter(F.col("user_id") == 3).collect()
+    ] == [(3, "q", _us(1), None, True)]
+
+
+def test_enrich_point_in_time(spark, duck):
+    """Each fact gets the version valid AT its own time; facts before
+    a key's first version get NULL; parity vs DuckDB's native ASOF
+    JOIN."""
+    updates = [
+        (1, _ts(2), "a"), (1, _ts(5), "b"),
+        (2, _ts(3), "x"),
+    ]
+    dim = scd2.scd2_snapshot(_log(spark, updates), "user_id", ("seg",), "ts")
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts(1)),   # before first version -> NULL
+            (101, 1, _ts(2)),   # exactly at valid_from -> a
+            (102, 1, _ts(4)),   # inside [t2, t5) -> a
+            (103, 1, _ts(7)),   # current version -> b
+            (104, 2, _ts(6)),   # -> x
+            (105, 3, _ts(6)),   # unknown key -> NULL
+        ],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+    )
+    got = {
+        r["event_id"]: r["seg"]
+        for r in scd2.scd2_enrich(facts, dim, "user_id", "ts", ("seg",)).collect()
+    }
+    assert got == {100: None, 101: "a", 102: "a", 103: "b", 104: "x", 105: None}
+
+    duck.register("scd2_facts", facts.toPandas())
+    duck.register("scd2_updates", _log(spark, updates).toPandas())
+    dim_sql = scd2.scd2_snapshot_oracle(
+        "scd2_updates", ("user_id",), ("seg",), "ts"
+    )
+    oracle_pdf = duck.sql(
+        scd2.scd2_enrich_oracle(
+            "scd2_facts", dim_sql, "user_id", "ts", ("seg",), ("event_id",)
+        )
+    ).df()
+    spark_pdf = (
+        scd2.scd2_enrich(facts, dim, "user_id", "ts", ("seg",))
+        .select("event_id", "seg")
+        .toPandas()
+    )
+    assert compare(spark_pdf, oracle_pdf) == []
+
+
+def test_plan_shape(spark):
+    """Snapshot (with seq): ONE exchange — lag and lead share the
+    per-key clustering; no joins. Merge: both dimension probes are
+    broadcast joins (the dimension side never shuffles for routing);
+    the window recompute exchanges only the touched keys' rows."""
+    events = load_table(spark, SF_DIR, "events")
+    dim = scd2.scd2_snapshot(
+        events, "user_id", ("event_type",), "ts", seq_col="event_id"
+    )
+    dim.collect()
+    plan = dim._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Join" not in final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    batch = events.filter(F.col("user_id") % 97 == 0)
+    merged = scd2.scd2_merge(
+        dim.localCheckpoint(eager=True), batch, "user_id", ("event_type",), "ts"
+    )
+    merged.collect()
+    mplan = merged._jdf.queryExecution().executedPlan().toString()
+    mfinal = mplan.split("== Initial Plan ==")[0]
+    assert mfinal.count("BroadcastHashJoin") == 2  # semi + anti probes
+    assert "SortMergeJoin" not in mfinal
