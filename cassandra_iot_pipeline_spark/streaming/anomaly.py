@@ -37,6 +37,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -64,6 +65,44 @@ JUMP_OUTPUT = (
     " delta double"
 )
 _STATE_SCHEMA = "last_us long, last_event long, cents long"
+_JUMP_COLS = ["user_id", "ts_us", "prev_value", "value", "delta"]
+
+
+def _jump_walk(user_id, pdf, prev_cents, threshold_cents):
+    """The shared per-key fold, vectorized numpy (the same r6-verdict
+    rewrite as streaming/rates.py): consecutive integer-cents deltas
+    against the (state-carried) predecessor, rows emitted where
+    |delta| >= threshold. Each emitted row's three /100.0 divisions
+    are independent IEEE ops, so element-wise evaluation is
+    bit-identical to the old row-at-a-time walk (pinned by the
+    stream ≡ batch-lag-oracle test). Returns (frame, new state)."""
+    us = pdf["ts_us"].to_numpy(dtype=np.int64)
+    ev = pdf["event_id"].to_numpy(dtype=np.int64)
+    cents = pdf["cents"].to_numpy(dtype=np.int64)
+    if prev_cents is not None:
+        full = np.concatenate(([prev_cents], cents))
+    else:
+        full = cents
+    cur, prv = full[1:], full[:-1]
+    # without carried state the first batch row has no predecessor,
+    # and cur/prv already align to rows [1:] of the batch
+    row_us = us if prev_cents is not None else us[1:]
+    delta = cur - prv
+    mask = np.abs(delta) >= threshold_cents
+    out = pd.DataFrame(
+        {
+            "user_id": np.full(int(mask.sum()), int(user_id), dtype=np.int64),
+            "ts_us": row_us[mask],
+            "prev_value": prv[mask] / 100.0,
+            "value": cur[mask] / 100.0,
+            "delta": delta[mask] / 100.0,
+        }
+    )
+    if len(cents):
+        state = (int(us[-1]), int(ev[-1]), int(cents[-1]))
+    else:  # empty batch frame: state unchanged (never emitted rows)
+        state = None
+    return out, state
 
 
 class JumpDetector(StatefulProcessor):
@@ -86,32 +125,10 @@ class JumpDetector(StatefulProcessor):
         pdf = pd.concat(list(rows)).sort_values(["ts_us", "event_id"])
         prev = self._last.get() if self._last.exists() else None
         prev_cents = None if prev is None else int(prev[2])
-        out: list[tuple[int, int, float, float, float]] = []
-        last_us = last_event = 0
-        for ts_us, event_id, cents in zip(
-            pdf["ts_us"], pdf["event_id"], pdf["cents"]
-        ):
-            cents = int(cents)
-            if (
-                prev_cents is not None
-                and abs(cents - prev_cents) >= self._threshold
-            ):
-                out.append(
-                    (
-                        int(user_id),
-                        int(ts_us),
-                        prev_cents / 100.0,
-                        cents / 100.0,
-                        (cents - prev_cents) / 100.0,
-                    )
-                )
-            prev_cents = cents
-            last_us, last_event = int(ts_us), int(event_id)
-        self._last.update((last_us, last_event, prev_cents))
-        yield pd.DataFrame(
-            out,
-            columns=["user_id", "ts_us", "prev_value", "value", "delta"],
-        )
+        out, state = _jump_walk(user_id, pdf, prev_cents, self._threshold)
+        if state is not None:
+            self._last.update(state)
+        yield out
 
     def close(self) -> None:
         pass
@@ -145,30 +162,12 @@ def _detect_jumps_group(
     (user_id,) = key
     pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
     prev_cents = int(state.get[2]) if state.exists else None
-    out: list[tuple[int, int, float, float, float]] = []
-    last_us = last_event = 0
-    for ts_us, event_id, cents in zip(
-        pdf["ts_us"], pdf["event_id"], pdf["cents"]
-    ):
-        cents = int(cents)
-        if prev_cents is not None and abs(cents - prev_cents) >= threshold_cents:
-            out.append(
-                (
-                    int(user_id),
-                    int(ts_us),
-                    prev_cents / 100.0,
-                    cents / 100.0,
-                    (cents - prev_cents) / 100.0,
-                )
-            )
-        prev_cents = cents
-        last_us, last_event = int(ts_us), int(event_id)
-    state.update((last_us, last_event, prev_cents))
+    out, new_state = _jump_walk(user_id, pdf, prev_cents, threshold_cents)
+    if new_state is not None:
+        state.update(new_state)
     if ttl_ms is not None:
         state.setTimeoutDuration(ttl_ms)
-    yield pd.DataFrame(
-        out, columns=["user_id", "ts_us", "prev_value", "value", "delta"]
-    )
+    yield out
 
 
 def detect_jumps(
