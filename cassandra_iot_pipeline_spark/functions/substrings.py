@@ -131,14 +131,13 @@ def _dup_positions(
     return grams.join(dup_g, "g", "semi")
 
 
-def _spans_from_canon(
-    canon: DataFrame,
-    k: int,
-    min_count: int,
-    hash_shuffle: bool,
-    dup_join: str,
-) -> DataFrame:
-    dup = _dup_positions(_grams(canon, k, hash_shuffle), min_count, dup_join)
+def _merge_spans(dup: DataFrame, k: int) -> DataFrame:
+    """(doc_id, span_start, span_end) from marked positions
+    (doc_id, i): merge overlapping [i, i+k) intervals per doc with the
+    running-max window, number spans with the running sum of new-span
+    flags, group to bounds. Shared by the batch operator and the
+    streaming pipeline (which selects dup positions against its
+    persisted corpus-wide counts)."""
     prev = (
         Window.partitionBy("doc_id")
         .orderBy("i")
@@ -163,6 +162,17 @@ def _spans_from_canon(
         F.min("i").alias("span_start"),
         (F.max("i") + F.lit(k)).alias("span_end"),
     ).select("doc_id", "span_start", "span_end")
+
+
+def _spans_from_canon(
+    canon: DataFrame,
+    k: int,
+    min_count: int,
+    hash_shuffle: bool,
+    dup_join: str,
+) -> DataFrame:
+    dup = _dup_positions(_grams(canon, k, hash_shuffle), min_count, dup_join)
+    return _merge_spans(dup, k)
 
 
 def duplicated_spans(

@@ -1,0 +1,241 @@
+"""Continuous substring-level boilerplate removal — the streaming form
+of ``functions/substrings.py`` (Lee et al.), completing the curation
+lifecycle: document-level near-dup dedup streams through
+``streaming/dedup.py``; the boilerplate RUNS that survive it stream
+through here.
+
+Semantics (prefix-consistent): a length-``k`` gram is duplicated for
+epoch N when its occurrences across epochs <= N reach ``min_count`` —
+exactly the batch operator's predicate evaluated over everything seen
+so far. Each micro-batch's documents are cut against that running
+count and written once; documents already emitted are NOT revisited
+when a gram crosses the threshold later (the operator curates an
+append-only stream, not a mutable corpus — re-cut historical epochs by
+replaying them through the batch operator if the corpus is re-landed).
+
+Store shape: the gram counts live in the engine's shared delta+base
+parquet layout (store.py — the near-dup and ANN stores' lifecycle):
+
+- ``<dir>/grams/epoch=N/``   (g BIGINT, cnt BIGINT) — the batch's own
+  gram counts, hashed (xxhash64) so the store carries 8 bytes/gram
+  (the batch operator's ``hash_shuffle`` tier and its w.h.p. contract)
+- ``<dir>/grams/base_upto=K/`` at most one compacted base (counts
+  sum-merged — the fold is associative, so compaction cannot change
+  any future epoch's marking)
+- ``<dir>/curated/epoch=N/``  the batch's cut documents
+  (doc_id, text, n_spans, chars_removed, n_chars_canon)
+
+Idempotence: epoch dirs are written with overwrite, and the counts
+visible to epoch N are read as base + epochs STRICTLY BELOW N — so a
+replayed epoch neither double-counts its own grams nor changes its
+original marking (pinned in tests). The one caveat shared with every
+delta+base store here: a replay arriving AFTER a compaction already
+folded that epoch reads its own counts inside the base (marking can
+only get MORE aggressive — over-marking removes a little extra text,
+the same one-sided failure the hashed tier already accepts).
+
+Scale: per epoch, the wide work is the batch-local
+``groupBy(g).count()`` (map-side partial agg — the r7 de-skewed plan),
+one sum-merge against the store counts (8-byte rows), and the
+AQE-decided semi-join of the duplicated-gram set back onto the batch's
+positions; the store is never scanned per-document, only per-distinct-
+gram. Compaction keeps the store at one base + recent deltas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import canonical
+from ..functions.substrings import (
+    DEFAULT_K,
+    _grams,
+    _merge_spans,
+    cut_spans,
+)
+from ..store import compact_store, store_parts
+
+GRAM_COUNTS_SCHEMA = "g BIGINT, cnt BIGINT"
+CURATED_SCHEMA = (
+    "doc_id BIGINT, text STRING, n_spans BIGINT, chars_removed BIGINT,"
+    " n_chars_canon BIGINT"
+)
+
+
+class SubstringDedupPipeline:
+    """Continuous substring dedup over micro-batches of documents —
+    see module docstring. ``write_batch`` is foreachBatch-shaped; wire
+    it with :func:`streaming_substring_dedup` or call it directly per
+    epoch."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        k: int = DEFAULT_K,
+        min_count: int = 2,
+        compact_every: int | None = None,
+    ) -> None:
+        self.base_dir = base_dir
+        self.k = k
+        self.min_count = min_count
+        self.compact_every = compact_every
+        self.grams_dir = f"{base_dir}/grams"
+        self.curated_dir = f"{base_dir}/curated"
+
+    # -- reads ----------------------------------------------------------
+    def _counts_before(self, spark: SparkSession, epoch_id: int) -> DataFrame:
+        """Gram counts visible to ``epoch_id``: the compacted base plus
+        every epoch delta STRICTLY below it — a replayed epoch must not
+        see its own first-attempt delta (that would double-count every
+        gram and could flip min_count decisions between attempts)."""
+        empty = spark.createDataFrame([], GRAM_COUNTS_SCHEMA)
+        base_path, _, epochs = store_parts(spark, self.grams_dir)
+        parts = []
+        if base_path is not None:
+            parts.append(spark.read.parquet(base_path))
+        older = [p for e, p in epochs if e < epoch_id]
+        if older:
+            parts.append(spark.read.parquet(*older))
+        if not parts:
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        cols = [F.col(f.name).cast(f.dataType) for f in empty.schema]
+        return out.select(*cols)
+
+    def gram_counts(self, spark: SparkSession) -> DataFrame:
+        """The folded corpus-wide counts so far (audit surface)."""
+        raw = self._counts_before(spark, 2**62)
+        return raw.groupBy("g").agg(F.sum("cnt").alias("cnt"))
+
+    def curated(self, spark: SparkSession) -> DataFrame:
+        """Every epoch's cut documents (empty-safe, delta+base reader
+        shared with the other stores)."""
+        from ..store import read_store
+
+        empty = spark.createDataFrame([], CURATED_SCHEMA)
+        return read_store(spark, self.curated_dir, empty)
+
+    # -- write path (foreachBatch) ---------------------------------------
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..blocks import release_local_checkpoint
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        canon = (
+            batch_df.select(
+                "doc_id", canonical(F.col("text")).alias("canon")
+            )
+            .localCheckpoint(eager=True)
+        )
+        grams = _grams(canon, self.k, hash_shuffle=True)
+        batch_counts = grams.groupBy("g").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # running totals = store-so-far + this batch, sum-merged on the
+        # 8-byte gram key; the duplicated set is whatever crosses
+        # min_count NOW (history-only repeats included)
+        total = (
+            self._counts_before(spark, epoch_id)
+            .unionByName(batch_counts)
+            .groupBy("g")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        dup_g = total.filter(
+            F.col("cnt") >= F.lit(self.min_count)
+        ).select("g")
+        dup = grams.join(dup_g, "g", "semi")
+        spans = _merge_spans(dup, self.k)
+        cut = cut_spans(canon, spans)
+        span_agg = spans.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias(
+                "chars_removed"
+            ),
+        )
+        curated = (
+            canon.select(
+                "doc_id", F.length("canon").alias("n_chars_canon")
+            )
+            .join(cut, "doc_id")
+            .join(span_agg, "doc_id", "left")
+            .fillna(0, subset=["n_spans", "chars_removed"])
+            .select(
+                "doc_id", "text", "n_spans", "chars_removed",
+                "n_chars_canon",
+            )
+        )
+        # epoch-dir overwrite => replaying an epoch is a no-op rewrite
+        curated.write.mode("overwrite").parquet(
+            f"{self.curated_dir}/epoch={epoch_id}"
+        )
+        batch_counts.write.mode("overwrite").parquet(
+            f"{self.grams_dir}/epoch={epoch_id}"
+        )
+        release_local_checkpoint(canon)
+        if (
+            self.compact_every is not None
+            and (epoch_id + 1) % self.compact_every == 0
+        ):
+            self.compact(spark)
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, spark: SparkSession) -> dict[str, int]:
+        """Fold the gram counts (sum-merge — associative, so future
+        markings are unchanged) and the curated output (plain union)
+        into fresh bases; store.py's rename-commit keeps every crash
+        window readable."""
+
+        def fold_counts(df: DataFrame) -> DataFrame:
+            return df.groupBy("g").agg(F.sum("cnt").alias("cnt"))
+
+        done: dict[str, int] = {}
+        for which, path, fold, schema in (
+            ("grams", self.grams_dir, fold_counts, GRAM_COUNTS_SCHEMA),
+            ("curated", self.curated_dir, None, CURATED_SCHEMA),
+        ):
+            upto = compact_store(
+                spark, path, spark.createDataFrame([], schema), fold=fold
+            )
+            if upto is not None:
+                done[which] = upto
+        return done
+
+    def foreach_batch(self):
+        return self.write_batch
+
+
+def streaming_substring_dedup(
+    spark: SparkSession,
+    staged_docs_dir: str,
+    base_dir: str,
+    checkpoint_dir: str,
+    k: int = DEFAULT_K,
+    min_count: int = 2,
+    max_files_per_trigger: int = 1,
+    trigger: dict | None = None,
+    compact_every: int | None = None,
+):
+    """Wire a staged document directory through the substring pipeline
+    (file order = ingest order, the streaming/dedup.py convention).
+    Returns the started StreamingQuery; await it, then read the cut
+    corpus with ``SubstringDedupPipeline(base_dir).curated(spark)``."""
+    from .dedup import DOCUMENTS_STREAM_SCHEMA
+
+    pipe = SubstringDedupPipeline(
+        base_dir, k=k, min_count=min_count, compact_every=compact_every
+    )
+    stream = (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_docs_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(pipe.foreach_batch())
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

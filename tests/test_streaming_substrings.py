@@ -1,0 +1,196 @@
+"""Continuous substring dedup (streaming/substrings.py): single-epoch
+equivalence with the batch operator, prefix-consistent cross-epoch
+marking, replay idempotence (counts visible to an epoch exclude its
+own delta), compaction identity (sum-merge cannot change future
+marking), and the foreachBatch wiring end-to-end."""
+
+from __future__ import annotations
+
+import os
+import random
+import string
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.functions.dedup import canonical
+from cassandra_iot_pipeline_spark.functions.substrings import (
+    remove_duplicated_spans,
+)
+from cassandra_iot_pipeline_spark.streaming.substrings import (
+    SubstringDedupPipeline,
+    streaming_substring_dedup,
+)
+from tests.conftest import SF_DIR
+
+SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+BOILER = "please subscribe to our newsletter all rights reserved"
+
+
+def _rand(n, seed):
+    rng = random.Random(seed)
+    return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows], SCHEMA
+    )
+
+
+def _curated(pipe, spark):
+    return {
+        r["doc_id"]: r for r in pipe.curated(spark).collect()
+    }
+
+
+def test_single_epoch_equals_batch_operator(spark, tmp_path):
+    """One epoch carrying the whole corpus == the batch operator's
+    hashed tier, text for text; the stats columns account exactly for
+    the cut bytes."""
+    documents = load_table(spark, SF_DIR, "documents")
+    pipe = SubstringDedupPipeline(str(tmp_path / "store"), k=20)
+    pipe.write_batch(documents, epoch_id=0)
+    got = _curated(pipe, spark)
+    want = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(
+            documents, k=20, hash_shuffle=True
+        ).collect()
+    }
+    assert {d: r["text"] for d, r in got.items()} == want
+    assert any(r["n_spans"] > 0 for r in got.values())
+    for r in got.values():
+        assert r["chars_removed"] == r["n_chars_canon"] - len(r["text"])
+
+
+def test_prefix_consistent_cross_epoch(spark, tmp_path):
+    """A boilerplate run seen ONCE in epoch 0 is not cut there; when it
+    reappears in epoch 1 the running count crosses min_count and epoch
+    1's copies are cut — while epoch 0's already-emitted document stays
+    exactly as written. A later lone occurrence (epoch 2) is cut too:
+    the history alone now carries it past min_count."""
+    pipe = SubstringDedupPipeline(str(tmp_path / "store"), k=40)
+    e0 = _docs(spark, [(0, _rand(50, 1) + BOILER + _rand(30, 2))])
+    e1 = _docs(
+        spark,
+        [
+            (1, _rand(40, 3) + BOILER + _rand(20, 4)),
+            (2, BOILER + _rand(60, 5)),
+        ],
+    )
+    e2 = _docs(spark, [(3, _rand(25, 6) + BOILER)])
+    pipe.write_batch(e0, epoch_id=0)
+    pipe.write_batch(e1, epoch_id=1)
+    pipe.write_batch(e2, epoch_id=2)
+    got = _curated(pipe, spark)
+    boiler_canon = BOILER.lower()
+    assert boiler_canon in got[0]["text"] and got[0]["n_spans"] == 0
+    for d in (1, 2, 3):
+        assert boiler_canon not in got[d]["text"], d
+        assert got[d]["n_spans"] >= 1 and got[d]["chars_removed"] > 0
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-running an epoch rewrites it byte-identically: the counts it
+    reads exclude its own first-attempt delta, so no double counting
+    and no marking flip; the folded corpus counts are unchanged."""
+    pipe = SubstringDedupPipeline(str(tmp_path / "store"), k=40)
+    e0 = _docs(spark, [(0, _rand(50, 11) + BOILER + _rand(30, 12))])
+    e1 = _docs(spark, [(1, _rand(40, 13) + BOILER)])
+    pipe.write_batch(e0, epoch_id=0)
+    pipe.write_batch(e1, epoch_id=1)
+    before = {d: tuple(r) for d, r in _curated(pipe, spark).items()}
+    counts_before = sorted(
+        tuple(r) for r in pipe.gram_counts(spark).collect()
+    )
+    pipe.write_batch(e1, epoch_id=1)  # replay
+    assert {d: tuple(r) for d, r in _curated(pipe, spark).items()} == before
+    assert sorted(
+        tuple(r) for r in pipe.gram_counts(spark).collect()
+    ) == counts_before
+    # and the next epoch's marking is what it would have been anyway
+    e2 = _docs(spark, [(2, BOILER + _rand(20, 14))])
+    pipe.write_batch(e2, epoch_id=2)
+    assert BOILER.lower() not in _curated(pipe, spark)[2]["text"]
+
+
+def test_compaction_identity(spark, tmp_path):
+    """Compaction sum-merges the counts and unions the curated rows —
+    both reads identical before/after, and an epoch written AFTER the
+    compaction marks exactly like a never-compacted twin."""
+    def run(base, compact_mid):
+        pipe = SubstringDedupPipeline(str(base), k=40)
+        pipe.write_batch(
+            _docs(spark, [(0, _rand(50, 21) + BOILER)]), epoch_id=0
+        )
+        pipe.write_batch(
+            _docs(spark, [(1, _rand(30, 22) + BOILER + _rand(10, 23))]),
+            epoch_id=1,
+        )
+        if compact_mid:
+            counts_pre = sorted(
+                tuple(r) for r in pipe.gram_counts(spark).collect()
+            )
+            curated_pre = {
+                d: tuple(r) for d, r in _curated(pipe, spark).items()
+            }
+            done = pipe.compact(spark)
+            assert set(done) == {"grams", "curated"}
+            assert sorted(
+                tuple(r) for r in pipe.gram_counts(spark).collect()
+            ) == counts_pre
+            assert {
+                d: tuple(r) for d, r in _curated(pipe, spark).items()
+            } == curated_pre
+        pipe.write_batch(
+            _docs(spark, [(2, BOILER + _rand(15, 24))]), epoch_id=2
+        )
+        return {d: tuple(r) for d, r in _curated(pipe, spark).items()}
+
+    assert run(tmp_path / "a", True) == run(tmp_path / "b", False)
+
+
+def test_streaming_wrapper_end_to_end(spark, tmp_path):
+    """Three staged files through foreachBatch (one file per trigger)
+    equal three direct write_batch calls."""
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(0, _rand(50, 31) + BOILER + _rand(30, 32))],
+        [(1, _rand(40, 33) + BOILER)],
+        [(2, BOILER + _rand(20, 34))],
+    ]
+    for i, rows in enumerate(batches):
+        table = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["web"] * len(rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        )
+        path = str(src / f"b{i}.parquet")
+        pq.write_table(table, path)
+        os.utime(path, (1_700_000_000 + 10 * i,) * 2)
+    q = streaming_substring_dedup(
+        spark,
+        str(src),
+        str(tmp_path / "stream_store"),
+        str(tmp_path / "ckpt"),
+        k=40,
+        compact_every=2,
+    )
+    q.awaitTermination()
+    stream_pipe = SubstringDedupPipeline(str(tmp_path / "stream_store"))
+    direct = SubstringDedupPipeline(str(tmp_path / "direct_store"), k=40)
+    for i, rows in enumerate(batches):
+        direct.write_batch(_docs(spark, rows), epoch_id=i)
+    assert {
+        d: tuple(r) for d, r in _curated(stream_pipe, spark).items()
+    } == {d: tuple(r) for d, r in _curated(direct, spark).items()}
