@@ -188,28 +188,42 @@ def scd2_merge(
     shuffles the touched keys' rows (batch-proportional, not
     dimension-proportional)."""
     keys = _keys(key)
+    untouched = dim.join(
+        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+    )
+    recomputed = scd2_recompute_touched(dim, updates, keys, attrs, ts_col)
+    return untouched.unionByName(recomputed)
+
+
+def scd2_recompute_touched(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    attrs: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Just the recomputed version rows of the keys ``updates``
+    touches — :func:`scd2_merge` minus the untouched passthrough (the
+    streaming pipeline persists exactly this as its per-epoch delta).
+    Exact duplicates collapse BEFORE the snapshot: a replayed batch
+    re-delivers updates that are now also in the dimension's own
+    change log (the at-least-once posture) — identical (key, ts,
+    attrs) rows are one update, and dropping them here is what makes
+    replay a no-op; a genuinely CONFLICTING pair (same key+ts,
+    different attrs) still trips the snapshot's ambiguity guard."""
+    keys = _keys(key)
     attr_cols = list(attrs)
     touched = updates.select(*keys).distinct()
-    untouched = dim.join(F.broadcast(touched), keys, "left_anti")
     old_log = dim.join(F.broadcast(touched), keys, "semi").select(
         *keys,
         *attr_cols,
         F.timestamp_micros(F.col("valid_from_us")).alias(ts_col),
     )
-    new_log = updates.select(
-        *keys, *attr_cols, F.col(ts_col)
-    )
-    # exact duplicates collapse BEFORE the snapshot: a replayed batch
-    # re-delivers updates that are now also in the dimension's own
-    # change log (the at-least-once posture) — identical (key, ts,
-    # attrs) rows are one update, and dropping them here is what makes
-    # replay a no-op; a genuinely CONFLICTING pair (same key+ts,
-    # different attrs) still trips the snapshot's ambiguity guard.
+    new_log = updates.select(*keys, *attr_cols, F.col(ts_col))
     combined = old_log.unionByName(new_log).dropDuplicates(
         [*keys, *attr_cols, ts_col]
     )
-    recomputed = scd2_snapshot(combined, keys, attr_cols, ts_col)
-    return untouched.unionByName(recomputed)
+    return scd2_snapshot(combined, keys, attr_cols, ts_col)
 
 
 def scd2_enrich(

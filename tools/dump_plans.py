@@ -125,6 +125,17 @@ def _extras(spark, sf_dir):
             "router below.",
             _capped_candidates(spark, sf_dir),
         ),
+        "scd2_merge": (
+            "SCD2 incremental merge (r7): both dimension probes — the "
+            "semi-join routing touched keys into the recompute and the "
+            "anti-join passing untouched keys through — are "
+            "BroadcastHashJoin on the batch's distinct key set, so the "
+            "dimension side never shuffles for routing however large "
+            "the version table grows; the snapshot recompute's window "
+            "exchange carries only the touched keys' rows "
+            "(batch-proportional).",
+            _scd2_merge(spark, sf_dir),
+        ),
         "time_weighted_avg": (
             "Hypertable serving (r6): LOCF time-weighted average over "
             "irregular samples. One scan, one Exchange into the "
@@ -171,6 +182,23 @@ def _extras(spark, sf_dir):
             _subshard_candidates(spark, sf_dir),
         ),
     }
+
+
+def _scd2_merge(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.scd2 import (
+        scd2_merge,
+        scd2_snapshot,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    dim = scd2_snapshot(
+        events, "user_id", ("event_type",), "ts", seq_col="event_id"
+    ).localCheckpoint(eager=True)
+    batch = events.filter(F.col("user_id") % 97 == 0)
+    return scd2_merge(dim, batch, "user_id", ("event_type",), "ts")
 
 
 def _time_weighted(spark, sf_dir):
