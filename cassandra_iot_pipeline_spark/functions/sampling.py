@@ -159,3 +159,87 @@ def weighted_mixture(
             .otherwise(threshold)
         )
     return df.filter(_bucket(key_col, seed) < threshold)
+
+
+def mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    target_shares: Mapping[str, float],
+    weight_col: str | Column = None,
+    budget: float | None = None,
+) -> dict:
+    """Solve for the per-source sampling rates that realize a target
+    corpus composition — the planning step in front of
+    :func:`weighted_mixture` (which executes the rates in one narrow
+    pass).
+
+    ``target_shares`` are the desired FRACTIONS of the assembled
+    corpus (normalized; e.g. ``{"web": .5, "code": .3, "books": .2}``)
+    measured in ``weight_col`` units (tokens/bytes; row count when
+    None). ``budget`` is the assembled corpus's total size in those
+    units; None means "as large as the targets allow without
+    repeating data" — the max budget at which no source's rate
+    exceeds 1.0.
+
+    Sources can saturate: if a target share asks for more than a
+    source has, its rate caps at 1.0 and the shortfall is REPORTED,
+    not silently reshuffled into the other sources (changing the mix
+    to hit a budget is a policy decision the caller owns; the paper's
+    alternative — repeating data — is a training choice, not a
+    sampling one). Returns::
+
+        {"rates": {source: rate}, "budget": effective_budget,
+         "available": {source: units}, "allocated": {source: units},
+         "shortfall": {source: missing_units}}  # only saturated ones
+
+    One aggregation over the frame (one row per source — the
+    documented bounded-collect class), pure driver arithmetic after.
+    Rates quantize to 1/2^20 inside weighted_mixture; at any real
+    corpus size the quantization error is far below the hash
+    sampling variance."""
+    if not target_shares:
+        raise ValueError("mixture_rates: target_shares must be non-empty")
+    total_share = float(sum(target_shares.values()))
+    if total_share <= 0:
+        raise ValueError("mixture_rates: target_shares must sum > 0")
+    shares = {k: float(v) / total_share for k, v in target_shares.items()}
+    w = (
+        F.lit(1).cast("double")
+        if weight_col is None
+        else (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast("double")
+    )
+    rows = (
+        df.filter(F.col(source_col).isin(*shares))
+        .groupBy(source_col)
+        .agg(F.sum(w).alias("avail"))
+        .collect()
+    )
+    available = {r[source_col]: float(r["avail"]) for r in rows}
+    missing = [s for s in shares if available.get(s, 0.0) <= 0]
+    if missing:
+        raise ValueError(
+            f"mixture_rates: no rows/weight for sources {missing} — a "
+            "zero-supply source cannot carry a positive target share"
+        )
+    if budget is None:
+        # largest budget at which every rate <= 1: the binding source
+        # is the one whose availability/share ratio is smallest
+        budget = min(available[s] / shares[s] for s in shares)
+    rates, allocated, shortfall = {}, {}, {}
+    for s, share in shares.items():
+        want = budget * share
+        have = available[s]
+        if want > have:
+            rates[s] = 1.0
+            allocated[s] = have
+            shortfall[s] = want - have
+        else:
+            rates[s] = want / have
+            allocated[s] = want
+    return {
+        "rates": rates,
+        "budget": float(budget),
+        "available": available,
+        "allocated": allocated,
+        "shortfall": shortfall,
+    }

@@ -184,3 +184,68 @@ def test_deterministic_sample_streams_identically(spark, tmp_path):
     )
     got = sorted(r.event_id for r in sink.read(spark).collect())
     assert got == want and 0 < len(got) < events.count()
+
+
+def test_mixture_rates_plans_the_mixture(spark):
+    """mixture_rates solves per-source rates for a target composition:
+    exact allocation arithmetic, saturation capped at 1.0 with the
+    shortfall REPORTED (never silently reshuffled), the no-budget form
+    maxing the corpus without repeating data — and the rates feed
+    weighted_mixture to land within sampling tolerance of the target
+    mix."""
+    from cassandra_iot_pipeline_spark.functions.sampling import (
+        mixture_rates,
+    )
+
+    rows = (
+        [(i, "web", 100) for i in range(4_000)]
+        + [(i + 10_000, "code", 100) for i in range(1_000)]
+        + [(i + 20_000, "books", 100) for i in range(500)]
+        + [(i + 30_000, "junk", 100) for i in range(100)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, source STRING, n_tokens BIGINT"
+    )
+    shares = {"web": 0.5, "code": 0.3, "books": 0.2}
+
+    # explicit budget, nothing saturates: allocation == budget * share
+    plan = mixture_rates(df, "source", shares, "n_tokens", budget=200_000)
+    assert plan["available"] == {
+        "web": 400_000.0, "code": 100_000.0, "books": 50_000.0,
+    }
+    assert plan["rates"]["web"] == 100_000 / 400_000
+    assert plan["rates"]["code"] == 60_000 / 100_000
+    assert plan["rates"]["books"] == 40_000 / 50_000
+    assert plan["shortfall"] == {}
+
+    # budget beyond a source's supply: cap at 1.0, report the gap
+    plan = mixture_rates(df, "source", shares, "n_tokens", budget=300_000)
+    assert plan["rates"]["books"] == 1.0
+    assert plan["shortfall"] == {"books": 10_000.0}
+    assert plan["allocated"]["books"] == 50_000.0
+
+    # no budget: the binding source (books: 50k/0.2 = 250k) sets it
+    plan = mixture_rates(df, "source", shares, "n_tokens")
+    assert plan["budget"] == 250_000.0
+    assert plan["rates"]["books"] == 1.0 and plan["shortfall"] == {}
+
+    # executed through weighted_mixture, the realized composition is
+    # the target within hash-sampling noise (sources not in the plan
+    # drop out via default_rate=0)
+    sampled = weighted_mixture(
+        df, "source", plan["rates"], key="doc_id"
+    )
+    got = {
+        r["source"]: r["t"]
+        for r in sampled.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert "junk" not in got
+    assert got["books"] == 50_000  # rate 1.0 is exact, not sampled
+    for s in ("web", "code"):
+        assert abs(got[s] - plan["allocated"][s]) / plan["allocated"][s] < 0.15
+
+    # zero-supply source with a positive share fails loudly
+    with pytest.raises(ValueError, match="zero-supply"):
+        mixture_rates(df, "source", {"web": 0.5, "ghost": 0.5}, "n_tokens")

@@ -227,3 +227,63 @@ def test_plan_shape(spark):
     mfinal = mplan.split("== Initial Plan ==")[0]
     assert mfinal.count("BroadcastHashJoin") == 2  # semi + anti probes
     assert "SortMergeJoin" not in mfinal
+
+
+def test_randomized_merge_split_invariance(spark):
+    """Property: for random update logs (random keys, attr values
+    incl. NULLs, collision-free random times) split into random batch
+    sequences, folding the batches through scd2_merge equals one
+    snapshot of the whole log — regardless of how many batches or
+    where the splits fall. Exercises ties-of-fate cases (no-op heads,
+    re-opens, single-version keys) the hand tests can't enumerate."""
+    import random
+
+    rng = random.Random(2024)
+    for trial in range(4):
+        n = rng.randrange(30, 80)
+        minutes = rng.sample(range(1, 5_000), n)
+        rows = [
+            (
+                rng.randrange(1, 8),
+                dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m),
+                rng.choice(["a", "b", "c", None]),
+            )
+            for m in minutes
+        ]
+        rows.sort(key=lambda r: r[1])
+        log = spark.createDataFrame(
+            rows, "user_id BIGINT, ts TIMESTAMP, seg STRING"
+        )
+        def keyed(frame):
+            return sorted(
+                (
+                    (r["user_id"], r["seg"], r["valid_from_us"],
+                     r["valid_to_us"])
+                    for r in frame.collect()
+                ),
+                key=lambda t: (t[0], t[2]),  # seg can be None: not sortable
+            )
+
+        want = keyed(scd2.scd2_snapshot(log, "user_id", ("seg",), "ts"))
+        # random contiguous batches over the time-ordered log (batches
+        # must be internally consistent; cross-batch order is what the
+        # merge owns)
+        cuts = sorted(rng.sample(range(1, n), rng.randrange(1, 4)))
+        pieces = [
+            rows[a:b] for a, b in zip([0] + cuts, cuts + [n])
+        ]
+        dim = scd2.scd2_snapshot(
+            spark.createDataFrame(
+                pieces[0], "user_id BIGINT, ts TIMESTAMP, seg STRING"
+            ),
+            "user_id", ("seg",), "ts",
+        )
+        for piece in pieces[1:]:
+            dim = scd2.scd2_merge(
+                dim,
+                spark.createDataFrame(
+                    piece, "user_id BIGINT, ts TIMESTAMP, seg STRING"
+                ),
+                "user_id", ("seg",), "ts",
+            )
+        assert keyed(dim) == want, f"trial {trial}"
