@@ -186,6 +186,49 @@ def streaming_scd2(
     )
 
 
+def scd2_enrich_stream(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    attrs: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Streaming point-in-time enrichment: a stream-static LEFT join
+    attaching the dimension version valid AT each fact's event time —
+    the temporal sibling of the key-equi enrichment join
+    (streaming/joins.py::enriched_stream_query). The batch form's
+    union-tag as-of plan needs a global per-key window, which
+    streaming can't do; per-key version intervals are disjoint and
+    contiguous, so the interval-containment join matches AT MOST one
+    version per fact and the left join emits exactly one row per fact
+    (NULL attrs before a key's first version — same contract as
+    ``operators.scd2.scd2_enrich``, pinned equal in tests).
+
+    The static side re-evaluates per micro-batch: pass
+    ``Scd2Pipeline.dimension(spark)`` and each batch reads the
+    CURRENT store — a dimension update lands on the stream at the
+    next trigger with no restart (tested). Broadcast by hint: the
+    dimension is the small side at any realistic fleet size; drop the
+    hint for a billion-version dimension and let AQE decide."""
+    versions = F.broadcast(
+        dim.select(
+            F.col(key).alias("__k"),
+            "valid_from_us",
+            "valid_to_us",
+            *[F.col(a) for a in attrs],
+        )
+    )
+    t_us = F.unix_micros(F.col(ts_col))
+    cond = (
+        (F.col(key) == F.col("__k"))
+        & (t_us >= F.col("valid_from_us"))
+        & (F.col("valid_to_us").isNull() | (t_us < F.col("valid_to_us")))
+    )
+    return facts.join(versions, cond, "left").drop(
+        "__k", "valid_from_us", "valid_to_us"
+    )
+
+
 def snapshot_equivalence_oracle(
     spark: SparkSession,
     update_log: DataFrame,

@@ -135,3 +135,81 @@ def test_streaming_wrapper_and_enrich(spark, tmp_path):
         ).collect()
     }
     assert got == {100: "a", 101: "b", 102: "a"}
+
+
+def test_stream_enrich_matches_batch_and_sees_live_dimension(spark, tmp_path):
+    """scd2_enrich_stream: (a) over a fixed dimension, the streamed
+    enrichment equals the batch scd2_enrich row for row; (b) the
+    static side re-reads the store each micro-batch, so a dimension
+    update written BETWEEN triggers is visible to the next batch
+    without restarting the query."""
+    from cassandra_iot_pipeline_spark.streaming.scd2 import (
+        scd2_enrich_stream,
+    )
+
+    store = str(tmp_path / "store")
+    pipe = Scd2Pipeline(store, "user_id", ("seg",), "ts")
+    pipe.write_batch(
+        _log(spark, [(1, _ts(0), "a"), (1, _ts(10), "b")]), epoch_id=0
+    )
+
+    facts_schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    src = tmp_path / "facts"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            scd2_enrich_stream(
+                spark.readStream.schema(facts_schema).parquet(
+                    str(src) + "/*"
+                ),
+                pipe.dimension(spark),
+                "user_id",
+                "ts",
+                ("seg",),
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [(100, 1, _ts(5)), (101, 1, _ts(11)), (102, 2, _ts(5))]
+    spark.createDataFrame(batch1, facts_schema).write.parquet(
+        str(src / "b0")
+    )
+    run_stream()
+    got = {
+        r["event_id"]: r["seg"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    # batch parity on the fixed dimension (key 2 unknown -> NULL)
+    from cassandra_iot_pipeline_spark.operators.scd2 import scd2_enrich
+
+    want = {
+        r["event_id"]: r["seg"]
+        for r in scd2_enrich(
+            spark.createDataFrame(batch1, facts_schema),
+            pipe.dimension(spark),
+            "user_id", "ts", ("seg",),
+        ).collect()
+    }
+    assert got == want == {100: "a", 101: "b", 102: None}
+
+    # live refresh: key 2 gains history; a new facts file processed by
+    # the SAME sink/checkpoint sees it
+    pipe.write_batch(_log(spark, [(2, _ts(0), "x")]), epoch_id=1)
+    spark.createDataFrame(
+        [(103, 2, _ts(5))], facts_schema
+    ).write.parquet(str(src / "b1"))
+    run_stream()
+    got = {
+        r["event_id"]: r["seg"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got[103] == "x" and got[102] is None  # old row not rewritten
