@@ -13,4 +13,7 @@ path):
     gapfill    -- hypertable gap-fill (dense grid, LOCF, interpolation)
     timeseries -- time-weighted averages + counter rates over
                   irregular samples (exact integer arithmetic)
+    scd2       -- SCD type-2 dimension history: versioned snapshot,
+                  touched-keys incremental merge, point-in-time
+                  enrichment
 """

@@ -16,7 +16,14 @@
                 pipeline (foreachBatch over the persisted LSH store)
     ann      -- continuous ANN-index ingestion (foreachBatch over the
                 persisted IVFADC store)
-    rates    -- continuous counter-rate (bit-identical to the batch
-                operator on day-ordered replays)
+    rates    -- continuous counter-rate + time-weighted average
+                (bit-identical to the batch operators on day-ordered
+                replays; state TTL on both stateful runtimes)
+    substrings -- continuous substring-level boilerplate removal over
+                the persisted gram-count store (prefix-consistent
+                Lee-et-al marking)
+    scd2     -- continuously-maintained SCD2 dimension (touched-key
+                epoch deltas, newest-epoch-wins reader) + streaming
+                point-in-time fact enrichment
     cassandra -- connector sink options (prod backend; no cluster here)
 """

@@ -137,10 +137,18 @@ class SubstringDedupPipeline:
         )
         # running totals = store-so-far + this batch, sum-merged on the
         # 8-byte gram key; the duplicated set is whatever crosses
-        # min_count NOW (history-only repeats included)
+        # min_count NOW (history-only repeats included). The store side
+        # is PRUNED to the batch's own gram set first (semi-join on the
+        # 8-byte key): only batch-present grams can mark batch
+        # positions, so the merge exchange moves batch-proportional
+        # rows, not the whole accumulated store — without this the
+        # per-epoch cost grows with corpus-lifetime distinct grams
+        # (measured in tools/scale_probe.py --substring-stream).
+        stored_relevant = self._counts_before(spark, epoch_id).join(
+            batch_counts.select("g"), "g", "semi"
+        )
         total = (
-            self._counts_before(spark, epoch_id)
-            .unionByName(batch_counts)
+            stored_relevant.unionByName(batch_counts)
             .groupBy("g")
             .agg(F.sum("cnt").alias("cnt"))
         )

@@ -804,6 +804,62 @@ def main() -> None:
             results,
         )
 
+    if "--substring-stream" in sys.argv:
+        # r7: the continuous substring pipeline's per-epoch cost must
+        # track the BATCH, not the accumulated gram store — the store
+        # side of the count merge is semi-join-pruned to the batch's
+        # own gram set before any exchange. 10 epochs of 2k docs (10%
+        # boilerplate) against a store that grows by ~1M distinct
+        # grams per epoch: flat-ish per-epoch times = the prune works.
+        import shutil as _sh
+
+        from cassandra_iot_pipeline_spark.streaming.substrings import (
+            SubstringDedupPipeline,
+        )
+
+        boiler2 = (
+            " subscribe to our newsletter all rights reserved terms of"
+            " service privacy policy"
+        )
+        ss_dir = _tempfile.mkdtemp(prefix="scale_probe_substream_")
+        try:
+            # untimed warm-up pipeline (plan-shape JIT, store-dir setup)
+            warm_pipe = SubstringDedupPipeline(f"{ss_dir}/warm", k=40)
+            warm_pipe.write_batch(
+                probe_documents(spark, 500).localCheckpoint(eager=True), 0
+            )
+            pipe = SubstringDedupPipeline(
+                f"{ss_dir}/store", k=40, compact_every=4
+            )
+            ss_times = []
+            for e in range(10):
+                batch = (
+                    probe_documents(spark, 2_000, start=e * 2_000)
+                    .withColumn(
+                        "text",
+                        F.when(
+                            F.col("doc_id") % 10 == 0,
+                            F.concat(F.col("text"), F.lit(boiler2)),
+                        ).otherwise(F.col("text")),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                t0 = time.perf_counter()
+                pipe.write_batch(batch, epoch_id=e)
+                ss_times.append(round(time.perf_counter() - t0, 2))
+            results["substring_stream_epoch_secs"] = ss_times  # type: ignore[assignment]
+            results["substring_stream_store_grams"] = pipe.gram_counts(
+                spark
+            ).count()
+            print(
+                f"[probe] substring_stream 10x2k epochs: {ss_times} "
+                f"({results['substring_stream_store_grams']} stored "
+                "grams)",
+                file=sys.stderr, flush=True,
+            )
+        finally:
+            _sh.rmtree(ss_dir, ignore_errors=True)
+
     if "--dedup-batch" in sys.argv:
         # r6 verdict item #5: the r6 ADC-payload fix removed what r5
         # called "the binding constraint on raising dedup batch
