@@ -135,3 +135,63 @@ def test_plan_shape(spark):
         # <= 2 but never a third)
         assert final.count("Exchange hashpartitioning") <= 2
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_counter_rate_randomized_reference(spark):
+    """Property: random sample streams (sub-second gaps, identical-
+    microsecond ties, counter resets) match a pure-Python reference
+    implementing the documented op sequence — (t_us, u) order, integer
+    delta with reset recovery, us->secs via one /1e6 division, rate as
+    delta/secs/10^scale, 0.0 on zero duration."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    rows, t_us = [], 1_700_000_000_000_000
+    for _ in range(300):
+        key = rng.randrange(1, 4)
+        # mix of sub-second, multi-second, and zero gaps
+        t_us += rng.choice([0, 137, 250_000, 999_999, 1_000_000, 7_300_123])
+        value = round(rng.uniform(0, 50), 2) if rng.random() < 0.2 else round(
+            rng.uniform(50, 500), 2
+        )
+        rows.append((key, t_us, value))
+    df = spark.createDataFrame(
+        [(k, u, v) for k, u, v in rows],
+        "user_id BIGINT, t_us BIGINT, value DOUBLE",
+    ).select(
+        "user_id", F.timestamp_micros("t_us").alias("ts"), "value"
+    )
+    got = sorted(
+        tuple(r) for r in timeseries.counter_rate(df).collect()
+    )
+
+    # reference: same units rule as exactmath.units — Spark ROUND on a
+    # double goes through BigDecimal.valueOf(v*100) (half-up on the
+    # SHORTEST decimal repr of the double), which Python mirrors as
+    # Decimal(repr(v*100.0))
+    def units(v):
+        import decimal
+
+        return int(
+            decimal.Decimal(repr(v * 100.0)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    per_key = {}
+    for k, u_ts, v in rows:
+        per_key.setdefault(k, []).append((u_ts, units(v)))
+    want = []
+    for k, samples in per_key.items():
+        samples.sort()
+        for (pu_ts, pu), (cu_ts, cu) in zip(samples, samples[1:]):
+            delta = cu - pu if cu >= pu else cu
+            dus = cu_ts - pu_ts
+            secs = float(dus) / 1e6
+            rate = float(delta) / secs / 100.0 if dus > 0 else 0.0
+            want.append((k, pu_ts, cu_ts, delta, secs, rate))
+    assert got == sorted(want)
+    assert any(r[4] == 0.0 for r in got)      # ties exercised
+    assert any(0 < r[4] < 1.0 for r in got)   # sub-second exercised
