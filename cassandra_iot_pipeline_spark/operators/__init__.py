@@ -16,4 +16,6 @@ path):
     scd2       -- SCD type-2 dimension history: versioned snapshot,
                   touched-keys incremental merge, point-in-time
                   enrichment
+    cohorts    -- cohort retention matrix (first-period cohorts,
+                  distinct activity per offset, retained fraction)
 """

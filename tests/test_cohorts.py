@@ -1,0 +1,94 @@
+"""Cohort retention (operators/cohorts.py): hand-computed matrix,
+fixture-scale DuckDB parity (displaced-registry discipline), offset-0
+invariants, and the plan shape (no third shuffle for the user join;
+the rate window runs over the matrix, not the events)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.operators import cohorts
+from tests.conftest import SF_DIR
+from tools.oracle_check import compare
+
+DAY = 86_400
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP")
+
+
+def _day(n: int, hour: int = 12) -> dt.datetime:
+    return dt.datetime(1970, 1, 1) + dt.timedelta(days=n, hours=hour)
+
+
+def test_hand_computed_matrix(spark):
+    """Daily periods over epoch-day 0..3: users 1,2 start day 0 (user
+    1 returns day 1 and day 3, user 2 never returns), user 3 starts
+    day 1 and returns day 2. Multiple events inside one period count
+    once (the distinct)."""
+    rows = [
+        (1, _day(0)), (1, _day(0, hour=20)), (1, _day(1)), (1, _day(3)),
+        (2, _day(0)),
+        (3, _day(1)), (3, _day(2)),
+    ]
+    got = {
+        (r["cohort_idx"], r["offset_periods"]): (
+            r["n_users"], r["cohort_size"], r["retention"]
+        )
+        for r in cohorts.retention_matrix(
+            _frame(spark, rows), period_seconds=DAY
+        ).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1.0),
+        (0, 1): (1, 2, 0.5),
+        (0, 3): (1, 2, 0.5),
+        (1, 0): (1, 1, 1.0),
+        (1, 1): (1, 1, 1.0),
+    }
+
+
+def test_fixture_duckdb_parity(spark, duck):
+    events = load_table(spark, SF_DIR, "events")
+    for period in (cohorts.WEEK_SECONDS, DAY):
+        spark_pdf = cohorts.retention_matrix(
+            events, period_seconds=period
+        ).toPandas()
+        oracle_pdf = duck.sql(
+            cohorts.retention_matrix_oracle(period_seconds=period)
+        ).df()
+        assert compare(spark_pdf, oracle_pdf) == [], period
+    assert len(spark_pdf) > 1
+
+
+def test_offset_zero_invariants(spark):
+    """Every cohort has an offset-0 row, its n_users equals
+    cohort_size, and retention never exceeds 1.0."""
+    events = load_table(spark, SF_DIR, "events")
+    rows = cohorts.retention_matrix(events, period_seconds=DAY).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_idx"], []).append(r)
+        assert 0.0 < r["retention"] <= 1.0
+    for c, rs in by_cohort.items():
+        zero = [r for r in rs if r["offset_periods"] == 0]
+        assert len(zero) == 1, c
+        assert zero[0]["n_users"] == zero[0]["cohort_size"]
+        assert zero[0]["retention"] == 1.0
+
+
+def test_plan_shape(spark):
+    events = load_table(spark, SF_DIR, "events")
+    df = cohorts.retention_matrix(events)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # user-keyed aggregations + the matrix groupBy; the cohort join
+    # must not introduce exchanges beyond the user/matrix keys (the
+    # rate window rides the matrix's clustering or a tiny exchange) —
+    # never an events-sized extra shuffle: at most 4 hash exchanges
+    assert final.count("Exchange hashpartitioning") <= 4
