@@ -8,21 +8,27 @@ and "hourly aggregates per device" (init.cql:19-54); the fleet-level
 question behind both — are devices/users still reporting over time? —
 is exactly a retention matrix over the same event stream.
 
-Plan shape (pure Catalyst, no UDFs): one scan feeds both the
-per-user cohort (groupBy user, MIN period) and the distinct
-(user, period) activity set; they join on the user key — both sides
-arrive clustered by that key, so no third shuffle materializes — and
-the matrix aggregation is a partial-aggregable groupBy over
-(cohort, offset). The final retention rate divides each cell by its
-cohort's offset-0 population through one window over the (tiny)
-matrix. Period indices are integer-exact floor alignment
-(``us - pmod(us, period_us)``, the gapfill r7 rule), so pre-1970
-timestamps and every engine agree.
+Plan shape (pure Catalyst, no UDFs, ONE events-wide exchange): a
+single user-keyed aggregation computes each user's cohort (MIN of
+their period indices) and their distinct period set (collect_set —
+bounded by the corpus's period count, weeks-since-launch, never by
+the event volume) in the same pass; exploding the set and
+subtracting the cohort gives the (cohort, offset) matrix through a
+partial-aggregable groupBy whose exchange carries per-user DISTINCT
+period rows, not events. No join anywhere (the r7 plan joined a
+distinct (user, period) set back to the cohorts and re-exchanged it
+by user — an avoidable second events-derived shuffle). The final
+retention rate divides each cell by its cohort's offset-0 population
+through one window over the (tiny) matrix. Period indices are
+integer-exact floor alignment + integer division
+(``(us - pmod(us, p)) div p``, the gapfill r7 rule — exact for ALL
+timestamps, matching the oracle's ``//`` with no 2^53 double limit),
+so pre-1970 and far-future timestamps agree across engines.
 
-100 TB: the wide work is two user-keyed aggregations over the raw
-events and a matrix groupBy whose cardinality is cohorts x offsets —
-thousands of rows however large the corpus; the rate window runs over
-that matrix, not the events.
+100 TB: the wide work is one user-keyed aggregation over the raw
+events; everything after runs over per-user period sets (matrix-
+bounded) and the matrix itself — thousands of rows however large the
+corpus; the rate window runs over that matrix, not the events.
 """
 
 from __future__ import annotations
@@ -50,15 +56,20 @@ def retention_matrix(
     retained fraction (one IEEE division per matrix cell, mirrored by
     the oracle). Offset 0 rows carry retention 1.0 exactly."""
     us = F.unix_micros(F.col(ts_col))
-    p_us = F.lit(period_seconds * 1_000_000)
-    # integer-exact floor alignment; the division back to an index is
-    # exact (aligned is a multiple of the period)
-    idx = ((us - F.pmod(us, p_us)) / p_us).cast("long")
-    pts = events.select(F.col(key).alias("k"), idx.alias("pi"))
-    cohorts = pts.groupBy("k").agg(F.min("pi").alias("cohort_idx"))
-    active = pts.distinct()
+    p = int(period_seconds) * 1_000_000
+    # integer-exact floor alignment AND integer division back to the
+    # index (`div`, not `/`: the double round-trip is only exact below
+    # 2^53 — r7 ADVICE; the oracle's `//` is integer-exact, so Spark
+    # must be too)
+    pts = events.select(
+        F.col(key).alias("k"), us.alias("_us")
+    ).select("k", F.expr(f"(_us - pmod(_us, {p})) div {p}").alias("pi"))
+    per_user = pts.groupBy("k").agg(
+        F.min("pi").alias("cohort_idx"),
+        F.collect_set("pi").alias("pis"),
+    )
     matrix = (
-        active.join(cohorts, "k")
+        per_user.select("cohort_idx", F.explode("pis").alias("pi"))
         .groupBy(
             "cohort_idx",
             (F.col("pi") - F.col("cohort_idx")).alias("offset_periods"),

@@ -29,7 +29,12 @@ Scale: per epoch the work is the batch operator's documented merge
 plan — broadcast semi-probe of the touched-key set (the dimension
 never shuffles for routing), a per-key window over batch-proportional
 rows — plus one LWW window at read time over base + recent deltas
-(compaction keeps that union shallow).
+(compaction keeps that union shallow). The write path's semi-prune
+runs BELOW its winner-rule window (the winner rule is per-key
+independent, so pruning first is bit-identical): the per-epoch window
+exchange carries only the touched keys' rows, not the accumulated
+dimension (plan pinned; per-epoch flatness against a 10x-growing
+dimension measured in tools/scale_probe.py --scd2-stream).
 """
 
 from __future__ import annotations
@@ -38,14 +43,39 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..operators.scd2 import scd2_recompute_touched, scd2_snapshot
 from ..store import compact_store, store_parts
 
 
-def _dim_schema(keys: Sequence[str], attrs: Sequence[str]) -> str:
-    key_fields = ", ".join(f"{k} BIGINT" for k in keys)
-    attr_fields = ", ".join(f"{a} STRING" for a in attrs)
+def _dim_schema(
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    updates_schema: str | StructType | None = None,
+) -> str:
+    """The persisted dimension's DDL. Key/attr types are DERIVED from
+    the caller's update-log schema when one is given (the r7 verdict:
+    the old hardcoded BIGINT-keys/STRING-attrs shape silently excluded
+    any deployment with other types); without one, the legacy fixture
+    shape stands."""
+    if updates_schema is None:
+        types = {c: "BIGINT" for c in keys} | {a: "STRING" for a in attrs}
+    else:
+        st = (
+            updates_schema
+            if isinstance(updates_schema, StructType)
+            else StructType.fromDDL(updates_schema)
+        )
+        types = {f.name: f.dataType.simpleString() for f in st.fields}
+        missing = [c for c in [*keys, *attrs] if c not in types]
+        if missing:
+            raise ValueError(
+                f"scd2: columns {missing} absent from updates schema "
+                f"{sorted(types)}"
+            )
+    key_fields = ", ".join(f"{k} {types[k]}" for k in keys)
+    attr_fields = ", ".join(f"{a} {types[a]}" for a in attrs)
     return (
         f"{key_fields}, {attr_fields}, valid_from_us BIGINT,"
         " valid_to_us BIGINT, is_current BOOLEAN, epoch BIGINT"
@@ -56,9 +86,9 @@ class Scd2Pipeline:
     """foreachBatch-shaped SCD2 maintainer; see module docstring.
 
     ``key``/``attrs`` fix the dimension's shape for the store's
-    lifetime (the schema is derived from them — BIGINT keys, STRING
-    attrs, the fixture dimension shape; generalize the schema string
-    if a deployment needs other types)."""
+    lifetime; their TYPES come from ``updates_schema`` (the same DDL
+    the stream reader uses — pass it), falling back to the fixture
+    shape (BIGINT keys, STRING attrs) when omitted."""
 
     def __init__(
         self,
@@ -67,6 +97,7 @@ class Scd2Pipeline:
         attrs: Sequence[str] = ("event_type",),
         ts_col: str = "ts",
         compact_every: int | None = None,
+        updates_schema: str | StructType | None = None,
     ) -> None:
         self.base_dir = base_dir
         self.keys = [key] if isinstance(key, str) else list(key)
@@ -74,7 +105,7 @@ class Scd2Pipeline:
         self.ts_col = ts_col
         self.compact_every = compact_every
         self.dim_dir = f"{base_dir}/dim"
-        self.schema = _dim_schema(self.keys, self.attrs)
+        self.schema = _dim_schema(self.keys, self.attrs, updates_schema)
 
     # -- reads ----------------------------------------------------------
     def _winner_rows(self, df: DataFrame) -> DataFrame:
@@ -122,7 +153,19 @@ class Scd2Pipeline:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        current = self._dim_before(spark, epoch_id)
+        # Prune the raw store to the batch's touched keys BEFORE the
+        # winner-rule window (r7 verdict #1): the winner rule is
+        # per-key independent, so filtering keys first is
+        # bit-identical — but the window's key exchange now carries
+        # batch-proportional rows instead of re-shuffling the whole
+        # accumulated dimension every epoch (the store-side-prune
+        # discipline of streaming/substrings.py; plan pinned in
+        # tests/test_streaming_scd2.py and PLANS.md, per-epoch
+        # flatness measured in tools/scale_probe.py --scd2-stream).
+        touched = F.broadcast(batch_df.select(*self.keys).distinct())
+        current = self._winner_rows(
+            self._raw_before(spark, epoch_id).join(touched, self.keys, "semi")
+        ).drop("epoch")
         delta = scd2_recompute_touched(
             current, batch_df, self.keys, self.attrs, self.ts_col
         ).withColumn("epoch", F.lit(epoch_id).cast("long"))
@@ -171,7 +214,8 @@ def streaming_scd2(
     ``Scd2Pipeline(base_dir, ...).dimension(spark)`` and enrich facts
     against it with ``operators.scd2.scd2_enrich``."""
     pipe = Scd2Pipeline(
-        base_dir, key, attrs, ts_col, compact_every=compact_every
+        base_dir, key, attrs, ts_col, compact_every=compact_every,
+        updates_schema=updates_schema,
     )
     stream = (
         spark.readStream.schema(updates_schema)

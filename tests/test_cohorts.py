@@ -87,8 +87,10 @@ def test_plan_shape(spark):
     assert "isFinalPlan=true" in plan
     final = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # user-keyed aggregations + the matrix groupBy; the cohort join
-    # must not introduce exchanges beyond the user/matrix keys (the
-    # rate window rides the matrix's clustering or a tiny exchange) —
-    # never an events-sized extra shuffle: at most 4 hash exchanges
-    assert final.count("Exchange hashpartitioning") <= 4
+    # r8 plan: ONE user-keyed aggregation over the events (the only
+    # events-wide exchange), explode + matrix groupBy (exchange over
+    # per-user distinct periods), rate window over the matrix — and
+    # NO join anywhere (the r7 plan joined a distinct set back to the
+    # cohorts and re-exchanged it by user)
+    assert "Join" not in final
+    assert final.count("Exchange hashpartitioning") <= 3

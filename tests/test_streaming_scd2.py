@@ -213,3 +213,86 @@ def test_stream_enrich_matches_batch_and_sees_live_dimension(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got[103] == "x" and got[102] is None  # old row not rewritten
+
+
+def test_write_path_prunes_store_below_winner_window(spark, tmp_path):
+    """r7 verdict #1: the write path's touched-key semi-join must sit
+    BELOW the winner-rule window's exchange (prune first, window over
+    batch-proportional rows), and pruning must be bit-identical to
+    windowing the full store then filtering (the winner rule is
+    per-key independent)."""
+    pipe = Scd2Pipeline(str(tmp_path / "store"), "user_id", ("seg",), "ts")
+    for i, rows in enumerate(BATCHES[:2]):
+        pipe.write_batch(_log(spark, rows), epoch_id=i)
+    batch = _log(spark, BATCHES[2])
+    touched = F.broadcast(batch.select("user_id").distinct())
+    current = pipe._winner_rows(
+        pipe._raw_before(spark, 2).join(touched, ["user_id"], "semi")
+    ).drop("epoch")
+    current.collect()
+    plan = current._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "LeftSemi" in final
+    # tree prints parents first: Window above the semi-join means the
+    # prune executes below it — the window never sees untouched keys
+    assert final.index("Window") < final.index("LeftSemi")
+    # equivalence: pruned-then-windowed == windowed-then-filtered
+    full = pipe._dim_before(spark, 2).join(touched, ["user_id"], "semi")
+    assert sorted(tuple(r) for r in current.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+
+
+def test_generalized_schema_lifecycle(spark, tmp_path):
+    """r7 verdict #5: key/attr types derive from the caller's update
+    schema — a STRING-keyed dimension with a non-string attr runs the
+    full epoch/replay/compact lifecycle (the hardcoded BIGINT/STRING
+    shape made epoch 0's empty store unjoinable against such keys)."""
+    schema2 = "device_code STRING, ts TIMESTAMP, fw INT, region STRING"
+    batches = [
+        [("a1", _ts(0), 1, "eu"), ("b2", _ts(1), 3, "us")],
+        [("a1", _ts(2), 1, "eu"), ("a1", _ts(4), 2, "eu")],  # no-op + change
+        [("b2", _ts(6), 3, "ap"), ("a1", _ts(8), 1, "eu")],  # re-open
+    ]
+    pipe = Scd2Pipeline(
+        str(tmp_path / "store"),
+        "device_code",
+        ("fw", "region"),
+        "ts",
+        updates_schema=schema2,
+    )
+    for i, rows in enumerate(batches):
+        pipe.write_batch(spark.createDataFrame(rows, schema2), epoch_id=i)
+    want = sorted(
+        tuple(r)
+        for r in scd2_snapshot(
+            spark.createDataFrame(
+                [r for b in batches for r in b], schema2
+            ),
+            "device_code",
+            ("fw", "region"),
+            "ts",
+        ).collect()
+    )
+    assert _dim_rows(pipe, spark) == want
+    assert len(want) >= 4
+    # attr type survived the store roundtrip (not stringified)
+    assert dict(pipe.dimension(spark).dtypes)["fw"] == "int"
+    # replay + compaction keep the invariants on the generalized shape
+    pipe.write_batch(spark.createDataFrame(batches[1], schema2), epoch_id=1)
+    assert _dim_rows(pipe, spark) == want
+    pipe.compact(spark)
+    assert _dim_rows(pipe, spark) == want
+
+
+def test_schema_missing_column_raises(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="absent from updates schema"):
+        Scd2Pipeline(
+            str(tmp_path / "store"),
+            "device_code",
+            ("missing_attr",),
+            "ts",
+            updates_schema="device_code STRING, ts TIMESTAMP",
+        )

@@ -860,6 +860,74 @@ def main() -> None:
         finally:
             _sh.rmtree(ss_dir, ignore_errors=True)
 
+    if "--scd2-stream" in sys.argv:
+        # r8 (r7 verdict #1): the streaming SCD2 maintainer's
+        # per-epoch cost must track the BATCH, not the accumulated
+        # dimension — the write path semi-prunes the raw store to the
+        # batch's touched keys BELOW the winner-rule window, so the
+        # per-epoch window exchange carries batch-proportional rows.
+        # 10 equal-sized epochs, each touching a DISJOINT key range:
+        # the dimension grows 10x while every batch stays the same
+        # size — flat-ish per-epoch times = the prune works (the old
+        # plan re-shuffled the whole dimension every epoch).
+        import shutil as _sh2
+
+        from cassandra_iot_pipeline_spark.streaming.scd2 import (
+            Scd2Pipeline,
+        )
+
+        def scd2_updates(n_keys: int, start: int, epoch: int):
+            # 2 updates per key (real version history), hash attrs,
+            # collision-free (key, ts) — partition-invariant, no
+            # driver data
+            df = spark.range(2 * n_keys)
+            key = F.lit(start) + F.pmod(F.col("id"), F.lit(n_keys))
+            ts = F.timestamp_millis(
+                F.lit(1704067200000)
+                + (F.lit(epoch) * 400_000 + F.col("id")) * 1000
+            )
+            seg = F.conv(
+                F.pmod(F.xxhash64(F.lit("s"), F.col("id")), F.lit(16)),
+                10, 16,
+            )
+            return df.select(
+                key.alias("user_id"), ts.alias("ts"), seg.alias("seg")
+            )
+
+        sc_dir = _tempfile.mkdtemp(prefix="scale_probe_scd2_")
+        try:
+            warm = Scd2Pipeline(
+                f"{sc_dir}/warm", "user_id", ("seg",), "ts"
+            )
+            warm.write_batch(
+                scd2_updates(1_000, 0, 0).localCheckpoint(eager=True), 0
+            )
+            pipe = Scd2Pipeline(
+                f"{sc_dir}/store", "user_id", ("seg",), "ts",
+                compact_every=4,
+            )
+            n_keys = 50_000
+            sc_times = []
+            for e in range(10):
+                batch = scd2_updates(
+                    n_keys, e * n_keys, e
+                ).localCheckpoint(eager=True)
+                t0 = time.perf_counter()
+                pipe.write_batch(batch, epoch_id=e)
+                sc_times.append(round(time.perf_counter() - t0, 2))
+            results["scd2_stream_epoch_secs"] = sc_times  # type: ignore[assignment]
+            results["scd2_stream_dim_rows"] = pipe.dimension(
+                spark
+            ).count()
+            print(
+                f"[probe] scd2_stream 10x{n_keys}-key epochs: "
+                f"{sc_times} ({results['scd2_stream_dim_rows']} "
+                "dimension rows)",
+                file=sys.stderr, flush=True,
+            )
+        finally:
+            _sh2.rmtree(sc_dir, ignore_errors=True)
+
     if "--dedup-batch" in sys.argv:
         # r6 verdict item #5: the r6 ADC-payload fix removed what r5
         # called "the binding constraint on raising dedup batch
