@@ -160,19 +160,32 @@ def _rates_group(
     yield out
 
 
-TW_OUTPUT = "user_id long, span_secs long, n_samples long, tw_avg double"
+TW_OUTPUT = "user_id long, span_us long, n_samples long, tw_avg double"
 _TW_STATE = "last_t long, last_u long, num long, span long, n long"
-_TW_COLS = ["user_id", "span_secs", "n_samples", "tw_avg"]
+_TW_COLS = ["user_id", "span_us", "n_samples", "tw_avg"]
+
+_INT64_MAX = 2**63 - 1
 
 
 def _tw_walk(user_id, pdf, st, divisor):
-    """Running LOCF integral: fold this batch's (t, u) rows into the
-    carried (last_t, last_u, num, span, n), vectorized — the integral
-    increments are integer products summed in int64 (associative, so
-    the numpy sum IS the loop's result), and the final division
-    repeats the batch plan op-for-op (float(num)/span/divisor), so the
-    last emitted row of a replay is bit-identical to
-    ``operators/timeseries.py::time_weighted_avg``."""
+    """Running LOCF integral at the microsecond grain: fold this
+    batch's (t, u) rows into the carried (last_t, last_u, num, span,
+    n), vectorized — the integral increments are integer products
+    (exact, associative: the numpy sum IS the loop's result), and the
+    final division repeats the batch plan op-for-op
+    (float(num)/float(span)/divisor), so the last emitted row of a
+    replay is bit-identical to
+    ``operators/timeseries.py::time_weighted_avg``.
+
+    Overflow posture (r7 ADVICE #3): the state column holds ``num``
+    as int64, so the streaming form's envelope is
+    |sum(u x dus)| < 2^63 per key (~scale-2 values of 2,900 sustained
+    over a decade); the batch operator's DECIMAL(38,0) numerator
+    extends beyond it. Inside a batch, a cheap exact bound
+    (max|u| x max(dus) x n_pairs) guards the vectorized int64 sum —
+    when it could wrap, the fold recomputes with Python ints (exact)
+    — and breaching int64 raises OverflowError LOUDLY instead of the
+    silent np.int64 wrap-around."""
     if st is None:
         last_t = last_u = None
         num = span = n = 0
@@ -185,11 +198,31 @@ def _tw_walk(user_id, pdf, st, divisor):
         u = np.concatenate(([last_u], u))
     if len(t) >= 2:
         diffs = t[1:] - t[:-1]
-        num += int(np.sum(u[:-1] * diffs, dtype=np.int64))
+        head = u[:-1]
+        bound = int(np.max(np.abs(head))) * int(np.max(diffs)) * len(diffs)
+        if bound <= _INT64_MAX:
+            num += int(np.sum(head * diffs, dtype=np.int64))
+        else:  # exact, unbounded — only the rare near-wrap batch pays it
+            num += sum(
+                int(a) * int(b)
+                for a, b in zip(head.tolist(), diffs.tolist())
+            )
+        if not -_INT64_MAX - 1 <= num <= _INT64_MAX:
+            raise OverflowError(
+                "streaming_time_weighted_avg: integral numerator "
+                f"{num} exceeds the int64 state column for key "
+                f"{user_id} — the units x microseconds envelope is "
+                "documented in _tw_walk; use the batch operator's "
+                "decimal numerator for spans/values this hot"
+            )
         span += int(t[-1] - t[0])
     n += len(pdf)
     last_t, last_u = int(t[-1]), int(u[-1])
-    tw = float(num) / span / divisor if span > 0 else float(last_u) / divisor
+    tw = (
+        float(num) / float(span) / divisor
+        if span > 0
+        else float(last_u) / divisor
+    )
     return (
         (int(user_id), span, n, tw),
         (last_t, last_u, num, span, n),
@@ -248,20 +281,22 @@ def streaming_time_weighted_avg(
     use_tws: bool | None = None,
 ) -> DataFrame:
     """Continuous LOCF time-weighted average: every micro-batch, each
-    key that received samples emits its REFRESHED (span_secs,
+    key that received samples emits its REFRESHED (span_us,
     n_samples, tw_avg) — the live-dashboard form of
     ``time_weighted_avg``, built to land in a PK-upsert table (the
     engine's Cassandra-LWW analogue, streaming/sinks.py) where the
     newest row per key is the serving answer. n_samples strictly
     increases per emitted row of a key, so "latest" is also
-    "max(n_samples)". After a day-ordered bounded replay the final row
-    per key is bit-identical to the batch operator (asserted in
-    tests). ``state_ttl_ms`` evicts dark keys on both runtime paths."""
+    "max(n_samples)". Integrates at the MICROSECOND grain like the r8
+    batch operator; after a day-ordered bounded replay the final row
+    per key is bit-identical to it within the int64 numerator
+    envelope (see _tw_walk — breaching it raises loudly). ``state_ttl_ms``
+    evicts dark keys on both runtime paths."""
     if use_tws is None:
         use_tws = tws_available()
     prepared = stream.filter(F.col("value").isNotNull()).select(
         "user_id",
-        F.unix_timestamp(F.col("ts")).alias("t"),
+        F.unix_micros(F.col("ts")).alias("t"),
         exactmath.units(F.col("value"), scale).alias("u"),
     )
     if use_tws:

@@ -104,12 +104,12 @@ def test_time_weight_final_rows_equal_batch(spark):
         if cur is None or r["n_samples"] > cur["n_samples"]:
             latest[r["user_id"]] = r
     got = sorted(
-        (r["user_id"], r["span_secs"], r["n_samples"], r["tw_avg"])
+        (r["user_id"], r["span_us"], r["n_samples"], r["tw_avg"])
         for r in latest.values()
     )
     events = load_table(spark, SF_DIR, "events")
     want = sorted(
-        (r["user_id"], r["span_secs"], r["n_samples"], r["tw_avg"])
+        (r["user_id"], r["span_us"], r["n_samples"], r["tw_avg"])
         for r in time_weighted_avg(events).collect()
     )
     assert len(want) > 0
@@ -211,3 +211,50 @@ def test_both_paths_build_plans(spark):
             "rate_per_sec",
         ]
     assert isinstance(tws_available(), bool)
+
+
+def test_tw_walk_overflow_raises_loudly():
+    """r7 ADVICE #3: an integral numerator that leaves int64 must
+    raise OverflowError (the old vectorized np.sum wrapped silently,
+    emitting a wrong tw_avg where the Python-int walk would have
+    failed when the value hit the long state column). Both the
+    vectorized path (bound check routes to exact Python ints) and the
+    carried-state accumulation are covered."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from cassandra_iot_pipeline_spark.streaming.rates import _tw_walk
+
+    # one batch whose exact integral exceeds int64: u ~ 9.2e14 units
+    # held for ~1e9 seconds (1e15 us) -> ~9.2e29
+    pdf = pd.DataFrame(
+        {
+            "t": np.array([0, 10**15], dtype=np.int64),
+            "u": np.array([920_000_000_000_000, 1], dtype=np.int64),
+        }
+    )
+    with pytest.raises(OverflowError, match="numerator"):
+        _tw_walk(7, pdf, None, 100.0)
+
+    # near-the-edge state + a small increment that crosses: loud too
+    st = (10**15, 920_000_000_000_000, 2**63 - 1000, 10**15, 2)
+    small = pd.DataFrame(
+        {
+            "t": np.array([10**15 + 10**9], dtype=np.int64),
+            "u": np.array([1], dtype=np.int64),
+        }
+    )
+    with pytest.raises(OverflowError, match="numerator"):
+        _tw_walk(7, small, st, 100.0)
+
+    # and a safe batch still folds exactly (vectorized path)
+    ok = pd.DataFrame(
+        {
+            "t": np.array([0, 250_000, 1_000_000], dtype=np.int64),
+            "u": np.array([1000, 3000, 3000], dtype=np.int64),
+        }
+    )
+    row, state = _tw_walk(1, ok, None, 100.0)
+    assert row == (1, 1_000_000, 3, 25.0)
+    assert state == (1_000_000, 3000, 1000 * 250_000 + 3000 * 750_000, 1_000_000, 3)
