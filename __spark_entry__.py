@@ -39,6 +39,7 @@ from cassandra_iot_pipeline_spark.operators import (
     joins,
     rangejoin,
     profiles,
+    scd2,
     serving,
     setops,
     stats,
@@ -145,7 +146,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "user_event_metrics": lambda s, d: windows.user_event_metrics(events(s, d)),
         # --- range join (native-gap operator; bucketized) ---
-        "conversion_pairs": lambda s, d: rangejoin.conversion_pairs(events(s, d)),
+        # (conversion_pairs deregistered r8 — byte-identical output to
+        # the registered streaming_conversion_pairs, which keeps the
+        # same pair logic driver-checked through the superset streaming
+        # surface; its bitwise oracle lives on in
+        # tests/test_legacy_parity.py. Slot given to scd2_snapshot.)
+        # --- SCD2 dimension maintenance (r7 operator family) ---
+        "scd2_snapshot": lambda s, d: scd2.scd2_snapshot(
+            events(s, d), "user_id", ("event_type",), "ts",
+            seq_col="event_id",
+        ),
         # --- as-of join (native-gap operator; DuckDB ASOF is the oracle) ---
         "latest_order_asof": lambda s, d: asof.latest_order_asof(
             events(s, d), _t("orders")(s, d)
@@ -297,7 +307,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "session_window_stats": windows.session_window_stats_oracle(),
         "user_event_metrics": windows.user_event_metrics_oracle(),
-        "conversion_pairs": rangejoin.conversion_pairs_oracle(),
+        "scd2_snapshot": scd2.scd2_snapshot_oracle(
+            "events", ("user_id",), ("event_type",), "ts", "event_id"
+        ),
         "latest_order_asof": asof.latest_order_asof_oracle(),
         "avro_roundtrip_rollup": avro_wire.avro_roundtrip_rollup_oracle(),
         "enrich_customers": joins.enrich_customers_oracle(),

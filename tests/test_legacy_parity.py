@@ -10,7 +10,14 @@ import pytest
 
 from cassandra_iot_pipeline_spark.catalog import load_table
 from cassandra_iot_pipeline_spark.functions import multimodal, text
-from cassandra_iot_pipeline_spark.operators import agg, joins, setops, stats, windows
+from cassandra_iot_pipeline_spark.operators import (
+    agg,
+    joins,
+    rangejoin,
+    setops,
+    stats,
+    windows,
+)
 from cassandra_iot_pipeline_spark.sources import json_decode, projections
 from tests.conftest import SF_DIR
 from tools.oracle_check import compare
@@ -48,6 +55,18 @@ LEGACY = {
         "events",
         json_decode.props_bucket_rollup,
         json_decode.props_bucket_rollup_oracle(),
+    ),
+    # deregistered r8: slot given to scd2_snapshot (the most
+    # substantial un-driver-checked operator, r7 verdict #3); the
+    # registered streaming_conversion_pairs keeps the identical pair
+    # logic driver-checked against this SAME oracle SQL
+    # (__spark_entry__.oracle_sql() maps it to
+    # rangejoin.conversion_pairs_oracle()), so both forms remain
+    # oracle-gated
+    "conversion_pairs": (
+        "events",
+        rangejoin.conversion_pairs,
+        rangejoin.conversion_pairs_oracle(),
     ),
     # deregistered r7: slot given to time_weighted_avg (hypertable
     # LOCF serving, r6 verdict item #6); raw_projection is a strict
