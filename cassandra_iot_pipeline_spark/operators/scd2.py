@@ -31,6 +31,14 @@ Operators (all pure Catalyst, one shuffle on the key each):
   union-tag plan (operators/asof.py) over the versions' ``valid_from``
   — contiguous intervals per key make "greatest valid_from <= fact
   time" exactly interval containment, with no range explosion.
+- :func:`scd2_backfill` — repair facts that were enriched BEFORE a
+  late dimension correction landed (exactly the failure mode the
+  denormalizing reference bakes in): re-derive the as-of attrs from
+  the corrected dimension in one enrich pass — the stale attrs ride
+  along renamed, so the null-safe diff needs no second join — and
+  flag the rewritten rows; :func:`scd2_backfill_report` is the
+  one-row repair accounting (the curation removal-stats convention:
+  a backfill run says what it rewrote and over which interval).
 
 Validity intervals are ``[valid_from_us, valid_to_us)`` epoch-micros
 (exclusive end; NULL end = current). Determinism: updates are ordered
@@ -248,6 +256,62 @@ def scd2_enrich(
     return asof_join(
         facts, versions, key=key, left_time=ts_col,
         right_time="__vf", payload_cols=list(attrs),
+    )
+
+
+def scd2_backfill(
+    enriched: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    attrs: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Re-enrich already-enriched facts against a (corrected)
+    dimension: the output carries every input column with the
+    ``attrs`` REPLACED by the dimension's current as-of values, plus
+    ``was_repaired`` — TRUE where any attr null-safely differs from
+    the stale value the fact carried in. Backfilling is idempotent: a
+    second pass over its own output repairs zero rows.
+
+    Plan: ONE as-of pass (the :func:`scd2_enrich` union-tag plan —
+    the stale attrs ride along as renamed fact columns, so the
+    null-safe struct compare is a free projection; no self-join, no
+    second shuffle beyond the enrich's own)."""
+    attr_cols = list(attrs)
+    missing = [a for a in attr_cols if a not in enriched.columns]
+    if missing:
+        raise ValueError(
+            f"scd2_backfill: stale attr columns {missing} absent from "
+            "the enriched frame"
+        )
+    fact_cols = [c for c in enriched.columns if c not in attr_cols]
+    staged = enriched.select(
+        *fact_cols, *[F.col(a).alias(f"__old_{a}") for a in attr_cols]
+    )
+    fresh = scd2_enrich(staged, dim, key, ts_col, attr_cols)
+    new_s = F.struct(*[F.col(a) for a in attr_cols])
+    old_s = F.struct(
+        *[F.col(f"__old_{a}").alias(a) for a in attr_cols]
+    )
+    return fresh.withColumn(
+        "was_repaired", ~new_s.eqNullSafe(old_s)
+    ).select(*fact_cols, *attr_cols, "was_repaired")
+
+
+def scd2_backfill_report(
+    backfilled: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """One-row repair accounting over a :func:`scd2_backfill` output:
+    (n_facts, n_repaired, repaired_from, repaired_to) — the repaired
+    interval's bounds are the min/max fact time among rewritten rows
+    (NULL when nothing was repaired). One partial-aggregable
+    aggregation; audit surface, not a hot path."""
+    rep = F.col("was_repaired")
+    return backfilled.agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.coalesce(F.sum(rep.cast("long")), F.lit(0)).alias("n_repaired"),
+        F.min(F.when(rep, F.col(ts_col))).alias("repaired_from"),
+        F.max(F.when(rep, F.col(ts_col))).alias("repaired_to"),
     )
 
 

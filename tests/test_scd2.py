@@ -287,3 +287,90 @@ def test_randomized_merge_split_invariance(spark):
                 "user_id", ("seg",), "ts",
             )
         assert keyed(dim) == want, f"trial {trial}"
+
+
+def test_backfill_repairs_late_correction(spark):
+    """The module docstring's failure, planted: facts are enriched
+    against the dimension BEFORE a late correction (key 1 changed to
+    'b' at minute 10, but the update only arrives after enrichment).
+    The naive enrichment is wrong for exactly the facts at/after the
+    correction's valid_from; scd2_backfill repairs exactly those rows
+    — earlier facts, other keys, and facts before the key's first
+    version are untouched — and a second backfill pass repairs zero
+    (idempotent)."""
+    dim_v1 = scd2.scd2_snapshot(
+        spark.createDataFrame(
+            [(1, _ts(0), "a"), (2, _ts(0), "x")],
+            "user_id BIGINT, ts TIMESTAMP, seg STRING",
+        ),
+        "user_id", ("seg",), "ts",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts(5)),    # before the correction: stays "a"
+            (101, 1, _ts(10)),   # at valid_from: repaired to "b"
+            (102, 1, _ts(20)),   # after: repaired to "b"
+            (103, 2, _ts(15)),   # other key: untouched
+            (104, 3, _ts(15)),   # unknown key: NULL both times
+        ],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP",
+    )
+    enriched = scd2.scd2_enrich(facts, dim_v1, "user_id", "ts", ("seg",))
+    # the late correction lands AFTER the facts were enriched
+    dim_v2 = scd2.scd2_merge(
+        dim_v1,
+        spark.createDataFrame(
+            [(1, _ts(10), "b")], "user_id BIGINT, ts TIMESTAMP, seg STRING"
+        ),
+        "user_id", ("seg",), "ts",
+    )
+    fixed = scd2.scd2_backfill(enriched, dim_v2, "user_id", "ts", ("seg",))
+    got = {r["event_id"]: (r["seg"], r["was_repaired"]) for r in fixed.collect()}
+    assert got == {
+        100: ("a", False),
+        101: ("b", True),
+        102: ("b", True),
+        103: ("x", False),
+        104: (None, False),
+    }
+    # repaired interval = exactly the correction's effect window
+    rep = scd2.scd2_backfill_report(fixed).collect()[0]
+    assert rep["n_facts"] == 5 and rep["n_repaired"] == 2
+    assert rep["repaired_from"] == _ts(10) and rep["repaired_to"] == _ts(20)
+    # idempotence: backfilling the backfilled frame repairs nothing
+    again = scd2.scd2_backfill(
+        fixed.drop("was_repaired"), dim_v2, "user_id", "ts", ("seg",)
+    )
+    rep2 = scd2.scd2_backfill_report(again).collect()[0]
+    assert rep2["n_repaired"] == 0
+    assert rep2["repaired_from"] is None and rep2["repaired_to"] is None
+
+
+def test_backfill_matches_fresh_enrichment_on_fixture(spark):
+    """Property at fixture scale: backfilled attrs are bit-identical
+    to enriching the bare facts against the corrected dimension (the
+    stale values only drive the was_repaired flag), and missing stale
+    columns fail loudly."""
+    events = load_table(spark, SF_DIR, "events")
+    dim_v1 = scd2.scd2_snapshot(
+        events.filter(F.col("event_id") % 3 != 0),
+        "user_id", ("event_type",), "ts", seq_col="event_id",
+    )
+    dim_v2 = scd2.scd2_snapshot(
+        events, "user_id", ("event_type",), "ts", seq_col="event_id"
+    )
+    facts = events.select("event_id", "user_id", "ts").limit(500)
+    stale = scd2.scd2_enrich(facts, dim_v1, "user_id", "ts", ("event_type",))
+    fixed = scd2.scd2_backfill(stale, dim_v2, "user_id", "ts", ("event_type",))
+    want = {
+        r["event_id"]: r["event_type"]
+        for r in scd2.scd2_enrich(
+            facts, dim_v2, "user_id", "ts", ("event_type",)
+        ).collect()
+    }
+    got = {r["event_id"]: r["event_type"] for r in fixed.collect()}
+    assert got == want and len(got) == 500
+    n_rep = fixed.filter("was_repaired").count()
+    assert 0 < n_rep < 500  # the planted v1/v2 gap really repaired some
+    with pytest.raises(ValueError, match="absent from"):
+        scd2.scd2_backfill(facts, dim_v2, "user_id", "ts", ("event_type",))
