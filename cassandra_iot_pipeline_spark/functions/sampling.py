@@ -202,7 +202,16 @@ def mixture_rates(
     total_share = float(sum(target_shares.values()))
     if total_share <= 0:
         raise ValueError("mixture_rates: target_shares must sum > 0")
+    if any(v < 0 for v in target_shares.values()):
+        raise ValueError("mixture_rates: target_shares must be >= 0")
     shares = {k: float(v) / total_share for k, v in target_shares.items()}
+    # zero-valued shares ask for NO data: rate 0.0, excluded from both
+    # the zero-supply check and the budget min (r7 ADVICE: a zero
+    # share used to ZeroDivisionError the budget=None path, and a
+    # zero-share source with no rows wrongly tripped the zero-supply
+    # guard even though it needs nothing)
+    zero_sources = [s for s, v in shares.items() if v == 0.0]
+    shares = {s: v for s, v in shares.items() if v > 0.0}
     w = (
         F.lit(1).cast("double")
         if weight_col is None
@@ -236,6 +245,9 @@ def mixture_rates(
         else:
             rates[s] = want / have
             allocated[s] = want
+    for s in zero_sources:
+        rates[s] = 0.0
+        allocated[s] = 0.0
     return {
         "rates": rates,
         "budget": float(budget),

@@ -18,10 +18,17 @@ parquet layout (store.py — the near-dup and ANN stores' lifecycle):
 
 - ``<dir>/grams/epoch=N/``   (g BIGINT, cnt BIGINT) — the batch's own
   gram counts, hashed (xxhash64) so the store carries 8 bytes/gram
-  (the batch operator's ``hash_shuffle`` tier and its w.h.p. contract)
+  (the batch operator's ``hash_shuffle`` tier and its w.h.p. contract).
+  With ``counts="approx"`` (r8, the 100 TB store floor) the rows are
+  instead (j, bucket, c) Count-Min counters — a FIXED depth x width
+  sketch however many distinct grams the corpus ever produces; the
+  dup predicate becomes exact-batch-count + CM-estimate-of-history
+  >= min_count, and because Count-Min only over-estimates the tier
+  can only OVER-mark relative to exact (one-sided, same failure class
+  as the hashed-gram tier)
 - ``<dir>/grams/base_upto=K/`` at most one compacted base (counts
-  sum-merged — the fold is associative, so compaction cannot change
-  any future epoch's marking)
+  sum-merged per gram or per counter — both folds associative, so
+  compaction cannot change any future epoch's marking)
 - ``<dir>/curated/epoch=N/``  the batch's cut documents
   (doc_id, text, n_spans, chars_removed, n_chars_canon)
 
@@ -48,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dedup import canonical
+from ..functions.sketches import _bucket_xx
 from ..functions.substrings import (
     DEFAULT_K,
     _grams,
@@ -57,10 +65,16 @@ from ..functions.substrings import (
 from ..store import compact_store, store_parts
 
 GRAM_COUNTS_SCHEMA = "g BIGINT, cnt BIGINT"
+#: the approx tier's store rows: Count-Min counters (fast xxhash64
+#: family — the store is engine-private state, not a cross-engine
+#: monitoring surface, so the portable sha256 layout buys nothing)
+GRAM_SKETCH_SCHEMA = "j INT, bucket BIGINT, c BIGINT"
 CURATED_SCHEMA = (
     "doc_id BIGINT, text STRING, n_spans BIGINT, chars_removed BIGINT,"
     " n_chars_canon BIGINT"
 )
+
+COUNT_MODES = ("exact", "approx")
 
 
 class SubstringDedupPipeline:
@@ -75,21 +89,51 @@ class SubstringDedupPipeline:
         k: int = DEFAULT_K,
         min_count: int = 2,
         compact_every: int | None = None,
+        counts: str = "exact",
+        cm_width: int = 1 << 21,
+        cm_depth: int = 4,
     ) -> None:
+        """``counts="approx"`` is the 100 TB store-floor tier (r7
+        verdict #7): instead of one 8-byte row per corpus-lifetime
+        distinct gram, the store holds a FIXED ``cm_depth x cm_width``
+        Count-Min sketch of the historical gram mass; each epoch's
+        duplicated-gram predicate is (exact batch count) + (CM
+        estimate of everything before) >= min_count. The contract is
+        ONE-SIDED: Count-Min only ever OVER-estimates, so the approx
+        tier can over-mark (cut a little extra text — the same
+        one-sided failure the hashed-gram tier and the
+        replay-after-compaction caveat already accept) but can never
+        under-mark relative to the exact tier. Store modes are fixed
+        for the store's lifetime. Default geometry is ~8.4M counters
+        (~67 MB raw), fixed however many grams the corpus ever
+        produces; widen ``cm_width`` to shrink the over-mark rate
+        (error mass per bucket ~ total grams / width per depth row,
+        min over ``cm_depth`` rows)."""
+        if counts not in COUNT_MODES:
+            raise ValueError(
+                f"counts must be one of {COUNT_MODES}, got {counts!r}"
+            )
         self.base_dir = base_dir
         self.k = k
         self.min_count = min_count
         self.compact_every = compact_every
+        self.counts = counts
+        self.cm_width = cm_width
+        self.cm_depth = cm_depth
         self.grams_dir = f"{base_dir}/grams"
         self.curated_dir = f"{base_dir}/curated"
+        self._grams_schema = (
+            GRAM_COUNTS_SCHEMA if counts == "exact" else GRAM_SKETCH_SCHEMA
+        )
 
     # -- reads ----------------------------------------------------------
     def _counts_before(self, spark: SparkSession, epoch_id: int) -> DataFrame:
-        """Gram counts visible to ``epoch_id``: the compacted base plus
-        every epoch delta STRICTLY below it — a replayed epoch must not
-        see its own first-attempt delta (that would double-count every
-        gram and could flip min_count decisions between attempts)."""
-        empty = spark.createDataFrame([], GRAM_COUNTS_SCHEMA)
+        """Gram counts (exact rows or CM counters, per ``counts``)
+        visible to ``epoch_id``: the compacted base plus every epoch
+        delta STRICTLY below it — a replayed epoch must not see its
+        own first-attempt delta (that would double-count every gram
+        and could flip min_count decisions between attempts)."""
+        empty = spark.createDataFrame([], self._grams_schema)
         base_path, _, epochs = store_parts(spark, self.grams_dir)
         parts = []
         if base_path is not None:
@@ -106,9 +150,23 @@ class SubstringDedupPipeline:
         return out.select(*cols)
 
     def gram_counts(self, spark: SparkSession) -> DataFrame:
-        """The folded corpus-wide counts so far (audit surface)."""
+        """The folded corpus-wide counts so far (audit surface;
+        exact mode only — the approx store holds no per-gram rows)."""
+        if self.counts != "exact":
+            raise ValueError(
+                "gram_counts: the approx store keeps CM counters, not "
+                "per-gram rows — use gram_sketch()"
+            )
         raw = self._counts_before(spark, 2**62)
         return raw.groupBy("g").agg(F.sum("cnt").alias("cnt"))
+
+    def gram_sketch(self, spark: SparkSession) -> DataFrame:
+        """The folded (j, bucket, c) Count-Min counters so far
+        (approx-mode audit surface; at most depth x width rows)."""
+        if self.counts != "approx":
+            raise ValueError("gram_sketch: exact store — use gram_counts()")
+        raw = self._counts_before(spark, 2**62)
+        return raw.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
 
     def curated(self, spark: SparkSession) -> DataFrame:
         """Every epoch's cut documents (empty-safe, delta+base reader
@@ -135,26 +193,70 @@ class SubstringDedupPipeline:
         batch_counts = grams.groupBy("g").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        # running totals = store-so-far + this batch, sum-merged on the
-        # 8-byte gram key; the duplicated set is whatever crosses
-        # min_count NOW (history-only repeats included). The store side
-        # is PRUNED to the batch's own gram set first (semi-join on the
-        # 8-byte key): only batch-present grams can mark batch
-        # positions, so the merge exchange moves batch-proportional
-        # rows, not the whole accumulated store — without this the
-        # per-epoch cost grows with corpus-lifetime distinct grams
-        # (measured in tools/scale_probe.py --substring-stream).
-        stored_relevant = self._counts_before(spark, epoch_id).join(
-            batch_counts.select("g"), "g", "semi"
-        )
-        total = (
-            stored_relevant.unionByName(batch_counts)
-            .groupBy("g")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-        dup_g = total.filter(
-            F.col("cnt") >= F.lit(self.min_count)
-        ).select("g")
+        if self.counts == "exact":
+            # running totals = store-so-far + this batch, sum-merged
+            # on the 8-byte gram key; the duplicated set is whatever
+            # crosses min_count NOW (history-only repeats included).
+            # The store side is PRUNED to the batch's own gram set
+            # first (semi-join on the 8-byte key): only batch-present
+            # grams can mark batch positions, so the merge exchange
+            # moves batch-proportional rows, not the whole accumulated
+            # store — without this the per-epoch cost grows with
+            # corpus-lifetime distinct grams (measured in
+            # tools/scale_probe.py --substring-stream).
+            stored_relevant = self._counts_before(spark, epoch_id).join(
+                batch_counts.select("g"), "g", "semi"
+            )
+            total = (
+                stored_relevant.unionByName(batch_counts)
+                .groupBy("g")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            dup_g = total.filter(
+                F.col("cnt") >= F.lit(self.min_count)
+            ).select("g")
+            store_delta = batch_counts
+        else:
+            # approx tier: historical mass lives in a FIXED
+            # depth x width Count-Min sketch. Probe it with the
+            # batch's distinct grams (batch-proportional x depth
+            # rows; the sketch side is fixed-size whatever the corpus
+            # history — the store-floor analogue of the exact tier's
+            # semi-prune), take the min-over-depth estimate
+            # (absent counter = 0), and mark wherever exact-batch +
+            # estimate crosses min_count. Over-estimate-only => the
+            # approx tier can only OVER-mark vs exact.
+            js = F.explode(
+                F.sequence(F.lit(0), F.lit(self.cm_depth - 1))
+            ).alias("j")
+            probes = batch_counts.select("g", "cnt", js).select(
+                "g",
+                "cnt",
+                F.col("j").cast("int").alias("j"),
+                _bucket_xx(F.col("g"), F.col("j"), self.cm_width).alias(
+                    "bucket"
+                ),
+            )
+            sketch = self._counts_before(spark, epoch_id).groupBy(
+                "j", "bucket"
+            ).agg(F.sum("c").alias("c"))
+            est = (
+                probes.join(sketch, ["j", "bucket"], "left")
+                .groupBy("g")
+                .agg(
+                    F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"),
+                    F.max("cnt").alias("cnt"),
+                )
+            )
+            dup_g = est.filter(
+                F.col("cnt") + F.col("est") >= F.lit(self.min_count)
+            ).select("g")
+            # this epoch's delta: the batch's own CM counters (built
+            # from the per-gram counts — depth rows per DISTINCT gram,
+            # weighted by multiplicity, not per occurrence)
+            store_delta = probes.groupBy("j", "bucket").agg(
+                F.sum("cnt").alias("c")
+            )
         dup = grams.join(dup_g, "g", "semi")
         spans = _merge_spans(dup, self.k)
         cut = cut_spans(canon, spans)
@@ -180,7 +282,7 @@ class SubstringDedupPipeline:
         curated.write.mode("overwrite").parquet(
             f"{self.curated_dir}/epoch={epoch_id}"
         )
-        batch_counts.write.mode("overwrite").parquet(
+        store_delta.write.mode("overwrite").parquet(
             f"{self.grams_dir}/epoch={epoch_id}"
         )
         release_local_checkpoint(canon)
@@ -197,12 +299,16 @@ class SubstringDedupPipeline:
         into fresh bases; store.py's rename-commit keeps every crash
         window readable."""
 
-        def fold_counts(df: DataFrame) -> DataFrame:
-            return df.groupBy("g").agg(F.sum("cnt").alias("cnt"))
+        if self.counts == "exact":
+            def fold_counts(df: DataFrame) -> DataFrame:
+                return df.groupBy("g").agg(F.sum("cnt").alias("cnt"))
+        else:
+            def fold_counts(df: DataFrame) -> DataFrame:
+                return df.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
 
         done: dict[str, int] = {}
         for which, path, fold, schema in (
-            ("grams", self.grams_dir, fold_counts, GRAM_COUNTS_SCHEMA),
+            ("grams", self.grams_dir, fold_counts, self._grams_schema),
             ("curated", self.curated_dir, None, CURATED_SCHEMA),
         ):
             upto = compact_store(
@@ -226,6 +332,9 @@ def streaming_substring_dedup(
     max_files_per_trigger: int = 1,
     trigger: dict | None = None,
     compact_every: int | None = None,
+    counts: str = "exact",
+    cm_width: int = 1 << 21,
+    cm_depth: int = 4,
 ):
     """Wire a staged document directory through the substring pipeline
     (file order = ingest order, the streaming/dedup.py convention).
@@ -234,7 +343,8 @@ def streaming_substring_dedup(
     from .dedup import DOCUMENTS_STREAM_SCHEMA
 
     pipe = SubstringDedupPipeline(
-        base_dir, k=k, min_count=min_count, compact_every=compact_every
+        base_dir, k=k, min_count=min_count, compact_every=compact_every,
+        counts=counts, cm_width=cm_width, cm_depth=cm_depth,
     )
     stream = (
         spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)

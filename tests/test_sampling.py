@@ -249,3 +249,39 @@ def test_mixture_rates_plans_the_mixture(spark):
     # zero-supply source with a positive share fails loudly
     with pytest.raises(ValueError, match="zero-supply"):
         mixture_rates(df, "source", {"web": 0.5, "ghost": 0.5}, "n_tokens")
+
+
+def test_mixture_rates_zero_share_sources(spark):
+    """r7 ADVICE: a zero-valued target share gets rate 0.0 and is
+    excluded from BOTH the zero-supply guard and the budget=None min
+    (it used to ZeroDivisionError); a zero-share source with no rows
+    at all is equally fine — it asks for nothing."""
+    from cassandra_iot_pipeline_spark.functions.sampling import (
+        mixture_rates,
+        weighted_mixture,
+    )
+
+    rows = (
+        [(i, "web", 100) for i in range(1_000)]
+        + [(i + 10_000, "code", 100) for i in range(500)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, source STRING, n_tokens BIGINT"
+    )
+    # zero share on a PRESENT source + zero share on an ABSENT source
+    shares = {"web": 0.8, "code": 0.2, "books": 0.0, "ghost": 0.0}
+    plan = mixture_rates(df, "source", shares, "n_tokens")  # budget=None
+    assert plan["rates"]["books"] == 0.0 and plan["rates"]["ghost"] == 0.0
+    assert plan["allocated"]["books"] == 0.0
+    assert "books" not in plan["available"]
+    assert plan["shortfall"] == {}
+    # budget set only by the positive shares: web binds (100k/0.8)
+    assert plan["budget"] == 125_000.0
+    assert plan["rates"]["web"] == 1.0
+    assert plan["rates"]["code"] == 25_000 / 50_000
+    # executing the plan keeps zero-share sources out
+    sampled = weighted_mixture(df, "source", plan["rates"], key="doc_id")
+    assert sampled.filter(F.col("source") == "books").count() == 0
+    # negative shares stay loud
+    with pytest.raises(ValueError, match=">= 0"):
+        mixture_rates(df, "source", {"web": 1.0, "code": -0.1}, "n_tokens")

@@ -860,6 +860,85 @@ def main() -> None:
         finally:
             _sh.rmtree(ss_dir, ignore_errors=True)
 
+    if "--substring-approx" in sys.argv:
+        # r8 (r7 verdict #7): the substring gram-store's 100 TB floor.
+        # Exact mode stores 8 B per corpus-lifetime DISTINCT gram
+        # (unbounded); approx mode stores a FIXED depth x width
+        # Count-Min sketch with a one-sided over-marking contract.
+        # Run the same 10x2k-doc replay through both and compare
+        # store bytes + cut-text agreement.
+        import os as _os
+        import shutil as _sh3
+
+        from cassandra_iot_pipeline_spark.streaming.substrings import (
+            SubstringDedupPipeline,
+        )
+
+        def _du(path):
+            total = 0
+            for root, _, files in _os.walk(path):
+                for f in files:
+                    total += _os.path.getsize(_os.path.join(root, f))
+            return total
+
+        boiler3 = (
+            " subscribe to our newsletter all rights reserved terms"
+            " of service privacy policy"
+        )
+        sa_dir = _tempfile.mkdtemp(prefix="scale_probe_subapprox_")
+        try:
+            pipes = {
+                "exact": SubstringDedupPipeline(
+                    f"{sa_dir}/exact", k=40, compact_every=4
+                ),
+                "approx": SubstringDedupPipeline(
+                    f"{sa_dir}/approx", k=40, compact_every=4,
+                    counts="approx", cm_width=1 << 21, cm_depth=4,
+                ),
+            }
+            sa_times: dict[str, list[float]] = {m: [] for m in pipes}
+            for e in range(10):
+                batch = (
+                    probe_documents(spark, 2_000, start=e * 2_000)
+                    .withColumn(
+                        "text",
+                        F.when(
+                            F.col("doc_id") % 10 == 0,
+                            F.concat(F.col("text"), F.lit(boiler3)),
+                        ).otherwise(F.col("text")),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                for m, pipe in pipes.items():
+                    t0 = time.perf_counter()
+                    pipe.write_batch(batch, epoch_id=e)
+                    sa_times[m].append(round(time.perf_counter() - t0, 2))
+            for m, pipe in pipes.items():
+                pipe.compact(spark)
+                results[f"subapprox_{m}_store_bytes"] = _du(pipe.grams_dir)
+                results[f"subapprox_{m}_epoch_secs"] = sa_times[m]  # type: ignore[assignment]
+            # agreement: docs whose cut text differs (over-marking only)
+            ex = pipes["exact"].curated(spark).select("doc_id", "text")
+            ap = (
+                pipes["approx"].curated(spark)
+                .select("doc_id", F.col("text").alias("text_a"))
+            )
+            both = ex.join(ap, "doc_id")
+            results["subapprox_docs"] = both.count()
+            results["subapprox_docs_differing"] = both.filter(
+                F.col("text") != F.col("text_a")
+            ).count()
+            print(
+                f"[probe] substring approx vs exact: store bytes "
+                f"{results['subapprox_approx_store_bytes']} vs "
+                f"{results['subapprox_exact_store_bytes']}, "
+                f"{results['subapprox_docs_differing']}/"
+                f"{results['subapprox_docs']} docs differ",
+                file=sys.stderr, flush=True,
+            )
+        finally:
+            _sh3.rmtree(sa_dir, ignore_errors=True)
+
     if "--scd2-stream" in sys.argv:
         # r8 (r7 verdict #1): the streaming SCD2 maintainer's
         # per-epoch cost must track the BATCH, not the accumulated
