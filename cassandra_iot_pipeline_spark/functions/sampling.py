@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: hash buckets for split/sample rate resolution: rates are quantized
@@ -255,3 +255,124 @@ def mixture_rates(
         "allocated": allocated,
         "shortfall": shortfall,
     }
+
+
+def score_thresholds(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(group..., n_rows, k_target, threshold): per group (one global
+    row when ``group_cols`` is empty), the score of the ceil(keep_frac
+    x n)-th highest row — the cut line :func:`top_fraction_by_score`
+    filters against (FineWeb-style "keep the top X% by quality").
+
+    Exactness: the quantile is DISCRETE (an actual score value, no
+    interpolation) and the rank ``k = ceil(n x keep_frac)`` is one
+    double multiply + ceil on both engines — the oracle reproduces
+    every step bitwise. NULL scores are excluded from both ``n`` and
+    the ranking (a row with no score is never "top anything").
+
+    100 TB shape (the value-collapse rule): scores collapse to one row
+    per DISTINCT (group, score) through a partial-aggregable groupBy
+    before any ordering — the running-count window then runs over
+    distinct scores (bounded by the score domain), not rows, so no
+    single task ever sorts a group's raw rows."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(
+            f"keep_frac must be in (0, 1], got {keep_frac}"
+        )
+    groups = list(group_cols)
+    pts = df.filter(F.col(score_col).isNotNull())
+    counts = pts.groupBy(*groups, score_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wg = Window.partitionBy(*groups)
+    wd = wg.orderBy(F.col(score_col).desc())
+    cum = counts.select(
+        *groups,
+        F.col(score_col),
+        F.sum("_c").over(wd).alias("_cum"),
+        F.sum("_c").over(wg).alias("n_rows"),
+    )
+    k = F.ceil(F.col("n_rows") * F.lit(float(keep_frac))).cast("long")
+    return (
+        cum.withColumn("k_target", k)
+        .filter(F.col("_cum") >= F.col("k_target"))
+        .groupBy(*groups)
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("k_target").alias("k_target"),
+            F.max(score_col).alias("threshold"),
+        )
+    )
+
+
+def top_fraction_by_score(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Keep each group's top ``keep_frac`` of rows by score — all rows
+    with score >= the :func:`score_thresholds` cut line. Boundary ties
+    are ALL kept (the kept count can exceed ceil(frac x n) when the
+    threshold value repeats): a deterministic, partition-invariant
+    policy — breaking ties by hash would silently drop equal-quality
+    documents on one run and keep them on the next. NULL scores are
+    never kept.
+
+    Plan: the threshold frame is one row per group, so the filter join
+    broadcasts — the corpus side never shuffles; the only exchange is
+    the value-collapse aggregation over distinct (group, score)."""
+    groups = list(group_cols)
+    thr = F.broadcast(
+        score_thresholds(df, score_col, keep_frac, groups).select(
+            *groups, F.col("threshold").alias("_thr")
+        )
+    )
+    if groups:
+        joined = df.join(thr, groups, "inner")
+    else:
+        joined = df.join(thr)
+    return joined.filter(F.col(score_col) >= F.col("_thr")).drop("_thr")
+
+
+def score_thresholds_oracle(
+    table: str,
+    score_col: str,
+    keep_frac: float,
+    group_cols: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of :func:`score_thresholds` — identical value
+    collapse, identical descending running count over distinct scores,
+    identical ceil(n x frac) rank arithmetic."""
+    groups = list(group_cols)
+    gsel = (", ".join(groups) + ", ") if groups else ""
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    part = ("PARTITION BY " + ", ".join(groups)) if groups else ""
+    return f"""
+        WITH counts AS (
+            SELECT {gsel}{score_col} AS s, COUNT(*) AS c
+            FROM {table}
+            WHERE {score_col} IS NOT NULL
+            GROUP BY {gsel.rstrip(", ") + (", " if gsel else "")}{score_col}
+        ),
+        cum AS (
+            SELECT {gsel}s,
+                   SUM(c) OVER ({part} ORDER BY s DESC) AS cum,
+                   SUM(c) OVER ({part}) AS n_rows
+            FROM counts
+        )
+        SELECT {gsel}
+               -- SUM() windows are HUGEINT in DuckDB; BIGINT keeps the
+               -- dtype class aligned with Spark's LONG
+               CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+               MAX(CAST(ceiling(n_rows * {float(keep_frac)}) AS BIGINT))
+                   AS k_target,
+               MAX(s) AS threshold
+        FROM cum
+        WHERE cum >= CAST(ceiling(n_rows * {float(keep_frac)}) AS BIGINT)
+        {gby}
+    """

@@ -285,3 +285,70 @@ def test_mixture_rates_zero_share_sources(spark):
     # negative shares stay loud
     with pytest.raises(ValueError, match=">= 0"):
         mixture_rates(df, "source", {"web": 1.0, "code": -0.1}, "n_tokens")
+
+
+def test_top_fraction_by_score(spark, duck):
+    """Percentile-threshold selection (FineWeb-style 'top X% by
+    quality'): the discrete threshold matches DuckDB bitwise at both
+    the global and per-group grain, boundary ties are all kept, NULL
+    scores never are, and the kept set is exactly score >= threshold."""
+    from cassandra_iot_pipeline_spark.functions.sampling import (
+        score_thresholds,
+        score_thresholds_oracle,
+        top_fraction_by_score,
+    )
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+    from tools.oracle_check import compare
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for groups in ((), ("lang",)):
+        spark_pdf = score_thresholds(
+            docs, "n_chars", 0.1, groups
+        ).toPandas()
+        oracle_pdf = duck.sql(
+            score_thresholds_oracle("documents", "n_chars", 0.1, groups)
+        ).df()
+        assert compare(spark_pdf, oracle_pdf) == [], groups
+
+    # hand case with boundary ties and a NULL
+    rows = [(i, float(s)) for i, s in enumerate([1, 2, 3, 3, 3, 4, 9, 9, 5, 6])]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, q DOUBLE")
+    thr = score_thresholds(df, "q", 0.3).collect()[0]
+    # n=10 scored rows, k=ceil(3)=3 -> 3rd highest is 6.0
+    assert (thr["n_rows"], thr["k_target"], thr["threshold"]) == (10, 3, 6.0)
+    kept = top_fraction_by_score(df, "q", 0.3)
+    assert sorted(r["q"] for r in kept.collect()) == [6.0, 9.0, 9.0]
+    # tie inflation: threshold landing ON the 3.0 run keeps all of it
+    thr2 = score_thresholds(df, "q", 0.7).collect()[0]
+    assert thr2["k_target"] == 7 and thr2["threshold"] == 3.0
+    assert top_fraction_by_score(df, "q", 0.7).count() == 8  # 3 ties kept
+    # frac=1.0 keeps every scored row, never the NULL
+    assert top_fraction_by_score(df, "q", 1.0).count() == 10
+    with pytest.raises(ValueError, match="keep_frac"):
+        top_fraction_by_score(df, "q", 0.0)
+
+
+def test_top_fraction_plan_shape(spark):
+    """Value-collapse rule: the threshold side aggregates distinct
+    (group, score) rows before its window (no task ever sorts raw
+    rows), and the corpus-side filter join is a broadcast — the
+    corpus never shuffles."""
+    from cassandra_iot_pipeline_spark.functions.sampling import (
+        top_fraction_by_score,
+    )
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = top_fraction_by_score(docs, "n_chars", 0.25, ("lang",))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    # the window sits above a HashAggregate (the value collapse), and
+    # the corpus scan feeds the join probe directly (no exchange on
+    # the probe side beyond the scan)
+    assert final.index("Window") > final.index("BroadcastHashJoin")

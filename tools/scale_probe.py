@@ -887,12 +887,21 @@ def main() -> None:
         )
         sa_dir = _tempfile.mkdtemp(prefix="scale_probe_subapprox_")
         try:
+            # min_count=50: the approx tier's sound regime is
+            # heavy-hitter thresholds (min_count >> gram mass/width —
+            # the sizing rule in streaming/substrings.py). The r8
+            # first probe ran min_count=2 and measured the documented
+            # failure mode: collision mass ~10 per bucket >= the
+            # threshold, so 18,000/20,000 docs over-marked (SCALE.md).
+            mc = 50
             pipes = {
                 "exact": SubstringDedupPipeline(
-                    f"{sa_dir}/exact", k=40, compact_every=4
+                    f"{sa_dir}/exact", k=40, min_count=mc,
+                    compact_every=4,
                 ),
                 "approx": SubstringDedupPipeline(
-                    f"{sa_dir}/approx", k=40, compact_every=4,
+                    f"{sa_dir}/approx", k=40, min_count=mc,
+                    compact_every=4,
                     counts="approx", cm_width=1 << 21, cm_depth=4,
                 ),
             }
