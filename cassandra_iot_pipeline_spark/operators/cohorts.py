@@ -55,15 +55,36 @@ def retention_matrix(
     member is active in its first period by definition), and the
     retained fraction (one IEEE division per matrix cell, mirrored by
     the oracle). Offset 0 rows carry retention 1.0 exactly."""
+    return retention_matrix_from_pts(
+        period_points(events, key, ts_col, period_seconds)
+    )
+
+
+def period_points(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = WEEK_SECONDS,
+) -> DataFrame:
+    """(k, pi): each event's key and integer period index — the
+    stateless projection both the batch matrix and the streaming
+    cohort store (streaming/cohorts.py) build on. Integer-exact floor
+    alignment AND integer division back to the index (``div``, not
+    ``/``: the double round-trip is only exact below 2^53 — r7
+    ADVICE; the oracle's ``//`` is integer-exact, so Spark must be
+    too)."""
     us = F.unix_micros(F.col(ts_col))
     p = int(period_seconds) * 1_000_000
-    # integer-exact floor alignment AND integer division back to the
-    # index (`div`, not `/`: the double round-trip is only exact below
-    # 2^53 — r7 ADVICE; the oracle's `//` is integer-exact, so Spark
-    # must be too)
-    pts = events.select(
+    return events.select(
         F.col(key).alias("k"), us.alias("_us")
     ).select("k", F.expr(f"(_us - pmod(_us, {p})) div {p}").alias("pi"))
+
+
+def retention_matrix_from_pts(pts: DataFrame) -> DataFrame:
+    """The matrix aggregation over (k, pi) period points — see
+    :func:`retention_matrix` for semantics and the plan contract.
+    Duplicate (k, pi) rows are fine (collect_set dedups), so callers
+    can feed raw per-event points or a pre-distincted store."""
     per_user = pts.groupBy("k").agg(
         F.min("pi").alias("cohort_idx"),
         F.collect_set("pi").alias("pis"),
