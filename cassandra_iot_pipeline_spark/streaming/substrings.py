@@ -106,9 +106,17 @@ class SubstringDedupPipeline:
         under-mark relative to the exact tier. Store modes are fixed
         for the store's lifetime. Default geometry is ~8.4M counters
         (~67 MB raw), fixed however many grams the corpus ever
-        produces; widen ``cm_width`` to shrink the over-mark rate
-        (error mass per bucket ~ total grams / width per depth row,
-        min over ``cm_depth`` rows)."""
+        produces.
+
+        SIZING RULE (measured, SCALE.md `--substring-approx`): the
+        estimate's overshoot is ~ total gram mass / cm_width per
+        depth row (min over ``cm_depth`` rows), so the tier is sound
+        only when ``min_count >> mass / cm_width`` — at a 21M-gram
+        probe corpus and width 2^21, min_count=50 over-marked 21 of
+        20,000 docs while min_count=2 over-marked 18,000 (the
+        collision mass alone crosses a tiny threshold). Use approx
+        for heavy-hitter boilerplate thresholds; keep exact for
+        min_count near 2."""
         if counts not in COUNT_MODES:
             raise ValueError(
                 f"counts must be one of {COUNT_MODES}, got {counts!r}"
