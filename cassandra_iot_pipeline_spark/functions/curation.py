@@ -54,6 +54,13 @@ class CurationConfig:
     max_tokens: int = 100_000
     min_alpha_ratio: float = 0.5
     min_quality: float = 0.0
+    # percentile quality gate (FineWeb-style "top X% by quality"):
+    # applied AFTER the absolute gates, over their survivors — keep
+    # the top fraction by quality_score via the exact discrete
+    # threshold (sampling.top_fraction_by_score; boundary ties all
+    # kept, so the survivor count can slightly exceed the target).
+    # None = absolute gates only.
+    quality_keep_frac: float | None = None
     allowed_langs: tuple[str, ...] | None = None  # None = keep all
     # Gopher-style repetition gates (None = gate off). A document whose
     # signal is NULL (blank/too short for the n-gram) passes the gate —
@@ -169,7 +176,17 @@ def curate_corpus(
     )
     if config.allowed_langs is not None:
         pred = pred & F.col("lang_guess").isin(*config.allowed_langs)
-    kept_ids = profile.filter(pred).select("doc_id", "lang_guess")
+    gated = profile.filter(pred)
+    if config.quality_keep_frac is not None:
+        # percentile cut over the absolute-gate survivors: the
+        # threshold side is a value-collapse aggregation + broadcast
+        # (one extra narrow pass over the profile, no corpus shuffle)
+        from .sampling import top_fraction_by_score
+
+        gated = top_fraction_by_score(
+            gated, "quality_score", config.quality_keep_frac
+        )
+    kept_ids = gated.select("doc_id", "lang_guess")
 
     rep_gates = (
         ("dup_line_frac", config.max_dup_line_frac),

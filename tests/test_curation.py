@@ -291,3 +291,44 @@ def test_substring_stage_cuts_boilerplate(spark):
     # operator's answer over the survivors
     spans = duplicated_spans(docs, k=40).groupBy("doc_id").count()
     assert {r["doc_id"] for r in spans.collect()} == {0, 1, 2, 3}
+
+
+def test_quality_percentile_gate(spark):
+    """quality_keep_frac composes after the absolute gates: the kept
+    set is exactly the absolute survivors with quality_score >= the
+    survivor distribution's discrete top-frac threshold (boundary
+    ties all kept), and tightening the fraction shrinks the corpus
+    monotonically."""
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.sampling import (
+        score_thresholds,
+    )
+    from cassandra_iot_pipeline_spark.functions.text import text_profile
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base_cfg = CurationConfig(min_tokens=3)
+    half_cfg = CurationConfig(min_tokens=3, quality_keep_frac=0.5)
+    base = curate_corpus(docs, base_cfg)
+    half = curate_corpus(docs, half_cfg)
+    n_base_kept = base.kept.count()
+    n_half_kept = half.kept.count()
+    assert 0 < n_half_kept < n_base_kept
+    # the cut line matches score_thresholds over the absolute survivors
+    profile = text_profile(docs)
+    survivors = profile.filter(
+        (F.col("n_tokens") >= 3)
+        & (F.col("n_tokens") <= base_cfg.max_tokens)
+        & (F.col("alpha_ratio") >= base_cfg.min_alpha_ratio)
+        & (F.col("quality_score") >= base_cfg.min_quality)
+    )
+    thr = score_thresholds(survivors, "quality_score", 0.5).collect()[0]
+    want_ids = {
+        r["doc_id"]
+        for r in survivors.filter(
+            F.col("quality_score") >= thr["threshold"]
+        ).collect()
+    }
+    got_ids = {r["doc_id"] for r in half.kept.collect()}
+    assert got_ids == want_ids
+    assert n_half_kept >= thr["k_target"]  # ties only ever inflate
