@@ -183,8 +183,13 @@ def curate_corpus(
         # (one extra narrow pass over the profile, no corpus shuffle)
         from .sampling import top_fraction_by_score
 
+        # quality_score is a continuous ratio — quantize the
+        # threshold to a 1e-6 grid so the cut-line window runs over a
+        # bounded domain (the sampling.py docstring's rule), keeping
+        # at least the target fraction (floor-grid is one-sided)
         gated = top_fraction_by_score(
-            gated, "quality_score", config.quality_keep_frac
+            gated, "quality_score", config.quality_keep_frac,
+            quantize_decimals=6,
         )
     kept_ids = gated.select("doc_id", "lang_guess")
 

@@ -262,6 +262,7 @@ def score_thresholds(
     score_col: str,
     keep_frac: float,
     group_cols: Sequence[str] = (),
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """(group..., n_rows, k_target, threshold): per group (one global
     row when ``group_cols`` is empty), the score of the ceil(keep_frac
@@ -277,14 +278,31 @@ def score_thresholds(
     100 TB shape (the value-collapse rule): scores collapse to one row
     per DISTINCT (group, score) through a partial-aggregable groupBy
     before any ordering — the running-count window then runs over
-    distinct scores (bounded by the score domain), not rows, so no
-    single task ever sorts a group's raw rows."""
+    distinct scores, not rows, so no single task ever sorts a group's
+    raw rows. That bound is only real when the score DOMAIN is
+    bounded (integer lengths, token counts): a continuous double
+    score has ~one distinct value per row and the window degenerates
+    to a single-task row sort. For those, set ``quantize_decimals``:
+    scores are floored to that grid FOR THE THRESHOLD ONLY
+    (``floor(s x 10^d) / 10^d`` — identical IEEE ops on both
+    engines), bounding the window at the grid's cardinality; the
+    floored threshold is <= the exact one, so the filter keeps AT
+    LEAST k rows — the same one-sided tie-inflation the exact path
+    already accepts, now up to one grid cell wide."""
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(
             f"keep_frac must be in (0, 1], got {keep_frac}"
         )
     groups = list(group_cols)
     pts = df.filter(F.col(score_col).isNotNull())
+    if quantize_decimals is not None:
+        grid = float(10**quantize_decimals)
+        pts = pts.select(
+            *groups,
+            (F.floor(F.col(score_col) * F.lit(grid)) / F.lit(grid)).alias(
+                score_col
+            ),
+        )
     counts = pts.groupBy(*groups, score_col).agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -314,6 +332,7 @@ def top_fraction_by_score(
     score_col: str,
     keep_frac: float,
     group_cols: Sequence[str] = (),
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """Keep each group's top ``keep_frac`` of rows by score — all rows
     with score >= the :func:`score_thresholds` cut line. Boundary ties
@@ -328,9 +347,9 @@ def top_fraction_by_score(
     the value-collapse aggregation over distinct (group, score)."""
     groups = list(group_cols)
     thr = F.broadcast(
-        score_thresholds(df, score_col, keep_frac, groups).select(
-            *groups, F.col("threshold").alias("_thr")
-        )
+        score_thresholds(
+            df, score_col, keep_frac, groups, quantize_decimals
+        ).select(*groups, F.col("threshold").alias("_thr"))
     )
     if groups:
         joined = df.join(thr, groups, "inner")
@@ -344,20 +363,27 @@ def score_thresholds_oracle(
     score_col: str,
     keep_frac: float,
     group_cols: Sequence[str] = (),
+    quantize_decimals: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`score_thresholds` — identical value
-    collapse, identical descending running count over distinct scores,
-    identical ceil(n x frac) rank arithmetic."""
+    collapse (incl. the optional floor-grid quantization), identical
+    descending running count over distinct scores, identical
+    ceil(n x frac) rank arithmetic."""
     groups = list(group_cols)
     gsel = (", ".join(groups) + ", ") if groups else ""
     gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
     part = ("PARTITION BY " + ", ".join(groups)) if groups else ""
+    if quantize_decimals is None:
+        s_expr = score_col
+    else:
+        grid = float(10**quantize_decimals)
+        s_expr = f"floor({score_col} * {grid}) / {grid}"
     return f"""
         WITH counts AS (
-            SELECT {gsel}{score_col} AS s, COUNT(*) AS c
+            SELECT {gsel}{s_expr} AS s, COUNT(*) AS c
             FROM {table}
             WHERE {score_col} IS NOT NULL
-            GROUP BY {gsel.rstrip(", ") + (", " if gsel else "")}{score_col}
+            GROUP BY {gsel}{s_expr}
         ),
         cum AS (
             SELECT {gsel}s,

@@ -322,7 +322,9 @@ def test_quality_percentile_gate(spark):
         & (F.col("alpha_ratio") >= base_cfg.min_alpha_ratio)
         & (F.col("quality_score") >= base_cfg.min_quality)
     )
-    thr = score_thresholds(survivors, "quality_score", 0.5).collect()[0]
+    thr = score_thresholds(
+        survivors, "quality_score", 0.5, quantize_decimals=6
+    ).collect()[0]
     want_ids = {
         r["doc_id"]
         for r in survivors.filter(

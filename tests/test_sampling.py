@@ -352,3 +352,34 @@ def test_top_fraction_plan_shape(spark):
     # the corpus scan feeds the join probe directly (no exchange on
     # the probe side beyond the scan)
     assert final.index("Window") > final.index("BroadcastHashJoin")
+
+
+def test_score_thresholds_quantized_grid(spark, duck):
+    """Continuous-score mode: quantize_decimals floors scores onto a
+    bounded grid for the threshold (oracle parity), and the resulting
+    cut keeps AT LEAST the exact mode's target (one-sided, at most a
+    grid cell wider)."""
+    from cassandra_iot_pipeline_spark.functions.sampling import (
+        score_thresholds,
+        score_thresholds_oracle,
+        top_fraction_by_score,
+    )
+    from tools.oracle_check import compare
+
+    rows = [(i, 1.0 / (i + 3)) for i in range(500)]  # continuous scores
+    df = spark.createDataFrame(rows, "doc_id BIGINT, q DOUBLE")
+    df.toPandas().pipe(lambda pdf: duck.register("_q_cont", pdf))
+    for d in (2, 6):
+        spark_pdf = score_thresholds(
+            df, "q", 0.1, quantize_decimals=d
+        ).toPandas()
+        oracle_pdf = duck.sql(
+            score_thresholds_oracle("_q_cont", "q", 0.1, quantize_decimals=d)
+        ).df()
+        assert compare(spark_pdf, oracle_pdf) == [], d
+    exact_kept = top_fraction_by_score(df, "q", 0.1).count()
+    for d in (6, 2):
+        q_kept = top_fraction_by_score(df, "q", 0.1, quantize_decimals=d)
+        assert q_kept.count() >= exact_kept  # never under-keeps
+    # coarse grid inflates, fine grid converges to exact here
+    assert top_fraction_by_score(df, "q", 0.1, quantize_decimals=6).count() == exact_kept
