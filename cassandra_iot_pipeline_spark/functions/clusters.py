@@ -212,3 +212,58 @@ def resolve_duplicates(
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
         .withColumn("n_duplicates", F.coalesce("n_duplicates", F.lit(0)))
     )
+
+
+def resolve_duplicates_by_priority(
+    documents: DataFrame,
+    pairs: DataFrame,
+    priority_col: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """:func:`resolve_duplicates` with a caller-chosen survivor: per
+    duplicate cluster, keep the member with the HIGHEST
+    ``priority_col`` (quality score, token count, recency...) instead
+    of the lowest doc_id — "of these near-identical documents, train
+    on the best one". Ties (and NULL priorities, ranked last) break by
+    min doc_id, so the choice stays deterministic and
+    partition-invariant; with a constant priority the output is
+    row-identical to :func:`resolve_duplicates` (pinned in tests).
+
+    Output schema and audit columns match :func:`resolve_duplicates`
+    (``cluster_id`` stays the component's min-doc_id LABEL even when a
+    higher-id member survives — the cluster's identity is not a
+    function of the survivor policy).
+
+    Plan: the ranking window runs over the component labeling only
+    (paired docs — pair-proportional, never the corpus), joined to a
+    two-column pruned projection of the corpus for the priorities; the
+    corpus-wide joins are the same label-sized probes as the base
+    operator."""
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, src=src, dst=dst)
+    pri = documents.select(
+        "doc_id", F.col(priority_col).alias("_pri")
+    )
+    ranked = cc.join(pri, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_pri").desc_nulls_last(), F.col("doc_id")
+    )
+    wsz = Window.partitionBy("cluster_id")
+    marked = ranked.select(
+        "doc_id",
+        "cluster_id",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(wsz).alias("_sz"),
+    )
+    keepers = marked.filter(F.col("_rk") == 1).select(
+        "doc_id", "cluster_id", (F.col("_sz") - 1).alias("n_duplicates")
+    )
+    dropped = marked.filter(F.col("_rk") != 1).select("doc_id")
+    return (
+        documents.join(dropped, "doc_id", "left_anti")
+        .join(keepers, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+        .withColumn("n_duplicates", F.coalesce("n_duplicates", F.lit(0)))
+    )

@@ -147,3 +147,43 @@ def test_routed_components_empty_pairs(spark):
     out = connected_components_routed(df)
     assert out.count() == 0
     assert out.columns == ["doc_id", "cluster_id"]
+
+
+def test_resolve_by_priority(spark):
+    """Survivor = max priority per cluster (NULLs last, ties by min
+    doc_id); singletons untouched; audit columns identical in shape to
+    the base operator; constant priority degenerates to the base
+    operator row for row."""
+    from cassandra_iot_pipeline_spark.functions.clusters import (
+        resolve_duplicates,
+        resolve_duplicates_by_priority,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 0.2), (2, "a2", 0.9), (3, "a3", 0.9),  # cluster {1,2,3}
+            (4, "b", None), (5, "b2", 0.1),                  # cluster {4,5}
+            (6, "solo", 0.5),
+        ],
+        "doc_id BIGINT, text STRING, q DOUBLE",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["n_duplicates"])
+        for r in resolve_duplicates_by_priority(
+            docs, pairs, "q"
+        ).collect()
+    }
+    # cluster {1,2,3}: 0.9 tie -> min doc_id 2 survives; label stays 1
+    # cluster {4,5}: NULL ranks last -> 5 survives; label stays 4
+    assert got == {2: (1, 2), 5: (4, 1), 6: (6, 0)}
+    # constant priority == the base min-doc_id operator, bit for bit
+    const = resolve_duplicates_by_priority(
+        docs.withColumn("q", F.lit(1.0)), pairs, "q"
+    ).drop("q")
+    base = resolve_duplicates(docs, pairs).drop("q")
+    assert sorted(tuple(r) for r in const.collect()) == sorted(
+        tuple(r) for r in base.collect()
+    )
