@@ -306,13 +306,33 @@ def score_thresholds(
     counts = pts.groupBy(*groups, score_col).agg(
         F.count(F.lit(1)).alias("_c")
     )
+    return thresholds_from_counts(counts, score_col, keep_frac, groups)
+
+
+def thresholds_from_counts(
+    counts: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    group_cols: Sequence[str] = (),
+    count_col: str = "_c",
+) -> DataFrame:
+    """The cut-line computation over an already-collapsed
+    (group..., score, count) frame — the stage :func:`score_thresholds`
+    delegates to, exposed for callers that MAINTAIN the distribution
+    (the streaming score store, streaming/quality.py: per-score counts
+    are sum-mergeable across batches, so the whole corpus-lifetime
+    distribution folds into one bounded frame and thresholds come from
+    it without revisiting any document)."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    groups = list(group_cols)
     wg = Window.partitionBy(*groups)
     wd = wg.orderBy(F.col(score_col).desc())
     cum = counts.select(
         *groups,
         F.col(score_col),
-        F.sum("_c").over(wd).alias("_cum"),
-        F.sum("_c").over(wg).alias("n_rows"),
+        F.sum(count_col).over(wd).alias("_cum"),
+        F.sum(count_col).over(wg).alias("n_rows"),
     )
     k = F.ceil(F.col("n_rows") * F.lit(float(keep_frac))).cast("long")
     return (
