@@ -69,6 +69,11 @@ class CurationConfig:
     max_top_2gram_frac: float | None = None
     max_dup_5gram_frac: float | None = None
     minhash_threshold: float = 0.8
+    # duplicate-cluster survivor policy: False = min doc_id (the base
+    # deterministic choice); True = the cluster member with the
+    # highest profile quality_score ("train on the best copy"),
+    # NULLs last, ties by min doc_id
+    survivor_by_quality: bool = False
     # substring-level dedup (Lee et al.) over the dedup SURVIVORS —
     # document-level dedup removes whole near-copies first, then this
     # stage cuts the boilerplate RUNS that survive it (license
@@ -249,7 +254,21 @@ def curate_corpus(
         banded_rows(shingled_docs(redacted_docs))
     )
 
-    resolved = resolve_duplicates(redacted_docs, dup_pairs)
+    if config.survivor_by_quality:
+        # per-cluster survivor = highest quality_score (NULLs last,
+        # ties min doc_id) instead of min doc_id: one extra doc-keyed
+        # join to carry the profile's score; the ranking itself runs
+        # over the pair-proportional component labeling only
+        from .clusters import resolve_duplicates_by_priority
+
+        scored = redacted_docs.join(
+            profile.select("doc_id", "quality_score"), "doc_id"
+        )
+        resolved = resolve_duplicates_by_priority(
+            scored, dup_pairs, "quality_score"
+        ).drop("quality_score")
+    else:
+        resolved = resolve_duplicates(redacted_docs, dup_pairs)
 
     # optional substring-level pass (Lee et al.) over the dedup
     # survivors: duplicated length-k runs are computed ONCE from one

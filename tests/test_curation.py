@@ -334,3 +334,45 @@ def test_quality_percentile_gate(spark):
     got_ids = {r["doc_id"] for r in half.kept.collect()}
     assert got_ids == want_ids
     assert n_half_kept >= thr["k_target"]  # ties only ever inflate
+
+
+def test_survivor_by_quality(spark, corpus):
+    """With survivor_by_quality the exact-dup cluster keeps its
+    highest-quality member instead of min doc_id; the schema and every
+    other row are unchanged. The injected exact duplicate shares its
+    base's text (equal quality -> tie -> min doc_id = the base), so
+    plant a dedicated cluster whose higher-id member is strictly
+    better quality."""
+    docs, base_id = corpus
+    good = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while reading a long and unusually informative article"
+    )
+    junky = good + " !!!! ####"  # short tail: J ~ 0.9, well inside LSH recall
+    planted = spark.createDataFrame(
+        [
+            (20_001, junky, "en", "inject2", 0),
+            (20_002, good, "en", "inject2", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # make them near-dups: same words plus junk tail -> high jaccard
+    both = docs.unionByName(planted)
+    cfg_min = CurationConfig(
+        min_tokens=5, min_alpha_ratio=0.3, minhash_threshold=0.8
+    )
+    cfg_q = CurationConfig(
+        min_tokens=5, min_alpha_ratio=0.3, minhash_threshold=0.8,
+        survivor_by_quality=True,
+    )
+    base = curate_corpus(both, cfg_min)
+    byq = curate_corpus(both, cfg_q)
+    base_ids = {r["doc_id"] for r in base.curated.collect()}
+    byq_ids = {r["doc_id"] for r in byq.curated.collect()}
+    # the planted pair clustered in both runs
+    assert (20_001 in base_ids) != (20_002 in base_ids)
+    assert (20_001 in byq_ids) != (20_002 in byq_ids)
+    # min-id policy keeps 20_001; quality policy keeps the clean text
+    assert 20_001 in base_ids
+    assert 20_002 in byq_ids
+    assert set(base.curated.columns) == set(byq.curated.columns)
