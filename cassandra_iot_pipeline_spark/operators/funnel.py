@@ -1,0 +1,232 @@
+"""Ordered multi-step funnel analysis — how many users complete each
+step of an ordered sequence (view -> click -> purchase), each step
+strictly after the previous one, optionally within a horizon of the
+first step.
+
+Reference tie-in: the reference's serving reads answer per-device
+"latest events" and "hourly aggregates" (init.cql:19-54); the product
+question layered on the same stream — do users progress through an
+ordered sequence of event types, and where do they drop off? — is the
+funnel.  The conversion-pair operators (operators/rangejoin.py,
+streaming/joins.py) answer the 2-step form; this is the k-step
+generalization with greedy-earliest semantics.
+
+Semantics (greedy-earliest chain, the standard funnel contract):
+``t_0 = min ts of a step-0 event``; ``t_i = min ts of a step-i event
+with ts > t_{i-1}`` (strictly after — same-microsecond events do NOT
+chain), and, when ``horizon_seconds`` is set, ``ts <= t_0 + horizon``.
+Every timestamp is integer MICROSECONDS (``unix_micros``) so the
+comparisons are exact and engine-independent.
+
+Plan shape (pure Catalyst, no UDFs): filter to the step types (pushed
+to the scan as an IN filter), ONE user-keyed exchange into
+``collect_list(struct(us, s))``, ``sort_array`` + an ``aggregate``
+higher-order-function fold that fills a k-slot timestamp array —
+O(n_events_per_user * k) inside whole-stage codegen, no per-row
+Python.  Everything after the fold is user-bounded (k rows per user),
+then step-bounded (k rows total): posexplode -> groupBy(step) ->
+broadcast join onto the k-row step frame -> two windows over k rows
+for the conversion rates.  Counts and time-deltas accumulate as exact
+BIGINTs; each output rate is ONE IEEE division, mirrored by the
+oracle (the repo's exactmath discipline).
+
+100 TB: the only data-wide work is the one exchange of step-typed
+events by user; the fold state is k BIGINTs per user.  A user's
+collected array is bounded by their own step-event count — cap
+pathological users upstream with a time filter if the corpus has
+devices that emit millions of funnel-typed events (the same caveat as
+any per-user sessionization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fold_expr(k: int, horizon_us: int | None) -> str:
+    """SQL for the greedy slot-filling fold over the sorted event
+    array.  ``acc`` is a k-slot BIGINT array (1-based via element_at);
+    slot i fills with the first event of step i whose timestamp is
+    strictly after slot i-1 (and inside the horizon from slot 0)."""
+    horizon = (
+        ""
+        if horizon_us is None
+        else f" AND (e.s = 0 OR e.us <= element_at(acc, 1) + {horizon_us})"
+    )
+    return f"""
+        aggregate(
+            evs,
+            array_repeat(CAST(NULL AS BIGINT), {k}),
+            (acc, e) -> transform(acc, (v, i) ->
+                CASE WHEN i = e.s AND v IS NULL
+                          AND (e.s = 0 OR element_at(acc, e.s) IS NOT NULL)
+                          AND (e.s = 0 OR e.us > element_at(acc, e.s))
+                          {horizon}
+                     THEN e.us ELSE v END)
+        )
+    """
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_seconds: int | None = None,
+) -> DataFrame:
+    """(step_idx, step, n_users, conversion, step_rate,
+    avg_micros_from_first): per funnel step, how many distinct keys
+    reach it under the greedy-earliest chain, the fraction of step-0
+    completers who reach it (``conversion``), the fraction of the
+    PREVIOUS step's completers who reach it (``step_rate``), and the
+    mean microseconds from each user's step-0 time (exact BIGINT sum,
+    one division).  All k steps appear even when nobody reaches them
+    (n_users = 0, rates NULL)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    k = len(steps)
+    horizon_us = None if horizon_seconds is None else horizon_seconds * 1_000_000
+
+    s = F.lit(None).cast("int")
+    for i in reversed(range(k)):
+        s = F.when(F.col(type_col) == steps[i], F.lit(i)).otherwise(s)
+
+    per_user = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(key).alias("k"),
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("us"), s.alias("s")
+            ).alias("ev"),
+        )
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("ev")).alias("evs"))
+        .select(F.expr(_fold_expr(k, horizon_us)).alias("hits"))
+    )
+
+    # hits[0] is the user's step-0 time whenever ANY slot is filled
+    # (slot 0 gates the chain), so the per-user delta comes straight
+    # from the array — no second per-user pass.
+    reached = (
+        per_user.select(
+            F.element_at("hits", 1).alias("t0"),
+            F.posexplode("hits").alias("step_idx", "us"),
+        )
+        .filter(F.col("us").isNotNull())
+        .groupBy("step_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("us") - F.col("t0")).alias("sum_delta"),
+        )
+    )
+
+    spark = events.sparkSession
+    step_frame = spark.createDataFrame(
+        [(i, name) for i, name in enumerate(steps)],
+        "step_idx INT, step STRING",
+    )
+    joined = (
+        step_frame.join(F.broadcast(reached), "step_idx", "left")
+        .select(
+            "step_idx",
+            "step",
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+            "sum_delta",
+        )
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("step_idx")
+    n0 = F.max(F.when(F.col("step_idx") == 0, F.col("n_users"))).over(w_all)
+    n_prev = F.lag("n_users").over(w_ord)
+    return joined.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(
+            n0 > 0, F.col("n_users").cast("double") / n0
+        ).alias("conversion"),
+        F.when(
+            n_prev > 0, F.col("n_users").cast("double") / n_prev
+        ).alias("step_rate"),
+        F.when(
+            F.col("n_users") > 0,
+            F.col("sum_delta").cast("double") / F.col("n_users"),
+        ).alias("avg_micros_from_first"),
+    )
+
+
+def funnel_oracle(
+    steps: list[str],
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_seconds: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`funnel`: the greedy chain as a CTE ladder
+    (``t_i = min us of a step-i event strictly after t_{i-1}``), which
+    is provably the same assignment the fold computes — the fold
+    processes events in ascending-time order, so slot i-1 is already
+    filled when the earliest qualifying step-i event is reached."""
+    k = len(steps)
+    horizon_us = None if horizon_seconds is None else horizon_seconds * 1_000_000
+    ctes = [
+        f"""t0 AS (
+            SELECT {key} AS k, MIN(epoch_us({ts_col})) AS t,
+                   MIN(epoch_us({ts_col})) AS first_t
+            FROM {table} WHERE {type_col} = '{steps[0]}' GROUP BY 1
+        )"""
+    ]
+    for i in range(1, k):
+        horizon = (
+            ""
+            if horizon_us is None
+            else f" AND epoch_us(e.{ts_col}) <= p.first_t + {horizon_us}"
+        )
+        ctes.append(
+            f"""t{i} AS (
+                SELECT e.{key} AS k, MIN(epoch_us(e.{ts_col})) AS t,
+                       p.first_t AS first_t
+                FROM {table} e JOIN t{i - 1} p ON e.{key} = p.k
+                WHERE e.{type_col} = '{steps[i]}'
+                  AND epoch_us(e.{ts_col}) > p.t{horizon}
+                GROUP BY 1, 3
+            )"""
+        )
+    step_values = ", ".join(
+        f"({i}, '{name}')" for i, name in enumerate(steps)
+    )
+    count_selects = "\n UNION ALL ".join(
+        f"SELECT {i} AS step_idx, COUNT(*) AS n_users,"
+        f" SUM(t - first_t) AS sum_delta FROM t{i}"
+        for i in range(k)
+    )
+    return f"""
+        WITH {",".join(ctes)},
+        counts AS ({count_selects}),
+        steps(step_idx, step) AS (VALUES {step_values}),
+        joined AS (
+            SELECT s.step_idx, s.step,
+                   COALESCE(c.n_users, 0) AS n_users, c.sum_delta
+            FROM steps s LEFT JOIN counts c USING (step_idx)
+        )
+        SELECT step_idx, step, n_users,
+               CASE WHEN MAX(CASE WHEN step_idx = 0 THEN n_users END)
+                         OVER () > 0
+                    THEN CAST(n_users AS DOUBLE)
+                         / MAX(CASE WHEN step_idx = 0 THEN n_users END)
+                           OVER ()
+               END AS conversion,
+               CASE WHEN LAG(n_users) OVER (ORDER BY step_idx) > 0
+                    THEN CAST(n_users AS DOUBLE)
+                         / LAG(n_users) OVER (ORDER BY step_idx)
+               END AS step_rate,
+               CASE WHEN n_users > 0
+                    THEN CAST(sum_delta AS DOUBLE) / n_users
+               END AS avg_micros_from_first
+        FROM joined
+    """
