@@ -1,0 +1,231 @@
+"""BM25 full-text retrieval — inverted-index construction and top-k
+scoring over the documents table (Robertson/Spärck Jones BM25 with
+the Lucene ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf; all formulas
+public).
+
+Why it belongs in an LLM-data engine: retrieval IS a curation
+operator — benchmark decontamination ("find training docs matching an
+eval question"), targeted quality audits ("pull everything about X"),
+and retrieval-based dedup all reduce to scoring documents against a
+small query at corpus scale.
+
+Plan shape: the inverted index is one explode + groupBy(term, doc) —
+the classic shuffle-once posting build; scoring a query touches ONLY
+the query's own postings (``term IN (...)`` prunes before the
+exchange — at scale, persist :func:`postings` partitioned by term and
+the scan prunes to q partitions). Per-doc score accumulation is a
+``sort_array`` + ``aggregate`` fold — a DETERMINISTIC left-to-right
+IEEE sum in term order, mirrored by the oracle's ``SUM(s ORDER BY
+term)`` (DuckDB's ordered aggregate folds sequentially; verified
+bitwise in tests). Top-k compiles to TakeOrderedAndProject with a
+(score DESC, doc_id) total order.
+
+Exactness contract: tf/df/dl/N are exact BIGINTs; avgdl and every
+score factor is IEEE double with an op order written identically in
+both engines. The ONE transcendental — the idf's ``ln`` — is computed
+driver-side with ``math.log`` over the query's q document frequencies
+(a q-row bounded collect, the repo's documented bounded-collect
+class) and injected as literals: CPython's libm ``log`` is bitwise
+equal to DuckDB's ``ln`` (pinned by a 5,000-value test), while the
+JVM's ``Math.log`` drifts by 1 ulp on ~some inputs — so Spark never
+computes the log.
+
+100 TB: build-once postings (one shuffle over exploded tokens, ~one
+row per distinct (term, doc)); per-query work is proportional to the
+query terms' posting lists, not the corpus. Queries with a stopword
+term degrade to that term's full list — cap with a df ceiling
+(max_df_frac) exactly like every practical engine.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.functions.text import (
+    TOKEN_SPLIT_RE,
+    _oracle_tokens,
+    tokens,
+)
+
+
+def tokenize_query(query: str) -> list[str]:
+    """The same lower/split-non-alnum tokenizer the corpus side uses
+    (text.tokens), applied driver-side to the query string; distinct
+    terms, sorted for determinism."""
+    return sorted({t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t})
+
+
+def postings(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, tf, dl): the inverted index with per-document
+    term frequency and document length (in tokens). One explode + one
+    groupBy(term, doc) shuffle; persist partitioned by term for
+    per-query partition pruning at scale."""
+    tk = tokens(F.col(text_col))
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tk).alias("dl"),
+            F.explode(tk).alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def postings_oracle(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    toks = _oracle_tokens(text_col)
+    return f"""
+        SELECT term, doc_id, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+        FROM (
+            SELECT {id_col} AS doc_id, len(tk) AS dl, t.term AS term
+            FROM (SELECT {id_col}, {toks} AS tk FROM {table}),
+                 unnest(tk) AS t(term)
+        )
+        GROUP BY term, doc_id
+    """
+
+
+def corpus_stats(
+    documents: DataFrame, text_col: str = "text"
+) -> tuple[int, int]:
+    """(n_docs, total_tokens) — exact BIGINTs, one aggregation."""
+    row = documents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("total"),
+    ).collect()[0]
+    return int(row["n"]), int(row["total"])
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score): the k highest-BM25 documents for ``query``,
+    deterministic total order (score DESC, doc_id ASC). Builds the
+    postings inline; at scale persist :func:`postings` once and score
+    many queries against it."""
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError(f"query tokenizes to nothing: {query!r}")
+    n_docs, total = corpus_stats(documents, text_col)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = total / n_docs  # one exact-int division, both engines
+
+    p = postings(documents, id_col, text_col).filter(
+        F.col("term").isin(terms)
+    )
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in p.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()  # q rows — bounded by the query's term count
+    }
+    idf_items: list[F.Column] = []
+    for t in terms:
+        df_t = dfs.get(t, 0)
+        if df_t == 0:
+            continue  # term absent from the corpus contributes nothing
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        idf_items.extend([F.lit(t), F.lit(idf)])
+    if not idf_items:
+        # no query term occurs anywhere: empty result, stable schema
+        return (
+            documents.sparkSession.createDataFrame(
+                [], f"{id_col} BIGINT, score DOUBLE"
+            )
+        )
+    idf_map = F.create_map(*idf_items)
+
+    # per-(doc, term) partial score; op order mirrored in the oracle
+    w = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    s = F.element_at(idf_map, F.col("term")).alias("s")
+    scored = (
+        p.select("doc_id", "term", (s * w).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "s"))).alias("ts"))
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.expr(
+                "aggregate(ts, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.s)"
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def bm25_oracle(
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk`: identical tokenizer, idf via
+    DuckDB ``ln`` (bitwise equal to the driver-side ``math.log``),
+    identical factor order, ordered SUM for the same left-to-right
+    fold, same (score DESC, id) top-k."""
+    terms = tokenize_query(query)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    toks = _oracle_tokens(text_col)
+    # DuckDB types bare decimal literals as DECIMAL, not DOUBLE — the
+    # exact-decimal arithmetic then rounds differently from IEEE.
+    # Every constant is therefore cast explicitly.
+    d = lambda x: f"CAST({x!r} AS DOUBLE)"  # noqa: E731
+    k1p1, k1d, bd = d(k1 + 1.0), d(k1), d(b)
+    one, half = d(1.0), d(0.5)
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS doc_id, {toks} AS tk FROM {table}
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM toks
+        ),
+        p AS (
+            SELECT term, doc_id, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+            FROM (
+                SELECT doc_id, len(tk) AS dl, t.term AS term
+                FROM toks, unnest(tk) AS t(term)
+                WHERE t.term IN ({in_list})
+            )
+            GROUP BY term, doc_id
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+        scored AS (
+            SELECT doc_id,
+                   SUM(
+                       ln({one} + ((SELECT n FROM stats) - df + {half})
+                                / (df + {half}))
+                       * ((tf * {k1p1})
+                          / (tf + {k1d} * ({one} - {bd}
+                             + {bd} * dl / (SELECT avgdl FROM stats))))
+                       ORDER BY term
+                   ) AS score
+            FROM p JOIN dfreq USING (term)
+            GROUP BY doc_id
+        )
+        SELECT doc_id AS {id_col}, score
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT {k}
+    """
