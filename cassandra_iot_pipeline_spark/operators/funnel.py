@@ -68,6 +68,35 @@ def _fold_expr(k: int, horizon_us: int | None) -> str:
     """
 
 
+def _validate_steps(steps: list[str]) -> None:
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+
+
+def step_points(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(k, us, s): the stateless step-event projection both the batch
+    funnel and the streaming maintainer (streaming/funnel.py) build
+    on — key, integer-microsecond timestamp, 0-based step index. Only
+    funnel-typed events survive (the IN filter pushes to the scan)."""
+    _validate_steps(steps)
+    s = F.lit(None).cast("int")
+    for i in reversed(range(len(steps))):
+        s = F.when(F.col(type_col) == steps[i], F.lit(i)).otherwise(s)
+    return events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(key).alias("k"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        s.alias("s"),
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: list[str],
@@ -84,24 +113,30 @@ def funnel(
     mean microseconds from each user's step-0 time (exact BIGINT sum,
     one division).  All k steps appear even when nobody reaches them
     (n_users = 0, rates NULL)."""
-    if len(steps) < 2:
-        raise ValueError("a funnel needs at least 2 steps")
-    if len(set(steps)) != len(steps):
-        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    return funnel_from_points(
+        step_points(events, steps, key, ts_col, type_col),
+        steps,
+        horizon_seconds,
+    )
+
+
+def funnel_from_points(
+    pts: DataFrame,
+    steps: list[str],
+    horizon_seconds: int | None = None,
+) -> DataFrame:
+    """The funnel aggregation over (k, us, s) step points — see
+    :func:`funnel`.  Duplicate points are fine (the greedy fold fills
+    each slot once; a duplicate of a filled slot's event can never
+    beat the strict ``>``), so callers can feed raw projections or a
+    pre-distincted store."""
+    _validate_steps(steps)
     k = len(steps)
     horizon_us = None if horizon_seconds is None else horizon_seconds * 1_000_000
 
-    s = F.lit(None).cast("int")
-    for i in reversed(range(k)):
-        s = F.when(F.col(type_col) == steps[i], F.lit(i)).otherwise(s)
-
     per_user = (
-        events.filter(F.col(type_col).isin(list(steps)))
-        .select(
-            F.col(key).alias("k"),
-            F.struct(
-                F.unix_micros(F.col(ts_col)).alias("us"), s.alias("s")
-            ).alias("ev"),
+        pts.select(
+            "k", F.struct(F.col("us"), F.col("s")).alias("ev")
         )
         .groupBy("k")
         .agg(F.sort_array(F.collect_list("ev")).alias("evs"))
@@ -124,7 +159,7 @@ def funnel(
         )
     )
 
-    spark = events.sparkSession
+    spark = pts.sparkSession
     step_frame = spark.createDataFrame(
         [(i, name) for i, name in enumerate(steps)],
         "step_idx INT, step STRING",
