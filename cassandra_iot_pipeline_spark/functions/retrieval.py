@@ -170,6 +170,220 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def bm25_batch(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): top-k BM25 docs for EVERY
+    query in ``queries`` in one distributed pass — the shape
+    decontamination needs (thousands of eval questions against the
+    whole corpus), where per-query :func:`bm25_topk` calls would mean
+    per-query jobs.
+
+    Plan: query terms explode Spark-side with the corpus tokenizer
+    and BROADCAST-join onto the postings (the posting side never
+    reshuffles for routing); idf is computed driver-side over the
+    query VOCABULARY's document frequencies — a collect bounded by
+    the query set's distinct terms, not the corpus — and joins back
+    as a broadcast frame (a map literal would blow up the expression
+    tree at eval-benchmark vocabulary sizes). Scores fold in sorted
+    term order per (query, doc); ranking is one window per query's
+    candidate set."""
+    n_docs, total = corpus_stats(documents, text_col)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = total / n_docs
+    spark = documents.sparkSession
+
+    q_terms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    p = postings(documents, id_col, text_col)
+    # corpus df per term, restricted to the query vocabulary
+    vocab = q_terms.select("term").distinct()
+    dfs = (
+        p.join(F.broadcast(vocab), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()  # bounded by the query set's distinct terms
+    )
+    idf_rows = [
+        (r["term"], math.log(1.0 + (n_docs - int(r["df"]) + 0.5)
+                             / (int(r["df"]) + 0.5)))
+        for r in dfs
+    ]
+    if not idf_rows:
+        return spark.createDataFrame(
+            [], f"query_id BIGINT, {id_col} BIGINT, score DOUBLE,"
+                f" rank INT"
+        )
+    idf_frame = spark.createDataFrame(idf_rows, "term STRING, idf DOUBLE")
+
+    w = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    cand = (
+        p.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(idf_frame), "term")
+        .select(
+            "query_id", "doc_id", "term", (F.col("idf") * w).alias("s")
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        cand.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "s"))).alias("ts"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias(id_col),
+            F.expr(
+                "aggregate(ts, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.s)"
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_batch_oracle(
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    queries_table: str = "queries",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> str:
+    """DuckDB twin of :func:`bm25_batch` (``queries_table`` must be
+    registered as a view over the same query frame)."""
+    toks = _oracle_tokens(text_col)
+    qtoks = _oracle_tokens(query_text_col)
+    d = lambda x: f"CAST({x!r} AS DOUBLE)"  # noqa: E731
+    k1p1, k1d, bd = d(k1 + 1.0), d(k1), d(b)
+    one, half = d(1.0), d(0.5)
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS doc_id, {toks} AS tk FROM {table}
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM toks
+        ),
+        qt AS (
+            SELECT DISTINCT {query_id_col} AS query_id, t.term AS term
+            FROM (SELECT {query_id_col}, {qtoks} AS tk
+                  FROM {queries_table}),
+                 unnest(tk) AS t(term)
+        ),
+        p AS (
+            SELECT term, doc_id, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+            FROM (
+                SELECT doc_id, len(tk) AS dl, t.term AS term
+                FROM toks, unnest(tk) AS t(term)
+                WHERE t.term IN (SELECT term FROM qt)
+            )
+            GROUP BY term, doc_id
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+        scored AS (
+            SELECT qt.query_id, p.doc_id,
+                   SUM(
+                       ln({one} + ((SELECT n FROM stats) - df + {half})
+                                / (df + {half}))
+                       * ((tf * {k1p1})
+                          / (tf + {k1d} * ({one} - {bd}
+                             + {bd} * dl / (SELECT avgdl FROM stats))))
+                       ORDER BY p.term
+                   ) AS score
+            FROM p
+            JOIN qt ON p.term = qt.term
+            JOIN dfreq ON p.term = dfreq.term
+            GROUP BY qt.query_id, p.doc_id
+        )
+        SELECT query_id, doc_id AS {id_col}, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id
+               ) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+def retrieval_decontaminate(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    min_score: float = 0.0,
+    **kwargs,
+) -> DataFrame:
+    """(doc_id, best_query_id, best_score): training documents a
+    benchmark query retrieves at rank <= k with score >= min_score —
+    the retrieval-based complement of the n-gram
+    ``contamination_overlap`` (functions/cleaning.py): n-gram overlap
+    catches verbatim inclusions, retrieval catches paraphrased or
+    partially-quoted ones. Ties on best_score resolve to the smallest
+    query_id (deterministic)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    hits = bm25_batch(documents, queries, k=k, **kwargs).filter(
+        F.col("score") >= min_score
+    )
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("query_id")
+    )
+    return (
+        hits.withColumn("_r", F.row_number().over(w_doc))
+        .filter(F.col("_r") == 1)
+        .select(
+            id_col,
+            F.col("query_id").alias("best_query_id"),
+            F.col("score").alias("best_score"),
+        )
+    )
+
+
+def retrieval_decontaminate_oracle(
+    k: int = 10,
+    min_score: float = 0.0,
+    **kwargs,
+) -> str:
+    id_col = kwargs.get("id_col", "doc_id")
+    inner = bm25_batch_oracle(k=k, **kwargs)
+    return f"""
+        WITH hits AS ({inner})
+        SELECT {id_col},
+               query_id AS best_query_id,
+               score AS best_score
+        FROM hits
+        WHERE score >= CAST({min_score!r} AS DOUBLE)
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY {id_col} ORDER BY score DESC, query_id
+        ) = 1
+    """
+
+
 def bm25_oracle(
     query: str,
     k: int = 10,

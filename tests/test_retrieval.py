@@ -142,6 +142,71 @@ def test_tokenize_query_matches_corpus_tokenizer(spark):
     assert sorted({r["t"] for r in corpus}) == R.tokenize_query(s)
 
 
+QUERIES = [
+    (1, "spark join merge window"),
+    (2, "data pipeline quality"),
+    (3, "the customer order"),
+    (4, "zzz absent terms"),
+]
+
+
+@pytest.fixture()
+def duck_queries(duck):
+    import pandas as pd
+
+    duck.register(
+        "queries", pd.DataFrame(QUERIES, columns=["query_id", "query_text"])
+    )
+    return duck
+
+
+def _qframe(spark):
+    return spark.createDataFrame(QUERIES, "query_id BIGINT, query_text STRING")
+
+
+def test_batch_parity_and_consistency(spark, duck_queries):
+    """bm25_batch bitwise-matches its oracle AND agrees with the
+    single-query operator per query (same scores, same ranking)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    got = R.bm25_batch(docs, _qframe(spark), k=7).toPandas()
+    want = duck_queries.sql(R.bm25_batch_oracle(k=7)).df()
+    assert compare(got, want) == []
+    # query 4 has no corpus terms: no rows at all
+    assert (got.query_id == 4).sum() == 0
+    # per-query agreement with bm25_topk
+    for qid, qtext in QUERIES[:3]:
+        single = R.bm25_topk(docs, qtext, k=7).toPandas()
+        batch = (
+            got[got.query_id == qid]
+            .sort_values("rank")[["doc_id", "score"]]
+            .reset_index(drop=True)
+        )
+        assert batch.doc_id.tolist() == single.doc_id.tolist(), qid
+        assert (batch.score.to_numpy() == single.score.to_numpy()).all()
+
+
+def test_decontaminate_parity_and_threshold(spark, duck_queries):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = R.retrieval_decontaminate(
+        docs, _qframe(spark), k=5, min_score=0.5
+    ).toPandas()
+    want = duck_queries.sql(
+        R.retrieval_decontaminate_oracle(k=5, min_score=0.5)
+    ).df()
+    assert compare(got, want) == []
+    assert got.doc_id.is_unique
+    assert (got.best_score >= 0.5).all()
+
+
+def test_batch_routing_is_broadcast(spark):
+    """The posting side never reshuffles for query routing: both the
+    query-term and idf joins are broadcast."""
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = formatted_plan(R.bm25_batch(docs, _qframe(spark), k=5))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_topk_plan_shape(spark):
     """The ranked read compiles to TakeOrderedAndProject and the
     query-term IN filter sits below the posting aggregation."""
