@@ -18,4 +18,10 @@ path):
                   enrichment
     cohorts    -- cohort retention matrix (first-period cohorts,
                   distinct activity per offset, retained fraction)
+    funnel     -- ordered k-step funnel (greedy-earliest chain,
+                  horizon-capped, conversion + step-through rates)
+    paths      -- first-order event-transition matrix (the funnel's
+                  exploratory complement)
+    downsample -- LTTB visual-fidelity decimation for serving long
+                  series at dashboard resolution
 """

@@ -25,5 +25,9 @@
     scd2     -- continuously-maintained SCD2 dimension (touched-key
                 epoch deltas, newest-epoch-wins reader) + streaming
                 point-in-time fact enrichment
+    cohorts  -- continuously-maintained cohort retention (distinct
+                (key, period) point store; matrix on read)
+    funnel   -- continuously-maintained funnel (distinct step-point
+                store; greedy chain on read — late re-anchor safe)
     cassandra -- connector sink options (prod backend; no cluster here)
 """

@@ -181,7 +181,118 @@ def _extras(spark, sf_dir):
             "pairs.",
             _subshard_candidates(spark, sf_dir),
         ),
+        "funnel": (
+            "Ordered k-step funnel (r8): the step-type IN predicate "
+            "is in PushedFilters, so the ONE user-keyed Exchange "
+            "carries only funnel-typed events; the greedy chain is a "
+            "sort_array + aggregate() higher-order fold inside the "
+            "projection (no per-row Python, no self-joins — a k-step "
+            "funnel as k sequential joins would be k passes); "
+            "everything above the fold is user- then k-bounded.",
+            _funnel(spark, sf_dir),
+        ),
+        "bm25_topk": (
+            "BM25 ranked retrieval (r8): the query's term IN filter "
+            "sits under the posting aggregation, so the wide work is "
+            "proportional to the query terms' posting lists; the idf "
+            "map enters as driver-computed literals (q bounded "
+            "values, keeps the JVM's 1-ulp-different Math.log out of "
+            "the plan); per-doc scores fold deterministically in "
+            "sorted term order; the ranked read compiles to "
+            "TakeOrderedAndProject (heap top-k, no global sort).",
+            _bm25(spark, sf_dir),
+        ),
+        "bm25_batch_decontaminate": (
+            "Batch BM25 decontamination (r8): query terms and the "
+            "query-vocabulary idf frame both BroadcastHashJoin onto "
+            "the postings — the posting side never reshuffles for "
+            "routing however many eval questions probe it; ranking "
+            "is a row_number window per query over that query's own "
+            "candidates.",
+            _bm25_batch(spark, sf_dir),
+        ),
+        "event_transitions": (
+            "First-order path matrix (r8): one events-wide Exchange "
+            "for the per-key (ts, id)-ordered lag window, then a "
+            "partial-aggregable groupBy whose exchange carries at "
+            "most |types|^2 rows per task; the row-total window runs "
+            "over the matrix, not the events.",
+            _transitions(spark, sf_dir),
+        ),
+        "expectations_report": (
+            "Data-quality audit (r8): every declared check compiles "
+            "into ONE aggregation over ONE scan (count-distinct "
+            "included via the two-phase distinct aggregate); the "
+            "k-row report explodes from the 1-row metrics frame — no "
+            "join, no window, no second pass.",
+            _expectations(spark, sf_dir),
+        ),
+        "lttb_downsample": (
+            "LTTB serving decimation (r8): one Exchange by series "
+            "key into FlatMapGroupsInPandas — the sequential-by-"
+            "design bucket walk runs vectorized per series, series "
+            "in parallel; nothing else in the plan.",
+            _lttb(spark, sf_dir),
+        ),
     }
+
+
+def _funnel(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.funnel import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel(
+        events, ["signup", "view", "click", "purchase"],
+        horizon_seconds=7 * 86_400,
+    )
+
+
+def _bm25(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "spark join merge window", k=10)
+
+
+def _bm25_batch(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.retrieval import (
+        retrieval_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, "spark join merge window"), (2, "data pipeline quality")],
+        "query_id BIGINT, query_text STRING",
+    )
+    return retrieval_decontaminate(docs, queries, k=10, min_score=0.5)
+
+
+def _transitions(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.paths import (
+        event_transitions,
+    )
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def _expectations(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.expectations import (
+        events_expectations,
+    )
+
+    return events_expectations(load_table(spark, sf_dir, "events"))
+
+
+def _lttb(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.downsample import lttb
+
+    return lttb(load_table(spark, sf_dir, "events"), 500, key="user_id")
 
 
 def _scd2_merge(spark, sf_dir):

@@ -1103,6 +1103,74 @@ def main() -> None:
             file=sys.stderr, flush=True,
         )
 
+    if "--funnel-retrieval" in sys.argv:
+        # r8: the engagement-analytics and retrieval families at probe
+        # scale. Funnel/transitions run over the full synthetic event
+        # stream (the wide work is the one user-keyed exchange);
+        # retrieval runs over the shared-vocabulary corpus with a
+        # 200-question batch (the decontamination shape).
+        from cassandra_iot_pipeline_spark.functions.expectations import (
+            events_expectations,
+        )
+        from cassandra_iot_pipeline_spark.functions.retrieval import (
+            bm25_batch,
+            bm25_topk,
+        )
+        from cassandra_iot_pipeline_spark.operators.downsample import lttb
+        from cassandra_iot_pipeline_spark.operators.funnel import funnel
+        from cassandra_iot_pipeline_spark.operators.paths import (
+            event_transitions,
+        )
+
+        timed(
+            "funnel_4step_horizon7d",
+            funnel(
+                events,
+                ["signup", "view", "click", "purchase"],
+                horizon_seconds=7 * 86_400,
+            ),
+            results,
+        )
+        timed("event_transitions", event_transitions(events), results)
+        timed("expectations_audit", events_expectations(events), results)
+        timed("lttb_500", lttb(events, 500, key="user_id"), results)
+
+        rdocs = probe_documents(spark, 100_000)
+        t0 = time.perf_counter()
+        bm25_topk(rdocs, "word0001 word0042 word1999 word0500", k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        results["bm25_topk_100k_docs"] = round(time.perf_counter() - t0, 2)
+        print(
+            f"[probe] bm25_topk_100k_docs: {results['bm25_topk_100k_docs']}s",
+            file=sys.stderr, flush=True,
+        )
+        queries = spark.createDataFrame(
+            [
+                (
+                    q,
+                    " ".join(
+                        f"word{(q * 37 + j * 101) % 2000:04d}"
+                        for j in range(6)
+                    ),
+                )
+                for q in range(200)
+            ],
+            "query_id BIGINT, query_text STRING",
+        )
+        t0 = time.perf_counter()
+        bm25_batch(rdocs, queries, k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results["bm25_batch_200q_100k_docs"] = round(
+            time.perf_counter() - t0, 2
+        )
+        print(
+            f"[probe] bm25_batch_200q_100k_docs: "
+            f"{results['bm25_batch_200q_100k_docs']}s",
+            file=sys.stderr, flush=True,
+        )
+
     rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
     print(
         json.dumps(
