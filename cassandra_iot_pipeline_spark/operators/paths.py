@@ -64,6 +64,74 @@ def event_transitions(
     )
 
 
+def top_paths(
+    events: DataFrame,
+    length: int = 3,
+    k: int = 20,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(path, n): the k most frequent length-``length`` consecutive
+    event-type sequences across all keys (sliding window, so a
+    timeline of m events contributes m - length + 1 paths). Ties on n
+    order by path string for a deterministic top-k. ``path`` joins
+    types with '>' — e.g. ``view>click>purchase``.
+
+    Plan: the same one events-wide ordering exchange as
+    :func:`event_transitions` with ``length - 1`` lead() columns over
+    it (one window stage, shared sort), then a partial-aggregable
+    count whose exchange is bounded by |types|^length."""
+    if length < 2:
+        raise ValueError("a path needs length >= 2")
+    w = Window.partitionBy(key).orderBy(
+        F.unix_micros(F.col(ts_col)), F.col(tie_col)
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    return (
+        events.select(
+            F.concat_ws(">", *steps).alias("path"),
+            steps[-1].isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(k)
+    )
+
+
+def top_paths_oracle(
+    length: int = 3,
+    k: int = 20,
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> str:
+    leads = ", ".join(
+        f"LEAD({type_col}, {i}) OVER (PARTITION BY {key} "
+        f"ORDER BY epoch_us({ts_col}), {tie_col}) AS s{i}"
+        for i in range(1, length)
+    )
+    concat = " || '>' || ".join([type_col] + [f"s{i}" for i in range(1, length)])
+    return f"""
+        WITH seq AS (
+            SELECT {type_col}, {leads} FROM {table}
+        )
+        SELECT {concat} AS path, COUNT(*) AS n
+        FROM seq
+        WHERE s{length - 1} IS NOT NULL
+        GROUP BY path
+        ORDER BY n DESC, path
+        LIMIT {k}
+    """
+
+
 def event_transitions_oracle(
     table: str = "events",
     key: str = "user_id",

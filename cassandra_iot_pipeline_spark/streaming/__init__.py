@@ -27,6 +27,8 @@
                 point-in-time fact enrichment
     cohorts  -- continuously-maintained cohort retention (distinct
                 (key, period) point store; matrix on read)
+    audit    -- continuous data-quality expectations (per-epoch
+                metric series; drift + failure views)
     funnel   -- continuously-maintained funnel (distinct step-point
                 store; greedy chain on read — late re-anchor safe)
     cassandra -- connector sink options (prod backend; no cluster here)

@@ -10,6 +10,8 @@ from cassandra_iot_pipeline_spark.catalog import load_table
 from cassandra_iot_pipeline_spark.operators.paths import (
     event_transitions,
     event_transitions_oracle,
+    top_paths,
+    top_paths_oracle,
 )
 from tests.conftest import SF_DIR
 from tools.oracle_check import compare
@@ -73,6 +75,32 @@ def test_row_stochastic(spark):
     by_src = pdf.groupby("src")["n"].sum()
     tot = pdf.groupby("src")["out_total"].first()
     assert (by_src == tot).all()
+
+
+def test_top_paths_hand_computed(spark):
+    """User 1: a,b,a,b -> length-3 paths a>b>a, b>a>b; user 2: a,a,a
+    -> a>a>a; paths never cross users."""
+    rows = [
+        (1, 1, _t(0), "a"), (2, 1, _t(1), "b"),
+        (3, 1, _t(2), "a"), (4, 1, _t(3), "b"),
+        (5, 2, _t(0), "a"), (6, 2, _t(1), "a"), (7, 2, _t(2), "a"),
+    ]
+    got = [
+        (r["path"], r["n"])
+        for r in top_paths(
+            spark.createDataFrame(rows, SCHEMA), length=3, k=10
+        ).collect()
+    ]
+    # counts all 1 -> deterministic path-string order
+    assert got == [("a>a>a", 1), ("a>b>a", 1), ("b>a>b", 1)]
+
+
+def test_top_paths_fixture_parity(spark, duck):
+    events = load_table(spark, SF_DIR, "events")
+    for length, k in [(2, 30), (3, 20), (4, 15)]:
+        got = top_paths(events, length=length, k=k).toPandas()
+        want = duck.sql(top_paths_oracle(length=length, k=k)).df()
+        assert compare(got, want) == [], length
 
 
 def test_plan_two_data_exchanges(spark):
