@@ -42,7 +42,7 @@ from __future__ import annotations
 import math
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_iot_pipeline_spark.functions.text import (
@@ -129,25 +129,44 @@ def bm25_topk(
     p = postings(documents, id_col, text_col).filter(
         F.col("term").isin(terms)
     )
+    return _score_topk(p, terms, n_docs, avgdl, k, k1, b, id_col)
+
+
+def _idf(n_docs: int, df_t: int) -> float:
+    """Lucene BM25 idf, computed with CPython's libm log (bitwise
+    equal to DuckDB ln — pinned in tests; the JVM's Math.log is not)."""
+    return math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+
+
+def _score_topk(
+    p: DataFrame,
+    terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Score a (term, doc_id, tf, dl) posting slice already filtered
+    to the query terms; shared by the inline and persisted-store
+    paths. The per-term df collect is q-row bounded."""
     dfs = {
         r["term"]: int(r["df"])
         for r in p.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .collect()  # q rows — bounded by the query's term count
     }
-    idf_items: list[F.Column] = []
+    idf_items: list = []
     for t in terms:
         df_t = dfs.get(t, 0)
         if df_t == 0:
             continue  # term absent from the corpus contributes nothing
-        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-        idf_items.extend([F.lit(t), F.lit(idf)])
+        idf_items.extend([F.lit(t), F.lit(_idf(n_docs, df_t))])
     if not idf_items:
         # no query term occurs anywhere: empty result, stable schema
-        return (
-            documents.sparkSession.createDataFrame(
-                [], f"{id_col} BIGINT, score DOUBLE"
-            )
+        return p.sparkSession.createDataFrame(
+            [], f"{id_col} BIGINT, score DOUBLE"
         )
     idf_map = F.create_map(*idf_items)
 
@@ -155,7 +174,7 @@ def bm25_topk(
     w = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
     )
-    s = F.element_at(idf_map, F.col("term")).alias("s")
+    s = F.element_at(idf_map, F.col("term"))
     scored = (
         p.select("doc_id", "term", (s * w).alias("s"))
         .groupBy("doc_id")
@@ -218,11 +237,7 @@ def bm25_batch(
         .agg(F.count(F.lit(1)).alias("df"))
         .collect()  # bounded by the query set's distinct terms
     )
-    idf_rows = [
-        (r["term"], math.log(1.0 + (n_docs - int(r["df"]) + 0.5)
-                             / (int(r["df"]) + 0.5)))
-        for r in dfs
-    ]
+    idf_rows = [(r["term"], _idf(n_docs, int(r["df"]))) for r in dfs]
     if not idf_rows:
         return spark.createDataFrame(
             [], f"query_id BIGINT, {id_col} BIGINT, score DOUBLE,"
@@ -443,3 +458,171 @@ def bm25_oracle(
         ORDER BY score DESC, doc_id
         LIMIT {k}
     """
+
+
+class PostingsStore:
+    """Persisted, continuously-ingestible inverted index — the
+    build-once/query-many form of :func:`postings`, with the repo's
+    shared delta+base store lifecycle (store.py; the AnnIndexStore
+    pattern for text).
+
+    Layout:
+
+    - ``<dir>/postings/epoch=N/``        each batch's own postings
+    - ``<dir>/postings/base_upto=K/grp=G/`` compacted base partitioned
+      by ``grp = pmod(xxhash64(term), n_groups)`` — a query prunes the
+      base scan to its own q term-groups (dynamic partition pruning,
+      the ``lst=`` discipline)
+    - ``<dir>/stats/epoch=N/``           one (n_docs, total_tokens)
+      row per batch; corpus stats are the SUM over rows, so stats
+      merge associatively and replays overwrite their own epoch
+
+    Correctness contract: doc_ids are unique across batches (documents
+    are immutable facts; re-ingesting a doc id is a replay, which
+    rewrites identical content). Queries against the store are
+    bit-identical to :func:`bm25_topk` over the concatenated corpus —
+    pinned in tests — because postings/df/stats are all exact integers
+    whose union is order-free, and the score math is shared.
+
+    100 TB: per-epoch work is the batch's own explode + groupBy; the
+    store is never read in the write path. Query cost is the q posting
+    lists (partition-pruned after compaction) + a q-row df collect.
+    """
+
+    N_GROUPS = 64
+
+    def __init__(
+        self,
+        base_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_groups: int = N_GROUPS,
+        compact_every: int | None = None,
+    ) -> None:
+        self.base_dir = base_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_groups = n_groups
+        self.compact_every = compact_every
+        self.postings_dir = f"{base_dir}/postings"
+        self.stats_dir = f"{base_dir}/stats"
+        self._postings_schema = (
+            "term STRING, doc_id BIGINT, tf BIGINT, dl INT, grp INT"
+        )
+        self._stats_schema = "epoch BIGINT, n_docs BIGINT, total_tokens BIGINT"
+
+    # -- reads ----------------------------------------------------------
+    def postings_frame(self, spark: SparkSession) -> DataFrame:
+        from ..store import read_store
+
+        return read_store(
+            spark,
+            self.postings_dir,
+            spark.createDataFrame([], self._postings_schema),
+        ).distinct()
+
+    def stats(self, spark: SparkSession) -> tuple[int, int]:
+        from ..store import read_store
+
+        row = (
+            read_store(
+                spark,
+                self.stats_dir,
+                spark.createDataFrame([], self._stats_schema),
+            )
+            .distinct()
+            .agg(
+                F.sum("n_docs").alias("n"),
+                F.sum("total_tokens").alias("total"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"] or 0), int(row["total"] or 0)
+
+    def bm25_topk(
+        self,
+        spark: SparkSession,
+        query: str,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Bit-identical to :func:`bm25_topk` over every ingested
+        document (pinned in tests). The grp filter prunes the
+        compacted base to the query's own term-groups."""
+        terms = tokenize_query(query)
+        if not terms:
+            raise ValueError(f"query tokenizes to nothing: {query!r}")
+        n_docs, total = self.stats(spark)
+        if n_docs == 0:
+            raise ValueError("empty postings store")
+        avgdl = total / n_docs
+        grps = sorted(
+            {
+                r["g"]
+                for r in spark.createDataFrame(
+                    [(t,) for t in terms], "term STRING"
+                )
+                .select(
+                    F.pmod(
+                        F.xxhash64("term"), F.lit(self.n_groups)
+                    ).cast("int").alias("g")
+                )
+                .collect()
+            }
+        )
+        p = (
+            self.postings_frame(spark)
+            .filter(F.col("grp").isin(grps))
+            .filter(F.col("term").isin(terms))
+        )
+        return _score_topk(p, terms, n_docs, avgdl, k, k1, b, self.id_col)
+
+    # -- write path (foreachBatch) ---------------------------------------
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        p = postings(batch_df, self.id_col, self.text_col).select(
+            "term",
+            "doc_id",
+            "tf",
+            F.col("dl").cast("int").alias("dl"),
+            F.pmod(F.xxhash64("term"), F.lit(self.n_groups))
+            .cast("int")
+            .alias("grp"),
+        )
+        p.write.mode("overwrite").parquet(
+            f"{self.postings_dir}/epoch={epoch_id}"
+        )
+        n, total = corpus_stats(batch_df, self.text_col)
+        batch_df.sparkSession.createDataFrame(
+            [(int(epoch_id), n, total)], self._stats_schema
+        ).write.mode("overwrite").parquet(
+            f"{self.stats_dir}/epoch={epoch_id}"
+        )
+        if (
+            self.compact_every is not None
+            and (epoch_id + 1) % self.compact_every == 0
+        ):
+            self.compact(batch_df.sparkSession)
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, spark: SparkSession) -> int | None:
+        from ..store import compact_store
+
+        compact_store(
+            spark,
+            self.stats_dir,
+            spark.createDataFrame([], self._stats_schema),
+            fold=lambda df: df.distinct(),
+        )
+        return compact_store(
+            spark,
+            self.postings_dir,
+            spark.createDataFrame([], self._postings_schema),
+            fold=lambda df: df.distinct(),
+            partition_by="grp",
+        )
+
+    def foreach_batch(self):
+        return self.write_batch
