@@ -283,3 +283,99 @@ def counter_rate_oracle(
         FROM paired
         WHERE t2_us IS NOT NULL
     """
+
+
+def rolling_stats(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    key: str | Sequence[str] = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 2,
+) -> DataFrame:
+    """(key..., t_us, roll_count, roll_sum, roll_avg, roll_min,
+    roll_max): per event, the trailing-``window_seconds`` aggregate of
+    the key's own samples — the TimescaleDB-style "rolling window over
+    irregular samples" serving read (every point annotated with its
+    last-hour context; the hourly rollup can't answer this because its
+    buckets are aligned, not trailing).
+
+    Exactness: the RANGE frame is value-based on integer MICROSECONDS
+    (ties share one frame — no order ambiguity inside the window), and
+    every accumulation runs over exact integer units
+    (``exactmath.units``), so intra-frame addition order cannot
+    perturb the result; each output stat is ONE correctly-rounded
+    division back to the measure's scale. Overflow envelope: BIGINT
+    holds |value| * 10^scale summed over a frame — at scale 2 that is
+    ~9.2e16 value-mass per (key, window), far above any physical
+    sensor window.
+
+    Plan: ONE scan, one shuffle into the per-key sort, a single
+    range-frame window computing all four stats in one pass — no
+    self-join (the naive form is events JOIN events ON range overlap),
+    no second scan. 100 TB: identical posture to time_weighted_avg —
+    the exchange is the per-key clustering every serving read here
+    shares; with key-bucketed/sorted layout (storage.py) it vanishes.
+    """
+    keys = _keys(key)
+    us = F.unix_micros(F.col(ts_col))
+    u = exactmath.units(F.col(value_col), scale)
+    w_us = int(window_seconds) * 1_000_000
+    base = events.filter(F.col(value_col).isNotNull()).select(
+        *keys, us.alias("t_us"), u.alias("u")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("t_us")
+        .rangeBetween(-w_us, 0)
+    )
+    denom = 10**scale
+    cnt = F.count(F.lit(1)).over(w)
+    s = F.sum("u").over(w)
+    return base.select(
+        *keys,
+        "t_us",
+        cnt.alias("roll_count"),
+        (s.cast("double") / denom).alias("roll_sum"),
+        (s.cast("double") / (cnt * denom)).alias("roll_avg"),
+        (F.min("u").over(w).cast("double") / denom).alias("roll_min"),
+        (F.max("u").over(w).cast("double") / denom).alias("roll_max"),
+    )
+
+
+def rolling_stats_oracle(
+    window_seconds: int = 3600,
+    table: str = "events",
+    key: str | Sequence[str] = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`rolling_stats`: same integer-us RANGE
+    frame, same integer-unit accumulation, same single divisions
+    (DuckDB's HUGEINT window sum is cast back to BIGINT so the
+    arithmetic matches Spark's)."""
+    keys = _keys(key)
+    klist = ", ".join(keys)
+    u = exactmath.oracle_units(value_col, scale)
+    w_us = int(window_seconds) * 1_000_000
+    denom = 10**scale
+    frame = (
+        f"OVER (PARTITION BY {klist} ORDER BY t_us "
+        f"RANGE BETWEEN {w_us} PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {klist}, epoch_us({ts_col}) AS t_us, {u} AS u
+            FROM {table} WHERE {value_col} IS NOT NULL
+        )
+        SELECT {klist}, t_us,
+               COUNT(*) {frame} AS roll_count,
+               CAST(CAST(SUM(u) {frame} AS BIGINT) AS DOUBLE)
+                   / {denom} AS roll_sum,
+               CAST(CAST(SUM(u) {frame} AS BIGINT) AS DOUBLE)
+                   / (COUNT(*) {frame} * {denom}) AS roll_avg,
+               CAST(MIN(u) {frame} AS DOUBLE) / {denom} AS roll_min,
+               CAST(MAX(u) {frame} AS DOUBLE) / {denom} AS roll_max
+        FROM base
+    """

@@ -245,3 +245,63 @@ def test_counter_rate_randomized_reference(spark):
     assert got == sorted(want)
     assert any(r[4] == 0.0 for r in got)      # ties exercised
     assert any(0 < r[4] < 1.0 for r in got)   # sub-second exercised
+
+
+def test_rolling_stats_hand_computed(spark):
+    """Trailing 10-minute window: at minute 15 only the samples from
+    minutes 5..15 are in frame; the minute-0 sample has aged out. The
+    boundary sample exactly window_seconds old is INSIDE (RANGE is
+    inclusive both ends)."""
+    rows = [
+        (1, _ts(0), 10.0),
+        (1, _ts(5), 30.0),
+        (1, _ts(15), 50.0),
+        (1, _ts(25), 70.0),   # minute-15 sample exactly 600 s old
+    ]
+    got = {
+        r["t_us"]: (r["roll_count"], r["roll_avg"], r["roll_min"],
+                    r["roll_max"])
+        for r in timeseries.rolling_stats(
+            _frame(spark, rows), window_seconds=600
+        ).collect()
+    }
+    m = lambda minute: minute * 60 * 1_000_000 + 1_704_067_200_000_000  # noqa: E731
+    assert got[m(0)] == (1, 10.0, 10.0, 10.0)
+    assert got[m(5)] == (2, 20.0, 10.0, 30.0)
+    assert got[m(15)] == (2, 40.0, 30.0, 50.0)      # minute 0 aged out
+    assert got[m(25)] == (2, 60.0, 50.0, 70.0)      # boundary inclusive
+
+
+def test_rolling_stats_ties_share_one_frame(spark):
+    """Two samples at the same microsecond see each other (value-based
+    RANGE frame): both report the same rolling aggregate."""
+    rows = [(1, _ts(0), 10.0), (1, _ts(0), 20.0)]
+    out = timeseries.rolling_stats(
+        _frame(spark, rows), window_seconds=60
+    ).collect()
+    assert [(r["roll_count"], r["roll_avg"]) for r in out] == [
+        (2, 15.0),
+        (2, 15.0),
+    ]
+
+
+def test_rolling_stats_fixture_parity(spark, duck):
+    events = load_table(spark, SF_DIR, "events")
+    for ws in (3600, 86_400):
+        got = timeseries.rolling_stats(events, ws).toPandas()
+        want = duck.sql(timeseries.rolling_stats_oracle(ws)).df()
+        assert compare(got, want) == [], ws
+
+
+def test_rolling_stats_single_window_plan(spark):
+    """All four stats come from ONE window over one exchange — no
+    self-join, no second scan."""
+    import re
+
+    from cassandra_iot_pipeline_spark.plans import formatted_plan
+
+    events = load_table(spark, SF_DIR, "events")
+    plan = formatted_plan(timeseries.rolling_stats(events))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "Join" not in plan
