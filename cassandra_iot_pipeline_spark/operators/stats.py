@@ -382,3 +382,98 @@ def kmv_user_count_oracle(k: int = KMV_K) -> str:
                END AS kmv_users
         FROM v
     """
+
+
+def value_histogram(
+    events: DataFrame,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """(bin, lo_edge, hi_edge, n): equal-width histogram of the
+    measure — the dashboard distribution view next to the exact
+    quantiles. With lo/hi omitted the domain comes from one min/max
+    pass (a 1-row bounded collect). Values below lo clamp into bin 0,
+    at-or-above hi into the last bin (width_bucket semantics with
+    closed outer bins, so every non-null row is counted exactly once);
+    NULLs are excluded. Empty bins are emitted with n = 0 so the
+    silhouette is positionally complete.
+
+    Exactness: bin index is floor((v - lo) / width) on doubles —
+    subtraction, division, floor are each correctly rounded IEEE ops,
+    so the oracle's identical expression bins identically; counts are
+    exact BIGINTs; edges are lo + bin*width computed the same way in
+    both engines.
+
+    Plan: one scan into a partial-aggregable groupBy(bin) — the
+    exchange carries at most n_bins rows per task; the empty-bin
+    completion joins the n_bins-row literal frame (broadcast)."""
+    if n_bins < 1:
+        raise ValueError("need n_bins >= 1")
+    spark = events.sparkSession
+    if lo is None or hi is None:
+        row = events.agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    bin_col = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        events.filter(v.isNotNull())
+        .select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bins = spark.createDataFrame(
+        [(i, lo + i * width, lo + (i + 1) * width) for i in range(n_bins)],
+        "bin INT, lo_edge DOUBLE, hi_edge DOUBLE",
+    )
+    return bins.join(F.broadcast(counts), "bin", "left").select(
+        "bin",
+        "lo_edge",
+        "hi_edge",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
+def value_histogram_oracle(
+    n_bins: int = 20,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    table: str = "events",
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`value_histogram` (explicit lo/hi — the
+    oracle can't replay the domain collect): identical bin expression,
+    identical clamping, identical edge arithmetic."""
+    width = (hi - lo) / n_bins
+    d = lambda x: f"CAST({x!r} AS DOUBLE)"  # noqa: E731
+    bin_expr = (
+        f"LEAST(GREATEST(CAST(FLOOR(({value_col} - {d(lo)}) / {d(width)})"
+        f" AS INT), 0), {n_bins - 1})"
+    )
+    edges = " UNION ALL ".join(
+        f"SELECT {i} AS bin, {d(lo + i * width)} AS lo_edge,"
+        f" {d(lo + (i + 1) * width)} AS hi_edge"
+        for i in range(n_bins)
+    )
+    return f"""
+        WITH counts AS (
+            SELECT {bin_expr} AS bin, COUNT(*) AS n
+            FROM {table} WHERE {value_col} IS NOT NULL
+            GROUP BY 1
+        ),
+        bins AS ({edges})
+        SELECT bins.bin, lo_edge, hi_edge, COALESCE(n, 0) AS n
+        FROM bins LEFT JOIN counts ON bins.bin = counts.bin
+    """

@@ -205,3 +205,50 @@ def test_kafka_source_options_match_reference():
     assert opts["startingOffsets"] == "earliest"
     assert opts["failOnDataLoss"] == "false"
     assert opts["subscribe"] == "sensor-events"
+
+
+def test_value_histogram_hand_computed(spark):
+    """4 bins over [0, 8): below-lo clamps to bin 0, at-hi clamps to
+    the last bin, NULLs drop, empty bins emit n = 0."""
+    from cassandra_iot_pipeline_spark.operators.stats import value_histogram
+
+    rows = [(-1.0,), (0.0,), (1.9,), (2.0,), (8.0,), (9.5,), (None,)]
+    df = spark.createDataFrame(rows, "value DOUBLE")
+    got = {
+        r["bin"]: (r["n"], r["lo_edge"], r["hi_edge"])
+        for r in value_histogram(df, 4, 0.0, 8.0).collect()
+    }
+    assert got == {
+        0: (3, 0.0, 2.0),   # -1.0 clamped, 0.0, 1.9
+        1: (1, 2.0, 4.0),   # 2.0
+        2: (0, 4.0, 6.0),
+        3: (2, 6.0, 8.0),   # 8.0 and 9.5 clamped
+    }
+
+
+def test_value_histogram_fixture_parity(spark, duck):
+    from cassandra_iot_pipeline_spark.operators.stats import (
+        value_histogram,
+        value_histogram_oracle,
+    )
+    from tools.oracle_check import compare
+
+    events = load_table(spark, SF_DIR, "events")
+    for nb, lo, hi in [(20, 0.0, 100.0), (7, -3.3, 44.2), (1, 0.0, 1.0)]:
+        got = value_histogram(events, nb, lo, hi).toPandas()
+        want = duck.sql(value_histogram_oracle(nb, lo, hi)).df()
+        assert compare(got, want) == [], nb
+        assert got.n.sum() == 1000  # every non-null row exactly once
+
+
+def test_value_histogram_auto_domain(spark):
+    """Domain from the data: total count preserved and edges span
+    exactly [min, max]."""
+    from cassandra_iot_pipeline_spark.operators.stats import value_histogram
+
+    events = load_table(spark, SF_DIR, "events")
+    pdf = value_histogram(events, 10).toPandas().sort_values("bin")
+    raw = events.toPandas()["value"]
+    assert pdf.n.sum() == raw.notna().sum()
+    assert pdf.lo_edge.iloc[0] == raw.min()
+    assert abs(pdf.hi_edge.iloc[-1] - raw.max()) < 1e-9
