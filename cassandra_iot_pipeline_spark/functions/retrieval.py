@@ -65,13 +65,21 @@ def postings(
     """(term, doc_id, tf, dl): the inverted index with per-document
     term frequency and document length (in tokens). One explode + one
     groupBy(term, doc) shuffle; persist partitioned by term for
-    per-query partition pruning at scale."""
-    tk = tokens(F.col(text_col))
+    per-query partition pruning at scale.
+
+    The token array is MATERIALIZED in its own projection before the
+    explode: putting ``explode(tokens(text))`` and ``size(tokens(
+    text))`` in one select re-evaluates the tokenizer expression per
+    OUTPUT row — measured 119 s vs 4.9 s on a 20k-doc probe slice
+    (the same Generate pathology SCALE.md records for shingling;
+    lesson of functions/cleaning.py::_shingle_hash_rows)."""
+    tok_df = documents.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
     return (
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tk).alias("dl"),
-            F.explode(tk).alias("term"),
+        tok_df.select(
+            "doc_id", F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
         )
         .groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))

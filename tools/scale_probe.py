@@ -1135,7 +1135,18 @@ def main() -> None:
         timed("expectations_audit", events_expectations(events), results)
         timed("lttb_500", lttb(events, 500, key="user_id"), results)
 
-        rdocs = probe_documents(spark, 100_000)
+        # Stage the synthetic corpus to parquet first (the established
+        # probe pattern): feeding the hash-generator expression tree
+        # straight into the posting explode re-evaluates the 2000-way
+        # vocab array per token — the transform()-lambda pathology
+        # SCALE.md documents for shingling. Real corpora are parquet.
+        import tempfile
+
+        rdocs_dir = tempfile.mkdtemp(prefix="probe_bm25_")
+        probe_documents(spark, 100_000).write.mode("overwrite").parquet(
+            rdocs_dir
+        )
+        rdocs = spark.read.parquet(rdocs_dir)
         t0 = time.perf_counter()
         bm25_topk(rdocs, "word0001 word0042 word1999 word0500", k=10).write.format(
             "noop"
