@@ -29,11 +29,21 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 STOPWORDS_ALL = tuple(sorted({w for ws in LANG_STOPWORDS.values() for w in ws}))
 
 
+#: the POSITIVE form of TOKEN_SPLIT_RE — same tokens as splitting on
+#: the negated class and dropping empties (maximal [a-z0-9']+ runs
+#: are exactly the split complement; token-level equality pinned in
+#: tests/test_retrieval.py). The positive class is the one the JVM
+#: executes fast: JDK 17 compiles a small positive class to a bitmap
+#: test but wraps a NEGATED class in a per-char lambda predicate —
+#: measured 10.1 s vs 1.0 s tokenizing a 100k-doc corpus (r8).
+TOKEN_MATCH_RE = "[a-z0-9']+"
+
+
 def tokens(col: Column) -> Column:
-    """Tokenize: lower, split on non-alphanumeric runs, drop empties."""
-    return F.filter(
-        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
-    )
+    """Tokenize: lower, take maximal alphanumeric/apostrophe runs
+    (== split on non-alphanumeric runs + drop empties, 10x faster on
+    the JVM regex engine — see TOKEN_MATCH_RE)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_MATCH_RE), 0)
 
 
 def _oracle_tokens(expr: str) -> str:

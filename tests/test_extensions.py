@@ -622,3 +622,41 @@ def test_tfidf_semantics(spark):
     # ties broken by term ascending, ranks dense within doc
     for _, g in got.groupby("doc_id"):
         assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_tokenizer_positive_class_equals_legacy_split(spark):
+    """r8: tokens() moved from split-on-negated-class + drop-empties
+    to regexp_extract_all of the positive class (JDK 17 executes a
+    negated class ~10x slower via a per-char lambda). The two forms
+    are token-for-token identical — pinned on the fixture corpus AND
+    on torture strings (edges, unicode, all-delimiter, empty)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+        tokens,
+    )
+
+    legacy = lambda c: F.filter(  # noqa: E731
+        F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    n_diff = docs.select(
+        tokens(F.col("text")).alias("a"), legacy(F.col("text")).alias("b")
+    ).filter("a != b").count()
+    assert n_diff == 0
+
+    torture = [
+        ("Hello, WORLD!  it's A-B_c 42x --- 'quoted' été ABC0",),
+        ("",), ("   ---  ",), ("edge",), ("'",), (None,),
+    ]
+    rows = (
+        spark.createDataFrame(torture, "text STRING")
+        .select(
+            tokens(F.col("text")).alias("a"), legacy(F.col("text")).alias("b")
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["a"] == r["b"], (r["a"], r["b"])
