@@ -106,12 +106,14 @@ def funnel(
     horizon_seconds: int | None = None,
 ) -> DataFrame:
     """(step_idx, step, n_users, conversion, step_rate,
-    avg_micros_from_first): per funnel step, how many distinct keys
-    reach it under the greedy-earliest chain, the fraction of step-0
-    completers who reach it (``conversion``), the fraction of the
-    PREVIOUS step's completers who reach it (``step_rate``), and the
-    mean microseconds from each user's step-0 time (exact BIGINT sum,
-    one division).  All k steps appear even when nobody reaches them
+    avg_micros_from_first, median_micros_from_first): per funnel
+    step, how many distinct keys reach it under the greedy-earliest
+    chain, the fraction of step-0 completers who reach it
+    (``conversion``), the fraction of the PREVIOUS step's completers
+    who reach it (``step_rate``), and the mean / exact interpolated
+    median microseconds from each user's step-0 time (mean: exact
+    BIGINT sum, one division; median: the value_quantiles percentile
+    contract).  All k steps appear even when nobody reaches them
     (n_users = 0, rates NULL)."""
     return funnel_from_points(
         step_points(events, steps, key, ts_col, type_col),
@@ -156,6 +158,14 @@ def funnel_from_points(
         .agg(
             F.count(F.lit(1)).alias("n_users"),
             F.sum(F.col("us") - F.col("t0")).alias("sum_delta"),
+            # exact interpolated median on BIGINT micros — the same
+            # cross-engine-exact percentile contract as
+            # stats.value_quantiles (Spark percentile ≡ DuckDB
+            # quantile_cont; half-fraction interpolation on integers
+            # is exact)
+            F.percentile(F.col("us") - F.col("t0"), F.lit(0.5)).alias(
+                "med_delta"
+            ),
         )
     )
 
@@ -171,6 +181,7 @@ def funnel_from_points(
             "step",
             F.coalesce("n_users", F.lit(0)).alias("n_users"),
             "sum_delta",
+            "med_delta",
         )
     )
     w_all = Window.partitionBy()
@@ -191,6 +202,7 @@ def funnel_from_points(
             F.col("n_users") > 0,
             F.col("sum_delta").cast("double") / F.col("n_users"),
         ).alias("avg_micros_from_first"),
+        F.col("med_delta").alias("median_micros_from_first"),
     )
 
 
@@ -237,7 +249,8 @@ def funnel_oracle(
     )
     count_selects = "\n UNION ALL ".join(
         f"SELECT {i} AS step_idx, COUNT(*) AS n_users,"
-        f" SUM(t - first_t) AS sum_delta FROM t{i}"
+        f" SUM(t - first_t) AS sum_delta,"
+        f" quantile_cont(t - first_t, 0.5) AS med_delta FROM t{i}"
         for i in range(k)
     )
     return f"""
@@ -246,7 +259,8 @@ def funnel_oracle(
         steps(step_idx, step) AS (VALUES {step_values}),
         joined AS (
             SELECT s.step_idx, s.step,
-                   COALESCE(c.n_users, 0) AS n_users, c.sum_delta
+                   COALESCE(c.n_users, 0) AS n_users, c.sum_delta,
+                   c.med_delta
             FROM steps s LEFT JOIN counts c USING (step_idx)
         )
         SELECT step_idx, step, n_users,
@@ -262,6 +276,7 @@ def funnel_oracle(
                END AS step_rate,
                CASE WHEN n_users > 0
                     THEN CAST(sum_delta AS DOUBLE) / n_users
-               END AS avg_micros_from_first
+               END AS avg_micros_from_first,
+               med_delta AS median_micros_from_first
         FROM joined
     """

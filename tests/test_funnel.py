@@ -51,6 +51,28 @@ def test_hand_computed_chain(spark):
     assert got["c"] == (1, 1.0 / 3, 1.0)
 
 
+def test_median_time_to_step(spark):
+    """Three users convert a->b at 10, 20 and 40 minutes: median 20,
+    mean ~23.3; step 0 medians are exactly 0.0."""
+    rows = [
+        (1, _t(0), "a"), (1, _t(10), "b"),
+        (2, _t(0), "a"), (2, _t(20), "b"),
+        (3, _t(0), "a"), (3, _t(40), "b"),
+    ]
+    got = {
+        r["step"]: (
+            r["median_micros_from_first"], r["avg_micros_from_first"]
+        )
+        for r in funnel(
+            spark.createDataFrame(rows, SCHEMA), ["a", "b"]
+        ).collect()
+    }
+    minute = 60e6
+    assert got["a"] == (0.0, 0.0)
+    assert got["b"][0] == 20 * minute
+    assert abs(got["b"][1] - 70 * minute / 3) < 1e-6
+
+
 def test_strictly_after_same_microsecond(spark):
     """A step-2 event at EXACTLY the step-1 timestamp does not chain
     (strict >), in both engines by construction."""
