@@ -147,3 +147,96 @@ def retention_matrix_oracle(
                      OVER (PARTITION BY cohort_idx) AS retention
         FROM matrix
     """
+
+
+def rolling_active(
+    events: DataFrame,
+    window_periods: int = 7,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 86_400,
+) -> DataFrame:
+    """(pi, period_start_us, n_active): rolling distinct-active count
+    — for each observed period index ``pi``, how many distinct keys
+    were active in the trailing ``window_periods`` periods ending at
+    ``pi`` (window_periods=7 over daily periods = WAU; 28 = MAU; 1 =
+    plain DAU). Reported for every period in the observed [min, max]
+    span, including gaps (a period with no events still has trailing
+    actives).
+
+    Plan shape (pure Catalyst, exact): the distinct (key, period)
+    point set — the SAME sufficient statistic the retention matrix
+    and its streaming store use — explodes each point onto the
+    ``window_periods`` window-ends it supports (a bounded sequence,
+    so the blow-up is w x distinct user-periods, NOT w x events),
+    dedups (a user active twice inside one window counts once), and
+    counts per end. The span bounds come from one 2-scalar aggregate
+    (the documented bounded-collect class).
+
+    100 TB: the events-wide work is the ONE distinct over (key, pi) —
+    everything after is user-period-bounded x window length. For MAU
+    over years of data this is the textbook exact plan; swap the
+    final count for approx_count_distinct only if the distinct
+    (k, pe) exchange itself becomes the bottleneck."""
+    if window_periods < 1:
+        raise ValueError("need window_periods >= 1")
+    pts = period_points(events, key, ts_col, period_seconds).distinct()
+    bounds = pts.agg(
+        F.min("pi").alias("lo"), F.max("pi").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return pts.sparkSession.createDataFrame(
+            [], "pi BIGINT, period_start_us BIGINT, n_active BIGINT"
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    p_us = int(period_seconds) * 1_000_000
+    contrib = pts.select(
+        "k",
+        F.explode(
+            F.sequence(F.col("pi"), F.col("pi") + (window_periods - 1))
+        ).alias("pe"),
+    ).filter((F.col("pe") >= lo) & (F.col("pe") <= hi))
+    return (
+        contrib.distinct()
+        .groupBy("pe")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.col("pe").alias("pi"),
+            (F.col("pe") * p_us).alias("period_start_us"),
+            "n_active",
+        )
+    )
+
+
+def rolling_active_oracle(
+    window_periods: int = 7,
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 86_400,
+) -> str:
+    """DuckDB twin of :func:`rolling_active`: identical period
+    alignment, identical window-end expansion, COUNT(DISTINCT)."""
+    p = period_seconds * 1_000_000
+    return f"""
+        WITH pts AS (
+            SELECT DISTINCT {key} AS k,
+                   (epoch_us({ts_col})
+                    - ((epoch_us({ts_col}) % {p}) + {p}) % {p}) // {p}
+                       AS pi
+            FROM {table}
+        ),
+        bounds AS (SELECT MIN(pi) AS lo, MAX(pi) AS hi FROM pts),
+        contrib AS (
+            SELECT k, t.pe
+            FROM pts,
+                 UNNEST(generate_series(pi, pi + {window_periods - 1}))
+                     AS t(pe)
+            WHERE t.pe BETWEEN (SELECT lo FROM bounds)
+                           AND (SELECT hi FROM bounds)
+        )
+        SELECT pe AS pi, pe * {p} AS period_start_us,
+               COUNT(DISTINCT k) AS n_active
+        FROM contrib
+        GROUP BY pe
+    """

@@ -94,3 +94,61 @@ def test_plan_shape(spark):
     # cohorts and re-exchanged it by user)
     assert "Join" not in final
     assert final.count("Exchange hashpartitioning") <= 3
+
+
+def test_rolling_active_hand_computed(spark):
+    """Daily periods, 3-day window. User 1 active days 0 and 4; user
+    2 active day 1. WAU-style ends: day 0 {1}, day 1 {1,2}, day 2
+    {1,2}, day 3 {2}, day 4 {1}. Day 3 has NO events but still counts
+    user 2 (active day 1, window {1,2,3})."""
+    from cassandra_iot_pipeline_spark.operators.cohorts import (
+        rolling_active,
+    )
+
+    rows = [(1, _day(0)), (1, _day(4)), (2, _day(1))]
+    got = {
+        r["pi"]: r["n_active"]
+        for r in rolling_active(
+            _frame(spark, rows), window_periods=3, period_seconds=DAY
+        ).collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_rolling_active_fixture_parity(spark, duck):
+    from cassandra_iot_pipeline_spark.operators.cohorts import (
+        rolling_active,
+        rolling_active_oracle,
+    )
+    from tools.oracle_check import compare
+
+    events = load_table(spark, SF_DIR, "events")
+    for w, p in [(7, DAY), (1, DAY), (4, cohorts.WEEK_SECONDS)]:
+        got = rolling_active(events, w, period_seconds=p).toPandas()
+        want = duck.sql(
+            rolling_active_oracle(w, period_seconds=p)
+        ).df()
+        assert compare(got, want) == [], (w, p)
+
+
+def test_rolling_active_window_ordering(spark):
+    """DAU <= WAU <= MAU <= total distinct users, period by period."""
+    from cassandra_iot_pipeline_spark.operators.cohorts import (
+        rolling_active,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    total = events.select("user_id").distinct().count()
+    frames = {
+        w: {
+            r["pi"]: r["n_active"]
+            for r in rolling_active(
+                events, w, period_seconds=DAY
+            ).collect()
+        }
+        for w in (1, 7, 28)
+    }
+    for pi, dau in frames[1].items():
+        wau = frames[7].get(pi, 0)
+        mau = frames[28].get(pi, 0)
+        assert dau <= wau <= mau <= total, pi
