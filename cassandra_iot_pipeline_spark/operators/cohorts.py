@@ -178,9 +178,25 @@ def rolling_active(
     over years of data this is the textbook exact plan; swap the
     final count for approx_count_distinct only if the distinct
     (k, pe) exchange itself becomes the bottleneck."""
+    return rolling_active_from_pts(
+        period_points(events, key, ts_col, period_seconds),
+        window_periods,
+        period_seconds,
+    )
+
+
+def rolling_active_from_pts(
+    pts: DataFrame,
+    window_periods: int = 7,
+    period_seconds: int = 86_400,
+) -> DataFrame:
+    """The rolling-actives aggregation over (k, pi) period points —
+    see :func:`rolling_active`. Duplicate points are fine (the
+    expansion dedups), so callers can feed raw projections or the
+    streaming cohort store (streaming/cohorts.py)."""
     if window_periods < 1:
         raise ValueError("need window_periods >= 1")
-    pts = period_points(events, key, ts_col, period_seconds).distinct()
+    pts = pts.distinct()
     bounds = pts.agg(
         F.min("pi").alias("lo"), F.max("pi").alias("hi")
     ).collect()[0]

@@ -105,6 +105,18 @@ class CohortPipeline:
         pre-distinct is free correctness, not a required pass)."""
         return retention_matrix_from_pts(self.points(spark))
 
+    def rolling_active(
+        self, spark: SparkSession, window_periods: int = 7
+    ) -> DataFrame:
+        """Live rolling distinct actives (DAU/WAU/MAU) over the same
+        point store — bit-identical to the batch operator over the
+        concatenated events (pinned in tests)."""
+        from ..operators.cohorts import rolling_active_from_pts
+
+        return rolling_active_from_pts(
+            self.points(spark), window_periods, self.period_seconds
+        )
+
     # -- write path (foreachBatch) ---------------------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -175,3 +187,4 @@ def streaming_cohorts(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+

@@ -133,3 +133,23 @@ def test_streaming_wrapper_end_to_end(spark, tmp_path):
         _frame(spark, [r for b in BATCHES for r in b]), period_seconds=DAY
     )
     assert _mx(pipe.matrix(spark)) == _mx(want)
+
+
+def test_live_rolling_active_equals_batch(spark, tmp_path):
+    from cassandra_iot_pipeline_spark.operators.cohorts import (
+        rolling_active,
+    )
+
+    pipe = CohortPipeline(str(tmp_path / "store"), period_seconds=DAY)
+    for i, rows in enumerate(BATCHES):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    for w in (1, 3):
+        got = _mx(pipe.rolling_active(spark, window_periods=w))
+        want = _mx(
+            rolling_active(
+                _frame(spark, [r for b in BATCHES for r in b]),
+                window_periods=w,
+                period_seconds=DAY,
+            )
+        )
+        assert got == want, w
