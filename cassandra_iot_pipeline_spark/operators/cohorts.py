@@ -256,3 +256,141 @@ def rolling_active_oracle(
         FROM contrib
         GROUP BY pe
     """
+
+
+def growth_accounting(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 86_400,
+) -> DataFrame:
+    """(pi, n_active, n_new, n_retained, n_resurrected, n_churned):
+    the standard growth-accounting decomposition per period — every
+    active key is NEW (first-ever period), RETAINED (also active the
+    previous period) or RESURRECTED (active before, but not the
+    previous period); CHURNED counts keys active the previous period
+    but not this one. Identities (pinned in tests):
+    ``n_active = n_new + n_retained + n_resurrected`` and
+    ``n_churned(pi) = n_active(pi-1) - n_retained(pi)``. Churn rows
+    appear for every period in (lo, hi] even when nobody was active
+    in it; periods outside the observed span are not reported.
+
+    Plan shape: the distinct (key, period) point set (the shared
+    sufficient statistic of this module), ONE user-keyed window
+    computing first/lag/lead per point, then two period-keyed
+    partial-aggregable counts unioned into the report — the
+    events-wide work is the one distinct; everything after is
+    user-period-bounded.
+
+    100 TB: same posture as retention_matrix — the wide exchange
+    carries distinct user-periods, never events."""
+    pts = period_points(events, key, ts_col, period_seconds).distinct()
+    w = Window.partitionBy("k").orderBy("pi")
+    flagged = pts.select(
+        "k",
+        "pi",
+        (F.col("pi") == F.min("pi").over(w)).alias("is_new"),
+        (F.lag("pi").over(w) == F.col("pi") - 1).alias("is_retained"),
+        F.lead("pi").over(w).alias("next_pi"),
+    )
+    per_period = flagged.groupBy("pi").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+        F.sum(
+            F.when(F.coalesce(F.col("is_retained"), F.lit(False)), 1)
+            .otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                ~F.col("is_new")
+                & ~F.coalesce(F.col("is_retained"), F.lit(False)),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    hi_row = pts.agg(F.max("pi").alias("hi")).collect()[0]
+    if hi_row["hi"] is None:
+        return pts.sparkSession.createDataFrame(
+            [],
+            "pi BIGINT, n_active BIGINT, n_new BIGINT, n_retained"
+            " BIGINT, n_resurrected BIGINT, n_churned BIGINT",
+        )
+    hi = int(hi_row["hi"])
+    churn = (
+        flagged.filter(
+            (
+                F.col("next_pi").isNull()
+                | (F.col("next_pi") > F.col("pi") + 1)
+            )
+            & (F.col("pi") < hi)
+        )
+        .groupBy((F.col("pi") + 1).alias("pi"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        per_period.join(churn, "pi", "full")
+        .select(
+            "pi",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )
+
+
+def growth_accounting_oracle(
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 86_400,
+) -> str:
+    """DuckDB twin of :func:`growth_accounting`: identical point set,
+    identical window flags, identical churn attribution."""
+    p = period_seconds * 1_000_000
+    return f"""
+        WITH pts AS (
+            SELECT DISTINCT {key} AS k,
+                   (epoch_us({ts_col})
+                    - ((epoch_us({ts_col}) % {p}) + {p}) % {p}) // {p}
+                       AS pi
+            FROM {table}
+        ),
+        flagged AS (
+            SELECT k, pi,
+                   pi = MIN(pi) OVER (PARTITION BY k) AS is_new,
+                   LAG(pi) OVER (PARTITION BY k ORDER BY pi) = pi - 1
+                       AS is_retained,
+                   LEAD(pi) OVER (PARTITION BY k ORDER BY pi)
+                       AS next_pi
+            FROM pts
+        ),
+        per_period AS (
+            SELECT pi,
+                   COUNT(*) AS n_active,
+                   SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_new,
+                   SUM(CASE WHEN COALESCE(is_retained, FALSE)
+                            THEN 1 ELSE 0 END) AS n_retained,
+                   SUM(CASE WHEN NOT is_new
+                                 AND NOT COALESCE(is_retained, FALSE)
+                            THEN 1 ELSE 0 END) AS n_resurrected
+            FROM flagged GROUP BY pi
+        ),
+        churn AS (
+            SELECT pi + 1 AS pi, COUNT(*) AS n_churned
+            FROM flagged
+            WHERE (next_pi IS NULL OR next_pi > pi + 1)
+              AND pi < (SELECT MAX(pi) FROM pts)
+            GROUP BY pi + 1
+        )
+        SELECT COALESCE(per_period.pi, churn.pi) AS pi,
+               CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active,
+               CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+               CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+               CAST(COALESCE(n_resurrected, 0) AS BIGINT)
+                   AS n_resurrected,
+               CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+        FROM per_period FULL JOIN churn
+          ON per_period.pi = churn.pi
+    """

@@ -152,3 +152,54 @@ def test_rolling_active_window_ordering(spark):
         wau = frames[7].get(pi, 0)
         mau = frames[28].get(pi, 0)
         assert dau <= wau <= mau <= total, pi
+
+
+def test_growth_accounting_hand_computed(spark):
+    """User 1 active days 0,1,3; user 2 active day 1 only.
+    Day 0: active{1}=new. Day 1: 1 retained, 2 new. Day 2: nobody
+    active, both churn (1 resurfaces later — still churned at 2).
+    Day 3: 1 resurrected."""
+    from cassandra_iot_pipeline_spark.operators.cohorts import (
+        growth_accounting,
+    )
+
+    rows = [(1, _day(0)), (1, _day(1)), (1, _day(3)), (2, _day(1))]
+    got = {
+        r["pi"]: (
+            r["n_active"], r["n_new"], r["n_retained"],
+            r["n_resurrected"], r["n_churned"],
+        )
+        for r in growth_accounting(
+            _frame(spark, rows), period_seconds=DAY
+        ).collect()
+    }
+    assert got == {
+        0: (1, 1, 0, 0, 0),
+        1: (2, 1, 1, 0, 0),
+        2: (0, 0, 0, 0, 2),
+        3: (1, 0, 0, 1, 0),
+    }
+
+
+def test_growth_accounting_fixture_parity_and_identities(spark, duck):
+    from cassandra_iot_pipeline_spark.operators.cohorts import (
+        growth_accounting,
+        growth_accounting_oracle,
+    )
+    from tools.oracle_check import compare
+
+    events = load_table(spark, SF_DIR, "events")
+    for p in (DAY, cohorts.WEEK_SECONDS):
+        got = growth_accounting(events, period_seconds=p).toPandas()
+        want = duck.sql(growth_accounting_oracle(period_seconds=p)).df()
+        assert compare(got, want) == [], p
+        g = got.sort_values("pi").reset_index(drop=True)
+        assert (
+            g.n_active == g.n_new + g.n_retained + g.n_resurrected
+        ).all()
+        # churned(pi) = active(pi-1) - retained(pi), row-by-row
+        for i in range(1, len(g)):
+            assert (
+                g.n_churned.iloc[i]
+                == g.n_active.iloc[i - 1] - g.n_retained.iloc[i]
+            ), g.pi.iloc[i]
