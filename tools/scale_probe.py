@@ -1132,6 +1132,21 @@ def main() -> None:
             results,
         )
         timed("event_transitions", event_transitions(events), results)
+        from cassandra_iot_pipeline_spark.operators.cohorts import (
+            growth_accounting,
+            rolling_active,
+        )
+
+        timed(
+            "rolling_active_wau",
+            rolling_active(events, 7, period_seconds=86_400),
+            results,
+        )
+        timed(
+            "growth_accounting_daily",
+            growth_accounting(events, period_seconds=86_400),
+            results,
+        )
         timed("expectations_audit", events_expectations(events), results)
         timed("lttb_500", lttb(events, 500, key="user_id"), results)
 
