@@ -280,3 +280,158 @@ def funnel_oracle(
                med_delta AS median_micros_from_first
         FROM joined
     """
+
+
+def funnel_segmented(
+    events: DataFrame,
+    steps: list[str],
+    segments: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    segment_col: str = "segment",
+    horizon_seconds: int | None = None,
+) -> DataFrame:
+    """(segment, step_idx, step, n_users, conversion, step_rate): the
+    funnel broken down by a user DIMENSION — ``segments`` maps key ->
+    segment (a customer-dimension projection; one row per key). Where
+    does each cohort of users drop off, comparatively?
+
+    Semantics: each user's chain is computed exactly as in
+    :func:`funnel` (segments never change the chain); the user then
+    counts toward their segment's rows. Users absent from
+    ``segments`` land in segment NULL rather than silently dropping
+    (an outer-joined dimension row is a data-quality signal — pair
+    with a Completeness expectation). Unlike :func:`funnel`, only
+    (segment, step) pairs with at least one step-0 user in the
+    segment appear (an all-segments x all-steps dense frame needs the
+    segment universe, which belongs to the caller).
+
+    Plan: the same ONE user-keyed exchange + fold; the segment
+    attaches to the per-user fold RESULT via a broadcast join (k-sized
+    dimension probe, the J1 enrichment shape), so the events-wide
+    stage is untouched; rates come from windows over the
+    (segments x k)-bounded matrix."""
+    _validate_steps(steps)
+    k = len(steps)
+    horizon_us = (
+        None if horizon_seconds is None else horizon_seconds * 1_000_000
+    )
+    pts = step_points(events, steps, key, ts_col, type_col)
+    per_user = (
+        pts.select("k", F.struct(F.col("us"), F.col("s")).alias("ev"))
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("ev")).alias("evs"))
+        .select("k", F.expr(_fold_expr(k, horizon_us)).alias("hits"))
+    )
+    seg = segments.select(
+        F.col(key).alias("k"), F.col(segment_col).alias("segment")
+    )
+    reached = (
+        per_user.join(F.broadcast(seg), "k", "left")
+        .select("segment", F.posexplode("hits").alias("step_idx", "us"))
+        .filter(F.col("us").isNotNull())
+        .groupBy("segment", "step_idx")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    spark = pts.sparkSession
+    step_frame = spark.createDataFrame(
+        [(i, name) for i, name in enumerate(steps)],
+        "step_idx INT, step STRING",
+    )
+    w_seg = Window.partitionBy("segment")
+    w_ord = Window.partitionBy("segment").orderBy("step_idx")
+    n0 = F.max(
+        F.when(F.col("step_idx") == 0, F.col("n_users"))
+    ).over(w_seg)
+    n_prev = F.lag("n_users").over(w_ord)
+    return (
+        reached.join(F.broadcast(step_frame), "step_idx")
+        .select(
+            "segment",
+            "step_idx",
+            "step",
+            "n_users",
+            F.when(
+                n0 > 0, F.col("n_users").cast("double") / n0
+            ).alias("conversion"),
+            F.when(
+                n_prev > 0, F.col("n_users").cast("double") / n_prev
+            ).alias("step_rate"),
+        )
+    )
+
+
+def funnel_segmented_oracle(
+    steps: list[str],
+    table: str = "events",
+    segments_table: str = "segments",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    segment_col: str = "segment",
+    horizon_seconds: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`funnel_segmented` (``segments_table``
+    must be registered as a view over the same dimension frame)."""
+    k = len(steps)
+    horizon_us = (
+        None if horizon_seconds is None else horizon_seconds * 1_000_000
+    )
+    ctes = [
+        f"""t0 AS (
+            SELECT {key} AS k, MIN(epoch_us({ts_col})) AS t,
+                   MIN(epoch_us({ts_col})) AS first_t
+            FROM {table} WHERE {type_col} = '{steps[0]}' GROUP BY 1
+        )"""
+    ]
+    for i in range(1, k):
+        horizon = (
+            ""
+            if horizon_us is None
+            else f" AND epoch_us(e.{ts_col}) <= p.first_t + {horizon_us}"
+        )
+        ctes.append(
+            f"""t{i} AS (
+                SELECT e.{key} AS k, MIN(epoch_us(e.{ts_col})) AS t,
+                       p.first_t AS first_t
+                FROM {table} e JOIN t{i - 1} p ON e.{key} = p.k
+                WHERE e.{type_col} = '{steps[i]}'
+                  AND epoch_us(e.{ts_col}) > p.t{horizon}
+                GROUP BY 1, 3
+            )"""
+        )
+    step_values = ", ".join(
+        f"({i}, '{name}')" for i, name in enumerate(steps)
+    )
+    count_selects = "\n UNION ALL ".join(
+        f"""SELECT s.{segment_col} AS segment, {i} AS step_idx,
+                   COUNT(*) AS n_users
+            FROM t{i} LEFT JOIN {segments_table} s
+              ON t{i}.k = s.{key}
+            GROUP BY 1"""
+        for i in range(k)
+    )
+    return f"""
+        WITH {",".join(ctes)},
+        counts AS ({count_selects}),
+        steps(step_idx, step) AS (VALUES {step_values})
+        SELECT c.segment, c.step_idx, st.step, c.n_users,
+               CASE WHEN MAX(CASE WHEN c.step_idx = 0 THEN c.n_users
+                             END) OVER (PARTITION BY c.segment) > 0
+                    THEN CAST(c.n_users AS DOUBLE)
+                         / MAX(CASE WHEN c.step_idx = 0
+                                    THEN c.n_users END)
+                           OVER (PARTITION BY c.segment)
+               END AS conversion,
+               CASE WHEN LAG(c.n_users) OVER (
+                        PARTITION BY c.segment ORDER BY c.step_idx
+                    ) > 0
+                    THEN CAST(c.n_users AS DOUBLE)
+                         / LAG(c.n_users) OVER (
+                               PARTITION BY c.segment
+                               ORDER BY c.step_idx
+                           )
+               END AS step_rate
+        FROM counts c JOIN steps st USING (step_idx)
+    """

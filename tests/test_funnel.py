@@ -169,3 +169,59 @@ def test_step_filter_pushed_to_scan(spark):
     events = load_table(spark, SF_DIR, "events")
     df = funnel(events, ["view", "purchase"])
     assert_pushed_filter(df, "In(event_type")
+
+
+def test_segmented_funnel(spark, duck):
+    """Per-segment drop-off: hand-computed on a tiny frame, DuckDB
+    parity on the fixture (with some users deliberately unmapped ->
+    segment NULL), and segment independence (a segment's conversion
+    uses only its own users)."""
+    import pandas as pd
+
+    from cassandra_iot_pipeline_spark.operators.funnel import (
+        funnel_segmented,
+        funnel_segmented_oracle,
+    )
+
+    rows = [
+        (1, _t(0), "a"), (1, _t(1), "b"),       # gold converts
+        (2, _t(0), "a"),                        # gold drops
+        (3, _t(0), "a"), (3, _t(1), "b"),       # free converts
+        (4, _t(0), "a"),                        # unmapped -> NULL seg
+    ]
+    segs = spark.createDataFrame(
+        [(1, "gold"), (2, "gold"), (3, "free")],
+        "user_id BIGINT, segment STRING",
+    )
+    got = {
+        (r["segment"], r["step"]): (r["n_users"], r["conversion"])
+        for r in funnel_segmented(
+            spark.createDataFrame(rows, SCHEMA), ["a", "b"], segs
+        ).collect()
+    }
+    assert got == {
+        ("gold", "a"): (2, 1.0),
+        ("gold", "b"): (1, 0.5),
+        ("free", "a"): (1, 1.0),
+        ("free", "b"): (1, 1.0),
+        (None, "a"): (1, 1.0),
+    }
+
+    events = load_table(spark, SF_DIR, "events")
+    uids = [r["user_id"] for r in events.select("user_id").distinct().collect()]
+    seg_rows = [(u, f"seg{u % 3}") for u in uids if u % 5 != 0]
+    seg_df = spark.createDataFrame(seg_rows, "user_id BIGINT, segment STRING")
+    duck.register(
+        "segments", pd.DataFrame(seg_rows, columns=["user_id", "segment"])
+    )
+    for steps, hz in [
+        (["view", "click", "purchase"], None),
+        (["signup", "view", "purchase"], 7 * 86_400),
+    ]:
+        spark_pdf = funnel_segmented(
+            events, steps, seg_df, horizon_seconds=hz
+        ).toPandas()
+        oracle_pdf = duck.sql(
+            funnel_segmented_oracle(steps, horizon_seconds=hz)
+        ).df()
+        assert compare(spark_pdf, oracle_pdf) == [], steps
