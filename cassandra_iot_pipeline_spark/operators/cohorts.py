@@ -284,7 +284,17 @@ def growth_accounting(
 
     100 TB: same posture as retention_matrix — the wide exchange
     carries distinct user-periods, never events."""
-    pts = period_points(events, key, ts_col, period_seconds).distinct()
+    return growth_accounting_from_pts(
+        period_points(events, key, ts_col, period_seconds)
+    )
+
+
+def growth_accounting_from_pts(pts: DataFrame) -> DataFrame:
+    """The growth decomposition over (k, pi) period points — see
+    :func:`growth_accounting`. Duplicate points are fine (the first
+    step is a distinct), so callers can feed raw projections or the
+    streaming cohort store."""
+    pts = pts.distinct()
     w = Window.partitionBy("k").orderBy("pi")
     flagged = pts.select(
         "k",

@@ -117,6 +117,15 @@ class CohortPipeline:
             self.points(spark), window_periods, self.period_seconds
         )
 
+    def growth_accounting(self, spark: SparkSession) -> DataFrame:
+        """Live growth decomposition (new/retained/resurrected/
+        churned) over the same point store — bit-identical to the
+        batch operator over the concatenated events (pinned in
+        tests)."""
+        from ..operators.cohorts import growth_accounting_from_pts
+
+        return growth_accounting_from_pts(self.points(spark))
+
     # -- write path (foreachBatch) ---------------------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

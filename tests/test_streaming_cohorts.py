@@ -153,3 +153,21 @@ def test_live_rolling_active_equals_batch(spark, tmp_path):
             )
         )
         assert got == want, w
+
+
+def test_live_growth_accounting_equals_batch(spark, tmp_path):
+    from cassandra_iot_pipeline_spark.operators.cohorts import (
+        growth_accounting,
+    )
+
+    pipe = CohortPipeline(str(tmp_path / "store"), period_seconds=DAY)
+    for i, rows in enumerate(BATCHES):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    got = _mx(pipe.growth_accounting(spark))
+    want = _mx(
+        growth_accounting(
+            _frame(spark, [r for b in BATCHES for r in b]),
+            period_seconds=DAY,
+        )
+    )
+    assert got == want
