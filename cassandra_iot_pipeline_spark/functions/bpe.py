@@ -1,0 +1,248 @@
+"""Byte-pair-encoding tokenizer training and encoding — the
+vocabulary-learning stage of a training-data pipeline (Sennrich et al.
+2016), expressed Spark-first.
+
+Why this shape survives 100 TB: BPE never iterates over the corpus.
+One corpus scan builds the word-frequency table (``bpe_word_counts`` —
+tokenize, explode, one hash aggregation with map-side combine); every
+training iteration then runs over that VOCAB-sized frame (distinct
+words, not token occurrences — millions of rows where the corpus has
+trillions).  Per merge: one pair-explode + hash aggregation over the
+word table, one ``limit(1)`` collect of the single winning pair (the
+repo's documented bounded-collect class: one row per iteration, never
+data), and one map-only fold that applies the merge inside codegen.
+The iterated frame is ``localCheckpoint``-ed each step so the plan
+stays flat instead of nesting one lambda per merge.
+
+Encoding re-uses the same asymmetry: ``bpe_encode`` segments each
+DISTINCT word once (an Arrow-batched pandas UDF applying the learned
+ranks — the classic imperative merge loop, confined to the vocab-sized
+frame like the repo's other codec-class UDFs) and joins the
+segmentation back onto token occurrences; the corpus-wide stage is
+pure join + explode + aggregation.
+
+Determinism contract: the winning pair each round is
+(count DESC, a ASC, b ASC) — bit-reproducible across partitionings
+because counts are exact integers.  Merging is leftmost-greedy within
+a word (the reference implementation's left-to-right scan), pinned
+against a from-scratch Python reference in tests/test_bpe.py.  Merges
+never cross word boundaries: every word ends with the ``END_MARK``
+sentinel symbol, which cannot collide with tokenizer output (tokens
+are ``[a-z0-9']+`` runs, functions/text.py).
+
+Not SQL-expressible (iterative argmax), so no DuckDB oracle — the
+parity gate is the from-scratch reference, the established pattern for
+the repo's iterative operators.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+END_MARK = "</w>"  # outside the tokenizer alphabet [a-z0-9'] by construction
+MIN_COUNT = 2  # stop when the best pair occurs fewer times (Sennrich default)
+
+
+class BpeModel(NamedTuple):
+    """A learned merge list plus the training vocabulary's final
+    segmentation (``w``, ``c``, ``syms``) — persist ``merges`` like any
+    other small dimension; ``vocab`` is reproducible from it."""
+
+    merges: list[tuple[str, str]]
+    vocab: DataFrame
+
+
+def bpe_word_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, c): the word-frequency table — the ONLY corpus-wide stage of
+    training. One scan, one exchange; map-side combine collapses each
+    task's repeats before the shuffle."""
+    return (
+        documents.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _initial_symbols() -> Column:
+    """Character symbols plus the word-end sentinel. Built with an
+    index transform (substring per position) rather than split(w, '')
+    — the empty-pattern split's trailing-empty behavior is
+    engine-version trivia this avoids entirely."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substr("w", i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(END_MARK)))
+
+
+def _pair_rows(words: DataFrame) -> DataFrame:
+    """One row per adjacent symbol pair per word, weighted by the
+    word's corpus count. The struct array materializes BEFORE the
+    explode (the repo's shingle/postings lesson: a lambda re-evaluated
+    under Generate re-tokenizes per output row)."""
+    pairs = F.transform(
+        F.slice("syms", 1, F.size("syms") - 1),
+        lambda s, i: F.struct(
+            s.alias("a"), F.element_at("syms", i + F.lit(2)).alias("b")
+        ),
+    )
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select("c", F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c")
+    )
+
+
+def _apply_merge(a: str, b: str) -> Column:
+    """Leftmost-greedy single-merge fold over ``syms``: scan left to
+    right, fusing (a, b) into ab wherever the accumulator's last symbol
+    is ``a`` and the incoming one is ``b``. A symbol just produced by a
+    fusion is the CONCATENATED string, so it can never re-match ``a``
+    unless ``b`` were empty (impossible) — exactly the reference
+    implementation's non-overlapping left scan."""
+    ab = a + b
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    word_counts: DataFrame,
+    n_merges: int,
+    min_count: int = MIN_COUNT,
+) -> BpeModel:
+    """Learn up to ``n_merges`` merges from a (w, c) word table.
+
+    Per iteration: pair-count aggregation over the vocab-sized frame,
+    ONE single-row collect (the winner), one map-only fold. Stops early
+    when no adjacent pair reaches ``min_count``. The words frame is
+    localCheckpoint-ed each step — without it the fold lambdas nest one
+    level per merge and analysis cost grows quadratically."""
+    words = word_counts.select(
+        "w", F.col("c").cast("long").alias("c"), _initial_symbols().alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            _pair_rows(words)
+            .groupBy("a", "b")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        words = words.withColumn("syms", _apply_merge(a, b)).localCheckpoint(
+            eager=True
+        )
+    return BpeModel(merges=merges, vocab=words)
+
+
+def _rank_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference merge loop used by the encoding UDF: repeatedly fuse
+    the lowest-rank adjacent pair, leftmost-greedy within a rank —
+    reproduces training segmentation for any word (rank order IS
+    training order)."""
+    syms = list(word) + [END_MARK]
+    while len(syms) >= 2:
+        best_rank, best_pair = None, None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pieces): each document's BPE segmentation, word pieces
+    concatenated in token order.
+
+    Scale shape: segment each DISTINCT word once (pandas UDF over the
+    vocab-sized frame — the merge loop is imperative by nature, and
+    this is the repo's codec-class confinement: Python touches words,
+    never token occurrences), then join the segmentation back onto the
+    (doc, position, word) rows and fold pieces per document in position
+    order. The join keys on the word string; AQE broadcasts the
+    segmented vocab when it fits and shuffles both sides by ``w``
+    otherwise — either way the corpus side is touched exactly once."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def seg(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _rank_encode(w, ranks))
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
+    )
+    vocab = toks.select("w").distinct().withColumn("pieces", seg("w"))
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "pieces"))
+                    ),
+                    lambda s: s["pieces"],
+                )
+            ).alias("pieces")
+        )
+    )
+
+
+def bpe_piece_counts(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """(piece, n): corpus-wide learned-vocabulary token counts — the
+    "token counting" serving read under the trained tokenizer. Same
+    distinct-word confinement as bpe_encode; the corpus-wide stages are
+    one explode-join and one hash aggregation (map-side combined)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def seg(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _rank_encode(w, ranks))
+
+    toks = documents.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    word_n = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    segmented = word_n.withColumn("pieces", seg("w"))
+    return (
+        segmented.select(F.explode("pieces").alias("piece"), "wc")
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("n"))
+    )

@@ -1,0 +1,234 @@
+"""BPE tokenizer training/encoding: merge-sequence and segmentation
+parity against a from-scratch Python reference (the parity gate for
+the repo's iterative, non-SQL-expressible operators), leftmost-greedy
+semantics pinned by hand, encode == training segmentation on the
+training vocabulary, piece-count conservation, and the early-stop /
+edge contracts."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.functions.bpe import (
+    END_MARK,
+    bpe_encode,
+    bpe_piece_counts,
+    bpe_train,
+    bpe_word_counts,
+)
+from tests.conftest import SF_DIR
+
+TOKEN_RE = re.compile(r"[a-z0-9']+")
+
+
+# -- from-scratch reference (no Spark, no repo imports) -----------------
+
+
+def ref_word_counts(texts: list[str]) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in TOKEN_RE.findall(t.lower()):
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def ref_merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Leftmost-greedy non-overlapping single-merge scan."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def ref_train(
+    word_counts: dict[str, int], n_merges: int, min_count: int = 2
+) -> tuple[list[tuple[str, str]], dict[str, list[str]]]:
+    vocab = {w: list(w) + [END_MARK] for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # (count DESC, a ASC, b ASC) — the operator's pinned tie-break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        vocab = {w: ref_merge_word(s, a, b) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def ref_encode_training_order(
+    word: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Apply merges strictly in training order — the semantics the
+    rank-scan encoder must reproduce."""
+    syms = list(word) + [END_MARK]
+    for a, b in merges:
+        syms = ref_merge_word(syms, a, b)
+    return syms
+
+
+# -- fixtures ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # a bounded slice keeps each of the ~12 training iterations cheap;
+    # the word table is what training sees, so the slice loses nothing
+    return (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def texts(corpus):
+    return [r["text"] for r in corpus.select("text").collect()]
+
+
+N_MERGES = 12
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    return bpe_train(bpe_word_counts(corpus), N_MERGES)
+
+
+# -- tests ----------------------------------------------------------------
+
+
+def test_word_counts_match_reference(corpus, texts):
+    got = {
+        r["w"]: r["c"] for r in bpe_word_counts(corpus).collect()
+    }
+    assert got == ref_word_counts(texts)
+
+
+def test_merge_sequence_matches_reference(model, texts):
+    ref_merges, _ = ref_train(ref_word_counts(texts), N_MERGES)
+    assert model.merges == ref_merges
+    assert len(model.merges) == N_MERGES  # corpus is rich enough
+
+
+def test_vocab_segmentation_matches_reference(model, texts):
+    _, ref_vocab = ref_train(ref_word_counts(texts), N_MERGES)
+    got = {r["w"]: list(r["syms"]) for r in model.vocab.collect()}
+    assert got == ref_vocab
+
+
+def test_leftmost_greedy_overlap_pinned(spark):
+    # "aaa": pair (a,a) fuses the LEFT occurrence -> [aa, a</w>-less...]
+    wc = spark.createDataFrame([("aaa", 5)], "w string, c long")
+    m = bpe_train(wc, 1, min_count=1)
+    assert m.merges == [("a", "a")]
+    syms = m.vocab.collect()[0]["syms"]
+    assert list(syms) == ["aa", "a", END_MARK]
+
+
+def test_early_stop_below_min_count(spark):
+    # every adjacent pair occurs exactly once -> nothing reaches 2
+    wc = spark.createDataFrame([("abc", 1), ("xyz", 1)], "w string, c long")
+    m = bpe_train(wc, 10, min_count=2)
+    assert m.merges == []
+
+
+def test_merge_budget_respected(spark):
+    wc = spark.createDataFrame([("aaaa", 9)], "w string, c long")
+    m = bpe_train(wc, 2, min_count=1)
+    assert len(m.merges) == 2
+
+
+def test_single_char_words(spark):
+    # 'a' + END_MARK is a real pair; merging it exhausts the word
+    wc = spark.createDataFrame([("a", 3)], "w string, c long")
+    m = bpe_train(wc, 5, min_count=2)
+    assert m.merges == [("a", END_MARK)]
+    assert list(m.vocab.collect()[0]["syms"]) == ["a" + END_MARK]
+
+
+def test_encode_matches_training_segmentation(model, corpus):
+    # every training word's encode == its trained vocab segmentation
+    vocab = {r["w"]: list(r["syms"]) for r in model.vocab.collect()}
+    enc = bpe_encode(
+        corpus.sparkSession.createDataFrame(
+            [(i, w) for i, w in enumerate(sorted(vocab))],
+            "doc_id long, text string",
+        ),
+        model.merges,
+    )
+    got = {r["doc_id"]: list(r["pieces"]) for r in enc.collect()}
+    for i, w in enumerate(sorted(vocab)):
+        assert got[i] == vocab[w], w
+
+
+def test_rank_scan_equals_training_order_on_vocab(model):
+    from cassandra_iot_pipeline_spark.functions.bpe import _rank_encode
+
+    ranks = {p: i for i, p in enumerate(model.merges)}
+    for r in model.vocab.collect():
+        w = r["w"]
+        assert _rank_encode(w, ranks) == ref_encode_training_order(
+            w, model.merges
+        ), w
+
+
+def test_encode_document_order_and_oov(spark, model):
+    # pieces follow token order; unseen words fall back to chars+mark
+    doc = spark.createDataFrame(
+        [(1, "the zq the")], "doc_id long, text string"
+    )
+    got = list(bpe_encode(doc, model.merges).collect()[0]["pieces"])
+    the = ref_encode_training_order("the", model.merges)
+    zq = ref_encode_training_order("zq", model.merges)
+    assert got == the + zq + the
+
+
+def test_piece_counts_conserve_corpus(model, corpus, texts):
+    # total piece occurrences == sum over words of len(segmentation)*count
+    counts = ref_word_counts(texts)
+    _, ref_vocab = ref_train(counts, N_MERGES)
+    expect: dict[str, int] = {}
+    for w, syms in ref_vocab.items():
+        for s in syms:
+            expect[s] = expect.get(s, 0) + counts[w]
+    got = {
+        r["piece"]: r["n"]
+        for r in bpe_piece_counts(corpus, model.merges).collect()
+    }
+    assert got == expect
+
+
+def test_pair_count_plan_partial_aggregates(corpus):
+    # the per-iteration aggregation must map-side combine (scale gate)
+    from cassandra_iot_pipeline_spark.functions.bpe import (
+        _initial_symbols,
+        _pair_rows,
+    )
+
+    words = bpe_word_counts(corpus).select(
+        "w", "c", _initial_symbols().alias("syms")
+    )
+    plan = (
+        _pair_rows(words)
+        .groupBy("a", "b")
+        .agg(F.sum("c").alias("cnt"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_sum" in plan
