@@ -1,0 +1,144 @@
+"""Key-deletion propagation ("right to be forgotten") across the
+engine's at-rest surfaces: plain parquet tables and the delta+base
+incremental stores.
+
+Why a first-class job: at 100 TB a deletion request must NOT become a
+full-corpus rewrite. The shape here is hit-directed — ONE labeled scan
+of the target counts matching rows per physical part (the deletion key
+set rides along broadcast; parts with zero hits are never rewritten),
+then only the hit parts are rewritten with a broadcast anti-join and
+swapped in with the crash-recoverable two-rename discipline
+(storage.py::commit_swap). A quarterly deletion batch over a
+10,000-part store touches exactly the parts that contain the users.
+
+Store semantics: epoch deltas are overwrite-idempotent, so rewriting
+one with fewer rows is invisible to every reader (read_store just
+lists dirs). Two honest caveats, stated rather than papered over:
+
+- **replays resurrect**: an at-least-once source replaying an already
+  forgotten epoch re-lands the key's rows. Run deletion after the
+  affected epochs are durably ingested, and re-run on a cadence — the
+  standard operating posture for deletion jobs on append pipelines.
+- **sketch-grained stores can't forget**: an HLL sketch
+  (streaming/cardinality.py) or a gram-count row is an aggregate that
+  a single key cannot be subtracted from. Those stores need rebuild
+  from the (forgotten) source — :func:`forget_keys_in_store` targets
+  row-grained stores (cohort points, SCD2 dims, ANN codes, postings),
+  where each stored row carries the key.
+
+The swap helpers are the local-filesystem pair shared with the
+compaction jobs; on object stores quiesce writers around the swap
+(the store.py S3 note applies verbatim).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .storage import _swap_paths, commit_swap, recover_swap
+from .store import store_parts
+
+
+def _keyset(keys: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    return F.broadcast(keys.select(*key_cols).distinct())
+
+
+def forget_keys_in_table(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+    partition_by: str | None = None,
+) -> dict:
+    """Remove every row of the parquet dataset at ``path`` whose
+    ``key_cols`` match a row of ``keys``. Returns
+    ``{"rows_removed": n, "rewritten": bool}``.
+
+    Two scans when there are hits, ONE when there are none: the hit
+    count comes from a broadcast semi-join (no shuffle — the key set
+    ships to the scan), and a zero count skips the rewrite entirely,
+    so the no-op case costs one read and zero writes. ``partition_by``
+    preserves a partitioned layout through the rewrite."""
+    key_cols = list(key_cols)
+    recover_swap(path)
+    df = spark.read.parquet(path)
+    ks = _keyset(keys, key_cols)
+    removed = df.join(ks, key_cols, "semi").count()
+    if removed == 0:
+        return {"rows_removed": 0, "rewritten": False}
+    kept = df.join(ks, key_cols, "left_anti")
+    tmp, _ = _swap_paths(path)
+    writer = kept.write.mode("overwrite")
+    if partition_by is not None:
+        writer = kept.repartition(partition_by).write.mode(
+            "overwrite"
+        ).partitionBy(partition_by)
+    writer.parquet(tmp)
+    commit_swap(path)
+    return {"rows_removed": int(removed), "rewritten": True}
+
+
+def forget_keys_in_store(
+    spark: SparkSession,
+    store_dir: str,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+    base_partition_by: str | None = None,
+) -> list[dict]:
+    """Remove every row matching ``keys`` from a delta+base store
+    (store.py layout): hit-count each visible part in ONE labeled
+    scan, rewrite ONLY the parts with hits, swap each in atomically.
+    Returns one report dict per visible part:
+    ``{"part": name, "rows_removed": n, "rewritten": bool}`` —
+    removal accounting in the curation-report tradition.
+
+    ``base_partition_by`` re-lays a partitioned base (e.g. the ANN
+    store's ``lst=`` inverted lists) through its rewrite; epoch deltas
+    are always written flat, matching how the pipelines land them."""
+    key_cols = list(key_cols)
+    base_path, _, epochs = store_parts(spark, store_dir)
+    parts: list[tuple[str, str, bool]] = []
+    if base_path is not None:
+        parts.append((base_path.rsplit("/", 1)[-1], base_path, True))
+    parts.extend((p.rsplit("/", 1)[-1], p, False) for _, p in epochs)
+    if not parts:
+        return []
+    ks = _keyset(keys, key_cols)
+    labeled = None
+    for name, p, _ in parts:
+        piece = (
+            spark.read.parquet(p)
+            .select(*key_cols)
+            .withColumn("_part", F.lit(name))
+        )
+        labeled = piece if labeled is None else labeled.unionByName(piece)
+    hits = {
+        r["_part"]: r["n"]
+        for r in labeled.join(ks, key_cols, "semi")
+        .groupBy("_part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    report: list[dict] = []
+    for name, p, is_base in parts:
+        n = int(hits.get(name, 0))
+        if n == 0:
+            report.append(
+                {"part": name, "rows_removed": 0, "rewritten": False}
+            )
+            continue
+        recover_swap(p)
+        kept = spark.read.parquet(p).join(ks, key_cols, "left_anti")
+        tmp, _ = _swap_paths(p)
+        writer = kept.write.mode("overwrite")
+        if is_base and base_partition_by is not None:
+            writer = kept.repartition(base_partition_by).write.mode(
+                "overwrite"
+            ).partitionBy(base_partition_by)
+        writer.parquet(tmp)
+        commit_swap(p)
+        report.append({"part": name, "rows_removed": n, "rewritten": True})
+    return report
