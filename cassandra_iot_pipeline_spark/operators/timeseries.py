@@ -379,3 +379,108 @@ def rolling_stats_oracle(
                CAST(MAX(u) {frame} AS DOUBLE) / {denom} AS roll_max
         FROM base
     """
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key: str | Sequence[str] = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Open/high/low/close bars per key per time bucket — the candle
+    serving read every time-series dashboard asks of a hypertable
+    (TimescaleDB ships it as ``candlestick_agg``).
+
+    Exactness: every output is a SELECTION of an input double, never
+    an accumulation — so the result is bitwise partition-invariant
+    with no quantization needed (the one aggregate family where raw
+    doubles are safe). Open/close need a TOTAL order to be
+    deterministic under same-microsecond ties, so the ordering key is
+    the exact integer ``t_us * 10^19 + id`` composed in DECIMAL(38,0)
+    (both factors int64; the sum < 10^38; requires ``id < 10^19`` —
+    holds for any sequence id), mirrored digit-for-digit by the
+    oracle's HUGEINT. Bucket alignment is the integer-exact pmod floor
+    (the gapfill/cohorts rule, correct pre-1970).
+
+    Plan: one scan, one map-side-combined hash aggregation on
+    (key, bucket) — min_by/max_by carry (value, ordkey) pairs through
+    partial aggregation, so no window, no sort, no self-join.
+
+    NULL measures are dropped (a NULL sample is no sample); NULL ids
+    would break the total order and are rejected by filter too.
+    """
+    keys = _keys(key)
+    p = int(bucket_seconds) * 1_000_000
+    # 10^19 exceeds int64, so the scale literal must be born DECIMAL
+    ordk = (
+        F.unix_micros(F.col(ts_col)).cast("decimal(38,0)")
+        * F.expr("cast(10000000000000000000 as decimal(38,0))")
+        + F.col(id_col).cast("decimal(38,0)")
+    )
+    base = events.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        *keys,
+        F.expr(
+            f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), {p}))"
+            f" div {p}"
+        ).alias("_bi"),
+        F.col(value_col).alias("_v"),
+        ordk.alias("_ok"),
+    )
+    return (
+        base.groupBy(*keys, "_bi")
+        .agg(
+            F.min_by("_v", "_ok").alias("open"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.max_by("_v", "_ok").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            *keys,
+            (F.col("_bi") * F.lit(bucket_seconds)).alias("bucket_s"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+def ohlc_bars_oracle(
+    table: str = "events",
+    key: str | Sequence[str] = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket_seconds: int = 3600,
+) -> str:
+    """DuckDB twin of :func:`ohlc_bars`: identical pmod floor, the
+    same composed HUGEINT ordering key under arg_min/arg_max."""
+    keys = _keys(key)
+    klist = ", ".join(keys)
+    p = int(bucket_seconds) * 1_000_000
+    return f"""
+        WITH base AS (
+            SELECT {klist},
+                   (epoch_us({ts_col})
+                    - ((epoch_us({ts_col}) % {p}) + {p}) % {p}) // {p}
+                       AS bi,
+                   {value_col} AS v,
+                   CAST(epoch_us({ts_col}) AS HUGEINT)
+                       * 10000000000000000000 + {id_col} AS ok
+            FROM {table}
+            WHERE {value_col} IS NOT NULL AND {id_col} IS NOT NULL
+        )
+        SELECT {klist}, bi * {bucket_seconds} AS bucket_s,
+               arg_min(v, ok) AS open,
+               MAX(v) AS high,
+               MIN(v) AS low,
+               arg_max(v, ok) AS close,
+               COUNT(*) AS n_events
+        FROM base GROUP BY {klist}, bi
+    """

@@ -305,3 +305,70 @@ def test_rolling_stats_single_window_plan(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert "Join" not in plan
+
+
+# -- ohlc_bars -------------------------------------------------------------
+
+
+def _ohlc_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+
+
+def test_ohlc_hand_computed(spark):
+    rows = [
+        (1, 7, _ts(5), 10.0),
+        (2, 7, _ts(20), 50.0),
+        (3, 7, _ts(40), 5.0),
+        (4, 7, _ts(59), 30.0),   # hour 0: open 10, high 50, low 5, close 30
+        (5, 7, dt.datetime(2024, 1, 1, 1, 10), 99.0),  # hour 1, single
+        (6, 8, _ts(0), -1.0),    # other key
+        (7, 8, _ts(1), None),    # NULL sample drops
+    ]
+    got = {
+        (r["user_id"], r["bucket_s"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in timeseries.ohlc_bars(_ohlc_frame(spark, rows)).collect()
+    }
+    h0 = 1704067200  # 2024-01-01T00:00:00Z in epoch seconds
+    assert got == {
+        (7, h0): (10.0, 50.0, 5.0, 30.0, 4),
+        (7, h0 + 3600): (99.0, 99.0, 99.0, 99.0, 1),
+        (8, h0): (-1.0, -1.0, -1.0, -1.0, 1),
+    }
+
+
+def test_ohlc_same_microsecond_tiebreak(spark):
+    # two samples in the SAME microsecond: the id orders open/close
+    rows = [
+        (20, 1, _ts(0), 3.0),
+        (10, 1, _ts(0), 8.0),   # lower id -> open
+        (30, 1, _ts(0), 5.0),   # highest id -> close
+    ]
+    r = timeseries.ohlc_bars(_ohlc_frame(spark, rows)).collect()[0]
+    assert (r["open"], r["close"]) == (8.0, 5.0)
+    assert (r["high"], r["low"]) == (8.0, 3.0)
+
+
+def test_ohlc_fixture_parity(spark, duck):
+    events = load_table(spark, SF_DIR, "events")
+    for bs in (3600, 86_400):
+        got = timeseries.ohlc_bars(events, bucket_seconds=bs).toPandas()
+        want = duck.sql(timeseries.ohlc_bars_oracle(bucket_seconds=bs)).df()
+        assert compare(got, want) == [], bs
+
+
+def test_ohlc_single_aggregation_plan(spark):
+    events = load_table(spark, SF_DIR, "events")
+    plan = (
+        timeseries.ohlc_bars(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_min_by" in plan or "partial_" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
