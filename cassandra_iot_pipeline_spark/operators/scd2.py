@@ -334,3 +334,117 @@ def scd2_enrich_oracle(
           ON f.{key} = v.{key}
          AND epoch_us(f.{ts_col}) >= v.valid_from_us
     """
+
+
+def scd2_diff(
+    dim: DataFrame,
+    t1_us: int,
+    t2_us: int,
+    key: str | Sequence[str] = "user_id",
+    attrs: Sequence[str] = ("event_type",),
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change-data-capture read over a version table: what changed
+    between instant ``t1_us`` and instant ``t2_us`` (epoch micros,
+    t1 < t2). Output one row per key that has a version at either
+    instant: (key..., <a>_before..., <a>_after..., change) with
+    ``change`` in ``('new', 'changed', 'unchanged')`` — ``new`` =
+    no version valid at t1, a version valid at t2. (SCD2 has no
+    deletes by construction — a key never leaves the dimension — so
+    no 'deleted' class exists to emit.)
+
+    Plan: ONE dimension scan, one map-side-combined aggregation on the
+    key. Per-key validity intervals are disjoint, so at most one
+    version contains each instant — conditional aggregates
+    (max-when) pull that single row's attrs, and presence flags
+    (max(when(contains, 1))) keep "absent version" distinct from "a
+    version whose attr is NULL". No self-join, no window.
+    """
+    if not t1_us < t2_us:
+        raise ValueError(f"scd2_diff: t1_us {t1_us} must be < t2_us {t2_us}")
+    keys = _keys(key)
+    attr_cols = list(attrs)
+
+    def contains(t: int) -> F.Column:
+        return (F.col("valid_from_us") <= F.lit(t)) & (
+            F.col("valid_to_us").isNull() | (F.col("valid_to_us") > F.lit(t))
+        )
+
+    c1, c2 = contains(t1_us), contains(t2_us)
+    aggs = [F.max(F.when(c1, F.lit(1))).alias("_p1"),
+            F.max(F.when(c2, F.lit(1))).alias("_p2")]
+    for a in attr_cols:
+        aggs.append(F.max(F.when(c1, F.col(a))).alias(f"{a}_before"))
+        aggs.append(F.max(F.when(c2, F.col(a))).alias(f"{a}_after"))
+    picked = dim.groupBy(*keys).agg(*aggs).filter(
+        F.col("_p1").isNotNull() | F.col("_p2").isNotNull()
+    )
+    before_s = F.struct(
+        *[F.col(f"{a}_before").alias(a) for a in attr_cols]
+    )
+    after_s = F.struct(*[F.col(f"{a}_after").alias(a) for a in attr_cols])
+    change = (
+        F.when(F.col("_p1").isNull(), F.lit("new"))
+        .when(~before_s.eqNullSafe(after_s), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = picked.select(
+        *keys,
+        *[f"{a}_before" for a in attr_cols],
+        *[f"{a}_after" for a in attr_cols],
+        change.alias("change"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out
+
+
+def scd2_diff_oracle(
+    dim_versions_sql: str,
+    t1_us: int,
+    t2_us: int,
+    keys: Sequence[str] = ("user_id",),
+    attrs: Sequence[str] = ("event_type",),
+    include_unchanged: bool = False,
+) -> str:
+    """DuckDB twin of :func:`scd2_diff`: identical conditional
+    aggregation (FILTER), presence flags, and null-safe change
+    classification (IS DISTINCT FROM)."""
+    ks = ", ".join(keys)
+    c1 = (
+        f"valid_from_us <= {t1_us} AND "
+        f"(valid_to_us IS NULL OR valid_to_us > {t1_us})"
+    )
+    c2 = (
+        f"valid_from_us <= {t2_us} AND "
+        f"(valid_to_us IS NULL OR valid_to_us > {t2_us})"
+    )
+    picks = ",\n               ".join(
+        f"MAX({a}) FILTER (WHERE {c}) AS {a}_{tag}"
+        for a in attrs
+        for tag, c in (("before", c1), ("after", c2))
+    )
+    diff = " OR ".join(
+        f"{a}_before IS DISTINCT FROM {a}_after" for a in attrs
+    )
+    b_cols = ", ".join(f"{a}_before" for a in attrs)
+    a_cols = ", ".join(f"{a}_after" for a in attrs)
+    where = "" if include_unchanged else "WHERE change <> 'unchanged'"
+    return f"""
+        WITH picked AS (
+            SELECT {ks},
+               MAX(1) FILTER (WHERE {c1}) AS p1,
+               MAX(1) FILTER (WHERE {c2}) AS p2,
+               {picks}
+            FROM ({dim_versions_sql})
+            GROUP BY {ks}
+        )
+        SELECT * FROM (
+            SELECT {ks}, {b_cols}, {a_cols},
+                   CASE WHEN p1 IS NULL THEN 'new'
+                        WHEN {diff} THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM picked
+            WHERE p1 IS NOT NULL OR p2 IS NOT NULL
+        ) {where}
+    """

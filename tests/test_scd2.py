@@ -374,3 +374,87 @@ def test_backfill_matches_fresh_enrichment_on_fixture(spark):
     assert 0 < n_rep < 500  # the planted v1/v2 gap really repaired some
     with pytest.raises(ValueError, match="absent from"):
         scd2.scd2_backfill(facts, dim_v2, "user_id", "ts", ("event_type",))
+
+
+# -- scd2_diff (CDC read between two instants) ------------------------------
+
+
+def _diff_dim(spark):
+    rows = [
+        (1, _ts(0), "a"),
+        (1, _ts(10), "b"),   # changes between t=5 and t=15
+        (2, _ts(0), "x"),    # unchanged across the whole range
+        (3, _ts(12), "n"),   # born between the instants -> 'new'
+        (4, _ts(20), "z"),   # born after t2 -> no version at either
+    ]
+    return scd2.scd2_snapshot(_log(spark, rows), attrs=("seg",))
+
+
+def test_diff_hand_computed(spark):
+    dim = _diff_dim(spark)
+    got = {
+        r["user_id"]: (r["seg_before"], r["seg_after"], r["change"])
+        for r in scd2.scd2_diff(
+            dim, _us(5), _us(15), attrs=("seg",)
+        ).collect()
+    }
+    assert got == {
+        1: ("a", "b", "changed"),
+        3: (None, "n", "new"),
+    }
+    with_unchanged = {
+        r["user_id"]: r["change"]
+        for r in scd2.scd2_diff(
+            dim, _us(5), _us(15), attrs=("seg",), include_unchanged=True
+        ).collect()
+    }
+    assert with_unchanged == {1: "changed", 2: "unchanged", 3: "new"}
+
+
+def test_diff_null_attr_and_guard(spark):
+    # a version whose attr is genuinely NULL is present, not absent
+    rows = [(1, _ts(0), None), (1, _ts(10), "b")]
+    dim = scd2.scd2_snapshot(_log(spark, rows), attrs=("seg",))
+    got = scd2.scd2_diff(dim, _us(5), _us(15), attrs=("seg",)).collect()
+    assert [(r["seg_before"], r["change"]) for r in got] == [
+        (None, "changed")
+    ]
+    with pytest.raises(ValueError, match="must be <"):
+        scd2.scd2_diff(dim, _us(15), _us(5))
+
+
+def test_diff_fixture_duckdb_parity(spark, duck):
+    events = load_table(spark, SF_DIR, "events")
+    dim = scd2.scd2_snapshot(events, seq_col="event_id")
+    # two instants straddling the fixture's median timestamp
+    lo, hi = events.selectExpr(
+        "unix_micros(min(ts))", "unix_micros(max(ts))"
+    ).first()
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * (hi - lo) // 3
+    got = scd2.scd2_diff(
+        dim, t1, t2, include_unchanged=True
+    ).toPandas()
+    dim_sql = scd2.scd2_snapshot_oracle(seq_col="event_id")
+    want = duck.sql(
+        scd2.scd2_diff_oracle(dim_sql, t1, t2, include_unchanged=True)
+    ).df()
+    # sf0.001 has 15 users, all born before t1 — every key appears
+    assert len(got) == 15
+    assert "changed" in set(got["change"])
+    assert compare(got, want) == []
+
+
+def test_diff_single_pass_plan(spark):
+    events = load_table(spark, SF_DIR, "events")
+    dim = scd2.scd2_snapshot(events, seq_col="event_id")
+    plan = (
+        scd2.scd2_diff(dim, _us(0), _us(30))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the diff itself adds ONE aggregation and no join over the
+    # snapshot's own plan
+    assert "partial_max" in plan
+    assert "Join" not in plan

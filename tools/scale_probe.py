@@ -1197,6 +1197,119 @@ def main() -> None:
             file=sys.stderr, flush=True,
         )
 
+    if "--bpe-stores" in sys.argv:
+        # r8 third arc: BPE training cost per merge over a vocab-sized
+        # word table, the HLL cardinality store's per-epoch write
+        # flatness, hit-directed deletion, and the OHLC aggregation.
+        import tempfile
+
+        from cassandra_iot_pipeline_spark.forget import forget_keys_in_store
+        from cassandra_iot_pipeline_spark.functions.bpe import (
+            bpe_piece_counts,
+            bpe_train,
+        )
+        from cassandra_iot_pipeline_spark.operators.timeseries import (
+            ohlc_bars,
+        )
+        from cassandra_iot_pipeline_spark.streaming.cardinality import (
+            CardinalityPipeline,
+            distinct_counts,
+            period_index,
+        )
+        from cassandra_iot_pipeline_spark.streaming.cohorts import (
+            CohortPipeline,
+        )
+
+        # BPE: the claim under test is that per-merge cost is bounded
+        # by the WORD TABLE, not the corpus — train on a 200k-word
+        # synthetic vocabulary (hex tokens: a realistic 16-char,
+        # 16-symbol alphabet) and report total + per-merge seconds.
+        wc = spark.range(200_000).select(
+            F.format_string("%x", F.xxhash64("id")).alias("w"),
+            (F.pmod(F.xxhash64(F.lit("c"), F.col("id")), F.lit(999)) + 1).alias("c"),
+        )
+        n_m = 20
+        t0 = time.perf_counter()
+        model = bpe_train(wc, n_m, min_count=2)
+        total = round(time.perf_counter() - t0, 2)
+        results["bpe_train_200k_words_20_merges"] = total
+        results["bpe_sec_per_merge"] = round(total / max(1, len(model.merges)), 2)
+        print(
+            f"[probe] bpe_train 200k words x {len(model.merges)} merges: "
+            f"{total}s ({results['bpe_sec_per_merge']}s/merge)",
+            file=sys.stderr, flush=True,
+        )
+        # encode a 100k-doc staged corpus with the learned merges (the
+        # distinct-word confinement: Python touches ~2k words, never
+        # the ~8M token occurrences)
+        bdocs_dir = tempfile.mkdtemp(prefix="probe_bpe_")
+        probe_documents(spark, 100_000).write.mode("overwrite").parquet(
+            bdocs_dir
+        )
+        bdocs = spark.read.parquet(bdocs_dir)
+        wmodel = bpe_train(
+            bdocs.select(F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c")),
+            16,
+        )
+        timed(
+            "bpe_piece_counts_100k_docs",
+            bpe_piece_counts(bdocs, wmodel.merges),
+            results,
+        )
+
+        # cardinality store: 5 epochs of 4M events each; per-epoch
+        # write must stay flat (the store is never read on write)
+        card_dir = tempfile.mkdtemp(prefix="probe_card_")
+        card = CardinalityPipeline(card_dir, period_seconds=86_400)
+        per_epoch = []
+        for i in range(5):
+            batch = probe_events(spark, 4_000_000, n_devices)
+            t0 = time.perf_counter()
+            card.write_batch(batch, epoch_id=i)
+            per_epoch.append(round(time.perf_counter() - t0, 2))
+        results["cardinality_epoch_secs"] = per_epoch
+        t0 = time.perf_counter()
+        card.estimates(spark).write.format("noop").mode("overwrite").save()
+        results["cardinality_read_sec"] = round(time.perf_counter() - t0, 2)
+        print(
+            f"[probe] cardinality epochs {per_epoch}, read "
+            f"{results['cardinality_read_sec']}s",
+            file=sys.stderr, flush=True,
+        )
+        timed(
+            "distinct_counts_exactish_20m",
+            distinct_counts(
+                events.withColumn("pi", period_index("ts", 86_400)),
+                ["event_type", "pi"],
+                "user_id",
+            ),
+            results,
+        )
+
+        # deletion: 8-epoch cohort point store, forget 100 of n_devices
+        # keys — the labeled hit scan + only-hit-parts rewrite
+        fdir = tempfile.mkdtemp(prefix="probe_forget_")
+        cpipe = CohortPipeline(f"{fdir}/s", period_seconds=86_400)
+        for i in range(8):
+            cpipe.write_batch(
+                probe_events(spark, 1_000_000, n_devices), epoch_id=i
+            )
+        victims = spark.range(100).select(
+            F.pmod(F.xxhash64(F.lit("vic"), F.col("id")), F.lit(n_devices)).alias("k")
+        )
+        t0 = time.perf_counter()
+        rep = forget_keys_in_store(spark, cpipe.pts_dir, victims, ["k"])
+        results["forget_8epoch_store_sec"] = round(time.perf_counter() - t0, 2)
+        results["forget_parts_rewritten"] = sum(r["rewritten"] for r in rep)
+        print(
+            f"[probe] forget store: {results['forget_8epoch_store_sec']}s, "
+            f"{results['forget_parts_rewritten']}/{len(rep)} parts rewritten",
+            file=sys.stderr, flush=True,
+        )
+
+        timed("ohlc_bars_hourly", ohlc_bars(events), results)
+
     rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
     print(
         json.dumps(
