@@ -477,3 +477,124 @@ def value_histogram_oracle(
         SELECT bins.bin, lo_edge, hi_edge, COALESCE(n, 0) AS n
         FROM bins LEFT JOIN counts ON bins.bin = counts.bin
     """
+
+
+def mad_outliers(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k_mad: float = 3.5,
+    scale: int = 2,
+    outliers_only: bool = True,
+) -> DataFrame:
+    """Robust seasonal outliers: events whose value deviates more than
+    ``k_mad`` MADs from their (key, hour-of-day) baseline — the batch
+    complement of the streaming jump detector: median/MAD survive the
+    contaminated data that makes mean/stddev baselines circular
+    (an outlier inflates the stddev that is supposed to catch it).
+
+    Exactness: values become integer units (10^scale grid); the two
+    medians are ``percentile(..., 0.5)`` — at fraction 0.5 the
+    interpolation is one exact halving of two integers (the
+    value_quantiles contract), mirrored by DuckDB's quantile_cont.
+    Hour-of-day is the integer-exact pmod floor of the hour index (the
+    gapfill rule, correct pre-1970) — no timezone or calendar
+    dependence on either engine.
+
+    Plan: ONE exchange. Both medians are aggregate-as-window over the
+    SAME (key, hour) partitioning with no ordering — Spark plans two
+    Window passes over one clustering, no join, no second shuffle (a
+    groupBy+join formulation would exchange three times). The MAD
+    window consumes the median window's output column directly.
+
+    Flagging: ``|u - med| > k_mad * mad`` in unit space. A group whose
+    MAD is 0 (over half its samples identical) flags ANY deviating
+    value — the conventional degenerate-MAD behavior; k_mad ~= 3.5
+    MADs corresponds to ~2.3 sigma on clean normal data (1 MAD ~=
+    0.6745 sigma).
+    """
+    from pyspark.sql import Window
+
+    from . import exactmath
+
+    u = exactmath.units(F.col(value_col), scale)
+    h = 3600 * 1_000_000
+    # floor-aligned hour index (the gapfill pmod rule — exact for ALL
+    # timestamps incl. pre-1970), then the non-negative mod
+    hod = F.expr(
+        f"pmod((unix_micros({ts_col}) - pmod(unix_micros({ts_col}), {h}))"
+        f" div {h}, 24)"
+    ).cast("int")
+    base = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(key),
+        F.col(ts_col),
+        F.col(value_col),
+        hod.alias("hod"),
+        u.alias("_u"),
+    )
+    w = Window.partitionBy(key, "hod")
+    denom = 10**scale
+    with_med = base.withColumn(
+        "_med", F.expr("percentile(_u, 0.5)").over(w)
+    )
+    with_mad = with_med.withColumn(
+        "_mad", F.expr("percentile(abs(_u - _med), 0.5)").over(w)
+    )
+    out = with_mad.select(
+        key,
+        ts_col,
+        value_col,
+        "hod",
+        (F.col("_med") / denom).alias("season_median"),
+        (F.col("_mad") / denom).alias("season_mad"),
+        (F.abs(F.col("_u") - F.col("_med")) > F.lit(k_mad) * F.col("_mad"))
+        .alias("is_outlier"),
+    )
+    return out.filter(F.col("is_outlier")) if outliers_only else out
+
+
+def mad_outliers_oracle(
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k_mad: float = 3.5,
+    scale: int = 2,
+    outliers_only: bool = True,
+) -> str:
+    """DuckDB twin of :func:`mad_outliers`: identical unit grid,
+    hour-of-day arithmetic, windowed quantile_cont medians, and
+    flagging expression."""
+    denom = 10**scale
+    u = f"CAST(round({value_col} * {denom}) AS BIGINT)"
+    where = "WHERE is_outlier" if outliers_only else ""
+    return f"""
+        WITH base AS (
+            SELECT {key}, {ts_col}, {value_col},
+                   CAST(((((epoch_us({ts_col})
+                       - ((epoch_us({ts_col}) % {3600 * 1_000_000})
+                          + {3600 * 1_000_000}) % {3600 * 1_000_000})
+                       // {3600 * 1_000_000}) % 24) + 24) % 24
+                        AS INTEGER) AS hod,
+                   {u} AS u
+            FROM {table} WHERE {value_col} IS NOT NULL
+        ),
+        med AS (
+            SELECT *, quantile_cont(u, 0.5)
+                          OVER (PARTITION BY {key}, hod) AS m
+            FROM base
+        ),
+        mad AS (
+            SELECT *, quantile_cont(abs(u - m), 0.5)
+                          OVER (PARTITION BY {key}, hod) AS d
+            FROM med
+        )
+        SELECT * FROM (
+            SELECT {key}, {ts_col}, {value_col}, hod,
+                   m / {denom} AS season_median,
+                   d / {denom} AS season_mad,
+                   abs(u - m) > {k_mad} * d AS is_outlier
+            FROM mad
+        ) {where}
+    """
