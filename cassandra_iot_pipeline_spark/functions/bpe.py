@@ -246,3 +246,99 @@ def bpe_piece_counts(
         .groupBy("piece")
         .agg(F.sum("wc").alias("n"))
     )
+
+
+def bpe_vocab(
+    word_counts: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(token, id): the learned vocabulary with contiguous ids — the
+    standard BPE construction: the base alphabet (every character seen
+    in training plus END_MARK) sorted lexicographically, then one
+    token per merge in training order. The alphabet collect is the
+    bounded-collect class (charset-sized — a few hundred rows, never
+    data); ids are therefore deterministic for a given corpus + merge
+    list."""
+    spark = word_counts.sparkSession
+    chars = (
+        word_counts.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substr("w", i, F.lit(1)),
+                )
+            ).alias("ch")
+        )
+        .distinct()
+        .collect()
+    )
+    alphabet = sorted({r["ch"] for r in chars} | {END_MARK})
+    tokens_in_order = list(alphabet)
+    seen = set(alphabet)
+    for a, b in merges:
+        t = a + b
+        if t not in seen:  # a merge can re-derive an existing string
+            tokens_in_order.append(t)
+            seen.add(t)
+    return spark.createDataFrame(
+        [(t, i) for i, t in enumerate(tokens_in_order)],
+        "token STRING, id BIGINT",
+    )
+
+
+def bpe_encode_ids(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """(doc_id, ids, n_tokens): each document's id sequence under the
+    learned vocabulary — the shape a training-data loader consumes.
+    Pieces built from characters outside the training alphabet map to
+    ``unk_id`` (a LEFT join against the broadcast vocab — the vocab is
+    |alphabet| + n_merges rows, always broadcastable). Same
+    distinct-word confinement as :func:`bpe_encode`; the id join runs
+    on the vocab-sized segmentation frame, not on token occurrences."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def seg(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _rank_encode(w, ranks))
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
+    )
+    word_pieces = (
+        toks.select("w")
+        .distinct()
+        .withColumn("pieces", seg("w"))
+        .select("w", F.posexplode("pieces").alias("ppos", "piece"))
+        .join(F.broadcast(vocab), F.col("piece") == F.col("token"), "left")
+        .groupBy("w")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ppos",
+                            F.coalesce("id", F.lit(unk_id)).alias("id"),
+                        )
+                    )
+                ),
+                lambda s: s["id"],
+            ).alias("wids")
+        )
+    )
+    return (
+        toks.join(word_pieces, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "wids"))),
+                    lambda s: s["wids"],
+                )
+            ).alias("ids")
+        )
+        .select("doc_id", "ids", F.size("ids").alias("n_tokens"))
+    )

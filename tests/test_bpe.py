@@ -232,3 +232,50 @@ def test_pair_count_plan_partial_aggregates(corpus):
         .toString()
     )
     assert "partial_sum" in plan
+
+
+def test_vocab_ids_contiguous_and_ordered(spark, corpus, model):
+    from cassandra_iot_pipeline_spark.functions.bpe import bpe_vocab
+
+    vocab = bpe_vocab(bpe_word_counts(corpus), model.merges)
+    rows = sorted(
+        (r["id"], r["token"]) for r in vocab.collect()
+    )
+    ids = [i for i, _ in rows]
+    assert ids == list(range(len(ids)))
+    toks = [t for _, t in rows]
+    # alphabet block first (sorted), then merge tokens in training order
+    n_alpha = len(toks) - len(model.merges)
+    assert toks[:n_alpha] == sorted(toks[:n_alpha])
+    assert toks[n_alpha:] == [a + b for a, b in model.merges]
+    assert END_MARK in toks[:n_alpha]
+
+
+def test_encode_ids_round_trip_and_oov(spark, corpus, model):
+    from cassandra_iot_pipeline_spark.functions.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    vocab = bpe_vocab(bpe_word_counts(corpus), model.merges)
+    id2tok = {r["id"]: r["token"] for r in vocab.collect()}
+    doc = spark.createDataFrame(
+        [(1, "the fast sort"), (2, "zqé")],  # é: outside alphabet
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (list(r["ids"]), r["n_tokens"])
+        for r in bpe_encode_ids(doc, model.merges, vocab).collect()
+    }
+    ids1, n1 = got[1]
+    assert n1 == len(ids1) and -1 not in ids1
+    # ids decode back to the piece segmentation
+    pieces = [id2tok[i] for i in ids1]
+    want = (
+        ref_encode_training_order("the", model.merges)
+        + ref_encode_training_order("fast", model.merges)
+        + ref_encode_training_order("sort", model.merges)
+    )
+    assert pieces == want
+    ids2, _ = got[2]
+    assert -1 in ids2  # the unseen character maps to unk
