@@ -422,3 +422,78 @@ def score_thresholds_oracle(
         WHERE cum >= CAST(ceiling(n_rows * {float(keep_frac)}) AS BIGINT)
         {gby}
     """
+
+
+#: 53-bit uniform grid: the largest power of two whose reciprocals are
+#: all exactly representable in float64, so u = (h53 + 1) / 2^53 is an
+#: EXACT binary rational — every engine computes the same double.
+_U53 = 1 << 53
+
+
+def _uniform53(key: Column, seed: int) -> Column:
+    """Deterministic uniform in (0, 1]: 53 hash bits + 1, over 2^53.
+    The +1 keeps u > 0 (a zero priority divisor) and 1.0 reachable —
+    both endpoints exact."""
+    h53 = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_U53))
+    return (h53 + F.lit(1)).cast("double") / F.lit(float(_U53))
+
+
+def priority_sample(
+    df: DataFrame,
+    key: str | Column,
+    weight: str | Column,
+    k: int,
+    group: str | Sequence[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a weight-proportional
+    sample of ``k`` rows WITHOUT replacement — global, or per group —
+    with unbiased subset-sum estimation weights.
+
+    Per row: priority q = w / u with u a deterministic 53-bit hash
+    uniform (exact binary rational, so q is ONE correctly-rounded IEEE
+    division — bitwise reproducible across partitionings, retries, and
+    engines; the from-scratch reference in tests reproduces selection,
+    threshold, and estimators exactly). Keep the k largest priorities;
+    tau = the (k+1)-th priority; each kept row estimates its stratum's
+    weight mass as ``max(w, tau)`` — E[sum of est_w over the sample] =
+    total weight (Duffield et al. 2007), which is what makes the
+    sample usable for weighted-corpus accounting, not just selection.
+
+    Plan: one scan; global form = TakeOrderedAndProject on (q DESC)
+    over k+1 rows then a driver-free threshold window; grouped form =
+    one shuffle on the group key into a ranking window — the minimum
+    any per-group quota needs (the per_group_cap posture). Rows with
+    NULL, zero, or negative weight never enter the sample.
+    """
+    kcol = F.col(key) if isinstance(key, str) else key
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    groups = (
+        [] if group is None
+        else [group] if isinstance(group, str) else list(group)
+    )
+    base = df.filter(wcol.isNotNull() & (wcol > 0)).withColumn(
+        "_q", wcol.cast("double") / _uniform53(kcol, seed)
+    )
+    if not groups:
+        # distributed heap top-(k+1) (TakeOrderedAndProject) — a global
+        # ranking window would funnel every row through one partition
+        base = base.orderBy(F.desc("_q")).limit(k + 1)
+    w = Window.partitionBy(*groups).orderBy(F.desc("_q"))
+    wg = Window.partitionBy(*groups)
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    # tau = the (k+1)-th priority, broadcast back onto the kept rows by
+    # a per-group max over the single rank-(k+1) row (NULL when the
+    # group has <= k rows: the sample is exhaustive and est_w = w)
+    tau = F.max(F.when(F.col("_rn") == k + 1, F.col("_q"))).over(wg)
+    return (
+        ranked.withColumn("_tau", tau)
+        .filter(F.col("_rn") <= k)
+        .withColumn(
+            "est_w",
+            F.greatest(
+                wcol.cast("double"), F.coalesce(F.col("_tau"), F.lit(0.0))
+            ),
+        )
+        .drop("_q", "_rn", "_tau")
+    )
