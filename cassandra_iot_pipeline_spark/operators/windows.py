@@ -285,3 +285,33 @@ def session_window_stats_oracle(gap_s: int = SESSION_GAP_S) -> str:
         FROM sess
         GROUP BY user_id, sid
     """
+
+
+def type_unpivot(pivoted: DataFrame) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of :func:`type_pivot`: the wide
+    per-user count columns back to tall (user_id, event_type, n) rows.
+    Spark's native ``unpivot`` compiles to a Generate (Expand) — one
+    narrow map-side pass, no shuffle, no UDF. Zero-count cells are
+    dropped (they exist only as pivot fill), so
+    ``type_unpivot(type_pivot(e))`` round-trips exactly to the plain
+    groupBy counts — pinned in tests and by the oracle."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        pivoted.unpivot(
+            ["user_id"],
+            [f"n_{t}" for t in types],
+            "event_type",
+            "n",
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .filter(F.col("n") > 0)
+    )
+
+
+def type_unpivot_oracle() -> str:
+    """DuckDB twin of ``type_unpivot(type_pivot(events))`` — which is
+    by construction the plain per-(user, type) count."""
+    return """
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    """

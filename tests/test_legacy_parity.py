@@ -193,3 +193,24 @@ def test_legacy_multi_table(name, spark, duck):
     oracle_pdf = duck.execute(oracle).fetchdf()
     problems = compare(spark_pdf, oracle_pdf)
     assert not problems, f"{name}: {problems}"
+
+
+def test_type_unpivot_round_trips_pivot(spark, duck):
+    from cassandra_iot_pipeline_spark.operators.windows import (
+        type_pivot,
+        type_unpivot,
+        type_unpivot_oracle,
+    )
+    from tools.oracle_check import compare
+
+    events = load_table(spark, SF_DIR, "events")
+    got = type_unpivot(type_pivot(events)).toPandas()
+    want = duck.sql(type_unpivot_oracle()).df()
+    assert compare(got, want) == []
+    plan = (
+        type_unpivot(type_pivot(events))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in plan  # native unpivot, not a union of selects
