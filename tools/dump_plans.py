@@ -238,7 +238,110 @@ def _extras(spark, sf_dir):
             "in parallel; nothing else in the plan.",
             _lttb(spark, sf_dir),
         ),
+        "ohlc_bars": (
+            "OHLC candles (r8 third arc): ONE map-side-combined hash "
+            "aggregation on (key, bucket) — min_by/max_by carry "
+            "(value, ordkey) pairs through partial aggregation, so "
+            "there is no Window, no Sort, no Join anywhere; every "
+            "output is a selection of an input double (bitwise "
+            "partition-invariant with raw doubles).",
+            _ohlc(spark, sf_dir),
+        ),
+        "mad_outliers": (
+            "Robust seasonal outliers (r8 third arc): ONE Exchange on "
+            "(key, hour-of-day) feeding TWO Window passes over the "
+            "same clustering — the exact median, then the MAD over "
+            "the median's output column; zero joins (the "
+            "groupBy+join formulation would exchange three times).",
+            _mad(spark, sf_dir),
+        ),
+        "priority_sample_global": (
+            "Priority sampling (r8 third arc), global form: priority "
+            "= w/u computed in the scan projection, then "
+            "TakeOrderedAndProject keeps k+1 rows via distributed "
+            "heap top-k — no global Sort, no global Window over the "
+            "corpus; the threshold/estimator window runs over the "
+            "k+1 survivors only.",
+            _priority(spark, sf_dir),
+        ),
+        "scd2_diff": (
+            "SCD2 change-data-capture read (r8 third arc): one "
+            "dimension scan into one map-side-combined conditional "
+            "aggregation on the key (max-when pulls each instant's "
+            "single containing version; presence flags classify "
+            "new/changed/unchanged) — no self-join, no window beyond "
+            "the snapshot's own.",
+            _scd2_diff(spark, sf_dir),
+        ),
+        "bpe_pair_counts": (
+            "BPE training, the per-merge stage (r8 third arc): pair "
+            "structs materialize BEFORE the explode (one tokenizer "
+            "pass per word, the shingle/postings lesson), then ONE "
+            "map-side-combined hash aggregation over the vocab-sized "
+            "word table — the corpus never appears in the iteration "
+            "plan at all.",
+            _bpe_pairs(spark, sf_dir),
+        ),
     }
+
+
+def _ohlc(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.timeseries import ohlc_bars
+
+    return ohlc_bars(load_table(spark, sf_dir, "events"))
+
+
+def _mad(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.stats import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"))
+
+
+def _priority(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.sampling import (
+        priority_sample,
+    )
+
+    return priority_sample(
+        load_table(spark, sf_dir, "events"), "event_id", "value", 100
+    )
+
+
+def _scd2_diff(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.scd2 import (
+        scd2_diff,
+        scd2_snapshot,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    dim = scd2_snapshot(events, seq_col="event_id")
+    lo, hi = events.selectExpr(
+        "unix_micros(min(ts))", "unix_micros(max(ts))"
+    ).first()
+    return scd2_diff(dim, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3)
+
+
+def _bpe_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.bpe import (
+        _initial_symbols,
+        _pair_rows,
+        bpe_word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe_word_counts(docs).select(
+        "w", "c", _initial_symbols().alias("syms")
+    )
+    return (
+        _pair_rows(words).groupBy("a", "b").agg(F.sum("c").alias("cnt"))
+    )
 
 
 def _conversion_pairs(spark, sf_dir):
