@@ -342,3 +342,69 @@ def bpe_encode_ids(
         )
         .select("doc_id", "ids", F.size("ids").alias("n_tokens"))
     )
+
+
+def tokenizer_report(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    group_cols: Sequence[str] = ("source",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer health: (group..., n_words, n_pieces,
+    fertility, oov_word_rate) — the drift read a corpus owner runs
+    when new data arrives under a FROZEN tokenizer. Fertility
+    (pieces per word) rising means the vocabulary fits the new corpus
+    worse; oov_word_rate > 0 means characters outside the training
+    alphabet (their pieces map to unk under ``bpe_encode_ids``).
+
+    Same distinct-word confinement as the encoders: segmentation and
+    the per-word OOV probe run once per DISTINCT word (the pandas UDF
+    and the broadcast-vocab join touch the vocab-sized frame), then
+    per-group word counts join the per-word stats — corpus-wide work
+    is one tokenize-explode aggregation and one join keyed on the
+    word. Fertility and rate are exact-integer ratios with one IEEE
+    division each (the exactmath rule)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def seg(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _rank_encode(w, ranks))
+
+    groups = list(group_cols)
+    word_n = (
+        documents.select(
+            *groups, F.explode(tokens(F.col(text_col))).alias("w")
+        )
+        .groupBy(*groups, "w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    vocab_set = F.broadcast(vocab.select(F.col("token").alias("piece")))
+    word_stats = (
+        word_n.select("w")
+        .distinct()
+        .withColumn("pieces", seg("w"))
+        .select("w", F.explode("pieces").alias("piece"))
+        .join(vocab_set.withColumn("_known", F.lit(1)), "piece", "left")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_p"),
+            F.max(F.col("_known").isNull().cast("int")).alias("has_unk"),
+        )
+    )
+    return (
+        word_n.join(word_stats, "w")
+        .groupBy(*groups)
+        .agg(
+            F.sum("wc").alias("n_words"),
+            F.sum(F.col("wc") * F.col("n_p")).alias("n_pieces"),
+            (
+                F.sum(F.col("wc") * F.col("n_p")).cast("double")
+                / F.sum("wc")
+            ).alias("fertility"),
+            (
+                F.sum(F.col("wc") * F.col("has_unk")).cast("double")
+                / F.sum("wc")
+            ).alias("oov_word_rate"),
+        )
+    )

@@ -279,3 +279,58 @@ def test_encode_ids_round_trip_and_oov(spark, corpus, model):
     assert pieces == want
     ids2, _ = got[2]
     assert -1 in ids2  # the unseen character maps to unk
+
+
+def test_tokenizer_report_hand_computed(spark, corpus, model):
+    from cassandra_iot_pipeline_spark.functions.bpe import (
+        bpe_vocab,
+        tokenizer_report,
+    )
+
+    vocab = bpe_vocab(bpe_word_counts(corpus), model.merges)
+    docs = spark.createDataFrame(
+        [
+            (1, "the the fast", "a"),
+            (2, "tsoré tsoré", "b"),  # é outside the tokenizer class
+            (3, "sort", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (
+            r["n_words"], r["n_pieces"], r["fertility"], r["oov_word_rate"]
+        )
+        for r in tokenizer_report(docs, model.merges, vocab).collect()
+    }
+    the = len(ref_encode_training_order("the", model.merges))
+    fast = len(ref_encode_training_order("fast", model.merges))
+    sort = len(ref_encode_training_order("sort", model.merges))
+    # é is outside [a-z0-9'], so the token is "tsor" — an unseen word
+    # whose chars all exist in the training alphabet (not OOV)
+    zq = len(ref_encode_training_order("tsor", model.merges))
+    a_pieces = 2 * the + fast + sort
+    assert got["a"] == (4, a_pieces, a_pieces / 4, 0.0)
+    assert got["b"] == (2, 2 * zq, float(zq), 0.0)
+
+
+def test_tokenizer_report_oov_rate(spark, corpus, model):
+    from cassandra_iot_pipeline_spark.functions.bpe import (
+        bpe_vocab,
+        tokenizer_report,
+    )
+
+    # an in-alphabet-but-unseen word is NOT oov; a digit-bearing word
+    # is oov only if digits never appeared in training words
+    wc = spark.createDataFrame(
+        [("abc", 5), ("bcd", 4), ("cde", 3)], "w string, c long"
+    )
+    m = bpe_train(wc, 3, min_count=1)
+    vocab = bpe_vocab(wc, m.merges)
+    docs = spark.createDataFrame(
+        [(1, "abc dae", "s"), (2, "a9c", "s")],
+        "doc_id long, text string, source string",
+    )
+    rep = tokenizer_report(docs, m.merges, vocab).collect()[0]
+    # 'dae': chars all in {a..e} alphabet -> not oov; 'a9c': 9 unseen
+    assert rep["n_words"] == 3
+    assert rep["oov_word_rate"] == 1 / 3
