@@ -404,3 +404,99 @@ def growth_accounting_oracle(
         FROM per_period FULL JOIN churn
           ON per_period.pi = churn.pi
     """
+
+
+def retention_matrix_segmented(
+    events: DataFrame,
+    segments: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    segment_col: str = "segment",
+    period_seconds: int = WEEK_SECONDS,
+) -> DataFrame:
+    """Per-segment retention matrices in ONE pass — the cohort sibling
+    of ``funnel_segmented``: each user's matrix contribution lands
+    under their segment from a user-keyed dimension (acquisition
+    channel, plan tier, region). Output adds ``segment`` ahead of the
+    matrix columns; users absent from the dimension report under a
+    NULL segment (LEFT join — dropping them silently would make the
+    per-segment matrices not sum to the global one).
+
+    Plan: the dimension joins BROADCAST onto the per-user fold result
+    (one row per user — the funnel_segmented discipline: enrich AFTER
+    the heavy aggregation, never the event stream), so the events-wide
+    work is identical to the unsegmented matrix; the matrix
+    aggregation and cohort-size window just gain the segment key."""
+    pts = period_points(events, key, ts_col, period_seconds)
+    per_user = pts.groupBy("k").agg(
+        F.min("pi").alias("cohort_idx"),
+        F.collect_set("pi").alias("pis"),
+    )
+    dim = F.broadcast(
+        segments.select(
+            F.col(key).alias("k"), F.col(segment_col).alias("segment")
+        )
+    )
+    matrix = (
+        per_user.join(dim, "k", "left")
+        .select("segment", "cohort_idx", F.explode("pis").alias("pi"))
+        .groupBy(
+            "segment",
+            "cohort_idx",
+            (F.col("pi") - F.col("cohort_idx")).alias("offset_periods"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.partitionBy("segment", "cohort_idx")
+    size = F.max(
+        F.when(F.col("offset_periods") == 0, F.col("n_users"))
+    ).over(w)
+    return matrix.select(
+        "segment",
+        "cohort_idx",
+        "offset_periods",
+        "n_users",
+        size.alias("cohort_size"),
+        (F.col("n_users").cast("double") / size).alias("retention"),
+    )
+
+
+def retention_matrix_segmented_oracle(
+    table: str = "events",
+    segments_sql: str = "SELECT user_id, segment FROM segments",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = WEEK_SECONDS,
+) -> str:
+    """DuckDB twin of :func:`retention_matrix_segmented`."""
+    p = period_seconds * 1_000_000
+    return f"""
+        WITH pts AS (
+            SELECT {key} AS k,
+                   (epoch_us({ts_col})
+                    - ((epoch_us({ts_col}) % {p}) + {p}) % {p}) // {p}
+                       AS pi
+            FROM {table}
+        ),
+        per_user AS (
+            SELECT k, MIN(pi) AS cohort_idx FROM pts GROUP BY k
+        ),
+        active AS (SELECT DISTINCT k, pi FROM pts),
+        dim AS (SELECT {key} AS k, segment FROM ({segments_sql})),
+        matrix AS (
+            SELECT dim.segment, cohort_idx,
+                   pi - cohort_idx AS offset_periods,
+                   COUNT(*) AS n_users
+            FROM active
+            JOIN per_user USING (k)
+            LEFT JOIN dim USING (k)
+            GROUP BY dim.segment, cohort_idx, pi - cohort_idx
+        )
+        SELECT segment, cohort_idx, offset_periods, n_users,
+               MAX(CASE WHEN offset_periods = 0 THEN n_users END)
+                   OVER (PARTITION BY segment, cohort_idx) AS cohort_size,
+               CAST(n_users AS DOUBLE)
+                   / MAX(CASE WHEN offset_periods = 0 THEN n_users END)
+                     OVER (PARTITION BY segment, cohort_idx) AS retention
+        FROM matrix
+    """

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from cassandra_iot_pipeline_spark.catalog import load_table
 from cassandra_iot_pipeline_spark.operators import cohorts
 from tests.conftest import SF_DIR
@@ -203,3 +205,103 @@ def test_growth_accounting_fixture_parity_and_identities(spark, duck):
                 g.n_churned.iloc[i]
                 == g.n_active.iloc[i - 1] - g.n_retained.iloc[i]
             ), g.pi.iloc[i]
+
+
+# -- segmented retention -----------------------------------------------------
+
+
+def _seg_dim(spark, rows):
+    return spark.createDataFrame(rows, "user_id BIGINT, segment STRING")
+
+
+def test_segmented_hand_computed_and_null_segment(spark):
+    events = _frame(
+        spark,
+        [
+            (1, _day(0)), (1, _day(1)),
+            (2, _day(0)),
+            (3, _day(0)), (3, _day(1)),
+            (9, _day(0)),  # not in the dimension -> NULL segment
+        ],
+    )
+    dim = _seg_dim(spark, [(1, "ads"), (2, "ads"), (3, "organic")])
+    got = {
+        (r["segment"], r["cohort_idx"], r["offset_periods"]): (
+            r["n_users"], r["cohort_size"], r["retention"]
+        )
+        for r in cohorts.retention_matrix_segmented(
+            events, dim, period_seconds=DAY
+        ).collect()
+    }
+    assert got == {
+        ("ads", 0, 0): (2, 2, 1.0),
+        ("ads", 0, 1): (1, 2, 0.5),
+        ("organic", 0, 0): (1, 1, 1.0),
+        ("organic", 0, 1): (1, 1, 1.0),
+        (None, 0, 0): (1, 1, 1.0),
+    }
+
+
+def test_segmented_slices_equal_plain_matrices(spark, duck):
+    events = load_table(spark, SF_DIR, "events")
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = cohorts.retention_matrix_segmented(
+        events, dim, period_seconds=DAY
+    )
+    # each non-null segment's slice == the plain matrix over that
+    # segment's users' events
+    segs = [r["segment"] for r in dim.select("segment").distinct().collect()]
+    users_by_seg = {
+        s: [r["user_id"] for r in dim.filter(F.col("segment") == s).collect()]
+        for s in segs
+    }
+    for s in segs:
+        sl = sorted(
+            tuple(r)[1:]
+            for r in seg.filter(F.col("segment") == s).collect()
+        )
+        plain = cohorts.retention_matrix(
+            events.filter(F.col("user_id").isin(users_by_seg[s])),
+            period_seconds=DAY,
+        )
+        assert sl == sorted(tuple(r) for r in plain.collect()), s
+
+
+def test_segmented_fixture_duckdb_parity(spark, duck):
+    events = load_table(spark, SF_DIR, "events")
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    got = cohorts.retention_matrix_segmented(
+        events, dim, period_seconds=DAY
+    ).toPandas()
+    want = duck.sql(
+        cohorts.retention_matrix_segmented_oracle(
+            segments_sql=(
+                "SELECT c_custkey AS user_id, c_mktsegment AS segment"
+                " FROM customer"
+            ),
+            period_seconds=DAY,
+        )
+    ).df()
+    assert compare(got, want) == []
+
+
+def test_segmented_dimension_joins_broadcast(spark):
+    events = load_table(spark, SF_DIR, "events")
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    plan = (
+        cohorts.retention_matrix_segmented(events, dim)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
