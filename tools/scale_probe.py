@@ -1310,6 +1310,36 @@ def main() -> None:
 
         timed("ohlc_bars_hourly", ohlc_bars(events), results)
 
+        from cassandra_iot_pipeline_spark.functions.sampling import (
+            priority_sample,
+        )
+        from cassandra_iot_pipeline_spark.operators.cohorts import (
+            retention_matrix_segmented,
+        )
+        from cassandra_iot_pipeline_spark.operators.stats import (
+            mad_outliers,
+        )
+
+        timed(
+            "priority_sample_k1000_20m",
+            priority_sample(events, "event_id", "value", 1000),
+            results,
+        )
+        seg_dim = spark.range(n_devices).select(
+            F.col("id").alias("user_id"),
+            F.concat(
+                F.lit("seg"), F.pmod(F.xxhash64("id"), F.lit(5))
+            ).alias("segment"),
+        )
+        timed(
+            "retention_matrix_segmented_daily",
+            retention_matrix_segmented(
+                events, seg_dim, period_seconds=86_400
+            ),
+            results,
+        )
+        timed("mad_outliers_20m", mad_outliers(events), results)
+
     rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
     print(
         json.dumps(
