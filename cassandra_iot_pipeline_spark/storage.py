@@ -297,3 +297,65 @@ def expire_partitions(
             shutil.rmtree(os.path.join(path, entry))
             dropped.append(value)
     return dropped
+
+
+def rowgroup_pruning_report(
+    path: str, predicates: dict[str, tuple[float, float]]
+) -> dict:
+    """Measure how much data skipping a layout actually delivers:
+    read ONLY the parquet footers (row-group min/max statistics — a
+    driver-side metadata pass, no row data) and report how many row
+    groups a conjunctive box predicate ``{col: (lo, hi)}`` would have
+    to scan. This is the number the Z-order layout exists to improve,
+    made observable instead of asserted: run it on the same rows
+    written naive vs ``write_zordered`` and compare ``skip_fraction``
+    (tests pin the ordering; SCALE.md carries measured rows).
+
+    A row group with missing statistics for any predicate column
+    counts as scanned (the engine must read it), matching how Spark's
+    parquet filter pushdown treats stat-less groups."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    total = scanned = rows_total = rows_scanned = 0
+    for f in files:
+        pf = _pq.ParquetFile(f)
+        md = pf.metadata
+        # column index from the file SCHEMA, not row_group(0): a
+        # zero-row partition writes a file with no row groups at all
+        col_idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            total += 1
+            rows_total += g.num_rows
+            # conjunctive box: ONE column whose stats definitively
+            # exclude the range skips the group; a stat-less column
+            # can never exclude (must-scan unless another one does)
+            excluded = False
+            for c, (lo, hi) in predicates.items():
+                if c not in col_idx:
+                    raise ValueError(f"pruning report: no column {c!r}")
+                st = g.column(col_idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if st.max < lo or st.min > hi:
+                    excluded = True
+                    break
+            if not excluded:
+                scanned += 1
+                rows_scanned += g.num_rows
+    return {
+        "row_groups": total,
+        "scanned": scanned,
+        "skipped": total - scanned,
+        "skip_fraction": (total - scanned) / total if total else 0.0,
+        "rows_total": rows_total,
+        "rows_scanned": rows_scanned,
+    }

@@ -6,6 +6,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from cassandra_iot_pipeline_spark import storage
@@ -268,3 +269,55 @@ def test_expire_partitions_drops_whole_days(spark, tmp_path):
     after = read_events_table(spark, path)
     assert after.count() == expected_kept
     assert after.filter(F.to_date("ts") < F.lit(cutoff)).count() == 0
+
+
+def test_zorder_pruning_measured(spark, tmp_path):
+    """The Z-order claim, measured from parquet footers: a 2-D box
+    predicate skips strictly more row groups under the Morton layout
+    than under a naive single-column sort — and both beat unsorted."""
+    from cassandra_iot_pipeline_spark.storage import (
+        rowgroup_pruning_report,
+        write_zordered,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64(F.lit("a"), "id"), F.lit(1024)).alias("user_id"),
+        F.pmod(F.xxhash64(F.lit("b"), "id"), F.lit(1024)).alias("hour"),
+    )
+    naive = str(tmp_path / "naive")
+    onecol = str(tmp_path / "onecol")
+    zed = str(tmp_path / "zed")
+    df.repartition(16).write.parquet(naive)
+    # range partitioning: a HASH repartition would spread the whole
+    # user_id domain across every file and no row group could prune
+    df.repartitionByRange(16, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.parquet(onecol)
+    write_zordered(df, zed, "user_id", "hour", bits=10, n_files=16)
+
+    box = {"user_id": (100, 150), "hour": (100, 150)}
+    r_naive = rowgroup_pruning_report(naive, box)
+    r_onecol = rowgroup_pruning_report(onecol, box)
+    r_zed = rowgroup_pruning_report(zed, box)
+    # unsorted: every group spans the whole domain -> nothing skips
+    assert r_naive["skip_fraction"] == 0.0
+    # one-col sort prunes on user_id only
+    assert r_onecol["skip_fraction"] > 0.5
+    # the curve prunes on BOTH dimensions
+    assert r_zed["skip_fraction"] > r_onecol["skip_fraction"]
+    assert r_zed["rows_scanned"] < r_onecol["rows_scanned"]
+    # single-dimension predicates still prune under the curve
+    r_zed_1d = rowgroup_pruning_report(zed, {"hour": (100, 150)})
+    assert r_zed_1d["skip_fraction"] > 0.0
+
+
+def test_pruning_report_unknown_column_raises(spark, tmp_path):
+    from cassandra_iot_pipeline_spark.storage import (
+        rowgroup_pruning_report,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    with pytest.raises(ValueError, match="no column"):
+        rowgroup_pruning_report(p, {"nope": (0, 1)})
