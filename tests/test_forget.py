@@ -182,3 +182,34 @@ def test_store_full_part_erasure(spark, tmp_path):
     # the emptied epoch stays readable and the store serves user 2 only
     pts = pipe.points(spark)
     assert sorted(r["k"] for r in pts.select("k").distinct().collect()) == [2]
+
+
+def test_store_forget_preserves_partitioned_base(spark, tmp_path):
+    """A store compacted into a partitioned base (the ANN/postings
+    layout) keeps its partition directories through a deletion
+    rewrite, and readers keep pruning on them."""
+    from cassandra_iot_pipeline_spark.store import (
+        compact_store,
+        read_store,
+    )
+
+    store = str(tmp_path / "s")
+    schema = "user_id BIGINT, grp BIGINT, v STRING"
+    for e in range(3):
+        spark.createDataFrame(
+            [(10 * e + i, i % 4, f"v{e}{i}") for i in range(8)], schema
+        ).write.mode("overwrite").parquet(f"{store}/epoch={e}")
+    empty = spark.createDataFrame([], schema)
+    assert compact_store(spark, store, empty, partition_by="grp") == 2
+    victims = _keys(spark, [0, 11, 22])
+    report = forget_keys_in_store(
+        spark, store, victims, ["user_id"], base_partition_by="grp"
+    )
+    assert sum(r["rows_removed"] for r in report) == 3
+    base = os.path.join(store, "base_upto=2")
+    assert any(n.startswith("grp=") for n in os.listdir(base))
+    after = read_store(spark, store, empty)
+    assert after.count() == 21
+    assert after.filter(F.col("user_id").isin([0, 11, 22])).count() == 0
+    # partition column survives with usable values
+    assert after.filter(F.col("grp") == 2).count() > 0

@@ -1340,6 +1340,90 @@ def main() -> None:
         )
         timed("mad_outliers_20m", mad_outliers(events), results)
 
+    if "--monitors" in sys.argv:
+        # r8 third arc: the drift-monitoring family at probe scale.
+        import tempfile
+
+        from cassandra_iot_pipeline_spark.functions.bpe import (
+            bpe_train,
+            bpe_vocab,
+            bpe_word_counts,
+            tokenizer_report,
+        )
+        from cassandra_iot_pipeline_spark.operators.changepoints import (
+            cusum_changepoints,
+        )
+        from cassandra_iot_pipeline_spark.streaming.embedding_drift import (
+            EmbeddingDriftPipeline,
+        )
+
+        mdocs_dir = tempfile.mkdtemp(prefix="probe_mon_")
+        probe_documents(spark, 100_000).write.mode("overwrite").parquet(
+            mdocs_dir
+        )
+        mdocs = spark.read.parquet(mdocs_dir)
+        wc = bpe_word_counts(mdocs)
+        model = bpe_train(wc, 16)
+        vocab = bpe_vocab(wc, model.merges)
+        timed(
+            "tokenizer_report_100k_docs",
+            tokenizer_report(mdocs, model.merges, vocab),
+            results,
+        )
+
+        # embedding drift: 5 epochs x 200k 32-dim vectors against a
+        # frozen 64-list codebook; per-epoch write must stay flat
+        dims, n_vec = 32, 200_000
+        def _vecs(start):
+            return spark.range(start, start + n_vec).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dims - 1)),
+                    lambda d: (
+                        F.pmod(F.xxhash64("id", d), F.lit(1000)) / 500.0
+                        - 1.0
+                    ),
+                ).alias("embedding"),
+            )
+        cents = _vecs(10**9).limit(64)
+        ed_dir = tempfile.mkdtemp(prefix="probe_ed_")
+        epipe = EmbeddingDriftPipeline(ed_dir, cents)
+        e_times = []
+        for i in range(5):
+            batch = _vecs(i * n_vec)
+            t0 = time.perf_counter()
+            epipe.write_batch(batch, epoch_id=i)
+            e_times.append(round(time.perf_counter() - t0, 2))
+        results["embedding_drift_epoch_secs"] = e_times
+        t0 = time.perf_counter()
+        epipe.drift(spark).write.format("noop").mode("overwrite").save()
+        results["embedding_drift_read_sec"] = round(
+            time.perf_counter() - t0, 2
+        )
+        print(
+            f"[probe] embedding_drift epochs {e_times}, drift read "
+            f"{results['embedding_drift_read_sec']}s",
+            file=sys.stderr, flush=True,
+        )
+
+        # CUSUM over a wide series corpus: 100k groups x 50 epochs
+        series = spark.range(100_000 * 50).select(
+            (F.col("id") % 100_000).alias("g"),
+            (F.col("id") // 100_000).alias("epoch"),
+            (
+                F.pmod(F.xxhash64("id"), F.lit(100)) / 100.0
+                + F.when(
+                    (F.col("id") % 100_000 < 1000) & (F.col("id") // 100_000 >= 25),
+                    F.lit(3.0),
+                ).otherwise(F.lit(0.0))
+            ).alias("m"),
+        )
+        timed(
+            "cusum_100k_groups_50_epochs",
+            cusum_changepoints(series, ["g"], "m", k=0.2, h=2.0),
+            results,
+        )
+
     rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
     print(
         json.dumps(
