@@ -131,6 +131,8 @@ def bpe_train(
     when no adjacent pair reaches ``min_count``. The words frame is
     localCheckpoint-ed each step — without it the fold lambdas nest one
     level per merge and analysis cost grows quadratically."""
+    from ..blocks import release_local_checkpoint
+
     words = word_counts.select(
         "w", F.col("c").cast("long").alias("c"), _initial_symbols().alias("syms")
     ).localCheckpoint(eager=True)
@@ -148,9 +150,14 @@ def bpe_train(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
+        prev = words
         words = words.withColumn("syms", _apply_merge(a, b)).localCheckpoint(
             eager=True
         )
+        # the superseded checkpoint is spent the moment its successor
+        # materializes — release it (blocks.py): a 30k-merge training
+        # run must hold TWO vocab copies in block storage, not 30k
+        release_local_checkpoint(prev)
     return BpeModel(merges=merges, vocab=words)
 
 

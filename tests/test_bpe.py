@@ -334,3 +334,14 @@ def test_tokenizer_report_oov_rate(spark, corpus, model):
     # 'dae': chars all in {a..e} alphabet -> not oov; 'a9c': 9 unseen
     assert rep["n_words"] == 3
     assert rep["oov_word_rate"] == 1 / 3
+
+
+def test_train_releases_superseded_checkpoints(spark, corpus):
+    from cassandra_iot_pipeline_spark.blocks import cached_rdd_count
+
+    base = cached_rdd_count(spark)
+    model = bpe_train(bpe_word_counts(corpus), 8)
+    assert len(model.merges) == 8
+    # only the FINAL vocab checkpoint may remain beyond the baseline
+    # (plus whatever the baseline already held) — not one per merge
+    assert cached_rdd_count(spark) <= base + 1
