@@ -31,5 +31,18 @@
                 metric series; drift + failure views)
     funnel   -- continuously-maintained funnel (distinct step-point
                 store; greedy chain on read — late re-anchor safe)
+    quality  -- continuous score-distribution store (live percentile
+                thresholds bit-identical to batch)
+    retrieval -- continuous postings-store ingestion
+    cardinality -- mergeable per-group HLL distinct-count store
+                (estimates fold-on-read; batch-reader accessible)
+    ohlc     -- continuous OHLC candles (associative order-statistic
+                fold; bitwise equal to the batch bars)
+    sample   -- continuous weighted reservoir (priority sampling;
+                hash-pure priorities collapse cross-epoch redelivery)
+    tokenizer_drift -- per-epoch fertility/OOV series vs a frozen
+                tokenizer (baseline alert view)
+    embedding_drift -- per-list occupancy/residual series vs a frozen
+                IVF codebook (share + distance drift view)
     cassandra -- connector sink options (prod backend; no cluster here)
 """

@@ -1409,11 +1409,12 @@ def main() -> None:
         # CUSUM over a wide series corpus: 100k groups x 50 epochs
         series = spark.range(100_000 * 50).select(
             (F.col("id") % 100_000).alias("g"),
-            (F.col("id") // 100_000).alias("epoch"),
+            F.expr("id div 100000").alias("epoch"),
             (
                 F.pmod(F.xxhash64("id"), F.lit(100)) / 100.0
                 + F.when(
-                    (F.col("id") % 100_000 < 1000) & (F.col("id") // 100_000 >= 25),
+                    (F.col("id") % 100_000 < 1000)
+                    & (F.expr("id div 100000") >= 25),
                     F.lit(3.0),
                 ).otherwise(F.lit(0.0))
             ).alias("m"),
