@@ -71,11 +71,12 @@ def forget_keys_in_table(
         return {"rows_removed": 0, "rewritten": False}
     kept = df.join(ks, key_cols, "left_anti")
     tmp, _ = _swap_paths(path)
-    writer = kept.write.mode("overwrite")
     if partition_by is not None:
         writer = kept.repartition(partition_by).write.mode(
             "overwrite"
         ).partitionBy(partition_by)
+    else:
+        writer = kept.write.mode("overwrite")
     writer.parquet(tmp)
     commit_swap(path)
     return {"rows_removed": int(removed), "rewritten": True}
@@ -133,11 +134,12 @@ def forget_keys_in_store(
         recover_swap(p)
         kept = spark.read.parquet(p).join(ks, key_cols, "left_anti")
         tmp, _ = _swap_paths(p)
-        writer = kept.write.mode("overwrite")
         if is_base and base_partition_by is not None:
             writer = kept.repartition(base_partition_by).write.mode(
                 "overwrite"
             ).partitionBy(base_partition_by)
+        else:
+            writer = kept.write.mode("overwrite")
         writer.parquet(tmp)
         commit_swap(p)
         report.append({"part": name, "rows_removed": n, "rewritten": True})

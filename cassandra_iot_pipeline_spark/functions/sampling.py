@@ -466,6 +466,8 @@ def priority_sample(
     any per-group quota needs (the per_group_cap posture). Rows with
     NULL, zero, or negative weight never enter the sample.
     """
+    if k < 1:
+        raise ValueError(f"priority_sample: k {k} < 1")
     kcol = F.col(key) if isinstance(key, str) else key
     wcol = F.col(weight) if isinstance(weight, str) else weight
     groups = (
