@@ -44,5 +44,7 @@
                 tokenizer (baseline alert view)
     embedding_drift -- per-list occupancy/residual series vs a frozen
                 IVF codebook (share + distance drift view)
+    lateness -- watermark-lateness accounting (per-epoch drop counts
+                for candidate delays; tuning recommendation)
     cassandra -- connector sink options (prod backend; no cluster here)
 """
