@@ -40,7 +40,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -414,4 +414,85 @@ def tokenizer_report(
                 / F.sum("wc")
             ).alias("oov_word_rate"),
         )
+    )
+
+
+def bpe_pack_blocks(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    block_size: int = 2048,
+    n_shards: int = 64,
+    sep_id: int = -2,
+    pad_id: int = -3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The pipeline's end product: fixed-size id blocks a training
+    loader maps straight to tensors — (shard, block, ids) with
+    ``len(ids) == block_size`` exactly (each shard's final block
+    right-pads with ``pad_id``). Documents lay end-to-end in doc_id
+    order within hash shards, one ``sep_id`` after each document, and
+    may straddle block boundaries — the cleaning.pack_concat layout,
+    materialized over the LEARNED vocabulary's id sequences instead of
+    raw token counts.
+
+    Plan shape: id sequences come from :func:`bpe_encode_ids`
+    (distinct-word confinement); the per-shard running offset is the
+    pack_concat window (partitioned by shard — never a global sort);
+    the materialization explodes ids once (token-proportional, the
+    corpus itself) into ONE exchange keyed (shard, block), where each
+    block's ids assemble with a block_size-bounded sort. Blocks never
+    cross shards, so shards are independently consumable files.
+
+    Round-trip contract (pinned in tests): concatenating a shard's
+    blocks and stripping padding reproduces exactly the shard's
+    documents' ids joined by separators, in doc_id order."""
+    enc = bpe_encode_ids(documents, merges, vocab, text_col)
+    sized = enc.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).alias("shard"),
+        F.concat("ids", F.array(F.lit(sep_id).cast("long"))).alias("_ids"),
+        (F.col("n_tokens") + 1).cast("long").alias("_len"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = sized.withColumn(
+        "start_tok", F.coalesce(F.sum("_len").over(w), F.lit(0).cast("long"))
+    )
+    positioned = laid.select(
+        "shard",
+        F.posexplode("_ids").alias("_p", "id"),
+        (F.col("start_tok")).alias("_s"),
+    ).select(
+        "shard",
+        (F.col("_s") + F.col("_p")).alias("tok_pos"),
+        "id",
+    )
+    blocks = (
+        positioned.select(
+            "shard",
+            F.expr(f"tok_pos div {block_size}").alias("block"),
+            F.pmod(F.col("tok_pos"), F.lit(block_size)).alias("_bp"),
+            "id",
+        )
+        .groupBy("shard", "block")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_bp", "id"))),
+                lambda s: s["id"],
+            ).alias("_ids"),
+        )
+    )
+    pad_tail = F.concat(
+        F.col("_ids"),
+        F.array_repeat(
+            F.lit(pad_id).cast("long"),
+            F.lit(block_size) - F.size("_ids"),
+        ),
+    )
+    return blocks.select(
+        "shard", "block", pad_tail.alias("ids")
     )

@@ -345,3 +345,45 @@ def test_train_releases_superseded_checkpoints(spark, corpus):
     # only the FINAL vocab checkpoint may remain beyond the baseline
     # (plus whatever the baseline already held) — not one per merge
     assert cached_rdd_count(spark) <= base + 1
+
+
+def test_pack_blocks_round_trip(spark, corpus, model):
+    from cassandra_iot_pipeline_spark.functions.bpe import (
+        bpe_encode_ids,
+        bpe_pack_blocks,
+        bpe_vocab,
+    )
+
+    vocab = bpe_vocab(bpe_word_counts(corpus), model.merges)
+    bs, shards = 64, 4
+    blocks = bpe_pack_blocks(
+        corpus, model.merges, vocab, block_size=bs, n_shards=shards,
+    ).collect()
+    assert all(len(r["ids"]) == bs for r in blocks)
+    # rebuild each shard's stream and compare to the documents' ids
+    enc = {
+        r["doc_id"]: list(r["ids"])
+        for r in bpe_encode_ids(corpus, model.merges, vocab).collect()
+    }
+    shard_of = {
+        r["doc_id"]: r["s"]
+        for r in corpus.selectExpr(
+            "doc_id", f"pmod(xxhash64(doc_id), {shards}) as s"
+        ).collect()
+    }
+    got_streams = {}
+    for r in sorted(blocks, key=lambda r: (r["shard"], r["block"])):
+        got_streams.setdefault(r["shard"], []).extend(r["ids"])
+    for sh, stream in got_streams.items():
+        # strip padding (-3) from the tail only
+        while stream and stream[-1] == -3:
+            stream.pop()
+        want = []
+        for d in sorted(k for k, v in shard_of.items() if v == sh):
+            want.extend(enc[d])
+            want.append(-2)  # separator
+        assert stream == want, sh
+    # every shard's block ids are contiguous from 0
+    for sh in got_streams:
+        bids = sorted(r["block"] for r in blocks if r["shard"] == sh)
+        assert bids == list(range(len(bids)))
