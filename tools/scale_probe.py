@@ -1257,6 +1257,21 @@ def main() -> None:
             bpe_piece_counts(bdocs, wmodel.merges),
             results,
         )
+        from cassandra_iot_pipeline_spark.functions.bpe import (
+            bpe_pack_blocks,
+            bpe_vocab,
+        )
+
+        wvocab = bpe_vocab(
+            bdocs.select(F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c")),
+            wmodel.merges,
+        )
+        timed(
+            "bpe_pack_blocks_100k_docs",
+            bpe_pack_blocks(bdocs, wmodel.merges, wvocab, 2048, 64),
+            results,
+        )
 
         # cardinality store: 5 epochs of 4M events each; per-epoch
         # write must stay flat (the store is never read on write)
