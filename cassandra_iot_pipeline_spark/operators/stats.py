@@ -605,3 +605,52 @@ def mad_outliers_oracle(
             FROM mad
         ) {where}
     """
+
+
+def median_from_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "u",
+    cnt_col: str = "cnt",
+    out_col: str = "med",
+) -> DataFrame:
+    """Exact per-group median of a multiset given as (value, count)
+    rows — the primitive that lets a COUNT STORE serve the same number
+    ``percentile(x, 0.5)`` would compute over the expanded rows
+    (pinned bitwise-equal in tests): with values sorted, index
+    ``pos = (n-1)/2``; the flanking order statistics come from one
+    cumulative-count window (``v[i]`` = min value whose running count
+    exceeds ``i``), and the interpolation is the same exact halving.
+
+    Plan: ONE exchange on the group key; two window passes over the
+    same clustering (running count, then the conditional mins across
+    the full partition); rows are DISTINCT (group, value) pairs — the
+    whole point: the expanded multiset never materializes."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    w_ord = (
+        Window.partitionBy(*groups)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*groups)
+    cum = F.sum(cnt_col).over(w_ord)
+    n = F.sum(cnt_col).over(w_all)
+    pos = (n.cast("double") - 1) / 2
+    lo_i = F.floor(pos)
+    hi_i = F.ceil(pos)
+    with_cum = df.select(*groups, value_col, cnt_col).withColumn(
+        "_cum", cum
+    ).withColumn("_pos", pos).withColumn("_lo", lo_i).withColumn(
+        "_hi", hi_i
+    )
+    v = F.col(value_col).cast("double")
+    v_lo = F.min(F.when(F.col("_cum") > F.col("_lo"), v)).over(w_all)
+    v_hi = F.min(F.when(F.col("_cum") > F.col("_hi"), v)).over(w_all)
+    med = v_lo + (F.col("_pos") - F.col("_lo")) * (v_hi - v_lo)
+    return (
+        with_cum.withColumn(out_col, med)
+        .groupBy(*groups)
+        .agg(F.max(out_col).alias(out_col))
+    )

@@ -1,0 +1,182 @@
+"""Continuously-maintained seasonal baselines — the streaming form of
+``operators/stats.py::mad_outliers``: each micro-batch lands its
+(key, hour-of-day, value-unit) COUNTS as an epoch delta (sum-mergeable
+— the gram-count fold algebra), and the exact per-(key, hour) median
+and MAD are derived from the folded counts on read via
+``median_from_counts`` (pinned bitwise-equal to ``percentile(_, 0.5)``
+over the expanded rows).
+
+Why counts, not medians: medians don't merge — two epochs' medians say
+nothing about the union's median — but the VALUE DISTRIBUTION does,
+exactly, as long as values live on a bounded grid. The integer-unit
+grid (10^scale) is that bound: the store holds one row per distinct
+(key, hour, unit) FOREVER, however many events pass through (the
+ScoreDistPipeline grid argument, extended with a season key).
+
+The serving read this store exists for: score a NEW batch against
+baselines built from everything PRIOR — online anomaly flagging with
+the robustness of the batch operator (median/MAD survive contaminated
+history where mean/stddev drown; the mad_outliers tests carry the
+proof). The batch operator flags rows against baselines that INCLUDE
+them; :meth:`flag` deliberately does not — a fresh anomaly must not
+dilute the baseline it is judged against.
+
+Store shape (store.py lifecycle): ``<dir>/counts/epoch=N`` rows
+(k, hod, u, cnt); fold = re-sum. Replay-idempotent (epoch overwrite,
+stateless projection). Per-epoch write work is batch-local (one
+map-side-combined aggregation; zero store-side reads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.exactmath import units
+from ..operators.stats import median_from_counts
+from ..store import compact_store, read_store
+
+_SCHEMA = "k BIGINT, hod INT, u BIGINT, cnt BIGINT"
+
+
+def _hod(ts_col: str) -> F.Column:
+    h = 3600 * 1_000_000
+    return F.expr(
+        f"pmod((unix_micros({ts_col}) - pmod(unix_micros({ts_col}), {h}))"
+        f" div {h}, 24)"
+    ).cast("int")
+
+
+class BaselinePipeline:
+    """foreachBatch-shaped seasonal-baseline maintainer; see module
+    docstring. ``write_batch`` per epoch; :meth:`baselines` for the
+    live (k, hod, season_median, season_mad) table; :meth:`flag` to
+    score a new batch against the CURRENT store."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        key: str = "user_id",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        scale: int = 2,
+        compact_every: int | None = None,
+    ) -> None:
+        self.base_dir = base_dir
+        self.key = key
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.scale = scale
+        self.compact_every = compact_every
+        self.counts_dir = f"{base_dir}/counts"
+
+    # -- write path (foreachBatch) ---------------------------------------
+    def _batch_counts(self, batch_df: DataFrame) -> DataFrame:
+        u = units(F.col(self.value_col), self.scale)
+        return (
+            batch_df.filter(F.col(self.value_col).isNotNull())
+            .select(
+                F.col(self.key).alias("k"),
+                _hod(self.ts_col).alias("hod"),
+                u.alias("u"),
+            )
+            .groupBy("k", "hod", "u")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self._batch_counts(batch_df).write.mode("overwrite").parquet(
+            f"{self.counts_dir}/epoch={epoch_id}"
+        )
+        if (
+            self.compact_every is not None
+            and (epoch_id + 1) % self.compact_every == 0
+        ):
+            self.compact(batch_df.sparkSession)
+
+    # -- reads ------------------------------------------------------------
+    def counts(self, spark: SparkSession) -> DataFrame:
+        raw = read_store(
+            spark, self.counts_dir, spark.createDataFrame([], _SCHEMA)
+        )
+        return raw.groupBy("k", "hod", "u").agg(
+            F.sum("cnt").alias("cnt")
+        )
+
+    def baselines(self, spark: SparkSession) -> DataFrame:
+        """(k, hod, season_median, season_mad) from the folded counts —
+        each the EXACT percentile(_, 0.5) of the ingested multiset
+        (same interpolation, pinned), at unit scale divided back to
+        the measure's own scale."""
+        c = self.counts(spark)
+        med = median_from_counts(c, ["k", "hod"], "u", "cnt", "med_u")
+        dev = (
+            c.join(med, ["k", "hod"])
+            .select(
+                "k",
+                "hod",
+                F.abs(F.col("u").cast("double") - F.col("med_u")).alias(
+                    "d"
+                ),
+                "cnt",
+            )
+            .groupBy("k", "hod", "d")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        mad = median_from_counts(dev, ["k", "hod"], "d", "cnt", "mad_u")
+        denom = 10**self.scale
+        return (
+            med.join(mad, ["k", "hod"])
+            .select(
+                "k",
+                "hod",
+                (F.col("med_u") / denom).alias("season_median"),
+                (F.col("mad_u") / denom).alias("season_mad"),
+            )
+        )
+
+    def flag(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        k_mad: float = 3.5,
+        outliers_only: bool = True,
+    ) -> DataFrame:
+        """Score a batch against the CURRENT store's baselines (which
+        deliberately exclude the batch — see module docstring). Rows
+        whose (key, hour) has no baseline yet pass unflagged (NULL
+        medians flag nothing — there is nothing to deviate from)."""
+        u = units(F.col(self.value_col), self.scale)
+        base = batch_df.filter(F.col(self.value_col).isNotNull()).select(
+            "*", _hod(self.ts_col).alias("hod"), u.alias("_u")
+        )
+        b = self.baselines(spark).withColumnRenamed("k", self.key)
+        denom = 10**self.scale
+        joined = base.join(b, [self.key, "hod"], "left")
+        is_out = (
+            F.abs(
+                F.col("_u").cast("double")
+                - F.col("season_median") * denom
+            )
+            > F.lit(k_mad) * F.col("season_mad") * denom
+        )
+        out = joined.withColumn(
+            "is_outlier", F.coalesce(is_out, F.lit(False))
+        ).drop("_u")
+        return out.filter(F.col("is_outlier")) if outliers_only else out
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, spark: SparkSession) -> int | None:
+        return compact_store(
+            spark,
+            self.counts_dir,
+            spark.createDataFrame([], _SCHEMA),
+            fold=lambda df: df.groupBy("k", "hod", "u").agg(
+                F.sum("cnt").alias("cnt")
+            ),
+        )
+
+    def foreach_batch(self):
+        return self.write_batch

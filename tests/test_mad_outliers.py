@@ -92,3 +92,36 @@ def test_one_exchange_no_join_plan(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 2  # median pass + MAD pass, shared keying
+
+
+def test_median_from_counts_equals_percentile(spark):
+    """The count-store median primitive is bitwise the percentile of
+    the expanded multiset — randomized groups, odd/even sizes, heavy
+    duplicate mass."""
+    import random
+
+    from cassandra_iot_pipeline_spark.operators.stats import (
+        median_from_counts,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for g in range(12):
+        for _ in range(rng.randint(1, 9)):
+            rows.append((g, rng.randint(-50, 50), rng.randint(1, 7)))
+    counts = spark.createDataFrame(rows, "g BIGINT, u BIGINT, cnt BIGINT")
+    counts = counts.groupBy("g", "u").agg(F.sum("cnt").alias("cnt"))
+    got = {
+        r["g"]: r["med"]
+        for r in median_from_counts(counts, ["g"]).collect()
+    }
+    expanded = counts.select(
+        "g", F.explode(F.array_repeat("u", F.col("cnt").cast("int"))).alias("u")
+    )
+    want = {
+        r["g"]: r["m"]
+        for r in expanded.groupBy("g")
+        .agg(F.expr("percentile(u, 0.5)").alias("m"))
+        .collect()
+    }
+    assert got == want
