@@ -44,6 +44,8 @@
                 tokenizer (baseline alert view)
     embedding_drift -- per-list occupancy/residual series vs a frozen
                 IVF codebook (share + distance drift view)
+    baselines -- seasonal (key, hour) value-count store: exact
+                median/MAD on read, prior-only online flagging
     lateness -- watermark-lateness accounting (per-epoch drop counts
                 for candidate delays; tuning recommendation)
     cassandra -- connector sink options (prod backend; no cluster here)
