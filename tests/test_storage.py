@@ -304,12 +304,17 @@ def test_zorder_pruning_measured(spark, tmp_path):
     assert r_naive["skip_fraction"] == 0.0
     # one-col sort prunes on user_id only
     assert r_onecol["skip_fraction"] > 0.5
-    # the curve prunes on BOTH dimensions
-    assert r_zed["skip_fraction"] > r_onecol["skip_fraction"]
-    assert r_zed["rows_scanned"] < r_onecol["rows_scanned"]
-    # single-dimension predicates still prune under the curve
-    r_zed_1d = rowgroup_pruning_report(zed, {"hour": (100, 150)})
-    assert r_zed_1d["skip_fraction"] > 0.0
+    # the curve prunes the 2-D box at least as hard (at 16 files the
+    # two can tie — repartitionByRange samples its boundaries, so the
+    # strict ordering on the SHARED dimension is granularity noise)
+    assert r_zed["skip_fraction"] >= r_onecol["skip_fraction"]
+    # the STRUCTURAL discrimination is the second dimension: a
+    # single-column sort cannot prune an hour-only predicate AT ALL
+    # (every file spans the full hour domain), while the curve keeps
+    # hour min/max tight per file
+    hour_box = {"hour": (100, 150)}
+    assert rowgroup_pruning_report(onecol, hour_box)["skip_fraction"] == 0.0
+    assert rowgroup_pruning_report(zed, hour_box)["skip_fraction"] > 0.3
 
 
 def test_pruning_report_unknown_column_raises(spark, tmp_path):
