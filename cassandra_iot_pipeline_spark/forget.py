@@ -46,6 +46,28 @@ def _keyset(keys: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     return F.broadcast(keys.select(*key_cols).distinct())
 
 
+def recover_store_swaps(store_dir: str) -> list[str]:
+    """Finish any interrupted part swap inside ``store_dir`` BEFORE the
+    parts are listed. A crash between :func:`storage.commit_swap`'s two
+    renames leaves the part missing with its only copies in the hidden
+    ``.name.compacting`` / ``.name.old`` siblings; recovering here makes
+    a re-run of :func:`forget_keys_in_store` see the store whole again.
+    Returns the part names recovered (for the report/logs)."""
+    import os
+
+    if not os.path.isdir(store_dir):
+        return []
+    recovered: list[str] = []
+    for child in os.listdir(store_dir):
+        for suffix in (".compacting", ".old"):
+            if child.startswith(".") and child.endswith(suffix):
+                part = child[1 : -len(suffix)]
+                recover_swap(os.path.join(store_dir, part))
+                recovered.append(part)
+                break
+    return recovered
+
+
 def forget_keys_in_table(
     spark: SparkSession,
     path: str,
@@ -100,6 +122,7 @@ def forget_keys_in_store(
     store's ``lst=`` inverted lists) through its rewrite; epoch deltas
     are always written flat, matching how the pipelines land them."""
     key_cols = list(key_cols)
+    recover_store_swaps(store_dir)
     base_path, _, epochs = store_parts(spark, store_dir)
     parts: list[tuple[str, str, bool]] = []
     if base_path is not None:

@@ -29,8 +29,18 @@ from pyspark.sql import functions as F
 
 
 def _swap_paths(path: str) -> tuple[str, str]:
+    """Sibling temp/old paths for the two-rename swap. The basename is
+    dot-prefixed so the siblings are (a) hidden from Spark's file
+    listing and (b) never mistaken for real parts by directory-layout
+    parsers — a swap of a store's ``epoch=3`` delta must not leave an
+    ``epoch=3.old`` sibling that ``store.store_parts`` would try to
+    parse as an epoch number."""
     base = path.rstrip("/")
-    return base + ".compacting", base + ".old"
+    parent, name = os.path.split(base)
+    return (
+        os.path.join(parent, f".{name}.compacting"),
+        os.path.join(parent, f".{name}.old"),
+    )
 
 
 def recover_swap(path: str) -> None:

@@ -51,15 +51,33 @@ def store_parts(
     """(base_path, base_upto, [(epoch, path) for epochs > upto]) — the
     reader's view of a delta+base store directory."""
     names = list_children(spark, path)
+
+    def _num(name: str, prefix: str) -> int | None:
+        # Only pure-integer suffixes are parts: stray siblings (swap
+        # leftovers, editor droppings) must be skipped, not crash the
+        # listing.
+        suffix = name[len(prefix):]
+        return int(suffix) if suffix.isdigit() else None
+
     bases = sorted(
-        int(n.split("=", 1)[1]) for n in names if n.startswith("base_upto=")
+        n
+        for n in (
+            _num(name, "base_upto=")
+            for name in names
+            if name.startswith("base_upto=")
+        )
+        if n is not None
     )
     upto = bases[-1] if bases else -1
     base_path = f"{path}/base_upto={upto}" if bases else None
     epochs = sorted(
-        (int(n.split("=", 1)[1]), f"{path}/{n}")
-        for n in names
-        if n.startswith("epoch=")
+        (e, f"{path}/{name}")
+        for e, name in (
+            (_num(name, "epoch="), name)
+            for name in names
+            if name.startswith("epoch=")
+        )
+        if e is not None
     )
     return base_path, upto, [(e, p) for e, p in epochs if e > upto]
 

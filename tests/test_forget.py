@@ -213,3 +213,43 @@ def test_store_forget_preserves_partitioned_base(spark, tmp_path):
     assert after.filter(F.col("user_id").isin([0, 11, 22])).count() == 0
     # partition column survives with usable values
     assert after.filter(F.col("grp") == 2).count() > 0
+
+
+def test_store_forget_crash_mid_swap_is_recoverable(spark, tmp_path):
+    """A crash between commit_swap's two renames leaves the part
+    missing with its only copies in the hidden dot-siblings; a re-run
+    of forget_keys_in_store must recover the part BEFORE listing and
+    then complete the deletion (ADVICE r8: the old sibling naming made
+    store_parts crash on the leftovers, so recovery was unreachable)."""
+    import shutil
+
+    pipe = _cohort_store(spark, tmp_path, compact=False)
+    e1 = f"{pipe.pts_dir}/epoch=1"
+    # Simulate the crash window: original moved aside, new copy staged.
+    shutil.copytree(e1, f"{pipe.pts_dir}/.epoch=1.compacting")
+    os.rename(e1, f"{pipe.pts_dir}/.epoch=1.old")
+    assert not os.path.exists(e1)
+    report = forget_keys_in_store(
+        spark, pipe.pts_dir, _keys(spark, [3], "k"), ["k"]
+    )
+    by_part = {r["part"]: r for r in report}
+    assert by_part["epoch=1"]["rows_removed"] == 1
+    # swap leftovers are gone and the store reads whole
+    assert not any(
+        n.endswith((".compacting", ".old")) for n in os.listdir(pipe.pts_dir)
+    )
+    assert pipe.points(spark).filter(F.col("k") == 3).count() == 0
+
+
+def test_store_parts_skip_stray_siblings(spark, tmp_path):
+    """store_parts must ignore directory names whose suffix is not a
+    pure integer (swap leftovers under the pre-r9 naming, editor
+    droppings) instead of raising ValueError."""
+    from cassandra_iot_pipeline_spark.store import store_parts
+
+    pipe = _cohort_store(spark, tmp_path, compact=False)
+    os.makedirs(f"{pipe.pts_dir}/epoch=1.old")
+    os.makedirs(f"{pipe.pts_dir}/base_upto=0.compacting")
+    base_path, upto, epochs = store_parts(spark, pipe.pts_dir)
+    assert base_path is None and upto == -1
+    assert [e for e, _ in epochs] == [0, 1, 2]

@@ -182,13 +182,13 @@ def test_recover_swap_restores_between_renames(spark, tmp_path):
     nation.write.parquet(path)
     n = nation.count()
     # simulate the mid-swap crash state
-    nation.coalesce(1).write.parquet(path + ".compacting")
-    os.rename(path, path + ".old")
+    nation.coalesce(1).write.parquet(storage._swap_paths(path)[0])
+    os.rename(path, storage._swap_paths(path)[1])
     assert not os.path.exists(path)
     storage.recover_swap(path)
     assert os.path.exists(path)
-    assert not os.path.exists(path + ".compacting")
-    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(storage._swap_paths(path)[0])
+    assert not os.path.exists(storage._swap_paths(path)[1])
     assert spark.read.parquet(path).count() == n
 
 
@@ -200,7 +200,7 @@ def test_recover_swap_restores_from_old_only(spark, tmp_path):
     path = str(tmp_path / "tbl")
     nation.write.parquet(path)
     n = nation.count()
-    os.rename(path, path + ".old")
+    os.rename(path, storage._swap_paths(path)[1])
     storage.recover_swap(path)
     assert spark.read.parquet(path).count() == n
 
@@ -214,12 +214,12 @@ def test_recover_swap_clears_stale_leftovers_when_table_present(spark, tmp_path)
     events.repartition(8).write.parquet(path)
     n = events.count()
     # stale leftovers: partial tmp write + stale old copy
-    os.makedirs(path + ".compacting")
-    events.limit(5).write.mode("overwrite").parquet(path + ".old")
+    os.makedirs(storage._swap_paths(path)[0])
+    events.limit(5).write.mode("overwrite").parquet(storage._swap_paths(path)[1])
     storage.compact_small_files(spark, path, target_file_mb=128)
     assert spark.read.parquet(path).count() == n
-    assert not os.path.exists(path + ".compacting")
-    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(storage._swap_paths(path)[0])
+    assert not os.path.exists(storage._swap_paths(path)[1])
 
 
 def test_sink_compact_recovers_after_simulated_crash(spark, tmp_path):
@@ -235,12 +235,12 @@ def test_sink_compact_recovers_after_simulated_crash(spark, tmp_path):
     n = sink.read(spark).count()
     # simulate crash between the two renames of a previous compact()
     sink.read(spark).withColumn("__epoch", F.lit(1)).write.parquet(
-        path + ".compacting"
+        storage._swap_paths(path)[0]
     )
-    os.rename(path, path + ".old")
+    os.rename(path, storage._swap_paths(path)[1])
     sink.compact(spark)
     assert sink.read(spark).count() == n
-    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(storage._swap_paths(path)[1])
 
 
 def test_expire_partitions_drops_whole_days(spark, tmp_path):
