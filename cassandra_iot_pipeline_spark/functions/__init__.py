@@ -23,7 +23,6 @@ pipeline runs over document/embedding tables.
                   merged + removable; hashed 100 TB shuffle tier)
     retrieval  -- BM25 inverted index + top-k scoring (single query and
                   query-batch) and retrieval-based decontamination
-    expectations -- declarative data-quality checks, one scan
     bpe        -- BPE tokenizer training over the word table, encoding,
                   vocabulary ids, fertility/OOV reporting
     expectations -- declarative data-quality checks compiled to one

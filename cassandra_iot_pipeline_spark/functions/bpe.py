@@ -37,6 +37,7 @@ the repo's iterative operators.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from typing import NamedTuple
 
 import pandas as pd

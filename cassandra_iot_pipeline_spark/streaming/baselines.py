@@ -36,7 +36,10 @@ from ..operators.exactmath import units
 from ..operators.stats import median_from_counts
 from ..store import compact_store, read_store
 
-_SCHEMA = "k BIGINT, hod INT, u BIGINT, cnt BIGINT"
+# widening within this ladder is value-preserving; anything else must
+# be declared via key_type or the store would silently null the key on
+# read (read_store casts to the declared schema)
+_INTEGRALS = ("tinyint", "smallint", "int", "bigint")
 
 
 def _hod(ts_col: str) -> F.Column:
@@ -60,6 +63,7 @@ class BaselinePipeline:
         ts_col: str = "ts",
         value_col: str = "value",
         scale: int = 2,
+        key_type: str = "BIGINT",
         compact_every: int | None = None,
     ) -> None:
         self.base_dir = base_dir
@@ -67,16 +71,44 @@ class BaselinePipeline:
         self.ts_col = ts_col
         self.value_col = value_col
         self.scale = scale
+        self.key_type = key_type
+        self._schema = f"k {key_type}, hod INT, u BIGINT, cnt BIGINT"
         self.compact_every = compact_every
         self.counts_dir = f"{base_dir}/counts"
 
+    def _check_key(self, batch_df: DataFrame) -> str:
+        """The store's key dtype is part of its on-disk contract
+        (read_store casts every part to the declared schema, so a
+        string key landed into a BIGINT-declared store would read back
+        NULL and collapse all keys into one baseline group). Fail loud
+        at write time instead; integer widening is allowed."""
+        got = batch_df.schema[self.key].dataType.simpleString()
+        want = (
+            batch_df.sparkSession.createDataFrame([], self._schema)
+            .schema["k"]
+            .dataType.simpleString()
+        )
+        ok = got == want or (
+            got in _INTEGRALS
+            and want in _INTEGRALS
+            and _INTEGRALS.index(got) <= _INTEGRALS.index(want)
+        )
+        if not ok:
+            raise TypeError(
+                f"key column {self.key!r} is {got} but the store is "
+                f"declared {want}; construct BaselinePipeline with "
+                f"key_type={got!r}"
+            )
+        return want
+
     # -- write path (foreachBatch) ---------------------------------------
     def _batch_counts(self, batch_df: DataFrame) -> DataFrame:
+        want = self._check_key(batch_df)
         u = units(F.col(self.value_col), self.scale)
         return (
             batch_df.filter(F.col(self.value_col).isNotNull())
             .select(
-                F.col(self.key).alias("k"),
+                F.col(self.key).cast(want).alias("k"),
                 _hod(self.ts_col).alias("hod"),
                 u.alias("u"),
             )
@@ -99,7 +131,7 @@ class BaselinePipeline:
     # -- reads ------------------------------------------------------------
     def counts(self, spark: SparkSession) -> DataFrame:
         raw = read_store(
-            spark, self.counts_dir, spark.createDataFrame([], _SCHEMA)
+            spark, self.counts_dir, spark.createDataFrame([], self._schema)
         )
         return raw.groupBy("k", "hod", "u").agg(
             F.sum("cnt").alias("cnt")
@@ -172,7 +204,7 @@ class BaselinePipeline:
         return compact_store(
             spark,
             self.counts_dir,
-            spark.createDataFrame([], _SCHEMA),
+            spark.createDataFrame([], self._schema),
             fold=lambda df: df.groupBy("k", "hod", "u").agg(
                 F.sum("cnt").alias("cnt")
             ),

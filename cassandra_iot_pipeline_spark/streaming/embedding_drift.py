@@ -112,20 +112,40 @@ class EmbeddingDriftPipeline:
         b_mean = base.agg(
             (F.sum("b_dist_mass") / F.sum("b_n")).alias("m")
         ).collect()[0]["m"]
-        joined = shares.join(
-            F.broadcast(base.select("b_lst", "b_share")),
-            shares["lst"] == F.col("b_lst"),
+        # Compare per (epoch, list), not per list: a baseline list that
+        # a LATER epoch dropped to zero has no row in that epoch's
+        # shares at all, so a join keyed on lst alone would never
+        # surface its |0 - b_share| — the exact occupancy-collapse
+        # drift this monitor exists to catch. The grid (every epoch ×
+        # every baseline list, codebook-bounded) makes the absence a
+        # row with share 0; the full outer keeps novel lists (absent
+        # from the baseline) contributing |share - 0| as before.
+        grid = (
+            shares.select(F.col("epoch").alias("g_epoch"))
+            .distinct()
+            .crossJoin(
+                F.broadcast(
+                    base.select("b_lst", "b_share")
+                )
+            )
+        )
+        obs = shares.select(
+            F.col("epoch").alias("o_epoch"), "lst", "share", "mean_dist", "n"
+        )
+        joined = grid.join(
+            obs,
+            (F.col("g_epoch") == F.col("o_epoch"))
+            & (F.col("b_lst") == F.col("lst")),
             "full_outer",
         ).select(
-            "epoch",
+            F.coalesce(F.col("g_epoch"), F.col("o_epoch")).alias("epoch"),
             F.coalesce(F.col("share"), F.lit(0.0)).alias("share"),
             F.coalesce(F.col("b_share"), F.lit(0.0)).alias("b_share"),
             "mean_dist",
             "n",
         )
         per_epoch = (
-            joined.filter(F.col("epoch").isNotNull())
-            .groupBy("epoch")
+            joined.groupBy("epoch")
             .agg(
                 F.max(F.abs(F.col("share") - F.col("b_share"))).alias(
                     "max_share_delta"

@@ -102,3 +102,40 @@ def test_store_is_value_collapsed(spark, tmp_path):
     c = pipe.counts(spark).collect()
     assert len(c) == 2
     assert {(r["u"], r["cnt"]) for r in c} == {(700, 1000), (800, 1)}
+
+
+def test_string_key_lifecycle(spark, tmp_path):
+    """A non-integral key (string device id) must work end-to-end when
+    declared via key_type — the ADVICE r8 gap: the hardcoded BIGINT
+    schema made read_store cast string keys to NULL, collapsing every
+    key into one baseline group."""
+    import pytest
+
+    sch = "device STRING, ts TIMESTAMP, value DOUBLE"
+    rows = [
+        ("a", _at(d, 9), 20.0 + 0.1 * d) for d in range(4)
+    ] + [("b", _at(d, 9), 100.0 + d) for d in range(4)]
+    pipe = BaselinePipeline(
+        str(tmp_path / "s"), key="device", key_type="STRING"
+    )
+    pipe.write_batch(spark.createDataFrame(rows[:5], sch), epoch_id=0)
+    pipe.write_batch(spark.createDataFrame(rows[5:], sch), epoch_id=1)
+    base = {
+        (r["k"], r["hod"]): r["season_median"]
+        for r in pipe.baselines(spark).collect()
+    }
+    # two distinct string keys, neither collapsed to NULL
+    assert ("a", 9) in base and ("b", 9) in base
+    assert None not in {k for k, _ in base}
+    assert abs(base[("a", 9)] - 20.15) < 1e-9  # median of 20.0..20.3
+    flagged = pipe.flag(
+        spark,
+        spark.createDataFrame([("a", _at(9, 9), 500.0)], sch),
+        outliers_only=True,
+    )
+    assert flagged.count() == 1
+
+    # undeclared mismatch fails LOUD at write time, not silently on read
+    wrong = BaselinePipeline(str(tmp_path / "w"), key="device")
+    with pytest.raises(TypeError, match="key_type"):
+        wrong.write_batch(spark.createDataFrame(rows[:2], sch), epoch_id=0)

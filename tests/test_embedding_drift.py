@@ -114,3 +114,27 @@ def test_replay_and_compaction_invisible(spark, tmp_path):
     assert sorted(tuple(r) for r in pipe.history(spark).collect()) == before
     assert pipe.compact(spark) == 2
     assert sorted(tuple(r) for r in pipe.history(spark).collect()) == before
+
+
+def test_occupancy_collapse_of_absent_list_is_counted(spark, tmp_path):
+    """A baseline list that a later epoch drops to ZERO vectors has no
+    row in that epoch's report — its |0 - b_share| must still enter
+    max_share_delta (ADVICE r8: the lst-keyed join silently skipped it,
+    a false negative for exactly the collapse drift the monitor exists
+    to catch). Constructed so the surviving lists' deltas stay AT the
+    slack (not over): only the absent list's delta can trip the flag."""
+    cents = _centroids(spark)
+    pipe = EmbeddingDriftPipeline(str(tmp_path / "s"), cents)
+    # baseline shares: 9/20, 8/20, 3/20 = (0.45, 0.40, 0.15)
+    pipe.write_batch(
+        _frame(spark, _batch([0] * 9 + [1] * 8 + [2] * 3, 0)), epoch_id=0
+    )
+    # epoch 1: list 102 collapses to zero; survivors (0.50, 0.50, 0)
+    # deltas: 0.05 and 0.10 (== slack, not >); absent list: 0.15
+    pipe.write_batch(
+        _frame(spark, _batch([0] * 10 + [1] * 10, 100)), epoch_id=1
+    )
+    rows = {r["epoch"]: r for r in pipe.drift(spark, dist_slack=1.0).collect()}
+    assert abs(rows[1]["max_share_delta"] - 0.15) < 1e-9
+    assert rows[1]["drifted"]
+    assert not rows[0]["drifted"]
