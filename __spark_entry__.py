@@ -35,6 +35,7 @@ from cassandra_iot_pipeline_spark.functions import (
 from cassandra_iot_pipeline_spark.operators import (
     agg,
     asof,
+    funnel as funnel_ops,
     gapfill,
     joins,
     rangejoin,
@@ -74,6 +75,10 @@ TOKEN_TOP_K = 10  # token_frequencies: exact top-k side
 # near-uniform at ~3.2% and one ('dup') at ~0.1% across every SF — 2%
 # selects the 30 with wide margin on both sides of the threshold
 HEAVY_PHI = 0.02
+# funnel: the fixture's event types as an ordered product funnel with a
+# week horizon from each user's first signup
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+FUNNEL_HORIZON_S = 7 * 86_400
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -101,7 +106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events = _t("events")
     return {
         # --- core reference aggregations (SURVEY §2.E A1-A6) ---
-        "hourly_rollup": lambda s, d: agg.hourly_rollup(events(s, d)),
+        # (batch hourly_rollup displaced in r9 — streaming_hourly_rollup
+        # is driver-checked against the IDENTICAL oracle SQL and the
+        # batch form stays smoke-run via entry() plus bitwise in
+        # tests/test_legacy_parity.py; funnel took the slot)
+        "funnel": lambda s, d: funnel_ops.funnel(
+            events(s, d), FUNNEL_STEPS, horizon_seconds=FUNNEL_HORIZON_S
+        ),
         "event_type_totals": lambda s, d: agg.event_type_totals(events(s, d)),
         "pricing_summary": lambda s, d: agg.pricing_summary(_t("lineitem")(s, d)),
         # --- serving reads (SURVEY §2.C/F/G) ---
@@ -284,7 +295,9 @@ def _sql_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "hourly_rollup": agg.hourly_rollup_oracle(),
+        "funnel": funnel_ops.funnel_oracle(
+            FUNNEL_STEPS, horizon_seconds=FUNNEL_HORIZON_S
+        ),
         "event_type_totals": agg.event_type_totals_oracle(),
         "pricing_summary": agg.pricing_summary_oracle(),
         "point_lookup": serving.point_lookup_oracle(POINT_DEVICE),

@@ -21,7 +21,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from cassandra_iot_pipeline_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
-    "hourly_rollup",
+    "funnel",
     "pricing_summary",
     "revenue_by_nation",
     "latest_n_per_device",

@@ -24,6 +24,14 @@ from tools.oracle_check import compare
 
 # name -> (table, df_fn, oracle_sql)
 LEGACY = {
+    # deregistered r9: slot given to funnel (the most substantial
+    # un-driver-checked analytics family, r8 verdict #1). The same
+    # oracle SQL remains driver-checked through streaming_hourly_rollup
+    # (__spark_entry__.oracle_sql() maps both names to
+    # agg.hourly_rollup_oracle(), and the streaming form is pinned
+    # bitwise ≡ this batch form in tests/test_streaming.py); entry()
+    # smoke-runs the batch form every round.
+    "hourly_rollup": ("events", agg.hourly_rollup, agg.hourly_rollup_oracle()),
     "rollup_by_type": ("events", agg.rollup_by_type, agg.rollup_by_type_oracle()),
     "global_count": ("events", agg.global_count, agg.global_count_oracle()),
     "union_users": (
