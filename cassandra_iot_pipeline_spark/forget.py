@@ -19,12 +19,18 @@ lists dirs). Two honest caveats, stated rather than papered over:
   forgotten epoch re-lands the key's rows. Run deletion after the
   affected epochs are durably ingested, and re-run on a cadence — the
   standard operating posture for deletion jobs on append pipelines.
-- **sketch-grained stores can't forget**: an HLL sketch
-  (streaming/cardinality.py) or a gram-count row is an aggregate that
-  a single key cannot be subtracted from. Those stores need rebuild
-  from the (forgotten) source — :func:`forget_keys_in_store` targets
-  row-grained stores (cohort points, SCD2 dims, ANN codes, postings),
-  where each stored row carries the key.
+- **sketch-grained stores can't forget row-wise**: an HLL sketch
+  (streaming/cardinality.py) or a folded count row is an aggregate
+  that a single key cannot be subtracted from.
+  :func:`forget_keys_in_store` targets row-grained stores (cohort
+  points, SCD2 dims, ANN codes, postings), where each stored row
+  carries the key; sketch-grained stores make the limit EXECUTABLE
+  instead: ``CardinalityPipeline.rebuild_from_source`` /
+  ``BaselinePipeline.rebuild_from_source`` re-derive the whole store
+  from the retained source in one pass over
+  :func:`replace_store_dir`'s atomic whole-store swap (estimates
+  afterwards equal a from-scratch build on the retained corpus —
+  pinned in tests).
 
 The swap helpers are the local-filesystem pair shared with the
 compaction jobs; on object stores quiesce writers around the swap
@@ -66,6 +72,37 @@ def recover_store_swaps(store_dir: str) -> list[str]:
                 recovered.append(part)
                 break
     return recovered
+
+
+def replace_store_dir(
+    spark: SparkSession, store_dir: str, frame: DataFrame, epoch_col: str = "epoch"
+) -> None:
+    """Atomically replace a WHOLE delta+base store directory with a
+    freshly derived set of epoch deltas — the rebuild primitive behind
+    the sketch-grained stores' ``rebuild_from_source``. One
+    partitionBy(epoch) write lands every ``epoch=N`` dir in one pass
+    (partition dirs ARE the store layout; the epoch column lives in
+    the dir name, matching how the pipelines land epochs), then the
+    two-rename swap commits it. Any previous base is dropped by
+    design: a base folded from pre-deletion epochs still contains the
+    forgotten keys' contribution."""
+    import os
+
+    if os.path.exists(store_dir) or any(
+        os.path.exists(p) for p in _swap_paths(store_dir)
+    ):
+        recover_swap(store_dir)
+    tmp, _ = _swap_paths(store_dir)
+    (
+        frame.repartition(F.col(epoch_col))
+        .write.mode("overwrite")
+        .partitionBy(epoch_col)
+        .parquet(tmp)
+    )
+    if os.path.exists(store_dir):
+        commit_swap(store_dir)
+    else:
+        os.rename(tmp, store_dir)
 
 
 def forget_keys_in_table(

@@ -124,37 +124,78 @@ def bpe_train(
     word_counts: DataFrame,
     n_merges: int,
     min_count: int = MIN_COUNT,
+    merges_per_iter: int = 1,
 ) -> BpeModel:
     """Learn up to ``n_merges`` merges from a (w, c) word table.
 
     Per iteration: pair-count aggregation over the vocab-sized frame,
-    ONE single-row collect (the winner), one map-only fold. Stops early
-    when no adjacent pair reaches ``min_count``. The words frame is
-    localCheckpoint-ed each step — without it the fold lambdas nest one
-    level per merge and analysis cost grows quadratically."""
+    ONE bounded collect (the round's winners), one map-only fold per
+    winner. Stops early when no adjacent pair reaches ``min_count``.
+    The words frame is localCheckpoint-ed each round — without it the
+    fold lambdas nest one level per merge and analysis cost grows
+    quadratically.
+
+    ``merges_per_iter``: how many merges to commit per pair-count
+    round. 1 (default) is EXACT reference BPE — recount after every
+    merge. N>1 is the standard scalable approximation for
+    production-sized vocabularies (the loop is inherently
+    driver-sequential at ~1 s/round, so a 30k-merge vocab at N=1 is
+    ~10 h of iterations): take the round's top pairs in (count DESC,
+    a, b) order, but commit only pairs whose symbols AND produced
+    token are disjoint from every pair already committed this round —
+    disjointness makes the stale counts exactly correct for each
+    committed pair (merging (a,b) can only perturb counts of pairs
+    touching a, b, or ab), so every committed pair's count is its true
+    count; conflicting pairs simply wait for the next round.
+    Trade-off vs reference BPE: merge ORDER can diverge — a pair that
+    only becomes top-ranked BECAUSE of an earlier same-round merge
+    (e.g. (x, ab) after (a,b)) is picked a round later than the exact
+    path would pick it, so the learned merge LIST may differ from
+    N=1's beyond the first round. The result is still a valid BPE
+    model (rank-scan encoding, id round-trip, packing all hold — the
+    properties pinned in tests); N=1 is bit-identical to the exact
+    path by construction."""
     from ..blocks import release_local_checkpoint
 
+    if merges_per_iter < 1:
+        raise ValueError(f"merges_per_iter must be >= 1, got {merges_per_iter}")
     words = word_counts.select(
         "w", F.col("c").cast("long").alias("c"), _initial_symbols().alias("syms")
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        room = min(merges_per_iter, n_merges - len(merges))
+        # Collect a bounded candidate window: conflicts skip candidates,
+        # so over-fetch 4x (the first candidate is always committable —
+        # progress is guaranteed; heavy conflicts just shrink the round).
+        top = (
             _pair_rows(words)
             .groupBy("a", "b")
             .agg(F.sum("c").alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(room * 4)
             .collect()
         )
-        if not best or best[0]["cnt"] < min_count:
+        if not top:
             break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
+        used: set[str] = set()
+        batch: list[tuple[str, str]] = []
+        for r in top:
+            if len(batch) >= room:
+                break
+            toks = {r["a"], r["b"], r["a"] + r["b"]}
+            if toks & used:
+                continue
+            batch.append((r["a"], r["b"]))
+            used |= toks
+        merges.extend(batch)
         prev = words
-        words = words.withColumn("syms", _apply_merge(a, b)).localCheckpoint(
-            eager=True
-        )
+        for a, b in batch:
+            # symbol-disjoint merges commute; fold them in committed
+            # order inside one checkpointed projection
+            words = words.withColumn("syms", _apply_merge(a, b))
+        words = words.localCheckpoint(eager=True)
         # the superseded checkpoint is spent the moment its successor
         # materializes — release it (blocks.py): a 30k-merge training
         # run must hold TWO vocab copies in block storage, not 30k

@@ -200,6 +200,41 @@ class BaselinePipeline:
         return out.filter(F.col("is_outlier")) if outliers_only else out
 
     # -- maintenance ------------------------------------------------------
+    def rebuild_from_source(
+        self, spark: SparkSession, source: DataFrame, epoch_col: str = "epoch"
+    ) -> dict:
+        """Rebuild the WHOLE count store from a retained source table
+        (the cardinality pipeline's rebuild contract, verbatim): value
+        counts are aggregates a single key cannot be subtracted from
+        row-wise once folded with other epochs' counts, so deletion
+        propagates by re-deriving the store from the already-forgotten
+        source. ``source`` = the retained events with ``epoch_col``
+        marking each row's original epoch; one grouped pass, atomic
+        whole-store swap, any compacted base dropped. Returns
+        ``{"epochs": n, "rows": n}``."""
+        from ..forget import replace_store_dir
+        from ..store import store_parts
+
+        want = self._check_key(source)
+        u = units(F.col(self.value_col), self.scale)
+        counts = (
+            source.filter(F.col(self.value_col).isNotNull())
+            .select(
+                F.col(epoch_col).cast("long").alias(epoch_col),
+                F.col(self.key).cast(want).alias("k"),
+                _hod(self.ts_col).alias("hod"),
+                u.alias("u"),
+            )
+            .groupBy(epoch_col, "k", "hod", "u")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        replace_store_dir(spark, self.counts_dir, counts, epoch_col)
+        raw = read_store(
+            spark, self.counts_dir, spark.createDataFrame([], self._schema)
+        )
+        _, _, epochs = store_parts(spark, self.counts_dir)
+        return {"epochs": len(epochs), "rows": raw.count()}
+
     def compact(self, spark: SparkSession) -> int | None:
         return compact_store(
             spark,

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..store import compact_store, read_store
+from ..store import compact_store, read_store, store_parts
 
 DAY_SECONDS = 86_400
 LG_K = 12  # 4 KiB per sketch; rsd ~= 1.04 / sqrt(2^12) ~= 1.6 %
@@ -190,6 +190,39 @@ class CardinalityPipeline:
             self.compact(batch_df.sparkSession)
 
     # -- maintenance ------------------------------------------------------
+    def rebuild_from_source(
+        self, spark: SparkSession, source: DataFrame, epoch_col: str = "epoch"
+    ) -> dict:
+        """Rebuild the WHOLE sketch store from a retained source table
+        — the executable form of the deletion limit forget.py
+        documents: an HLL sketch is an aggregate a single key cannot
+        be subtracted from, so after a right-to-be-forgotten pass the
+        store must be re-derived from the (already forgotten) source.
+        ``source`` carries the original events annotated with the
+        epoch each row landed in (``epoch_col``); the rebuild groups
+        per (epoch, group) in ONE pass and atomically swaps the new
+        epoch set in (any compacted base is dropped — it folded
+        pre-deletion epochs). Estimates afterwards equal a
+        from-scratch build on the retained corpus (Datasketches HLL is
+        deterministic), pinned in tests. Returns
+        ``{"epochs": n, "rows": n}``."""
+        from ..forget import replace_store_dir
+
+        df = source
+        if self.period_seconds is not None:
+            df = df.withColumn(
+                "pi", period_index(self.ts_col, self.period_seconds)
+            )
+        grouped = df.groupBy(
+            F.col(epoch_col).cast("long").alias(epoch_col), *self.out_cols
+        ).agg(F.hll_sketch_agg(self.value_col, F.lit(self.lg_k)).alias("sk"))
+        replace_store_dir(spark, self.sk_dir, grouped, epoch_col)
+        raw = read_store(
+            spark, self.sk_dir, spark.createDataFrame([], self.schema)
+        )
+        _, _, epochs = store_parts(spark, self.sk_dir)
+        return {"epochs": len(epochs), "rows": raw.count()}
+
     def compact(self, spark: SparkSession) -> int | None:
         """Fold base + deltas with the reader's own group-and-union —
         estimate-invisible by associativity (pinned in tests)."""

@@ -139,3 +139,32 @@ def test_string_key_lifecycle(spark, tmp_path):
     wrong = BaselinePipeline(str(tmp_path / "w"), key="device")
     with pytest.raises(TypeError, match="key_type"):
         wrong.write_batch(spark.createDataFrame(rows[:2], sch), epoch_id=0)
+
+
+def test_rebuild_from_source_propagates_deletion(spark, tmp_path):
+    """Deletion propagation for the count store (r8 verdict #6): after
+    forgetting a key in the source, rebuild_from_source re-derives the
+    store — baselines equal a from-scratch pipeline over the retained
+    batches exactly, and the forgotten key has no baseline left."""
+    import os
+
+    pipe = _run(spark, tmp_path, compact_every=2)
+    retained_rows = [
+        (e,) + r for e, b in enumerate(BATCHES) for r in b if r[0] != 2
+    ]
+    retained = spark.createDataFrame(retained_rows, "epoch BIGINT, " + SCHEMA)
+    report = pipe.rebuild_from_source(spark, retained)
+    assert report["rows"] > 0 and report["epochs"] > 0
+
+    fresh = BaselinePipeline(str(tmp_path / "f"))
+    for e in range(len(BATCHES)):
+        rows = [r[1:] for r in retained_rows if r[0] == e]
+        if rows:
+            fresh.write_batch(_frame(spark, rows), epoch_id=e)
+    got = sorted(tuple(r) for r in pipe.baselines(spark).collect())
+    want = sorted(tuple(r) for r in fresh.baselines(spark).collect())
+    assert got == want
+    assert not any(r[0] == 2 for r in got)  # forgotten key gone
+    assert not any(
+        n.startswith("base_upto=") for n in os.listdir(pipe.counts_dir)
+    )

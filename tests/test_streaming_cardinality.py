@@ -204,3 +204,51 @@ def test_streaming_wrapper_end_to_end(spark, tmp_path):
     q.awaitTermination()
     pipe = CardinalityPipeline(str(tmp_path / "store"), period_seconds=DAY)
     assert _est(pipe.estimates(spark)) == _est(_batch_estimates(spark))
+
+
+def test_rebuild_from_source_propagates_deletion(spark, tmp_path):
+    """The executable form of the sketch-store deletion limit (r8
+    verdict #6): forget a key in the source, rebuild the store from
+    the retained+epoch-annotated corpus — estimates equal a
+    from-scratch pipeline over the retained batches exactly (HLL is
+    deterministic), the forgotten key's contribution is gone, and any
+    pre-deletion compacted base is dropped."""
+    pipe = CardinalityPipeline(str(tmp_path / "s"), compact_every=2)
+    for i, rows in enumerate(BATCHES):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    before = {
+        (r["event_type"], r["pi"]): r["n_approx"]
+        for r in pipe.estimates(spark).collect()
+    }
+
+    # retained corpus: user 1 forgotten, rows annotated with their epoch
+    retained_rows = [
+        (e,) + r for e, b in enumerate(BATCHES) for r in b if r[0] != 1
+    ]
+    retained = spark.createDataFrame(retained_rows, "epoch BIGINT, " + SCHEMA)
+    report = pipe.rebuild_from_source(spark, retained)
+    assert report["rows"] > 0 and report["epochs"] > 0
+
+    fresh = CardinalityPipeline(str(tmp_path / "f"))
+    for e in range(len(BATCHES)):
+        rows = [r for r in retained_rows if r[0] == e]
+        if rows:
+            fresh.write_batch(
+                spark.createDataFrame(rows, "epoch BIGINT, " + SCHEMA).drop(
+                    "epoch"
+                ),
+                epoch_id=e,
+            )
+    got = sorted(tuple(r) for r in pipe.estimates(spark).collect())
+    want = sorted(tuple(r) for r in fresh.estimates(spark).collect())
+    assert got == want
+    after = {
+        (r["event_type"], r["pi"]): r["n_approx"]
+        for r in pipe.estimates(spark).collect()
+    }
+    # user 1 was the only 'buy' on day 0 besides user 2 — count drops
+    assert after[("buy", 0)] < before[("buy", 0)]
+    # no stale base survives the swap (the base folded forgotten data)
+    assert not any(
+        n.startswith("base_upto=") for n in os.listdir(pipe.sk_dir)
+    )

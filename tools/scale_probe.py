@@ -31,9 +31,11 @@ from cassandra_iot_pipeline_spark.functions.dedup import (  # noqa: E402
 from cassandra_iot_pipeline_spark.session import build_session  # noqa: E402
 
 
-def probe_events(spark, n_events: int, n_devices: int):
-    """Synthetic events shaped like the fixture table, hash-derived."""
-    df = spark.range(n_events)
+def probe_events(spark, n_events: int, n_devices: int, start: int = 0):
+    """Synthetic events shaped like the fixture table, hash-derived.
+    ``start`` shifts the id range so successive calls produce disjoint
+    event populations (the probe_documents convention)."""
+    df = spark.range(start, start + n_events)
     return df.select(
         F.col("id").alias("event_id"),
         F.timestamp_millis(
@@ -1131,6 +1133,31 @@ def main() -> None:
             ),
             results,
         )
+        # r9 (r8 verdict #5): the hot-key bound. funnel's per-user fold
+        # materializes each key's full step-typed event list in one
+        # aggregation buffer — a bot key owning ~20% of the corpus puts
+        # ~20% of step events into ONE task's collect_list. Measure a
+        # skewed corpus (key 0 absorbs 1-in-5 events) against the
+        # uniform row above; the delta is the single-task sort+fold.
+        skewed = events.withColumn(
+            "user_id",
+            F.when(
+                F.pmod(
+                    F.xxhash64(F.lit("skew"), F.col("event_id")), F.lit(5)
+                )
+                == 0,
+                F.lit(0),
+            ).otherwise(F.col("user_id")),
+        )
+        timed(
+            "funnel_4step_skewed_hotkey_20pct",
+            funnel(
+                skewed,
+                ["signup", "view", "click", "purchase"],
+                horizon_seconds=7 * 86_400,
+            ),
+            results,
+        )
         timed("event_transitions", event_transitions(events), results)
         from cassandra_iot_pipeline_spark.operators.cohorts import (
             growth_accounting,
@@ -1354,6 +1381,89 @@ def main() -> None:
             results,
         )
         timed("mad_outliers_20m", mad_outliers(events), results)
+
+    if "--funnel-stream" in sys.argv:
+        # r9 (r8 verdict #7): the streaming funnel's READ path folds
+        # the full point store — the one read in the engagement arcs
+        # whose cost grows with corpus lifetime rather than
+        # base+recent-deltas (inherent: the point set is the minimal
+        # sufficient statistic for the non-monotone chain). Measure the
+        # serving read against a store growing 10x, compacted before
+        # each measured read so fold shape is constant.
+        import tempfile
+
+        from cassandra_iot_pipeline_spark.streaming.funnel import (
+            FunnelPipeline,
+        )
+
+        steps = ["signup", "view", "click", "purchase"]
+        fpipe = FunnelPipeline(
+            tempfile.mkdtemp(prefix="probe_fstream_"),
+            steps,
+            horizon_seconds=7 * 86_400,
+        )
+        per_epoch = max(200_000, n_events // 10)
+        measure_after = {0, 2, 9}
+        for e in range(10):
+            fpipe.write_batch(
+                probe_events(spark, per_epoch, n_devices, start=e * per_epoch),
+                epoch_id=e,
+            )
+            if e in measure_after:
+                fpipe.compact(spark)
+                t0 = time.perf_counter()
+                fpipe.funnel(spark).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sec = round(time.perf_counter() - t0, 2)
+                results[f"funnel_stream_read_{e + 1}x"] = sec
+                print(
+                    f"[probe] funnel_stream read after {e + 1} epochs "
+                    f"({(e + 1) * per_epoch} events landed): {sec}s",
+                    file=sys.stderr, flush=True,
+                )
+
+    if "--bpe-multi" in sys.argv:
+        # r9 (r8 verdict #2): the merges_per_iter tier's realistic-vocab
+        # posture. bpe_train is inherently one-driver-round-per-
+        # iteration; N=1 is exact reference BPE at ~1 s/round, which is
+        # ~10 h for a production 30k-merge vocab. N=16 commits up to 16
+        # DISJOINT pairs per round (stale counts stay exact under
+        # disjointness; only merge ORDER can diverge). Train a >=2k-
+        # merge vocab at N=16 on the 200k-word hex table, plus an N=1
+        # run of 128 merges for the per-merge comparison (r8 measured
+        # N=1 FLAT at 1.18 s/merge over the same table, so the short
+        # run is representative).
+        from cassandra_iot_pipeline_spark.functions.bpe import bpe_train
+
+        wc = spark.range(200_000).select(
+            F.format_string("%x", F.xxhash64("id")).alias("w"),
+            (
+                F.pmod(F.xxhash64(F.lit("c"), F.col("id")), F.lit(999)) + 1
+            ).alias("c"),
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        m1 = bpe_train(wc, 128, min_count=2, merges_per_iter=1)
+        sec1 = round(time.perf_counter() - t0, 2)
+        results["bpe_train_n1_128_merges"] = sec1
+        results["bpe_n1_sec_per_merge"] = round(sec1 / max(1, len(m1.merges)), 3)
+        print(
+            f"[probe] bpe_train N=1: {len(m1.merges)} merges in {sec1}s "
+            f"({results['bpe_n1_sec_per_merge']}s/merge)",
+            file=sys.stderr, flush=True,
+        )
+        t0 = time.perf_counter()
+        m16 = bpe_train(wc, 2048, min_count=2, merges_per_iter=16)
+        sec16 = round(time.perf_counter() - t0, 2)
+        results["bpe_train_n16_2048_merges"] = sec16
+        results["bpe_n16_sec_per_merge"] = round(
+            sec16 / max(1, len(m16.merges)), 3
+        )
+        print(
+            f"[probe] bpe_train N=16: {len(m16.merges)} merges in {sec16}s "
+            f"({results['bpe_n16_sec_per_merge']}s/merge)",
+            file=sys.stderr, flush=True,
+        )
 
     if "--monitors" in sys.argv:
         # r8 third arc: the drift-monitoring family at probe scale.
