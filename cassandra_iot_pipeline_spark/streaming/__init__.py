@@ -48,5 +48,8 @@
                 median/MAD on read, prior-only online flagging
     lateness -- watermark-lateness accounting (per-epoch drop counts
                 for candidate delays; tuning recommendation)
+    topk     -- mergeable Misra-Gries heavy-hitters store (bounded
+                m+1 rows/group forever; one-sided undercount bounds,
+                exact-regime DuckDB parity)
     cassandra -- connector sink options (prod backend; no cluster here)
 """
