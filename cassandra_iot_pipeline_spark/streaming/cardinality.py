@@ -166,6 +166,50 @@ class CardinalityPipeline:
             *self.out_cols, F.hll_sketch_estimate("sk").alias("n_approx")
         )
 
+    def rolling_estimates(
+        self, spark: SparkSession, window_periods: int
+    ) -> DataFrame:
+        """(group..., pi, n_approx): approx distinct values over the
+        TRAILING ``window_periods`` periods ending at each stored
+        period — rolling actives (WAU/MAU) straight from the sketch
+        store, no raw-event re-scan. HLL union is exactly the sliding
+        set union (merge-invariant), so each window's estimate equals
+        the one-shot estimate over the window's raw events (pinned in
+        tests). Shape: each period's sketch explodes into the <= w
+        windows it contributes to (the rolling_active explode), then
+        one union per (group, window) — sketch-rows x w work, never
+        event-proportional."""
+        if self.period_seconds is None:
+            raise ValueError(
+                "rolling_estimates needs a period-indexed store "
+                "(period_seconds was None)"
+            )
+        if window_periods < 1:
+            raise ValueError(f"window_periods must be >= 1, got {window_periods}")
+        per_period = self.sketches(spark)
+        groups = [c for c in self.out_cols if c != "pi"]
+        contrib = per_period.select(
+            *groups,
+            F.explode(
+                F.sequence(
+                    F.col("pi"),
+                    F.col("pi") + F.lit(window_periods - 1),
+                )
+            ).alias("pi"),
+            "sk",
+        )
+        # windows whose END period was never observed are not served
+        # (they'd be partial trailing echoes of the last data)
+        observed = per_period.select(*groups, "pi").distinct()
+        return (
+            contrib.join(observed, [*groups, "pi"], "semi")
+            .groupBy(*groups, "pi")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .select(
+                *groups, "pi", F.hll_sketch_estimate("sk").alias("n_approx")
+            )
+        )
+
     # -- write path (foreachBatch) ---------------------------------------
     def _grouped(self, batch_df: DataFrame) -> DataFrame:
         df = batch_df

@@ -252,3 +252,47 @@ def test_rebuild_from_source_propagates_deletion(spark, tmp_path):
     assert not any(
         n.startswith("base_upto=") for n in os.listdir(pipe.sk_dir)
     )
+
+
+def test_rolling_estimates_match_one_shot_windows(spark, tmp_path):
+    """Sliding distinct counts from the sketch store: each trailing
+    window's estimate equals the one-shot HLL estimate over that
+    window's raw events (union is exactly sliding set union —
+    merge-invariant), windows only serve at observed end periods, and
+    the guards fire."""
+    pipe = CardinalityPipeline(str(tmp_path / "s"), period_seconds=DAY)
+    for i, rows in enumerate(BATCHES):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    w = 2
+    got = {
+        (r["event_type"], r["pi"]): r["n_approx"]
+        for r in pipe.rolling_estimates(spark, w).collect()
+    }
+    all_events = _all(spark).withColumn("pi", period_index("ts", DAY))
+    observed = {
+        (r["event_type"], r["pi"])
+        for r in all_events.select("event_type", "pi").distinct().collect()
+    }
+    assert set(got) == observed
+    for (et, pi), est in got.items():
+        want = (
+            distinct_counts(
+                all_events.filter(
+                    (F.col("event_type") == et)
+                    & (F.col("pi") >= pi - (w - 1))
+                    & (F.col("pi") <= pi)
+                ),
+                ["event_type"],
+                "user_id",
+            ).collect()[0]["n_approx"]
+        )
+        assert est == want, (et, pi)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="window_periods"):
+        pipe.rolling_estimates(spark, 0)
+    flat = CardinalityPipeline(str(tmp_path / "f"), period_seconds=None)
+    flat.write_batch(_frame(spark, BATCHES[0]), epoch_id=0)
+    with pytest.raises(ValueError, match="period-indexed"):
+        flat.rolling_estimates(spark, 2)
