@@ -257,6 +257,48 @@ def mixture_rates(
     }
 
 
+def temperature_shares(
+    df: DataFrame,
+    source_col: str,
+    tau: float,
+    weight_col: str | Column = None,
+) -> dict:
+    """Temperature-scaled target shares from the corpus's OBSERVED
+    composition — the multilingual/multi-source LM sampling rule:
+    ``q_i ∝ p_i^(1/tau)`` over the observed shares ``p_i``, then
+    renormalized. ``tau = 1`` reproduces the observed mix; ``tau > 1``
+    flattens it (up-weights rare sources — the standard counter to a
+    web-dominated crawl drowning low-resource sources); ``tau < 1``
+    sharpens it; ``tau → ∞`` approaches uniform over the sources
+    present. Returns ``{"shares": {source: q}, "observed": {source:
+    p}}`` — feed ``shares`` straight into :func:`mixture_rates` /
+    :func:`weighted_mixture` to plan and execute the mix.
+
+    One bounded aggregation (one row per source, the mixture_rates
+    collect class); the exponentiation is driver arithmetic."""
+    if tau <= 0:
+        raise ValueError(f"temperature_shares: tau must be > 0, got {tau}")
+    w = (
+        F.lit(1).cast("double")
+        if weight_col is None
+        else (
+            F.col(weight_col) if isinstance(weight_col, str) else weight_col
+        ).cast("double")
+    )
+    rows = df.groupBy(source_col).agg(F.sum(w).alias("avail")).collect()
+    totals = {r[source_col]: float(r["avail"]) for r in rows}
+    total = sum(totals.values())
+    if total <= 0:
+        raise ValueError("temperature_shares: no weight in the frame")
+    observed = {s: v / total for s, v in totals.items()}
+    scaled = {s: p ** (1.0 / tau) for s, p in observed.items()}
+    z = sum(scaled.values())
+    return {
+        "shares": {s: v / z for s, v in scaled.items()},
+        "observed": observed,
+    }
+
+
 def score_thresholds(
     df: DataFrame,
     score_col: str,

@@ -383,3 +383,49 @@ def test_score_thresholds_quantized_grid(spark, duck):
         assert q_kept.count() >= exact_kept  # never under-keeps
     # coarse grid inflates, fine grid converges to exact here
     assert top_fraction_by_score(df, "q", 0.1, quantize_decimals=6).count() == exact_kept
+
+
+def test_temperature_shares_hand_computed(spark):
+    """q_i ∝ p_i^(1/tau): hand-computed flattening, tau=1 identity,
+    large tau → near uniform, guards, and composition with
+    mixture_rates (the flattened shares plan a realizable mix)."""
+    from cassandra_iot_pipeline_spark.functions.sampling import (
+        mixture_rates,
+        temperature_shares,
+    )
+
+    rows = [("web", 80.0), ("code", 15.0), ("books", 5.0)]
+    df = spark.createDataFrame(
+        [(s, w, i) for i, (s, w) in enumerate(rows)],
+        "source STRING, w DOUBLE, doc_id BIGINT",
+    )
+    out = temperature_shares(df, "source", tau=2.0, weight_col="w")
+    assert out["observed"] == {"web": 0.8, "code": 0.15, "books": 0.05}
+    import math
+
+    z = sum(math.sqrt(p) for p in (0.8, 0.15, 0.05))
+    for s, p in out["observed"].items():
+        assert abs(out["shares"][s] - math.sqrt(p) / z) < 1e-12
+    # flattening: rare sources gain share, dominant loses
+    assert out["shares"]["books"] > 0.05
+    assert out["shares"]["web"] < 0.8
+
+    ident = temperature_shares(df, "source", tau=1.0, weight_col="w")
+    for s in ident["shares"]:
+        assert abs(ident["shares"][s] - ident["observed"][s]) < 1e-12
+
+    flat = temperature_shares(df, "source", tau=1e9, weight_col="w")
+    assert all(abs(v - 1 / 3) < 1e-6 for v in flat["shares"].values())
+
+    with pytest.raises(ValueError, match="tau"):
+        temperature_shares(df, "source", tau=0.0)
+
+    plan = mixture_rates(
+        df, "source", out["shares"], weight_col="w"
+    )
+    # the binding source is the rarest (largest share gain): its rate
+    # is 1.0 and every allocation realizes the temperature shares
+    assert plan["rates"]["books"] == 1.0
+    total = sum(plan["allocated"].values())
+    for s, q in out["shares"].items():
+        assert abs(plan["allocated"][s] / total - q) < 1e-9
