@@ -1,0 +1,206 @@
+"""Continuous schema-drift monitoring over a JSONL ingest — the
+contract-side sibling of the quality audit: the ingest readers
+(sources/jsonl.py) are deliberately contract-first (declared schema,
+never inferred), which means upstream schema drift is INVISIBLE to
+them by design — a new field is silently dropped, a vanished field is
+silently NULL. This monitor makes the drift a queryable per-epoch
+series instead: each micro-batch of RAW lines lands one row per
+observed top-level field — how many lines carry it, and whether the
+contract declares it.
+
+What it catches, concretely:
+
+- a NEW upstream field ramping up (``declared = false`` with rising
+  presence) — the signal to extend the contract before the data is
+  lost to history;
+- a DECLARED field vanishing (presence falling) — upstream dropped or
+  renamed it; the parsed column is quietly going NULL;
+- unparseable-line rate (the ``_corrupt`` pseudo-field) — the
+  quarantine's fraction, visible per epoch without re-reading it.
+
+All native Catalyst, one pass: ``json_object_keys`` extracts each
+line's top-level key list without parsing values against any schema
+(no inference pass), one explode, one map-side-combined count. Lines
+that are not a JSON object get a NULL key list and count under
+``_corrupt``. Top-level keys only, deliberately: nested drift is a
+value-shape question the expectations module owns.
+
+Store shape (store.py lifecycle): ``<dir>/fields/epoch=N`` rows
+``(epoch, field, n_present, n_rows, declared)``; fold = distinct
+(rows are keyed facts). Replay-idempotent (deterministic aggregate of
+the batch). The series feeds ``cusum_changepoints`` directly
+(group = field, metric = presence fraction) like every monitor here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..store import compact_store, read_store
+
+_SCHEMA = (
+    "epoch BIGINT, field STRING, n_present BIGINT, n_rows BIGINT,"
+    " declared BOOLEAN"
+)
+
+CORRUPT_FIELD = "_corrupt"
+
+
+class SchemaDriftPipeline:
+    """foreachBatch-shaped schema monitor; see module docstring.
+    ``write_batch`` per epoch over frames carrying raw JSON lines in
+    ``raw_col``; :meth:`history` for the per-field series,
+    :meth:`drift` for the alert view."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        declared_schema: str | StructType,
+        raw_col: str = "value",
+        compact_every: int | None = None,
+    ) -> None:
+        st = (
+            declared_schema
+            if isinstance(declared_schema, StructType)
+            else StructType.fromDDL(declared_schema)
+        )
+        self.declared = sorted(f.name for f in st.fields)
+        self.base_dir = base_dir
+        self.raw_col = raw_col
+        self.compact_every = compact_every
+        self.fields_dir = f"{base_dir}/fields"
+
+    # -- write path (foreachBatch) ---------------------------------------
+    def _batch_report(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        keys = batch_df.select(
+            F.json_object_keys(F.col(self.raw_col)).alias("ks")
+        )
+        n_rows = keys.count()
+        observed = (
+            keys.select(
+                F.explode(
+                    # non-object lines -> NULL key list -> the corrupt
+                    # pseudo-field (coalesce keeps them countable
+                    # through the explode)
+                    F.coalesce(
+                        F.col("ks"), F.array(F.lit(CORRUPT_FIELD))
+                    )
+                ).alias("field")
+            )
+            .groupBy("field")
+            .agg(F.count(F.lit(1)).alias("n_present"))
+        )
+        declared_lit = F.array(*[F.lit(d) for d in self.declared])
+        return observed.select(
+            F.lit(int(epoch_id)).alias("epoch"),
+            "field",
+            "n_present",
+            F.lit(int(n_rows)).alias("n_rows"),
+            F.array_contains(declared_lit, F.col("field")).alias("declared"),
+        )
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self._batch_report(batch_df, epoch_id).write.mode(
+            "overwrite"
+        ).parquet(f"{self.fields_dir}/epoch={epoch_id}")
+        if (
+            self.compact_every is not None
+            and (epoch_id + 1) % self.compact_every == 0
+        ):
+            self.compact(batch_df.sparkSession)
+
+    # -- reads ------------------------------------------------------------
+    def history(self, spark: SparkSession) -> DataFrame:
+        """(epoch, field, n_present, n_rows, frac, declared): the
+        per-epoch presence series (empty-safe). Fields absent from an
+        epoch simply have no row — :meth:`drift` fills the zeros
+        against the declared set (the embedding-drift grid lesson)."""
+        raw = read_store(
+            spark,
+            self.fields_dir,
+            spark.createDataFrame([], _SCHEMA),
+        ).distinct()
+        return raw.select(
+            "epoch",
+            "field",
+            "n_present",
+            "n_rows",
+            (F.col("n_present") / F.col("n_rows")).alias("frac"),
+            "declared",
+        )
+
+    def drift(
+        self,
+        spark: SparkSession,
+        appear_frac: float = 0.01,
+        vanish_slack: float = 0.1,
+    ) -> DataFrame:
+        """(epoch, field, frac, baseline_frac, kind): the alert rows —
+        ``kind = 'undeclared'`` for non-contract fields present in at
+        least ``appear_frac`` of an epoch's lines (``_corrupt``
+        reported under the same rule), ``kind = 'vanishing'`` for
+        declared fields whose presence fell more than ``vanish_slack``
+        (absolute) below their FIRST-epoch baseline. Declared fields
+        compare per (epoch, field) against the epoch × declared-set
+        grid, so a field dropping to ZERO rows still alerts (the
+        embedding-drift occupancy-collapse lesson, applied at birth)."""
+        h = self.history(spark)
+        undeclared = h.filter(
+            (~F.col("declared")) & (F.col("frac") >= appear_frac)
+        ).select(
+            "epoch",
+            "field",
+            "frac",
+            F.lit(None).cast("double").alias("baseline_frac"),
+            F.lit("undeclared").alias("kind"),
+        )
+        epochs = h.select("epoch").distinct()
+        declared_rows = spark.createDataFrame(
+            [(d,) for d in self.declared], "field STRING"
+        )
+        grid = epochs.crossJoin(F.broadcast(declared_rows))
+        obs = h.filter(F.col("declared")).select(
+            F.col("epoch").alias("o_epoch"),
+            F.col("field").alias("o_field"),
+            "frac",
+        )
+        filled = grid.join(
+            obs,
+            (grid["epoch"] == obs["o_epoch"])
+            & (grid["field"] == obs["o_field"]),
+            "left",
+        ).select(
+            "epoch", "field", F.coalesce("frac", F.lit(0.0)).alias("frac")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("field")
+        base = F.min_by("frac", "epoch").over(w)
+        vanishing = (
+            filled.withColumn("baseline_frac", base)
+            .filter(F.col("frac") < F.col("baseline_frac") - vanish_slack)
+            .select(
+                "epoch",
+                "field",
+                "frac",
+                "baseline_frac",
+                F.lit("vanishing").alias("kind"),
+            )
+        )
+        return undeclared.unionByName(vanishing)
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, spark: SparkSession) -> int | None:
+        return compact_store(
+            spark,
+            self.fields_dir,
+            spark.createDataFrame([], _SCHEMA),
+            fold=lambda df: df.distinct(),
+        )
+
+    def foreach_batch(self):
+        return self.write_batch
