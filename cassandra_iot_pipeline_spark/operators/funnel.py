@@ -31,11 +31,18 @@ BIGINTs; each output rate is ONE IEEE division, mirrored by the
 oracle (the repo's exactmath discipline).
 
 100 TB: the only data-wide work is the one exchange of step-typed
-events by user; the fold state is k BIGINTs per user.  A user's
-collected array is bounded by their own step-event count — cap
-pathological users upstream with a time filter if the corpus has
-devices that emit millions of funnel-typed events (the same caveat as
-any per-user sessionization).
+events by user; the fold state is k BIGINTs per user.  HOT-KEY BOUND
+(the mad_outliers class): ``groupBy(k).agg(sort_array(collect_list))``
+materializes each user's full step-typed event list in ONE aggregation
+buffer, so a bot key owning a large corpus fraction concentrates that
+fraction of step events into a single task — measured in
+tools/scale_probe.py ``--funnel-retrieval`` (the
+``funnel_4step_skewed_hotkey_20pct`` row: one key absorbing 1-in-5 of
+20M events; SCALE.md records the uniform-vs-skewed delta).  The slice
+is step-TYPED (bounded in sane corpora); for corpora with bot devices
+emitting millions of funnel-typed events, cap them upstream with a
+time filter or per-key sample — the same caveat as any per-user
+sessionization, stated rather than hidden.
 """
 
 from __future__ import annotations

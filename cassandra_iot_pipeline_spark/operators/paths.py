@@ -24,6 +24,14 @@ data-wide cost is the per-key sort-window — the same shape as
 sessionization, and like it the right physical layout (events
 bucketed by key, sorted by ts at rest; storage.py) removes the
 exchange entirely.
+
+HOT-KEY BOUND (the funnel/mad_outliers class, stated once for both
+operators here): the per-key ordering window lands ALL of a key's
+events in one task. Unlike funnel's in-memory collect_list buffer,
+a window sort SPILLS (UnsafeExternalSorter), so a bot key degrades
+to one slow task rather than an OOM — but it still serializes that
+key's timeline; the same upstream cap/time-filter advice applies
+(measured context: SCALE.md's skewed-funnel probe row).
 """
 
 from __future__ import annotations

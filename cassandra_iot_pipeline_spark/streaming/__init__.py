@@ -51,5 +51,7 @@
     topk     -- mergeable Misra-Gries heavy-hitters store (bounded
                 m+1 rows/group forever; one-sided undercount bounds,
                 exact-regime DuckDB parity)
+    schema_drift -- per-epoch observed-field series over raw JSONL vs
+                the declared contract (undeclared/vanishing alerts)
     cassandra -- connector sink options (prod backend; no cluster here)
 """

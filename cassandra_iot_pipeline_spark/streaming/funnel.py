@@ -25,6 +25,16 @@ epoch, the cohort-pipeline property). The store holds only
 funnel-TYPED events (the step IN filter), typically a small slice of
 the corpus; the read-side funnel is the batch operator's pinned
 one-exchange plan over that slice.
+
+READ-SCALING CLASS, stated honestly: :meth:`funnel` folds the FULL
+point store — cost grows with corpus lifetime (the point set times
+the batch plan), not base+recent-deltas like the sibling stores'
+reads. This is inherent, not an implementation gap: the point set is
+the proven minimal sufficient statistic for the non-monotone chain,
+so any reader must touch all of it. Compaction keeps the constant
+small (one distinct-collapsed base); the growth curve is measured in
+tools/scale_probe.py ``--funnel-stream`` (read seconds at 1x/3x/10x
+store growth, SCALE.md).
 """
 
 from __future__ import annotations
