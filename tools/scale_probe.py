@@ -1423,6 +1423,49 @@ def main() -> None:
                     file=sys.stderr, flush=True,
                 )
 
+    if "--topk" in sys.argv:
+        # r9: the Misra-Gries heavy-hitters store. Claims under test:
+        # per-epoch write work is batch-local (flat against store
+        # growth), the compacted base is m+1 rows per group however
+        # long the stream, and the read folds bounded rows.
+        import tempfile
+
+        from cassandra_iot_pipeline_spark.streaming.topk import TopKPipeline
+
+        tp = TopKPipeline(
+            tempfile.mkdtemp(prefix="probe_topk_"),
+            group_cols=["event_type"],
+            token_col="user_id",
+            m=256,
+            compact_every=4,
+        )
+        per_epoch = max(200_000, n_events // 10)
+        epoch_secs = []
+        for e in range(10):
+            b = probe_events(spark, per_epoch, n_devices, start=e * per_epoch)
+            t0 = time.perf_counter()
+            tp.write_batch(b, epoch_id=e)
+            epoch_secs.append(round(time.perf_counter() - t0, 2))
+        results["topk_epoch_first"] = epoch_secs[0]
+        results["topk_epoch_last"] = epoch_secs[-1]
+        print(
+            f"[probe] topk 10x{per_epoch} epochs: {epoch_secs}",
+            file=sys.stderr, flush=True,
+        )
+        t0 = time.perf_counter()
+        tp.topk(spark, k=10).write.format("noop").mode("overwrite").save()
+        results["topk_read"] = round(time.perf_counter() - t0, 2)
+        base = spark.read.parquet(f"{tp.mg_dir}/base_upto=7")
+        rows_per_group = (
+            base.groupBy("event_type").count().agg(F.max("count")).first()[0]
+        )
+        results["topk_base_max_rows_per_group"] = int(rows_per_group)
+        print(
+            f"[probe] topk read: {results['topk_read']}s; base max "
+            f"rows/group: {rows_per_group} (m+1 = 257)",
+            file=sys.stderr, flush=True,
+        )
+
     if "--bpe-multi" in sys.argv:
         # r9 (r8 verdict #2): the merges_per_iter tier's realistic-vocab
         # posture. bpe_train is inherently one-driver-round-per-
