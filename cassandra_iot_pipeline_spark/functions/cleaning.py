@@ -391,3 +391,146 @@ def pack_reference(
             if fill >= block_size:
                 bin_id, fill = bin_id + 1, 0
     return sorted(out)
+
+
+# --- corpus-wide line dedup (the C4/Gopher boilerplate rule) ----------------
+
+
+def dedup_lines(
+    documents: DataFrame,
+    min_occurrences: int = 2,
+    min_line_chars: int = 10,
+    text_col: str = "text",
+    hash_shuffle: bool = False,
+) -> DataFrame:
+    """(doc_id, text, n_removed): corpus-WIDE line deduplication — the
+    C4/Gopher cleaning rule that drops boilerplate lines (nav bars,
+    cookie banners, licence footers) repeated across documents, as
+    distinct from substring dedup (span-level, functions/substrings.py)
+    and document dedup (whole-doc, functions/dedup.py).
+
+    Contract, exactly: a line (the text between ``\\n`` separators,
+    byte-exact — no trimming) of at least ``min_line_chars`` characters
+    that occurs at least ``min_occurrences`` times across the corpus
+    keeps ONLY its first occurrence — smallest ``(doc_id, position)``,
+    a total order, so the survivor is deterministic in both engines —
+    and every other occurrence is removed. Shorter lines are exempt
+    (never counted, never removed: empty lines and stub separators are
+    structure, not boilerplate). Documents keep their remaining lines
+    in order; a fully-boilerplate document comes back as the empty
+    string, not a dropped row (removal accounting stays row-aligned).
+
+    Plan shape: one posexplode over the split array, ONE
+    map-side-combined count per line (a boilerplate line collapses to
+    one row per task BEFORE the exchange — the substring-dedup
+    de-skew lesson; no window is ever keyed on the line), a join back
+    that AQE broadcast-converts when the duplicated-line set fits, and
+    one per-doc rebuild aggregation. ``hash_shuffle=True`` swaps the
+    line string for xxhash64 in the wide stages (8 bytes/line — the
+    100 TB tier; the substring module's documented
+    collision-probability contract applies)."""
+    if min_occurrences < 2:
+        raise ValueError(
+            f"min_occurrences must be >= 2, got {min_occurrences}"
+        )
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "pos", "line"
+        ),
+    )
+    key = (
+        F.xxhash64("line").alias("lk")
+        if hash_shuffle
+        else F.col("line").alias("lk")
+    )
+    eligible = lines.filter(F.length("line") >= min_line_chars)
+    # keeper = min (doc_id, pos) per duplicated line; composed into one
+    # exact DECIMAL(38,0) key (mirrored by HUGEINT in the oracle —
+    # DuckDB's arg_min has no struct ordering) so MIN is overflow-free
+    # at any doc_id
+    composite = (
+        F.col("doc_id").cast("decimal(38,0)") * F.lit(4294967296)
+        + F.col("pos")
+    )
+    dups = (
+        eligible.select(key, composite.alias("ck"))
+        .groupBy("lk")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ck").alias("keeper"))
+        .filter(F.col("n") >= min_occurrences)
+        .select("lk", "keeper")
+    )
+    marked = lines.withColumn("_lk", key).join(
+        dups.withColumnRenamed("lk", "_lk"), "_lk", "left"
+    )
+    drop = (
+        F.col("keeper").isNotNull()
+        & (F.length("line") >= min_line_chars)
+        & (composite != F.col("keeper"))
+    )
+    rebuilt = (
+        marked.withColumn("_drop", drop)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text"),
+            F.count(F.when(F.col("_drop"), F.lit(1))).alias("n_removed"),
+        )
+    )
+    return rebuilt
+
+
+def dedup_lines_oracle(
+    min_occurrences: int = 2,
+    min_line_chars: int = 10,
+    source_table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dedup_lines` (exact-string tier)."""
+    return f"""
+        WITH parts AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls
+            FROM {source_table}
+        ),
+        lines AS (
+            SELECT doc_id,
+                   generate_subscripts(ls, 1) - 1 AS pos,
+                   unnest(ls) AS line
+            FROM parts
+        ),
+        dups AS (
+            SELECT line,
+                   MIN(CAST(doc_id AS HUGEINT) * 4294967296 + pos) AS keeper
+            FROM lines
+            WHERE length(line) >= {min_line_chars}
+            GROUP BY line
+            HAVING COUNT(*) >= {min_occurrences}
+        ),
+        marked AS (
+            SELECT l.doc_id, l.pos, l.line,
+                   (d.keeper IS NOT NULL
+                    AND length(l.line) >= {min_line_chars}
+                    AND CAST(l.doc_id AS HUGEINT) * 4294967296 + l.pos
+                        <> d.keeper) AS dropped
+            FROM lines l LEFT JOIN dups d USING (line)
+        )
+        SELECT doc_id,
+               COALESCE(
+                   string_agg(CASE WHEN NOT dropped THEN line END,
+                              chr(10) ORDER BY pos),
+                   '') AS text,
+               COUNT(CASE WHEN dropped THEN 1 END) AS n_removed
+        FROM marked
+        GROUP BY doc_id
+    """

@@ -225,3 +225,95 @@ def test_pack_reference_properties():
             assert sum(n for _, n, _ in members) <= block
 
     check()
+
+
+# --- corpus-wide line dedup ---------------------------------------------
+
+
+LINE_DOCS = [
+    # the boilerplate footer repeats across docs 1..3; doc 1 holds the
+    # first occurrence (keeper). short lines ("--", "") are exempt.
+    (1, "unique alpha content\ncopyright footer text\n--\nmore alpha"),
+    (2, "copyright footer text\nunique beta content"),
+    (3, "unique gamma content\n\ncopyright footer text"),
+    (4, "entirely original document"),
+    (5, "copyright footer text"),  # fully-boilerplate doc -> ""
+]
+
+
+def _line_frame(spark):
+    return spark.createDataFrame(LINE_DOCS, "doc_id BIGINT, text STRING")
+
+
+def test_dedup_lines_hand_computed(spark):
+    from cassandra_iot_pipeline_spark.functions.cleaning import dedup_lines
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in dedup_lines(_line_frame(spark), min_line_chars=10).collect()
+    }
+    assert got == {
+        1: ("unique alpha content\ncopyright footer text\n--\nmore alpha", 0),
+        2: ("unique beta content", 1),
+        3: ("unique gamma content\n", 1),  # empty line survives (exempt)
+        4: ("entirely original document", 0),
+        5: ("", 1),
+    }
+
+
+def test_dedup_lines_matches_oracle(spark, duck):
+    from cassandra_iot_pipeline_spark.functions.cleaning import (
+        dedup_lines,
+        dedup_lines_oracle,
+    )
+    from tools.oracle_check import compare
+
+    duck.execute("DROP TABLE IF EXISTS line_docs")
+    duck.execute("CREATE TABLE line_docs (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO line_docs VALUES (?, ?)", LINE_DOCS)
+    for thresh in (2, 3):
+        got = dedup_lines(
+            _line_frame(spark), min_occurrences=thresh, min_line_chars=10
+        ).toPandas()
+        want = duck.sql(
+            dedup_lines_oracle(
+                min_occurrences=thresh,
+                min_line_chars=10,
+                source_table="line_docs",
+            )
+        ).df()
+        assert compare(got, want) == [], thresh
+
+
+def test_dedup_lines_fixture_corpus_matches_oracle(docs, duck):
+    """Fixture docs are single-line, so line dedup degenerates to
+    whole-text dedup — still a real parity check over 5k docs with
+    real duplicates (the fixture's planted near/exact dups)."""
+    from cassandra_iot_pipeline_spark.functions.cleaning import (
+        dedup_lines,
+        dedup_lines_oracle,
+    )
+    from tools.oracle_check import compare
+
+    got = dedup_lines(docs, min_line_chars=1).toPandas()
+    want = duck.execute(dedup_lines_oracle(min_line_chars=1)).fetchdf()
+    assert compare(got, want) == []
+    assert len(got) == docs.count()  # row-aligned accounting
+
+
+def test_dedup_lines_hash_tier_identical_here(spark):
+    """hash_shuffle=True (the 8-byte 100 TB tier) is identical on a
+    collision-free corpus — the substring module's contract."""
+    from cassandra_iot_pipeline_spark.functions.cleaning import dedup_lines
+
+    exact = sorted(
+        tuple(r)
+        for r in dedup_lines(_line_frame(spark), min_line_chars=10).collect()
+    )
+    hashed = sorted(
+        tuple(r)
+        for r in dedup_lines(
+            _line_frame(spark), min_line_chars=10, hash_shuffle=True
+        ).collect()
+    )
+    assert exact == hashed
