@@ -22,6 +22,9 @@ path):
                   horizon-capped, conversion + step-through rates)
     paths      -- first-order event-transition matrix (the funnel's
                   exploratory complement)
+    attribution -- first/last/linear-touch conversion attribution
+                  within a lookback (bucketed range join, exact
+                  micro-credit sums)
     downsample -- LTTB visual-fidelity decimation for serving long
                   series at dashboard resolution
 """

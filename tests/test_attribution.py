@@ -1,0 +1,102 @@
+"""Conversion attribution (operators/attribution.py): hand-computed
+first/last/linear credit on a constructed timeline (window edges,
+ties, unattributed conversions), DuckDB parity on the fixture at two
+lookbacks, exactness of the micro-credit sum (linear credit over a
+conversion sums to 1), and the guards."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.operators.attribution import (
+    attribution,
+    attribution_oracle,
+)
+from tests.conftest import SF_DIR
+from tools.oracle_check import compare
+
+SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+
+
+def _t(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+ROWS = [
+    # user 1: view@12:00, click@12:05, view@12:07, purchase@12:10
+    (1, _t(0), 1, "view"),
+    (2, _t(5), 1, "click"),
+    (3, _t(7), 1, "view"),
+    (4, _t(10), 1, "purchase"),
+    # user 2: click exactly AT the conversion microsecond (excluded,
+    # strict <) and a view 30 min before a 10-min lookback (excluded):
+    # conversion is unattributed
+    (5, _t(40), 2, "click"),
+    (6, _t(10), 2, "view"),
+    (7, _t(40), 2, "purchase"),
+    # user 3: touch exactly at the window's left edge (cts - L) counts
+    (8, _t(20), 3, "view"),
+    (9, _t(30), 3, "purchase"),
+]
+
+
+def _frame(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_hand_computed_models(spark):
+    got = {
+        r["touch_type"]: (
+            r["first_touch"],
+            r["last_touch"],
+            r["linear_units"],
+        )
+        for r in attribution(
+            _frame(spark), "purchase", ("view", "click"), 600
+        ).collect()
+    }
+    # user 1: touches view,click,view (n=3) -> first=view, last=view,
+    #         linear: view 2/3, click 1/3
+    # user 2: unattributed (strict <, lookback edge)
+    # user 3: single view at the left edge -> all credit to view
+    assert got == {
+        "view": (2, 2, 666667 + 1_000_000),
+        "click": (0, 0, 333333),
+        None: (1, 1, 0),
+    }
+
+
+def test_linear_credit_conserves_conversions(spark):
+    rows = attribution(
+        _frame(spark), "purchase", ("view", "click"), 600
+    ).collect()
+    total_units = sum(r["linear_units"] for r in rows)
+    n_attributed = 2  # users 1 and 3
+    # each attributed conversion distributes ~1.0 credit (rounding
+    # leaves at most one micro-unit per (conversion, channel))
+    assert abs(total_units - n_attributed * 1_000_000) <= 2
+
+
+def test_fixture_duckdb_parity(spark, duck):
+    events = load_table(spark, SF_DIR, "events")
+    for lookback in (86_400, 7 * 86_400):
+        got = attribution(
+            events, "purchase", ("view", "click", "signup"), lookback
+        ).toPandas()
+        want = duck.sql(
+            attribution_oracle(
+                "purchase", ("view", "click", "signup"), lookback
+            )
+        ).df()
+        assert compare(got, want) == [], lookback
+        assert len(got) >= 3
+
+
+def test_guards(spark):
+    with pytest.raises(ValueError, match="touch type"):
+        attribution(_frame(spark), "purchase", ())
+    with pytest.raises(ValueError, match="must not be one of"):
+        attribution(_frame(spark), "view", ("view", "click"))
