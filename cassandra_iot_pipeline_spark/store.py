@@ -15,6 +15,9 @@ what makes every compaction crash window readable with no double
 counts. Compaction (:func:`compact_store`) writes the new base to a
 hidden ``.compacting`` dir (invisible to Spark's file listing), commits
 with a single rename, and only then deletes the folded inputs.
+:func:`compact_epochs` is the incremental sibling — it folds only the
+delta TAIL into one epoch dir, leaving the base byte-untouched (O(tail)
+work instead of O(store); for the associative fold families only).
 
 All filesystem operations go through the Hadoop FileSystem API, so the
 stores work on any Hadoop filesystem (file://, hdfs://, s3a://) —
@@ -247,3 +250,87 @@ def compact_store(
         fs.delete(Path(base_path), True)
     delete_children_upto(spark, path, "epoch=", new_upto)
     return new_upto
+
+
+# --- tail compaction ---------------------------------------------------------
+
+
+def _tail_tmp_name(m: int) -> str:
+    return f".tailfold={m}.compacting"
+
+
+def recover_tail_fold(spark: SparkSession, path: str) -> int | None:
+    """Finish (or discard) an interrupted :func:`compact_epochs`.
+    A COMPLETE staged fold (Spark's _SUCCESS marker present) contains
+    every folded epoch's content, so recovery re-runs the commit —
+    delete the folded epoch dirs, rename the stage in; an incomplete
+    stage is discarded (the original epoch dirs are untouched until
+    the commit starts, so nothing is lost either way). Returns the
+    committed fold's epoch label, or None."""
+    fs, Path = hadoop_fs(spark, path)
+    for name in list_children(spark, path):
+        if not (name.startswith(".tailfold=") and name.endswith(".compacting")):
+            continue
+        m = int(name[len(".tailfold=") : -len(".compacting")])
+        tmp = f"{path}/{name}"
+        if fs.exists(Path(f"{tmp}/_SUCCESS")):
+            _, upto, epochs = store_parts(spark, path)
+            for e, p in epochs:
+                if e <= m:
+                    fs.delete(Path(p), True)
+            fs.rename(Path(tmp), Path(f"{path}/epoch={m}"))
+            return m
+        fs.delete(Path(tmp), True)
+    return None
+
+
+def compact_epochs(
+    spark: SparkSession,
+    path: str,
+    empty: DataFrame,
+    fold: Callable[[DataFrame], DataFrame] | None = None,
+    keep_recent: int = 0,
+    n_files: int = 4,
+) -> int | None:
+    """Fold the store's epoch DELTAS (all but the ``keep_recent`` most
+    recent) into one ``epoch=M`` dir, leaving the base byte-untouched
+    — the incremental sibling of :func:`compact_store`, whose full
+    rewrite is O(store) every time. At 100 TB the accumulated base
+    dwarfs the delta tail; tail compaction bounds the read-side part
+    count at O(1) deltas for O(tail) work per pass, and the occasional
+    full :func:`compact_store` remains the deep-clean.
+
+    ONLY for stores whose reads are order-free folds of the whole
+    visible part set (the associative fold families: distinct, sum
+    re-group, HLL union, MG trim, top-k) — relabeling epochs under the
+    max folded number M is invisible to such readers (pinned in
+    tests). Stores whose WRITE path reads "strictly older epoch dirs"
+    by directory number (the SCD2 pipeline's ``_raw_before``) must NOT
+    tail-fold mid-stream: relabeling changes what a replayed old epoch
+    would see. Crash-recoverable via :func:`recover_tail_fold` (the
+    staged dir carries every folded epoch's content; the commit is
+    re-runnable). Returns M, or None when fewer than two epochs are
+    foldable."""
+    recover_tail_fold(spark, path)
+    _, upto, epochs = store_parts(spark, path)
+    foldable = epochs[: len(epochs) - keep_recent] if keep_recent else epochs
+    if len(foldable) < 2:
+        return None
+    m = foldable[-1][0]
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name) for f in empty.schema
+    ]
+    df = spark.read.parquet(*[p for _, p in foldable]).select(*cols)
+    if fold is not None:
+        df = fold(df)
+    fs, Path = hadoop_fs(spark, path)
+    tmp = f"{path}/{_tail_tmp_name(m)}"
+    fs.delete(Path(tmp), True)
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    # commit (re-runnable: recover_tail_fold performs this same walk)
+    for e, p in foldable:
+        fs.delete(Path(p), True)
+    fs.rename(Path(tmp), Path(f"{path}/epoch={m}"))
+    return m

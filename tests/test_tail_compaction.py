@@ -1,0 +1,174 @@
+"""Tail compaction (store.py::compact_epochs): folds the delta tail
+into one epoch dir WITHOUT touching the base — reader-invisible for
+the associative fold families (bitwise for distinct/sum folds,
+estimate-level for HLL), byte-untouched base, keep_recent semantics,
+and crash recovery in both directions (complete stage re-commits,
+incomplete stage is discarded losslessly)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from cassandra_iot_pipeline_spark.store import (
+    compact_epochs,
+    compact_store,
+    read_store,
+    recover_tail_fold,
+    store_parts,
+)
+
+SCHEMA = "k BIGINT, cnt BIGINT"
+
+
+def _sum_fold(df):
+    return df.groupBy("k").agg(F.sum("cnt").alias("cnt"))
+
+
+def _write_epochs(spark, store, batches, start=0):
+    for i, rows in enumerate(batches, start=start):
+        spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(
+            f"{store}/epoch={i}"
+        )
+
+
+def _folded_read(spark, store):
+    return sorted(
+        tuple(r)
+        for r in _sum_fold(
+            read_store(spark, store, spark.createDataFrame([], SCHEMA))
+        ).collect()
+    )
+
+
+BATCHES = [
+    [(1, 2), (2, 1)],
+    [(1, 1), (3, 5)],
+    [(2, 4)],
+    [(3, 1), (4, 7)],
+]
+
+
+def test_tail_fold_is_reader_invisible_and_base_untouched(spark, tmp_path):
+    store = str(tmp_path / "s")
+    _write_epochs(spark, store, BATCHES[:2])
+    # a compacted base, then two more epochs on top
+    empty = spark.createDataFrame([], SCHEMA)
+    assert compact_store(spark, store, empty, fold=_sum_fold) == 1
+    _write_epochs(spark, store, BATCHES[2:], start=2)
+    before = _folded_read(spark, store)
+    base = f"{store}/base_upto=1"
+    mtimes = {f: os.path.getmtime(os.path.join(base, f)) for f in os.listdir(base)}
+
+    assert compact_epochs(spark, store, empty, fold=_sum_fold) == 3
+    assert _folded_read(spark, store) == before
+    # base byte-untouched; epoch tail now a single dir
+    assert {
+        f: os.path.getmtime(os.path.join(base, f)) for f in os.listdir(base)
+    } == mtimes
+    _, upto, epochs = store_parts(spark, store)
+    assert upto == 1 and [e for e, _ in epochs] == [3]
+
+
+def test_keep_recent_leaves_newest_deltas(spark, tmp_path):
+    store = str(tmp_path / "s")
+    _write_epochs(spark, store, BATCHES)
+    empty = spark.createDataFrame([], SCHEMA)
+    before = _folded_read(spark, store)
+    assert compact_epochs(
+        spark, store, empty, fold=_sum_fold, keep_recent=1
+    ) == 2
+    assert _folded_read(spark, store) == before
+    _, _, epochs = store_parts(spark, store)
+    assert [e for e, _ in epochs] == [2, 3]
+    # fewer than two foldable -> no-op
+    assert compact_epochs(
+        spark, store, empty, fold=_sum_fold, keep_recent=1
+    ) is None
+
+
+def test_recovery_completes_a_staged_fold(spark, tmp_path):
+    """Crash AFTER the stage finished and SOME folded dirs were
+    deleted: recovery re-runs the commit from the complete stage."""
+    store = str(tmp_path / "s")
+    _write_epochs(spark, store, BATCHES)
+    empty = spark.createDataFrame([], SCHEMA)
+    before = _folded_read(spark, store)
+    # stage the fold of epochs 0..2 exactly as compact_epochs would
+    staged = _sum_fold(
+        spark.read.parquet(*[f"{store}/epoch={e}" for e in range(3)])
+    )
+    staged.write.mode("overwrite").parquet(f"{store}/.tailfold=2.compacting")
+    import shutil
+
+    shutil.rmtree(f"{store}/epoch=0")  # partial commit, then crash
+    assert recover_tail_fold(spark, store) == 2
+    assert _folded_read(spark, store) == before
+    _, _, epochs = store_parts(spark, store)
+    assert [e for e, _ in epochs] == [2, 3]
+
+
+def test_recovery_discards_an_incomplete_stage(spark, tmp_path):
+    """Crash MID-STAGE (no _SUCCESS): the original epochs are still
+    whole — recovery deletes the partial stage, nothing else."""
+    store = str(tmp_path / "s")
+    _write_epochs(spark, store, BATCHES)
+    before = _folded_read(spark, store)
+    os.makedirs(f"{store}/.tailfold=2.compacting")
+    with open(f"{store}/.tailfold=2.compacting/part-000.parquet", "w") as fh:
+        fh.write("partial")
+    assert recover_tail_fold(spark, store) is None
+    assert not os.path.exists(f"{store}/.tailfold=2.compacting")
+    assert _folded_read(spark, store) == before
+    _, _, epochs = store_parts(spark, store)
+    assert [e for e, _ in epochs] == [0, 1, 2, 3]
+
+
+def test_pipeline_folds_cohort_distinct_and_hll_estimates(spark, tmp_path):
+    """The associative store families tail-fold invisibly: the cohort
+    point store bitwise (distinct fold), the cardinality store at the
+    estimate level (HLL union)."""
+    from cassandra_iot_pipeline_spark.streaming.cardinality import (
+        CardinalityPipeline,
+    )
+    from cassandra_iot_pipeline_spark.streaming.cohorts import CohortPipeline
+
+    def day(n):
+        return dt.datetime(2024, 1, 1 + n, 12)
+
+    rows = [
+        [(1, "a", day(0)), (2, "a", day(0))],
+        [(1, "b", day(1)), (3, "a", day(1))],
+        [(2, "a", day(2)), (3, "b", day(2))],
+    ]
+    sch = "user_id BIGINT, event_type STRING, ts TIMESTAMP"
+
+    co = CohortPipeline(str(tmp_path / "co"), period_seconds=86_400)
+    ca = CardinalityPipeline(str(tmp_path / "ca"))
+    for i, b in enumerate(rows):
+        frame = spark.createDataFrame(b, sch)
+        co.write_batch(frame, epoch_id=i)
+        ca.write_batch(frame, epoch_id=i)
+
+    co_before = sorted(tuple(r) for r in co.matrix(spark).collect())
+    ca_before = sorted(tuple(r) for r in ca.estimates(spark).collect())
+    assert compact_epochs(
+        spark,
+        co.pts_dir,
+        spark.createDataFrame([], co.schema),
+        fold=lambda df: df.distinct(),
+    ) == 2
+    assert compact_epochs(
+        spark,
+        ca.sk_dir,
+        spark.createDataFrame([], ca.schema),
+        fold=lambda df: df.groupBy(*ca.out_cols).agg(
+            F.hll_union_agg("sk").alias("sk")
+        ),
+    ) == 2
+    assert sorted(tuple(r) for r in co.matrix(spark).collect()) == co_before
+    assert (
+        sorted(tuple(r) for r in ca.estimates(spark).collect()) == ca_before
+    )
