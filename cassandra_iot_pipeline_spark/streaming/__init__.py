@@ -53,5 +53,8 @@
                 exact-regime DuckDB parity)
     schema_drift -- per-epoch observed-field series over raw JSONL vs
                 the declared contract (undeclared/vanishing alerts)
+    attribution -- continuously-maintained conversion attribution
+                (distinct point store; first/last/linear on read —
+                late-touch re-open safe)
     cassandra -- connector sink options (prod backend; no cluster here)
 """
