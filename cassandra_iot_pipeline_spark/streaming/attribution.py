@@ -150,6 +150,23 @@ class AttributionPipeline:
             self.compact(batch_df.sparkSession)
 
     # -- maintenance ------------------------------------------------------
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail compaction (store.compact_epochs): fold only the delta
+        tail, base byte-untouched — O(tail) maintenance; the fold is
+        associative (distinct/union), so reads are unchanged (pinned
+        in tests/test_tail_compaction.py for this fold class)."""
+        from ..store import compact_epochs
+
+        return compact_epochs(
+            spark,
+            self.pts_dir,
+            spark.createDataFrame([], self.schema),
+            fold=lambda df: df.distinct(),
+            keep_recent=keep_recent,
+        )
+
     def compact(self, spark: SparkSession) -> int | None:
         return compact_store(
             spark,

@@ -267,6 +267,25 @@ class CardinalityPipeline:
         _, _, epochs = store_parts(spark, self.sk_dir)
         return {"epochs": len(epochs), "rows": raw.count()}
 
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail compaction (store.compact_epochs): group-and-union only
+        the delta tail, base byte-untouched — O(tail) maintenance,
+        estimate-invisible by the same associativity as
+        :meth:`compact` (pinned in tests/test_tail_compaction.py)."""
+        from ..store import compact_epochs
+
+        return compact_epochs(
+            spark,
+            self.sk_dir,
+            spark.createDataFrame([], self.schema),
+            fold=lambda df: df.groupBy(*self.out_cols).agg(
+                F.hll_union_agg("sk").alias("sk")
+            ),
+            keep_recent=keep_recent,
+        )
+
     def compact(self, spark: SparkSession) -> int | None:
         """Fold base + deltas with the reader's own group-and-union —
         estimate-invisible by associativity (pinned in tests)."""

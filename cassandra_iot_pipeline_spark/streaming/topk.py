@@ -235,6 +235,22 @@ class TopKPipeline:
         return raw.groupBy(*self.group_cols).agg(F.sum("err").alias("err"))
 
     # -- maintenance ------------------------------------------------------
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail compaction (store.compact_epochs): one more MG merge
+        over only the delta tail, base byte-untouched — O(tail)
+        maintenance, same CONTRACT-invisibility as :meth:`compact`."""
+        from ..store import compact_epochs
+
+        return compact_epochs(
+            spark,
+            self.mg_dir,
+            spark.createDataFrame([], self.schema),
+            fold=lambda df: mg_trim(df, self.group_cols, self.m),
+            keep_recent=keep_recent,
+        )
+
     def compact(self, spark: SparkSession) -> int | None:
         """Fold base + deltas with one more MG merge — bounds the base
         at m + 1 rows per group; contract-invisible (see module

@@ -172,3 +172,42 @@ def test_pipeline_folds_cohort_distinct_and_hll_estimates(spark, tmp_path):
     assert (
         sorted(tuple(r) for r in ca.estimates(spark).collect()) == ca_before
     )
+
+
+def test_pipeline_compact_tail_methods(spark, tmp_path):
+    """The convenience methods wire the pipelines' own folds through
+    compact_epochs: distinct stores bitwise-unchanged, the MG store
+    contract-unchanged, the HLL store estimate-unchanged."""
+    from cassandra_iot_pipeline_spark.streaming.cardinality import (
+        CardinalityPipeline,
+    )
+    from cassandra_iot_pipeline_spark.streaming.cohorts import CohortPipeline
+    from cassandra_iot_pipeline_spark.streaming.topk import TopKPipeline
+
+    def day(n):
+        return dt.datetime(2024, 1, 1 + n, 12)
+
+    rows = [
+        [(1, "a", day(0)), (2, "a", day(0))],
+        [(1, "b", day(1)), (3, "a", day(1))],
+        [(2, "a", day(2)), (3, "b", day(2))],
+    ]
+    sch = "user_id BIGINT, event_type STRING, ts TIMESTAMP"
+    co = CohortPipeline(str(tmp_path / "co"), period_seconds=86_400)
+    ca = CardinalityPipeline(str(tmp_path / "ca"))
+    tk = TopKPipeline(str(tmp_path / "tk"), ["event_type"], "user_id", m=8)
+    for i, b in enumerate(rows):
+        frame = spark.createDataFrame(b, sch)
+        co.write_batch(frame, epoch_id=i)
+        ca.write_batch(frame, epoch_id=i)
+        tk.write_batch(frame, epoch_id=i)
+    co_b = sorted(tuple(r) for r in co.matrix(spark).collect())
+    ca_b = sorted(tuple(r) for r in ca.estimates(spark).collect())
+    tk_b = sorted(tuple(r) for r in tk.summary(spark).collect())
+    assert co.compact_tail(spark) == 2
+    assert ca.compact_tail(spark, keep_recent=1) == 1
+    assert tk.compact_tail(spark) == 2
+    assert sorted(tuple(r) for r in co.matrix(spark).collect()) == co_b
+    assert sorted(tuple(r) for r in ca.estimates(spark).collect()) == ca_b
+    # the MG store never trimmed here (under m distinct) -> bitwise too
+    assert sorted(tuple(r) for r in tk.summary(spark).collect()) == tk_b
