@@ -101,319 +101,437 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
     results["warmup_sec"] = round(time.perf_counter() - t0, 2)
-    timed("hourly_rollup", hourly_rollup(events), results)
-    timed("salted_hourly_rollup", salted_hourly_rollup(events), results)
-    timed("latest_n_per_device", latest_n_per_device(events, 3), results)
-    timed(
-        "upsert_dedup",
-        latest_by_pk(events, ("user_id", "event_type"), "ts", ("event_id",)),
-        results,
-    )
+    # --only: skip the always-on headline sections and run just the
+    # requested flag sections (saves ~20 min per targeted probe run)
+    if "--only" not in sys.argv:
+        timed("hourly_rollup", hourly_rollup(events), results)
+        timed("salted_hourly_rollup", salted_hourly_rollup(events), results)
+        timed("latest_n_per_device", latest_n_per_device(events, 3), results)
+        timed(
+            "upsert_dedup",
+            latest_by_pk(events, ("user_id", "event_type"), "ts", ("event_id",)),
+            results,
+        )
 
-    n_docs = max(20_000, n_events // 1000)
-    docs = probe_documents(spark, n_docs)
-    timed("minhash_lsh_pairs", minhash_lsh_pairs(docs, 0.8), results)
-    timed("simhash_near_dup", simhash_near_dup_pairs(docs, 3), results)
-    results["n_docs"] = n_docs
+        n_docs = max(20_000, n_events // 1000)
+        docs = probe_documents(spark, n_docs)
+        timed("minhash_lsh_pairs", minhash_lsh_pairs(docs, 0.8), results)
+        timed("simhash_near_dup", simhash_near_dup_pairs(docs, 3), results)
+        results["n_docs"] = n_docs
 
-    # incremental near-dup: one online step landing a half-corpus batch
-    # against a store of the other half — the steady-state shape
-    # (store >> batch happens at larger corpus/batch ratios; the store
-    # side is a shuffle-free broadcast probe either way)
-    from cassandra_iot_pipeline_spark.functions.dedup import (
-        banded_rows,
-        shingled_docs,
-    )
-    from cassandra_iot_pipeline_spark.functions.incremental import (
-        near_dedup_batch,
-    )
+        # incremental near-dup: one online step landing a half-corpus batch
+        # against a store of the other half — the steady-state shape
+        # (store >> batch happens at larger corpus/batch ratios; the store
+        # side is a shuffle-free broadcast probe either way)
+        from cassandra_iot_pipeline_spark.functions.dedup import (
+            banded_rows,
+            shingled_docs,
+        )
+        from cassandra_iot_pipeline_spark.functions.incremental import (
+            near_dedup_batch,
+        )
 
-    half = n_docs // 2
-    store_docs = probe_documents(spark, half)
-    batch_docs = probe_documents(spark, n_docs - half, start=half)
-    store_sh = shingled_docs(store_docs).localCheckpoint(eager=True)
-    store_bands = banded_rows(store_sh).localCheckpoint(eager=True)
-    t0 = time.perf_counter()
-    step = near_dedup_batch(
-        batch_docs, store_bands, store_sh.select("doc_id", "sh"), 0.8
-    )
-    step.survivors.write.format("noop").mode("overwrite").save()
-    results["near_dedup_batch_half_corpus"] = round(time.perf_counter() - t0, 2)
-    print(
-        f"[probe] near_dedup_batch_half_corpus: "
-        f"{results['near_dedup_batch_half_corpus']}s",
-        file=sys.stderr, flush=True,
-    )
-
-    # corpus-cleaning ops at the same document scale: redaction is a
-    # narrow scan; contamination broadcasts a ~1% "benchmark" slice's
-    # shingle hashes; packing windows per shard
-    from cassandra_iot_pipeline_spark.functions.cleaning import (
-        contamination_overlap,
-        pack_concat,
-        redact_pii,
-    )
-
-    timed("redact_pii", redact_pii(docs), results)
-
-    from cassandra_iot_pipeline_spark.functions.text import (
-        repetition_signals,
-        tfidf_top_terms,
-    )
-
-    timed("repetition_signals", repetition_signals(docs), results)
-    timed("tfidf_top_terms", tfidf_top_terms(docs, 5), results)
-    bench = docs.filter(F.col("doc_id") % 101 == 0)
-    timed(
-        "contamination_overlap", contamination_overlap(docs, bench), results
-    )
-    timed("pack_concat", pack_concat(docs, 2048, 64), results)
-
-    # Bloom incremental dedup: corpus = this doc set's canonical keys,
-    # batch = a half-overlapping shifted copy — the landing-batch shape.
-    # Timed end to end: sketch probe + exact verify of the positives.
-    from cassandra_iot_pipeline_spark.functions.bloom import (
-        build_bloom_sketch,
-        incremental_dedup,
-        sketch_words_for_keys,
-    )
-
-    corpus_keys = docs.select(F.col("text").alias("canon")).distinct()
-    # genuinely half-overlapping: ids [n/2, 3n/2) share [n/2, n) with
-    # the corpus and bring n/2 new texts (text is a function of the id,
-    # so shifting doc_id alone would produce a 100%-duplicate batch and
-    # time only the worst-case all-positive path)
-    batch = probe_documents(spark, n_docs, start=n_docs // 2).select(
-        "doc_id", F.col("text").alias("canon")
-    )
-    n_words = sketch_words_for_keys(n_docs)
-    sketch = build_bloom_sketch(corpus_keys, "canon", n_words)
-    timed(
-        "bloom_incremental_dedup",
-        incremental_dedup(batch, corpus_keys, sketch, "canon", n_words),
-        results,
-    )
-
-    # LM perplexity: train the bigram model on the corpus and score it
-    # (train + score together — the per-batch steady state reuses a
-    # persisted model and only pays the score half)
-    from cassandra_iot_pipeline_spark.functions.lm import (
-        bigram_model,
-        lm_perplexity,
-    )
-
-    t0 = time.perf_counter()
-    bigrams, contexts, vocab = bigram_model(docs)
-    lm_perplexity(docs, bigrams, contexts, vocab).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    results["lm_train_and_score"] = round(time.perf_counter() - t0, 2)
-
-    # the full curation chain end-to-end (filter -> redact -> dedup ->
-    # resolve -> split); timed around the materialization of the final
-    # curated frame, which pulls the whole DAG
-    from cassandra_iot_pipeline_spark.functions.curation import (
-        CurationConfig,
-        curate_corpus,
-    )
-
-    # synthetic "wordNNNN" tokens are half digits, so the default
-    # alpha-ratio floor would empty the corpus at stage 1 and the probe
-    # would time nothing; relax it so every stage sees real volume
-    cfg = CurationConfig(min_alpha_ratio=0.2)
-    t0 = time.perf_counter()
-    curated = curate_corpus(docs, cfg).curated
-    curated.write.format("noop").mode("overwrite").save()
-    results["curate_corpus"] = round(time.perf_counter() - t0, 2)
-
-    # duplicate-cluster resolution: chain-shaped clusters of 4 docs
-    # (diameter 3 — worse than the near-clique graphs real dedup
-    # emits), one edge row per id. Timed around the whole call since
-    # label propagation iterates internally.
-    from cassandra_iot_pipeline_spark.functions.clusters import (
-        connected_components,
-    )
-
-    n_edges = max(1_000_000, n_events // 20)
-    chain_len = 4
-    idx = spark.range(n_edges)
-    cluster = F.col("id") / (chain_len - 1)
-    pos = F.pmod(F.col("id"), F.lit(chain_len - 1))
-    pairs = idx.select(
-        (F.floor(cluster) * chain_len + pos).cast("long").alias("doc_a"),
-        (F.floor(cluster) * chain_len + pos + 1).cast("long").alias("doc_b"),
-    )
-    t0 = time.perf_counter()
-    connected_components(pairs).write.format("noop").mode("overwrite").save()
-    results["connected_components"] = round(time.perf_counter() - t0, 2)
-    results["cc_edges"] = n_edges
-    # Count-Min sketch: build over every token occurrence of the corpus
-    # (~80 words/doc), then estimate the full vocabulary — the
-    # heavy-hitter monitoring shape. Sketch size is fixed (depth x width
-    # counters) regardless of corpus size.
-    from cassandra_iot_pipeline_spark.functions.sketches import (
-        cm_estimate,
-        cm_sketch,
-    )
-
-    token_rows = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("t")
-    )
-    t0 = time.perf_counter()
-    sk = cm_sketch(token_rows)
-    cm_estimate(token_rows, sk).write.format("noop").mode("overwrite").save()
-    results["cm_sketch_and_estimate"] = round(time.perf_counter() - t0, 2)
-    print(
-        f"[probe] cm_sketch_and_estimate: {results['cm_sketch_and_estimate']}s",
-        file=sys.stderr, flush=True,
-    )
-
-    # Z-ordered at-rest layout: the one probe that must hit real disk
-    # (the cost IS the range-shuffle + parquet write). 10% of the event
-    # volume keeps the probe's disk footprint bounded while still
-    # measuring the shuffle+sort+write pipeline at scale.
-    import shutil
-    import tempfile
-
-    from cassandra_iot_pipeline_spark.storage import write_zordered
-
-    zdir = tempfile.mkdtemp(prefix="scale_probe_zorder_")
-    # quantize user_id into the 16-bit grid (the guard rejects raw ids
-    # >= 2^16 — exactly what it exists for); pmod keeps the layout's
-    # locality structure for a hash-distributed id
-    z_events = probe_events(spark, n_events // 10, n_devices).withColumn(
-        "hour", F.hour("ts")
-    ).withColumn("user_q", F.pmod(F.col("user_id"), F.lit(1 << 16)))
-    try:
+        half = n_docs // 2
+        store_docs = probe_documents(spark, half)
+        batch_docs = probe_documents(spark, n_docs - half, start=half)
+        store_sh = shingled_docs(store_docs).localCheckpoint(eager=True)
+        store_bands = banded_rows(store_sh).localCheckpoint(eager=True)
         t0 = time.perf_counter()
-        write_zordered(z_events, zdir, col_a="user_q", col_b="hour", bits=16)
-        results["write_zordered_10pct"] = round(time.perf_counter() - t0, 2)
+        step = near_dedup_batch(
+            batch_docs, store_bands, store_sh.select("doc_id", "sh"), 0.8
+        )
+        step.survivors.write.format("noop").mode("overwrite").save()
+        results["near_dedup_batch_half_corpus"] = round(time.perf_counter() - t0, 2)
         print(
-            f"[probe] write_zordered_10pct: {results['write_zordered_10pct']}s",
+            f"[probe] near_dedup_batch_half_corpus: "
+            f"{results['near_dedup_batch_half_corpus']}s",
             file=sys.stderr, flush=True,
         )
-    finally:
-        shutil.rmtree(zdir, ignore_errors=True)
 
-    # Hot-bucket skew: ONE boilerplate template x 10k near-identical
-    # docs — every doc lands in the same bucket in every band, the
-    # corpus shape that kills uncapped banded LSH (~bands*k^2/2
-    # candidates on single tasks). The capped operator star-routes it;
-    # candidate count recorded to show the O(k) bound. The uncapped
-    # contrast runs at 1/8 the size (its cost is quadratic — the point).
-    from cassandra_iot_pipeline_spark.functions.dedup import (
-        banded_rows as _banded,
-        candidate_pairs_from_bands,
-        shingled_docs as _shingled,
-    )
+        # corpus-cleaning ops at the same document scale: redaction is a
+        # narrow scan; contamination broadcasts a ~1% "benchmark" slice's
+        # shingle hashes; packing windows per shard
+        from cassandra_iot_pipeline_spark.functions.cleaning import (
+            contamination_overlap,
+            pack_concat,
+            redact_pii,
+        )
 
-    template = F.lit(
-        "all rights reserved terms of service privacy policy cookie "
-        "notice subscribe to our newsletter copyright footer boilerplate "
-    )
-    n_hot = 10_000
-    hot_docs = spark.range(n_hot).select(
-        F.col("id").alias("doc_id"),
-        F.concat(template, F.lit("variant "), (F.col("id") % 7).cast("string")).alias("text"),
-        F.lit("en").alias("lang"),
-        F.lit("web").alias("source"),
-        F.lit(0).alias("n_chars"),
-    )
-    t0 = time.perf_counter()
-    n_cand = candidate_pairs_from_bands(
-        _banded(_shingled(hot_docs))
-    ).count()
-    results["hot_bucket_capped_10k_template"] = round(time.perf_counter() - t0, 2)
-    results["hot_bucket_capped_candidates"] = n_cand
-    hot_small = hot_docs.filter(F.col("doc_id") < n_hot // 8)
-    t0 = time.perf_counter()
-    n_unc = candidate_pairs_from_bands(
-        _banded(_shingled(hot_small)), max_bucket_size=None
-    ).count()
-    results["hot_bucket_uncapped_1250_template"] = round(
-        time.perf_counter() - t0, 2
-    )
-    results["hot_bucket_uncapped_candidates"] = n_unc
-    print(
-        f"[probe] hot_bucket capped 10k: "
-        f"{results['hot_bucket_capped_10k_template']}s / {n_cand} candidates; "
-        f"uncapped 1250: {results['hot_bucket_uncapped_1250_template']}s / "
-        f"{n_unc} candidates",
-        file=sys.stderr, flush=True,
-    )
+        timed("redact_pii", redact_pii(docs), results)
 
-    # IVFADC (ivf_pq_topk) over hash-derived embeddings: the PQ code
-    # scan moves 8-byte codes, the coarse stage prunes to n_probe/16 of
-    # the corpus, the exact re-rank touches only the shortlist sliver.
-    from cassandra_iot_pipeline_spark.functions.similarity import ivf_pq_topk
+        from cassandra_iot_pipeline_spark.functions.text import (
+            repetition_signals,
+            tfidf_top_terms,
+        )
 
-    n_vecs = 100_000
-    emb = spark.range(n_vecs).select(
-        F.col("id").alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda d: (
-                F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000
-            ).cast("double")
-            / 1000.0,
-        ).alias("embedding"),
-        F.lit("probe").alias("label"),
-    )
-    t0 = time.perf_counter()
-    ivf_pq_topk(emb, n_queries=10, k=5, n_probe=4).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    results["ivf_pq_topk_100k"] = round(time.perf_counter() - t0, 2)
-    results["ivf_pq_n_vecs"] = n_vecs
-    print(
-        f"[probe] ivf_pq_topk_100k: {results['ivf_pq_topk_100k']}s",
-        file=sys.stderr, flush=True,
-    )
+        timed("repetition_signals", repetition_signals(docs), results)
+        timed("tfidf_top_terms", tfidf_top_terms(docs, 5), results)
+        bench = docs.filter(F.col("doc_id") % 101 == 0)
+        timed(
+            "contamination_overlap", contamination_overlap(docs, bench), results
+        )
+        timed("pack_concat", pack_concat(docs, 2048, 64), results)
 
-    # Streaming near-dup store mechanics at scale: 10 epochs of 5k docs
-    # through the parquet-backed pipeline (real store reads/writes,
-    # bucket stats, watermark guard) with a mid-replay compaction.
-    # First vs last epoch timing shows per-batch cost tracking the
-    # batch, not the accumulated corpus (the store side is a broadcast
-    # probe of the batch's band rows).
-    import shutil as _shutil
-    import tempfile as _tempfile
+        # Bloom incremental dedup: corpus = this doc set's canonical keys,
+        # batch = a half-overlapping shifted copy — the landing-batch shape.
+        # Timed end to end: sketch probe + exact verify of the positives.
+        from cassandra_iot_pipeline_spark.functions.bloom import (
+            build_bloom_sketch,
+            incremental_dedup,
+            sketch_words_for_keys,
+        )
 
-    from cassandra_iot_pipeline_spark.streaming.dedup import NearDedupPipeline
+        corpus_keys = docs.select(F.col("text").alias("canon")).distinct()
+        # genuinely half-overlapping: ids [n/2, 3n/2) share [n/2, n) with
+        # the corpus and bring n/2 new texts (text is a function of the id,
+        # so shifting doc_id alone would produce a 100%-duplicate batch and
+        # time only the worst-case all-positive path)
+        batch = probe_documents(spark, n_docs, start=n_docs // 2).select(
+            "doc_id", F.col("text").alias("canon")
+        )
+        n_words = sketch_words_for_keys(n_docs)
+        sketch = build_bloom_sketch(corpus_keys, "canon", n_words)
+        timed(
+            "bloom_incremental_dedup",
+            incremental_dedup(batch, corpus_keys, sketch, "canon", n_words),
+            results,
+        )
 
-    store_dir = _tempfile.mkdtemp(prefix="scale_probe_neardedup_")
-    pipe = NearDedupPipeline(store_dir, threshold=0.8, compact_every=5)
-    per_epoch = 5_000
-    epoch_times = []
-    try:
-        for e in range(10):
-            b = probe_documents(spark, per_epoch, start=e * per_epoch)
-            t0 = time.perf_counter()
-            pipe.write_batch(b, epoch_id=e)
-            epoch_times.append(round(time.perf_counter() - t0, 2))
-        results["near_dedup_pipeline_epoch_first"] = epoch_times[0]
-        results["near_dedup_pipeline_epoch_last"] = epoch_times[-1]
-        results["near_dedup_pipeline_total_50k"] = round(sum(epoch_times), 2)
-    finally:
-        _shutil.rmtree(store_dir, ignore_errors=True)
-    print(
-        f"[probe] near_dedup_pipeline 10x5k epochs: {epoch_times}",
-        file=sys.stderr, flush=True,
-    )
+        # LM perplexity: train the bigram model on the corpus and score it
+        # (train + score together — the per-batch steady state reuses a
+        # persisted model and only pays the score half)
+        from cassandra_iot_pipeline_spark.functions.lm import (
+            bigram_model,
+            lm_perplexity,
+        )
 
-    # Persisted ANN index lifecycle at the same 100k-vector scale:
-    # build (centroids + codebook + epoch-0 codes), one incremental
-    # 10k-vector add, compaction into lst=-partitioned inverted lists,
-    # then a 10-query probe answered from the partition-pruned store.
-    from cassandra_iot_pipeline_spark.functions.ann_store import AnnIndexStore
-
-    ann_dir = _tempfile.mkdtemp(prefix="scale_probe_ann_")
-    try:
-        idx = AnnIndexStore(ann_dir)
         t0 = time.perf_counter()
-        idx.build(emb)
-        results["ann_store_build_100k"] = round(time.perf_counter() - t0, 2)
-        delta = spark.range(n_vecs, n_vecs + 10_000).select(
+        bigrams, contexts, vocab = bigram_model(docs)
+        lm_perplexity(docs, bigrams, contexts, vocab).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results["lm_train_and_score"] = round(time.perf_counter() - t0, 2)
+
+        # the full curation chain end-to-end (filter -> redact -> dedup ->
+        # resolve -> split); timed around the materialization of the final
+        # curated frame, which pulls the whole DAG
+        from cassandra_iot_pipeline_spark.functions.curation import (
+            CurationConfig,
+            curate_corpus,
+        )
+
+        # synthetic "wordNNNN" tokens are half digits, so the default
+        # alpha-ratio floor would empty the corpus at stage 1 and the probe
+        # would time nothing; relax it so every stage sees real volume
+        cfg = CurationConfig(min_alpha_ratio=0.2)
+        t0 = time.perf_counter()
+        curated = curate_corpus(docs, cfg).curated
+        curated.write.format("noop").mode("overwrite").save()
+        results["curate_corpus"] = round(time.perf_counter() - t0, 2)
+
+        # duplicate-cluster resolution: chain-shaped clusters of 4 docs
+        # (diameter 3 — worse than the near-clique graphs real dedup
+        # emits), one edge row per id. Timed around the whole call since
+        # label propagation iterates internally.
+        from cassandra_iot_pipeline_spark.functions.clusters import (
+            connected_components,
+        )
+
+        n_edges = max(1_000_000, n_events // 20)
+        chain_len = 4
+        idx = spark.range(n_edges)
+        cluster = F.col("id") / (chain_len - 1)
+        pos = F.pmod(F.col("id"), F.lit(chain_len - 1))
+        pairs = idx.select(
+            (F.floor(cluster) * chain_len + pos).cast("long").alias("doc_a"),
+            (F.floor(cluster) * chain_len + pos + 1).cast("long").alias("doc_b"),
+        )
+        t0 = time.perf_counter()
+        connected_components(pairs).write.format("noop").mode("overwrite").save()
+        results["connected_components"] = round(time.perf_counter() - t0, 2)
+        results["cc_edges"] = n_edges
+        # Count-Min sketch: build over every token occurrence of the corpus
+        # (~80 words/doc), then estimate the full vocabulary — the
+        # heavy-hitter monitoring shape. Sketch size is fixed (depth x width
+        # counters) regardless of corpus size.
+        from cassandra_iot_pipeline_spark.functions.sketches import (
+            cm_estimate,
+            cm_sketch,
+        )
+
+        token_rows = docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        t0 = time.perf_counter()
+        sk = cm_sketch(token_rows)
+        cm_estimate(token_rows, sk).write.format("noop").mode("overwrite").save()
+        results["cm_sketch_and_estimate"] = round(time.perf_counter() - t0, 2)
+        print(
+            f"[probe] cm_sketch_and_estimate: {results['cm_sketch_and_estimate']}s",
+            file=sys.stderr, flush=True,
+        )
+
+        # Z-ordered at-rest layout: the one probe that must hit real disk
+        # (the cost IS the range-shuffle + parquet write). 10% of the event
+        # volume keeps the probe's disk footprint bounded while still
+        # measuring the shuffle+sort+write pipeline at scale.
+        import shutil
+        import tempfile
+
+        from cassandra_iot_pipeline_spark.storage import write_zordered
+
+        zdir = tempfile.mkdtemp(prefix="scale_probe_zorder_")
+        # quantize user_id into the 16-bit grid (the guard rejects raw ids
+        # >= 2^16 — exactly what it exists for); pmod keeps the layout's
+        # locality structure for a hash-distributed id
+        z_events = probe_events(spark, n_events // 10, n_devices).withColumn(
+            "hour", F.hour("ts")
+        ).withColumn("user_q", F.pmod(F.col("user_id"), F.lit(1 << 16)))
+        try:
+            t0 = time.perf_counter()
+            write_zordered(z_events, zdir, col_a="user_q", col_b="hour", bits=16)
+            results["write_zordered_10pct"] = round(time.perf_counter() - t0, 2)
+            print(
+                f"[probe] write_zordered_10pct: {results['write_zordered_10pct']}s",
+                file=sys.stderr, flush=True,
+            )
+        finally:
+            shutil.rmtree(zdir, ignore_errors=True)
+
+        # Hot-bucket skew: ONE boilerplate template x 10k near-identical
+        # docs — every doc lands in the same bucket in every band, the
+        # corpus shape that kills uncapped banded LSH (~bands*k^2/2
+        # candidates on single tasks). The capped operator star-routes it;
+        # candidate count recorded to show the O(k) bound. The uncapped
+        # contrast runs at 1/8 the size (its cost is quadratic — the point).
+        from cassandra_iot_pipeline_spark.functions.dedup import (
+            banded_rows as _banded,
+            candidate_pairs_from_bands,
+            shingled_docs as _shingled,
+        )
+
+        template = F.lit(
+            "all rights reserved terms of service privacy policy cookie "
+            "notice subscribe to our newsletter copyright footer boilerplate "
+        )
+        n_hot = 10_000
+        hot_docs = spark.range(n_hot).select(
+            F.col("id").alias("doc_id"),
+            F.concat(template, F.lit("variant "), (F.col("id") % 7).cast("string")).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("web").alias("source"),
+            F.lit(0).alias("n_chars"),
+        )
+        t0 = time.perf_counter()
+        n_cand = candidate_pairs_from_bands(
+            _banded(_shingled(hot_docs))
+        ).count()
+        results["hot_bucket_capped_10k_template"] = round(time.perf_counter() - t0, 2)
+        results["hot_bucket_capped_candidates"] = n_cand
+        hot_small = hot_docs.filter(F.col("doc_id") < n_hot // 8)
+        t0 = time.perf_counter()
+        n_unc = candidate_pairs_from_bands(
+            _banded(_shingled(hot_small)), max_bucket_size=None
+        ).count()
+        results["hot_bucket_uncapped_1250_template"] = round(
+            time.perf_counter() - t0, 2
+        )
+        results["hot_bucket_uncapped_candidates"] = n_unc
+        print(
+            f"[probe] hot_bucket capped 10k: "
+            f"{results['hot_bucket_capped_10k_template']}s / {n_cand} candidates; "
+            f"uncapped 1250: {results['hot_bucket_uncapped_1250_template']}s / "
+            f"{n_unc} candidates",
+            file=sys.stderr, flush=True,
+        )
+
+        # IVFADC (ivf_pq_topk) over hash-derived embeddings: the PQ code
+        # scan moves 8-byte codes, the coarse stage prunes to n_probe/16 of
+        # the corpus, the exact re-rank touches only the shortlist sliver.
+        from cassandra_iot_pipeline_spark.functions.similarity import ivf_pq_topk
+
+        n_vecs = 100_000
+        emb = spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: (
+                    F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000
+                ).cast("double")
+                / 1000.0,
+            ).alias("embedding"),
+            F.lit("probe").alias("label"),
+        )
+        t0 = time.perf_counter()
+        ivf_pq_topk(emb, n_queries=10, k=5, n_probe=4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results["ivf_pq_topk_100k"] = round(time.perf_counter() - t0, 2)
+        results["ivf_pq_n_vecs"] = n_vecs
+        print(
+            f"[probe] ivf_pq_topk_100k: {results['ivf_pq_topk_100k']}s",
+            file=sys.stderr, flush=True,
+        )
+
+        # Streaming near-dup store mechanics at scale: 10 epochs of 5k docs
+        # through the parquet-backed pipeline (real store reads/writes,
+        # bucket stats, watermark guard) with a mid-replay compaction.
+        # First vs last epoch timing shows per-batch cost tracking the
+        # batch, not the accumulated corpus (the store side is a broadcast
+        # probe of the batch's band rows).
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from cassandra_iot_pipeline_spark.streaming.dedup import NearDedupPipeline
+
+        store_dir = _tempfile.mkdtemp(prefix="scale_probe_neardedup_")
+        pipe = NearDedupPipeline(store_dir, threshold=0.8, compact_every=5)
+        per_epoch = 5_000
+        epoch_times = []
+        try:
+            for e in range(10):
+                b = probe_documents(spark, per_epoch, start=e * per_epoch)
+                t0 = time.perf_counter()
+                pipe.write_batch(b, epoch_id=e)
+                epoch_times.append(round(time.perf_counter() - t0, 2))
+            results["near_dedup_pipeline_epoch_first"] = epoch_times[0]
+            results["near_dedup_pipeline_epoch_last"] = epoch_times[-1]
+            results["near_dedup_pipeline_total_50k"] = round(sum(epoch_times), 2)
+        finally:
+            _shutil.rmtree(store_dir, ignore_errors=True)
+        print(
+            f"[probe] near_dedup_pipeline 10x5k epochs: {epoch_times}",
+            file=sys.stderr, flush=True,
+        )
+
+        # Persisted ANN index lifecycle at the same 100k-vector scale:
+        # build (centroids + codebook + epoch-0 codes), one incremental
+        # 10k-vector add, compaction into lst=-partitioned inverted lists,
+        # then a 10-query probe answered from the partition-pruned store.
+        from cassandra_iot_pipeline_spark.functions.ann_store import AnnIndexStore
+
+        ann_dir = _tempfile.mkdtemp(prefix="scale_probe_ann_")
+        try:
+            idx = AnnIndexStore(ann_dir)
+            t0 = time.perf_counter()
+            idx.build(emb)
+            results["ann_store_build_100k"] = round(time.perf_counter() - t0, 2)
+            delta = spark.range(n_vecs, n_vecs + 10_000).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda d: (
+                        F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000
+                    ).cast("double")
+                    / 1000.0,
+                ).alias("embedding"),
+            )
+            t0 = time.perf_counter()
+            idx.add_batch(delta, epoch_id=1)
+            results["ann_store_add_10k"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            idx.compact(spark)
+            results["ann_store_compact"] = round(time.perf_counter() - t0, 2)
+            queries = emb.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            t0 = time.perf_counter()
+            idx.topk(queries, k=5, n_probe=4).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            results["ann_store_query_10"] = round(time.perf_counter() - t0, 2)
+        finally:
+            _shutil.rmtree(ann_dir, ignore_errors=True)
+        print(
+            f"[probe] ann_store build/add/compact/query: "
+            f"{results['ann_store_build_100k']}/{results['ann_store_add_10k']}/"
+            f"{results['ann_store_compact']}/{results['ann_store_query_10']}s",
+            file=sys.stderr, flush=True,
+        )
+
+        # Streaming embedding dedup at the same index scale (r4 verdict #8:
+        # the one operator family with no SCALE row): bootstrap a 100k
+        # int8-verified index, then 10 epochs of 2k-vector batches through
+        # the full write path (watermark guard, ADC probe with the
+        # replayed-copy bound, exact-verified drop, curated write, index
+        # landing, compaction cadence). Flat per-epoch times = per-batch
+        # cost tracks the batch, not the accumulated index.
+        from cassandra_iot_pipeline_spark.streaming.ann import (
+            EmbeddingDedupPipeline,
+        )
+
+        def probe_embeddings(lo: int, hi: int):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda d: (
+                        F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000
+                    ).cast("float")
+                    / 1000.0,
+                ).alias("embedding"),
+                F.lit(0).alias("label"),
+            )
+
+        edd_dir = _tempfile.mkdtemp(prefix="scale_probe_edd_")
+        try:
+            # untimed warm-up on a throwaway mini index: the first
+            # write_batch of a session pays the whole path's codegen/JIT
+            # (measured 186 s first epoch vs ~50 s steady before this),
+            # same artifact the event-probe warm-up removes
+            widx = AnnIndexStore(f"{edd_dir}/warm_idx")
+            widx.build(probe_embeddings(0, 3_000), store_vectors="int8")
+            EmbeddingDedupPipeline(
+                f"{edd_dir}/warm_idx", f"{edd_dir}/warm_curated", threshold=0.95
+            ).write_batch(probe_embeddings(3_000, 3_500), epoch_id=0)
+
+            eidx = AnnIndexStore(f"{edd_dir}/idx")
+            eidx.build(probe_embeddings(0, n_vecs), store_vectors="int8")
+            epipe = EmbeddingDedupPipeline(
+                f"{edd_dir}/idx", f"{edd_dir}/curated", threshold=0.95,
+                compact_every=5,
+            )
+            e_times = []
+            per_epoch_vecs = 2_000
+            for e in range(10):
+                b = probe_embeddings(
+                    n_vecs + e * per_epoch_vecs, n_vecs + (e + 1) * per_epoch_vecs
+                )
+                t0 = time.perf_counter()
+                epipe.write_batch(b, epoch_id=e)
+                e_times.append(round(time.perf_counter() - t0, 2))
+            results["embedding_dedup_epoch_first"] = e_times[0]
+            results["embedding_dedup_epoch_last"] = e_times[-1]
+            results["embedding_dedup_total_20k_vs_100k_index"] = round(
+                sum(e_times), 2
+            )
+        finally:
+            _shutil.rmtree(edd_dir, ignore_errors=True)
+        print(
+            f"[probe] embedding_dedup 10x2k epochs vs 100k index: {e_times}",
+            file=sys.stderr, flush=True,
+        )
+
+        # Coarse-centroid Lloyd refinement at n_centroids=64 (r4 verdict
+        # #5) on a smooth (hash-uniform) corpus: there the list imbalance
+        # comes entirely from where the sample happened to land, which is
+        # exactly what Lloyd corrects (centroidal layout). On corpora of
+        # ATOMIC semantic clusters the floor is the cluster granularity
+        # itself — k-means optimizes distortion, not balance, and ties
+        # route a whole cluster to one list (measured separately while
+        # tuning this probe: 256 atomic clusters / 64 centroids stays at
+        # max/mean ~2.1 with or without refinement, recall 1.0) — so the
+        # smooth number is the honest measure of the quantizer, and the
+        # clustered caveat is recorded in SCALE.md. Reported: list-size
+        # max/mean (the n_probe/n_centroids scan-fraction claim holds only
+        # when this is ~1) and routing recall of brute-force top-5.
+        from cassandra_iot_pipeline_spark.functions.similarity import (
+            _centroid_ranked,
+            _coarse_centroids,
+        )
+
+        n_clustered = 100_000
+        clustered = spark.range(n_clustered).select(
             F.col("id").alias("vec_id"),
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
@@ -423,171 +541,56 @@ def main() -> None:
                 / 1000.0,
             ).alias("embedding"),
         )
-        t0 = time.perf_counter()
-        idx.add_batch(delta, epoch_id=1)
-        results["ann_store_add_10k"] = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        idx.compact(spark)
-        results["ann_store_compact"] = round(time.perf_counter() - t0, 2)
-        queries = emb.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        t0 = time.perf_counter()
-        idx.topk(queries, k=5, n_probe=4).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        results["ann_store_query_10"] = round(time.perf_counter() - t0, 2)
-    finally:
-        _shutil.rmtree(ann_dir, ignore_errors=True)
-    print(
-        f"[probe] ann_store build/add/compact/query: "
-        f"{results['ann_store_build_100k']}/{results['ann_store_add_10k']}/"
-        f"{results['ann_store_compact']}/{results['ann_store_query_10']}s",
-        file=sys.stderr, flush=True,
-    )
-
-    # Streaming embedding dedup at the same index scale (r4 verdict #8:
-    # the one operator family with no SCALE row): bootstrap a 100k
-    # int8-verified index, then 10 epochs of 2k-vector batches through
-    # the full write path (watermark guard, ADC probe with the
-    # replayed-copy bound, exact-verified drop, curated write, index
-    # landing, compaction cadence). Flat per-epoch times = per-batch
-    # cost tracks the batch, not the accumulated index.
-    from cassandra_iot_pipeline_spark.streaming.ann import (
-        EmbeddingDedupPipeline,
-    )
-
-    def probe_embeddings(lo: int, hi: int):
-        return spark.range(lo, hi).select(
-            F.col("id").alias("vec_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda d: (
-                    F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000
-                ).cast("float")
-                / 1000.0,
-            ).alias("embedding"),
-            F.lit(0).alias("label"),
-        )
-
-    edd_dir = _tempfile.mkdtemp(prefix="scale_probe_edd_")
-    try:
-        # untimed warm-up on a throwaway mini index: the first
-        # write_batch of a session pays the whole path's codegen/JIT
-        # (measured 186 s first epoch vs ~50 s steady before this),
-        # same artifact the event-probe warm-up removes
-        widx = AnnIndexStore(f"{edd_dir}/warm_idx")
-        widx.build(probe_embeddings(0, 3_000), store_vectors="int8")
-        EmbeddingDedupPipeline(
-            f"{edd_dir}/warm_idx", f"{edd_dir}/warm_curated", threshold=0.95
-        ).write_batch(probe_embeddings(3_000, 3_500), epoch_id=0)
-
-        eidx = AnnIndexStore(f"{edd_dir}/idx")
-        eidx.build(probe_embeddings(0, n_vecs), store_vectors="int8")
-        epipe = EmbeddingDedupPipeline(
-            f"{edd_dir}/idx", f"{edd_dir}/curated", threshold=0.95,
-            compact_every=5,
-        )
-        e_times = []
-        per_epoch_vecs = 2_000
-        for e in range(10):
-            b = probe_embeddings(
-                n_vecs + e * per_epoch_vecs, n_vecs + (e + 1) * per_epoch_vecs
-            )
+        truth = None
+        for iters in (0, 2):
             t0 = time.perf_counter()
-            epipe.write_batch(b, epoch_id=e)
-            e_times.append(round(time.perf_counter() - t0, 2))
-        results["embedding_dedup_epoch_first"] = e_times[0]
-        results["embedding_dedup_epoch_last"] = e_times[-1]
-        results["embedding_dedup_total_20k_vs_100k_index"] = round(
-            sum(e_times), 2
-        )
-    finally:
-        _shutil.rmtree(edd_dir, ignore_errors=True)
-    print(
-        f"[probe] embedding_dedup 10x2k epochs vs 100k index: {e_times}",
-        file=sys.stderr, flush=True,
-    )
+            cents = _coarse_centroids(clustered, 64, iters)
+            ranked = _centroid_ranked(clustered, cents)
+            lists = (
+                ranked.filter(F.col("crank") == 1).groupBy("cent_vid").count()
+            )
+            row = lists.agg(
+                F.max("count").alias("mx"), F.avg("count").alias("mean")
+            ).first()
+            results[f"coarse_iters{iters}_max_over_mean_list"] = round(
+                row["mx"] / row["mean"], 2
+            )
+            results[f"coarse_iters{iters}_sec"] = round(
+                time.perf_counter() - t0, 2
+            )
+            # routing recall: is a true top-5 neighbor's list probed
+            # (n_probe=8) for its query?
+            from cassandra_iot_pipeline_spark.functions.similarity import (
+                cosine_topk,
+            )
 
-    # Coarse-centroid Lloyd refinement at n_centroids=64 (r4 verdict
-    # #5) on a smooth (hash-uniform) corpus: there the list imbalance
-    # comes entirely from where the sample happened to land, which is
-    # exactly what Lloyd corrects (centroidal layout). On corpora of
-    # ATOMIC semantic clusters the floor is the cluster granularity
-    # itself — k-means optimizes distortion, not balance, and ties
-    # route a whole cluster to one list (measured separately while
-    # tuning this probe: 256 atomic clusters / 64 centroids stays at
-    # max/mean ~2.1 with or without refinement, recall 1.0) — so the
-    # smooth number is the honest measure of the quantizer, and the
-    # clustered caveat is recorded in SCALE.md. Reported: list-size
-    # max/mean (the n_probe/n_centroids scan-fraction claim holds only
-    # when this is ~1) and routing recall of brute-force top-5.
-    from cassandra_iot_pipeline_spark.functions.similarity import (
-        _centroid_ranked,
-        _coarse_centroids,
-    )
-
-    n_clustered = 100_000
-    clustered = spark.range(n_clustered).select(
-        F.col("id").alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda d: (
-                F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000
-            ).cast("double")
-            / 1000.0,
-        ).alias("embedding"),
-    )
-    truth = None
-    for iters in (0, 2):
-        t0 = time.perf_counter()
-        cents = _coarse_centroids(clustered, 64, iters)
-        ranked = _centroid_ranked(clustered, cents)
-        lists = (
-            ranked.filter(F.col("crank") == 1).groupBy("cent_vid").count()
-        )
-        row = lists.agg(
-            F.max("count").alias("mx"), F.avg("count").alias("mean")
-        ).first()
-        results[f"coarse_iters{iters}_max_over_mean_list"] = round(
-            row["mx"] / row["mean"], 2
-        )
-        results[f"coarse_iters{iters}_sec"] = round(
-            time.perf_counter() - t0, 2
-        )
-        # routing recall: is a true top-5 neighbor's list probed
-        # (n_probe=8) for its query?
-        from cassandra_iot_pipeline_spark.functions.similarity import (
-            cosine_topk,
+            if truth is None:
+                truth = cosine_topk(clustered, n_queries=10, k=5).select(
+                    "query_id", "cand_id"
+                ).localCheckpoint(eager=True)
+            cand_lists = ranked.filter(F.col("crank") == 1).select(
+                F.col("vec_id").alias("cand_id"), F.col("cent_vid").alias("lst")
+            )
+            probe_lists = ranked.filter(
+                (F.col("vec_id") < 10) & (F.col("crank") <= 8)
+            ).select(F.col("vec_id").alias("query_id"), F.col("cent_vid").alias("lst"))
+            hit = truth.join(cand_lists, "cand_id").join(
+                probe_lists, ["query_id", "lst"]
+            )
+            results[f"coarse_iters{iters}_routing_recall"] = round(
+                hit.count() / truth.count(), 2
+            )
+        print(
+            f"[probe] coarse refine: balance "
+            f"{results['coarse_iters0_max_over_mean_list']} -> "
+            f"{results['coarse_iters2_max_over_mean_list']}, recall "
+            f"{results['coarse_iters0_routing_recall']} -> "
+            f"{results['coarse_iters2_routing_recall']}",
+            file=sys.stderr, flush=True,
         )
 
-        if truth is None:
-            truth = cosine_topk(clustered, n_queries=10, k=5).select(
-                "query_id", "cand_id"
-            ).localCheckpoint(eager=True)
-        cand_lists = ranked.filter(F.col("crank") == 1).select(
-            F.col("vec_id").alias("cand_id"), F.col("cent_vid").alias("lst")
-        )
-        probe_lists = ranked.filter(
-            (F.col("vec_id") < 10) & (F.col("crank") <= 8)
-        ).select(F.col("vec_id").alias("query_id"), F.col("cent_vid").alias("lst"))
-        hit = truth.join(cand_lists, "cand_id").join(
-            probe_lists, ["query_id", "lst"]
-        )
-        results[f"coarse_iters{iters}_routing_recall"] = round(
-            hit.count() / truth.count(), 2
-        )
-    print(
-        f"[probe] coarse refine: balance "
-        f"{results['coarse_iters0_max_over_mean_list']} -> "
-        f"{results['coarse_iters2_max_over_mean_list']}, recall "
-        f"{results['coarse_iters0_routing_recall']} -> "
-        f"{results['coarse_iters2_routing_recall']}",
-        file=sys.stderr, flush=True,
-    )
-
-    # Optional 1M-vector AnnIndexStore row (pass --ann-1m): build +
-    # 10-query probe at 10x the standard probe's index size.
+        # Optional 1M-vector AnnIndexStore row (pass --ann-1m): build +
+        # 10-query probe at 10x the standard probe's index size.
     if "--ann-1m" in sys.argv:
         big_dir = _tempfile.mkdtemp(prefix="scale_probe_ann1m_")
         try:
@@ -1423,6 +1426,29 @@ def main() -> None:
                     file=sys.stderr, flush=True,
                 )
 
+    if "--attribution" in sys.argv:
+        # r9: attribution cost is driven by the conversion x
+        # in-window-touch PAIR count — inherent to the model (linear
+        # credit needs each conversion's n), not to the join strategy
+        # (the two-bucket probe bounds candidates). The synthetic
+        # corpus is ~70x denser per user than a real event stream
+        # (2000 events/user/month), so lookbacks sweep the pair count.
+        from cassandra_iot_pipeline_spark.operators.attribution import (
+            attribution,
+        )
+
+        for lb, label in ((3600, "1h"), (86_400, "24h")):
+            timed(
+                f"attribution_{label}_lookback",
+                attribution(
+                    events,
+                    "purchase",
+                    ("view", "click", "signup"),
+                    lb,
+                ),
+                results,
+            )
+
     if "--topk" in sys.argv:
         # r9: the Misra-Gries heavy-hitters store. Claims under test:
         # per-epoch write work is batch-local (flat against store
@@ -1593,7 +1619,11 @@ def main() -> None:
             results,
         )
 
-    rollup_rows_per_sec = round(n_events / results["hourly_rollup"])
+    rollup_rows_per_sec = (
+        round(n_events / results["hourly_rollup"])
+        if "hourly_rollup" in results
+        else None
+    )
     print(
         json.dumps(
             {
