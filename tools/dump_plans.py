@@ -295,6 +295,32 @@ def _extras(spark, sf_dir):
             "events-sized side.",
             _retention_matrix(spark, sf_dir),
         ),
+        "attribution": (
+            "Conversion attribution (r9): conversions explode into "
+            "exactly TWO lookback-bucket probes and equi-join the "
+            "touches on (user, bucket) — no unbounded range join; "
+            "ONE window over conv_id carries n and the first/last "
+            "composite-key picks; everything after is conversions x "
+            "channels bounded.",
+            _attribution(spark, sf_dir),
+        ),
+        "dedup_lines": (
+            "Corpus-wide line dedup (r9): the line count is a "
+            "map-side-combined hash aggregation (a boilerplate line "
+            "collapses to one row per task BEFORE the exchange — no "
+            "window keyed on the line anywhere), the dup set joins "
+            "back (AQE broadcast-converts when it fits), and the "
+            "rebuild is one per-doc aggregation.",
+            _dedup_lines(spark, sf_dir),
+        ),
+        "topk_batch_summary": (
+            "Heavy-hitters store write path (r9): one exact "
+            "map-side-combined count, the group-keyed MG-trim "
+            "windows, and the group-bounded sentinel full-outer — "
+            "join-free of any store read (the store is never read on "
+            "write).",
+            _topk_summary(spark, sf_dir),
+        ),
         "bpe_pair_counts": (
             "BPE training, the per-merge stage (r8 third arc): pair "
             "structs materialize BEFORE the explode (one tokenizer "
@@ -375,6 +401,39 @@ def _retention_matrix(spark, sf_dir):
     return retention_matrix(
         load_table(spark, sf_dir, "events"), period_seconds=86_400
     )
+
+
+def _attribution(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        attribution,
+    )
+
+    return attribution(
+        load_table(spark, sf_dir, "events"),
+        "purchase",
+        ("view", "click", "signup"),
+        86_400,
+    )
+
+
+def _dedup_lines(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.cleaning import dedup_lines
+
+    return dedup_lines(
+        load_table(spark, sf_dir, "documents"), min_line_chars=1
+    )
+
+
+def _topk_summary(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.streaming.topk import TopKPipeline
+
+    pipe = TopKPipeline(
+        "/tmp/plans_topk_unused", ["event_type"], "user_id", m=64
+    )
+    return pipe._batch_summary(load_table(spark, sf_dir, "events"))
 
 
 def _bpe_pairs(spark, sf_dir):
