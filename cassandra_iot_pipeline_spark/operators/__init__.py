@@ -25,6 +25,9 @@ path):
     attribution -- first/last/linear-touch conversion attribution
                   within a lookback (bucketed range join, exact
                   micro-credit sums)
+    quantiles  -- DDSketch relative-error quantiles (mergeable
+                  log-gamma buckets; the approx tier beside the
+                  exact value-count grid)
     downsample -- LTTB visual-fidelity decimation for serving long
                   series at dashboard resolution
 """

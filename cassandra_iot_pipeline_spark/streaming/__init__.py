@@ -56,5 +56,7 @@
     attribution -- continuously-maintained conversion attribution
                 (distinct point store; first/last/linear on read —
                 late-touch re-open safe)
+    quantiles -- mergeable DDSketch quantile store (alpha relative
+                error, range-ratio-bounded buckets, sum fold)
     cassandra -- connector sink options (prod backend; no cluster here)
 """
