@@ -233,3 +233,156 @@ def attribution_oracle(
         FROM (SELECT * FROM attributed
               UNION ALL SELECT * FROM unattributed)
     """
+
+
+def first_last_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    lookback_seconds: int = 7 * 86_400,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(touch_type, first_touch, last_touch): the PAIR-FREE fast path
+    for the two positional models — bit-identical to
+    :func:`attribution`'s first/last columns (pinned in tests), at a
+    cost INDEPENDENT of the lookback.
+
+    Why it exists (measured in SCALE.md): the full operator's cost is
+    the conversion × in-window-touch pair count — inherent to LINEAR
+    credit (it needs each conversion's n), but pure waste when only
+    first/last are wanted. Both positional models are as-of questions
+    and fold without materializing any pair:
+
+    - last touch  = the latest touch STRICTLY before the conversion
+      (asof.py's union-tag forward fill; the conversion row sorts
+      before same-microsecond touches, so strict-< falls out of the
+      tag order), window-checked against ``cts - lookback``;
+    - first touch = the earliest touch AT-OR-AFTER the window's left
+      boundary — the mirrored as-of: one boundary row per conversion
+      at ``cts - lookback``, a BACKWARD fill (first following touch),
+      checked against ``< cts``.
+
+    Two user-keyed sort windows total; no join, no explosion. Ties on
+    the same microsecond break by ``tie_col`` exactly as the full
+    operator's composite key (largest id wins last-touch, smallest
+    wins first-touch). Unattributed conversions are the NULL row, as
+    in :func:`attribution`."""
+    touch_types = list(touch_types)
+    if not touch_types:
+        raise ValueError("attribution needs at least one touch type")
+    if conversion_type in touch_types:
+        raise ValueError(
+            "conversion_type must not be one of touch_types "
+            f"(got {conversion_type!r} in {touch_types})"
+        )
+    lb_us = lookback_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    touches = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(key).alias("k"),
+        us.alias("t"),
+        F.col(tie_col).alias("tie"),
+        F.struct(
+            us.alias("tts"), F.col(type_col).alias("touch")
+        ).alias("pay"),
+    )
+    convs = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(key).alias("k"),
+        us.alias("cts"),
+        F.col(tie_col).alias("conv_id"),
+    )
+    pay_t = touches.schema["pay"].dataType
+
+    def _fill(boundary_time, backward: bool):
+        tagged_c = convs.select(
+            "k",
+            boundary_time.alias("t"),
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("tie"),
+            F.lit(None).cast(pay_t).alias("pay"),
+            "conv_id",
+            "cts",
+        )
+        tagged_t = touches.select(
+            "k",
+            "t",
+            F.lit(1).alias("tag"),
+            F.col("tie").cast("long").alias("tie"),
+            "pay",
+            F.lit(None).cast(convs.schema["conv_id"].dataType).alias(
+                "conv_id"
+            ),
+            F.lit(None).cast("long").alias("cts"),
+        )
+        u = tagged_c.unionByName(tagged_t)
+        if backward:
+            w = (
+                Window.partitionBy("k")
+                .orderBy("t", "tag", "tie")
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            fill = F.first(F.col("pay"), ignorenulls=True).over(w)
+        else:
+            w = (
+                Window.partitionBy("k")
+                .orderBy("t", "tag", "tie")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            fill = F.last(F.col("pay"), ignorenulls=True).over(w)
+        return (
+            u.select("tag", "conv_id", "cts", fill.alias("pay"))
+            .filter(F.col("tag") == 0)
+            .select("conv_id", "cts", "pay")
+        )
+
+    # last touch: conversion rows sit AT cts; tag 0 sorts before
+    # same-time touches, so the backward-looking fill is strictly-<
+    last = _fill(F.col("cts"), backward=False).select(
+        "conv_id",
+        F.when(
+            F.col("pay.tts") >= F.col("cts") - lb_us, F.col("pay.touch")
+        ).alias("lt"),
+    )
+    # first touch: boundary rows sit AT cts - lookback; tag 0 sorts
+    # before same-time touches, so a touch exactly at the boundary is
+    # inside the forward-looking fill (>= boundary)
+    first = _fill(F.col("cts") - lb_us, backward=True).select(
+        "conv_id",
+        F.when(
+            F.col("pay.tts") < F.col("cts"), F.col("pay.touch")
+        ).alias("ft"),
+    )
+    per_conv = last.join(first, "conv_id")
+    ft_counts = per_conv.groupBy(F.col("ft").alias("ftt")).agg(
+        F.count(F.lit(1)).alias("first_touch")
+    )
+    lt_counts = per_conv.groupBy(F.col("lt").alias("ltt")).agg(
+        F.count(F.lit(1)).alias("last_touch")
+    )
+    # one row per DECLARED channel (a pair-free plan cannot know which
+    # channels merely HAD in-window touches — the full operator's
+    # zero-credit rows — so this report's row set is the declared
+    # channel list, zero-filled, plus the NULL unattributed row),
+    # null-safe joins: the unattributed key IS NULL on both sides
+    spark = events.sparkSession
+    channels = spark.createDataFrame(
+        [(t,) for t in touch_types] + [(None,)], "ct STRING"
+    )
+    joined = (
+        channels.join(
+            ft_counts, F.col("ct").eqNullSafe(F.col("ftt")), "left"
+        )
+        .join(lt_counts, F.col("ct").eqNullSafe(F.col("ltt")), "left")
+    )
+    out = joined.select(
+        F.col("ct").alias("touch_type"),
+        F.coalesce("first_touch", F.lit(0)).alias("first_touch"),
+        F.coalesce("last_touch", F.lit(0)).alias("last_touch"),
+    )
+    # the NULL row only when unattributed conversions exist (the full
+    # operator's rule)
+    return out.filter(
+        F.col("touch_type").isNotNull() | (F.col("first_touch") > 0)
+    )

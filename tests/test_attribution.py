@@ -100,3 +100,66 @@ def test_guards(spark):
         attribution(_frame(spark), "purchase", ())
     with pytest.raises(ValueError, match="must not be one of"):
         attribution(_frame(spark), "view", ("view", "click"))
+
+
+def test_first_last_fast_path_matches_full_operator(spark, duck):
+    """The pair-free as-of form is bit-identical to the full
+    operator's first/last columns — hand rows (window edges, strict-<,
+    boundary-inclusive, unattributed) and the fixture at two
+    lookbacks."""
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        first_last_attribution,
+    )
+
+    declared = ("view", "click", "signup")
+
+    def proj(df, channels):
+        # align row sets: the fast path reports every DECLARED channel
+        # (zero-filled); the full operator reports channels with any
+        # in-window touch — fill both to the declared set
+        rows = {
+            r["touch_type"]: (r["first_touch"], r["last_touch"])
+            for r in df.collect()
+        }
+        return {c: rows.get(c, (0, 0)) for c in (*channels, None)}
+
+    for lookback in (600,):
+        want = proj(
+            attribution(_frame(spark), "purchase", ("view", "click"), lookback),
+            ("view", "click"),
+        )
+        got = proj(
+            first_last_attribution(
+                _frame(spark), "purchase", ("view", "click"), lookback
+            ),
+            ("view", "click"),
+        )
+        assert got == want, lookback
+
+    events = load_table(spark, SF_DIR, "events")
+    for lookback in (86_400, 7 * 86_400):
+        want = proj(
+            attribution(events, "purchase", declared, lookback), declared
+        )
+        got = proj(
+            first_last_attribution(events, "purchase", declared, lookback),
+            declared,
+        )
+        assert got == want, lookback
+
+
+def test_first_last_fast_path_is_pair_free(spark):
+    """Plan pin: no join between conversions and touches — two
+    union-tag windows only (the join in the plan is the final
+    k-row count merge, channel-bounded)."""
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        first_last_attribution,
+    )
+    from cassandra_iot_pipeline_spark.plans import formatted_plan
+
+    plan = formatted_plan(
+        first_last_attribution(_frame(spark), "purchase", ("view", "click"), 600)
+    )
+    assert plan.count("Window") >= 2
+    # no Generate/explode (the full operator's two-bucket probe)
+    assert "Generate" not in plan

@@ -15,10 +15,13 @@ from cassandra_iot_pipeline_spark.plans import formatted_plan  # noqa: E402
 from cassandra_iot_pipeline_spark.session import build_session  # noqa: E402
 
 SHOWCASE = {
-    "hourly_rollup": (
-        "3-column pruned scan -> partial HashAggregate (map-side combine) -> "
-        "single Exchange on (device, hour) -> final HashAggregate. Shuffle "
-        "carries aggregate rows only."
+    "funnel": (
+        "Ordered k-step funnel (driver-registered r9): the step-type IN "
+        "predicate is in PushedFilters, so the ONE user-keyed Exchange "
+        "carries only funnel-typed events; the greedy chain is a "
+        "sort_array + aggregate() higher-order fold inside the "
+        "projection (no per-row Python, no self-joins); everything "
+        "above the fold is user- then k-bounded."
     ),
     "pricing_summary": (
         "All predicates in PushedFilters; 7-column ReadSchema out of 16; "
@@ -185,15 +188,14 @@ def _extras(spark, sf_dir):
             "streaming_conversion_pairs.)",
             _conversion_pairs(spark, sf_dir),
         ),
-        "funnel": (
-            "Ordered k-step funnel (r8): the step-type IN predicate "
-            "is in PushedFilters, so the ONE user-keyed Exchange "
-            "carries only funnel-typed events; the greedy chain is a "
-            "sort_array + aggregate() higher-order fold inside the "
-            "projection (no per-row Python, no self-joins — a k-step "
-            "funnel as k sequential joins would be k passes); "
-            "everything above the fold is user- then k-bounded.",
-            _funnel(spark, sf_dir),
+        "hourly_rollup": (
+            "The reference's flagship rollup (displaced to legacy "
+            "parity in r9 — still smoke-run by entry() and "
+            "driver-checked via streaming_hourly_rollup): 3-column "
+            "pruned scan -> partial HashAggregate (map-side combine) "
+            "-> single Exchange on (device, hour) -> final "
+            "HashAggregate. Shuffle carries aggregate rows only.",
+            _hourly_rollup(spark, sf_dir),
         ),
         "bm25_topk": (
             "BM25 ranked retrieval (r8): the query's term IN filter "
@@ -464,15 +466,11 @@ def _conversion_pairs(spark, sf_dir):
     return conversion_pairs(load_table(spark, sf_dir, "events"))
 
 
-def _funnel(spark, sf_dir):
+def _hourly_rollup(spark, sf_dir):
     from cassandra_iot_pipeline_spark.catalog import load_table
-    from cassandra_iot_pipeline_spark.operators.funnel import funnel
+    from cassandra_iot_pipeline_spark.operators.agg import hourly_rollup
 
-    events = load_table(spark, sf_dir, "events")
-    return funnel(
-        events, ["signup", "view", "click", "purchase"],
-        horizon_seconds=7 * 86_400,
-    )
+    return hourly_rollup(load_table(spark, sf_dir, "events"))
 
 
 def _bm25(spark, sf_dir):

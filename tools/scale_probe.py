@@ -1435,12 +1435,25 @@ def main() -> None:
         # (2000 events/user/month), so lookbacks sweep the pair count.
         from cassandra_iot_pipeline_spark.operators.attribution import (
             attribution,
+            first_last_attribution,
         )
 
         for lb, label in ((3600, "1h"), (86_400, "24h")):
             timed(
                 f"attribution_{label}_lookback",
                 attribution(
+                    events,
+                    "purchase",
+                    ("view", "click", "signup"),
+                    lb,
+                ),
+                results,
+            )
+            # the pair-free positional fast path: cost must be flat
+            # across lookbacks (two union-tag windows, no pairs)
+            timed(
+                f"first_last_attribution_{label}_lookback",
+                first_last_attribution(
                     events,
                     "purchase",
                     ("view", "click", "signup"),
