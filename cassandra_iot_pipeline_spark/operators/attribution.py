@@ -250,11 +250,20 @@ def first_last_attribution(
     :func:`attribution`'s first/last columns (pinned in tests), at a
     cost INDEPENDENT of the lookback.
 
-    Why it exists (measured in SCALE.md): the full operator's cost is
-    the conversion × in-window-touch pair count — inherent to LINEAR
-    credit (it needs each conversion's n), but pure waste when only
-    first/last are wanted. Both positional models are as-of questions
-    and fold without materializing any pair:
+    Why it exists, and WHEN to use it (both measured, SCALE.md): the
+    full operator's cost is the conversion × in-window-touch pair
+    count — inherent to LINEAR credit, pure waste for first/last — and
+    grows with the lookback; this form costs two user-keyed sort
+    windows over the attribution-typed events, INDEPENDENT of the
+    lookback. The windows are not free: at short lookbacks (few pairs
+    per conversion) the pair path's hash join is CHEAPER (measured:
+    9 s vs 86 s at a 1h lookback on the dense probe corpus) — the
+    crossover sits where pairs-per-conversion grows past the sort's
+    per-row constant (~24h on the probe's ~70×-dense corpus; hours-
+    scale lookbacks on real streams). Use THIS form for long
+    lookbacks / bot-dense corpora; the full operator otherwise. Both
+    positional models are as-of questions and fold without
+    materializing any pair:
 
     - last touch  = the latest touch STRICTLY before the conversion
       (asof.py's union-tag forward fill; the conversion row sorts
