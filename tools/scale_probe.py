@@ -1426,6 +1426,76 @@ def main() -> None:
                     file=sys.stderr, flush=True,
                 )
 
+    if "--quantiles-lines" in sys.argv:
+        # r9: DDSketch store write flatness + read cost, and the C4
+        # line-dedup rule over a multi-line corpus (probe_documents is
+        # single-line; break ~25% of word gaps into newlines and plant
+        # a boilerplate footer on 10% of docs).
+        import tempfile
+
+        from cassandra_iot_pipeline_spark.functions.cleaning import (
+            dedup_lines,
+        )
+        from cassandra_iot_pipeline_spark.streaming.quantiles import (
+            QuantilePipeline,
+        )
+
+        qp = QuantilePipeline(
+            tempfile.mkdtemp(prefix="probe_dd_"),
+            ["event_type"],
+            "value",
+            alpha=0.01,
+            compact_every=4,
+        )
+        per_epoch = max(200_000, n_events // 10)
+        secs = []
+        for e in range(10):
+            b = probe_events(spark, per_epoch, n_devices, start=e * per_epoch)
+            t0 = time.perf_counter()
+            qp.write_batch(b, epoch_id=e)
+            secs.append(round(time.perf_counter() - t0, 2))
+        results["ddsketch_epoch_first"] = secs[0]
+        results["ddsketch_epoch_last"] = secs[-1]
+        print(f"[probe] ddsketch 10x{per_epoch} epochs: {secs}",
+              file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        qp.quantiles(spark, (0.5, 0.95, 0.99)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        results["ddsketch_read"] = round(time.perf_counter() - t0, 2)
+        print(f"[probe] ddsketch read: {results['ddsketch_read']}s",
+              file=sys.stderr, flush=True)
+
+        ldocs_dir = tempfile.mkdtemp(prefix="probe_lines_")
+        boiler = (
+            "subscribe to our newsletter all rights reserved terms"
+        )
+        (
+            probe_documents(spark, 100_000)
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.concat(F.col("text"), F.lit("\n" + boiler)),
+                ).otherwise(F.col("text")),
+            )
+            .withColumn(
+                "text",
+                F.regexp_replace(
+                    "text", " (word\\d*1) ", "\n$1\n"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(ldocs_dir)
+        )
+        ldocs = spark.read.parquet(ldocs_dir)
+        for hs, label in ((False, "exact"), (True, "hashed")):
+            timed(
+                f"dedup_lines_100k_{label}",
+                dedup_lines(ldocs, min_line_chars=10, hash_shuffle=hs),
+                results,
+            )
+
     if "--attribution" in sys.argv:
         # r9: attribution cost is driven by the conversion x
         # in-window-touch PAIR count — inherent to the model (linear
