@@ -42,7 +42,7 @@ from ..store import compact_store, read_store
 
 _SCHEMA = (
     "epoch BIGINT, field STRING, n_present BIGINT, n_rows BIGINT,"
-    " declared BOOLEAN"
+    " declared BOOLEAN, n_coerced BIGINT"
 )
 
 CORRUPT_FIELD = "_corrupt"
@@ -66,6 +66,7 @@ class SchemaDriftPipeline:
             if isinstance(declared_schema, StructType)
             else StructType.fromDDL(declared_schema)
         )
+        self._struct = st
         self.declared = sorted(f.name for f in st.fields)
         self.base_dir = base_dir
         self.raw_col = raw_col
@@ -75,7 +76,8 @@ class SchemaDriftPipeline:
     # -- write path (foreachBatch) ---------------------------------------
     def _batch_report(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
         keys = batch_df.select(
-            F.json_object_keys(F.col(self.raw_col)).alias("ks")
+            F.json_object_keys(F.col(self.raw_col)).alias("ks"),
+            F.from_json(F.col(self.raw_col), self._struct).alias("p"),
         )
         n_rows = keys.count()
         observed = (
@@ -92,13 +94,35 @@ class SchemaDriftPipeline:
             .groupBy("field")
             .agg(F.count(F.lit(1)).alias("n_present"))
         )
+        # TYPE drift per declared field: present in the RAW object but
+        # nulled by schema coercion (Spark's permissive JSON parser
+        # nulls exactly the mismatched field — pinned in tests). One
+        # aggregated row, unpivoted driver-side (|declared| columns).
+        coerce_row = keys.agg(
+            *[
+                F.count(
+                    F.when(
+                        F.array_contains(F.col("ks"), F.lit(d))
+                        & F.col(f"p.{d}").isNull(),
+                        F.lit(1),
+                    )
+                ).alias(d)
+                for d in self.declared
+            ]
+        ).first()
+        spark = batch_df.sparkSession
+        coerced = spark.createDataFrame(
+            [(d, int(coerce_row[d])) for d in self.declared],
+            "field STRING, n_coerced BIGINT",
+        )
         declared_lit = F.array(*[F.lit(d) for d in self.declared])
-        return observed.select(
+        return observed.join(F.broadcast(coerced), "field", "left").select(
             F.lit(int(epoch_id)).alias("epoch"),
             "field",
             "n_present",
             F.lit(int(n_rows)).alias("n_rows"),
             F.array_contains(declared_lit, F.col("field")).alias("declared"),
+            F.coalesce("n_coerced", F.lit(0)).alias("n_coerced"),
         )
 
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -131,6 +155,8 @@ class SchemaDriftPipeline:
             "n_rows",
             (F.col("n_present") / F.col("n_rows")).alias("frac"),
             "declared",
+            "n_coerced",
+            (F.col("n_coerced") / F.col("n_present")).alias("coerce_frac"),
         )
 
     def drift(
@@ -138,6 +164,7 @@ class SchemaDriftPipeline:
         spark: SparkSession,
         appear_frac: float = 0.01,
         vanish_slack: float = 0.1,
+        coerce_frac: float = 0.01,
     ) -> DataFrame:
         """(epoch, field, frac, baseline_frac, kind): the alert rows —
         ``kind = 'undeclared'`` for non-contract fields present in at
@@ -147,7 +174,11 @@ class SchemaDriftPipeline:
         (absolute) below their FIRST-epoch baseline. Declared fields
         compare per (epoch, field) against the epoch × declared-set
         grid, so a field dropping to ZERO rows still alerts (the
-        embedding-drift occupancy-collapse lesson, applied at birth)."""
+        embedding-drift occupancy-collapse lesson, applied at birth);
+        ``kind = 'coercion'`` for declared fields present in the raw
+        object but NULLED by schema coercion in at least
+        ``coerce_frac`` of their occurrences — TYPE drift (upstream
+        re-typed the field; presence alone would never see it)."""
         h = self.history(spark)
         undeclared = h.filter(
             (~F.col("declared")) & (F.col("frac") >= appear_frac)
@@ -191,7 +222,16 @@ class SchemaDriftPipeline:
                 F.lit("vanishing").alias("kind"),
             )
         )
-        return undeclared.unionByName(vanishing)
+        coercion = h.filter(
+            F.col("declared") & (F.col("coerce_frac") >= coerce_frac)
+        ).select(
+            "epoch",
+            "field",
+            F.col("coerce_frac").alias("frac"),
+            F.lit(None).cast("double").alias("baseline_frac"),
+            F.lit("coercion").alias("kind"),
+        )
+        return undeclared.unionByName(vanishing).unionByName(coercion)
 
     # -- maintenance ------------------------------------------------------
     def compact(self, spark: SparkSession) -> int | None:

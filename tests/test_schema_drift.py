@@ -115,3 +115,31 @@ def test_cusum_over_presence_series(spark, tmp_path):
     assert [(r["field"], r["epoch"], r["direction"]) for r in alarms] == [
         ("text", 3, "down")
     ]
+
+
+def test_type_drift_alerts_as_coercion(spark, tmp_path):
+    """Upstream re-types a declared field (doc_id becomes a string):
+    presence is UNCHANGED — only the coercion counter sees it (Spark's
+    permissive JSON parser nulls exactly the mismatched field, pinned
+    here by construction). Alerts at exactly its epoch."""
+    pipe = SchemaDriftPipeline(str(tmp_path / "s"), DECLARED)
+    for e in range(2):
+        pipe.write_batch(
+            _lines(spark, [_clean(10 * e + j) for j in range(10)]), epoch_id=e
+        )
+    retyped = [
+        f'{{"doc_id": "id-{j}", "text": "t{j}", "source": "web"}}'
+        for j in range(10)
+    ]
+    pipe.write_batch(_lines(spark, retyped), epoch_id=2)
+    h = {
+        (r["epoch"], r["field"]): (r["n_present"], r["n_coerced"])
+        for r in pipe.history(spark).collect()
+    }
+    assert h[(2, "doc_id")] == (10, 10)  # present everywhere, all nulled
+    assert h[(1, "doc_id")] == (10, 0)
+    alerts = {
+        (r["kind"], r["field"], r["epoch"]): r["frac"]
+        for r in pipe.drift(spark).collect()
+    }
+    assert alerts == {("coercion", "doc_id", 2): 1.0}
