@@ -334,3 +334,118 @@ def compact_epochs(
         fs.delete(Path(p), True)
     fs.rename(Path(tmp), Path(f"{path}/epoch={m}"))
     return m
+
+
+# --- store doctor ------------------------------------------------------------
+
+
+def store_stats(
+    spark: SparkSession, path: str, count_rows: bool = False
+) -> dict:
+    """Operational report over one delta+base store directory — the
+    maintenance view every store family shares (what a 100 TB operator
+    asks before scheduling compaction):
+
+    - ``base_upto`` / ``epochs``: the reader's visible part set;
+    - ``files`` / ``bytes`` per part (Hadoop FS content summaries —
+      works on file://, hdfs://, s3a://);
+    - ``rows`` per part when ``count_rows=True`` (ONE Spark job over
+      the visible parts, attributed by file path);
+    - hygiene: ``shadowed_epochs`` (at or under the base's upto —
+      replay leftovers, safe to delete), ``stale_bases`` (below the
+      max upto), ``swap_leftovers`` (hidden staging dirs from an
+      interrupted swap/tail-fold — run the matching recovery),
+      ``stray`` (children that are neither parts nor hidden staging);
+    - a one-line ``recommendation``.
+    """
+    fs, Path = hadoop_fs(spark, path)
+    names = list_children(spark, path)
+    base_path, upto, epochs = store_parts(spark, path)
+
+    def _num(name: str, prefix: str) -> int | None:
+        suffix = name[len(prefix):]
+        return int(suffix) if suffix.isdigit() else None
+
+    shadowed = sorted(
+        n
+        for n in names
+        if n.startswith("epoch=")
+        and _num(n, "epoch=") is not None
+        and _num(n, "epoch=") <= upto
+    )
+    stale_bases = sorted(
+        n
+        for n in names
+        if n.startswith("base_upto=")
+        and _num(n, "base_upto=") is not None
+        and f"{path}/{n}" != base_path
+    )
+    swap_leftovers = sorted(
+        n
+        for n in names
+        if n.startswith(".")
+        and n.endswith((".compacting", ".old"))
+    )
+    stray = sorted(
+        n
+        for n in names
+        if not n.startswith(".")
+        and not (
+            (n.startswith("epoch=") and _num(n, "epoch=") is not None)
+            or (
+                n.startswith("base_upto=")
+                and _num(n, "base_upto=") is not None
+            )
+        )
+    )
+    visible = {}
+    if base_path is not None:
+        visible[base_path.rsplit("/", 1)[-1]] = base_path
+    visible.update({p.rsplit("/", 1)[-1]: p for _, p in epochs})
+    files, nbytes = {}, {}
+    for name, p in visible.items():
+        summary = fs.getContentSummary(Path(p))
+        files[name] = int(summary.getFileCount())
+        nbytes[name] = int(summary.getLength())
+    rows: dict[str, int] | None = None
+    if count_rows and visible:
+        from pyspark.sql import functions as F
+
+        per_file = (
+            spark.read.parquet(*visible.values())
+            .groupBy(F.input_file_name().alias("f"))
+            .count()
+            .collect()
+        )
+        rows = {name: 0 for name in visible}
+        for r in per_file:
+            for name, p in visible.items():
+                if r["f"].startswith(f"file:{p}/") or f"/{name}/" in r["f"]:
+                    rows[name] += int(r["count"])
+                    break
+    n_epochs = len(epochs)
+    if swap_leftovers:
+        rec = "recover first: interrupted swap/tail-fold staging present"
+    elif n_epochs >= 16:
+        rec = (
+            "compact_store (deep clean) or compact_epochs (tail fold): "
+            f"{n_epochs} epoch deltas widen every read"
+        )
+    elif n_epochs >= 4:
+        rec = "compact_epochs: fold the delta tail (base stays untouched)"
+    elif shadowed or stale_bases:
+        rec = "delete shadowed/stale parts (replay leftovers)"
+    else:
+        rec = "healthy: no maintenance needed"
+    return {
+        "base_upto": upto if base_path is not None else None,
+        "epochs": [e for e, _ in epochs],
+        "files": files,
+        "bytes": nbytes,
+        "rows": rows,
+        "shadowed_epochs": shadowed,
+        "stale_bases": stale_bases,
+        "swap_leftovers": swap_leftovers,
+        "stray": stray,
+        "recommendation": rec,
+    }

@@ -211,3 +211,38 @@ def test_pipeline_compact_tail_methods(spark, tmp_path):
     assert sorted(tuple(r) for r in ca.estimates(spark).collect()) == ca_b
     # the MG store never trimmed here (under m distinct) -> bitwise too
     assert sorted(tuple(r) for r in tk.summary(spark).collect()) == tk_b
+
+
+def test_store_stats_doctor(spark, tmp_path):
+    """store_stats reports the visible part set, per-part files/bytes,
+    per-part rows (one job), hygiene findings (shadowed epochs, stale
+    bases, swap leftovers, stray children), and a sensible
+    recommendation at each lifecycle stage."""
+    from cassandra_iot_pipeline_spark.store import store_stats
+
+    store = str(tmp_path / "s")
+    _write_epochs(spark, store, BATCHES[:2])
+    empty = spark.createDataFrame([], SCHEMA)
+    st = store_stats(spark, store, count_rows=True)
+    assert st["base_upto"] is None and st["epochs"] == [0, 1]
+    assert st["rows"] == {"epoch=0": 2, "epoch=1": 2}
+    assert all(v > 0 for v in st["bytes"].values())
+    assert "healthy" in st["recommendation"]
+
+    # grow a delta tail -> tail-fold recommendation
+    _write_epochs(spark, store, BATCHES + BATCHES, start=2)
+    st = store_stats(spark, store)
+    assert len(st["epochs"]) == 10
+    assert "compact_epochs" in st["recommendation"]
+
+    # compact, then plant hygiene problems
+    assert compact_store(spark, store, empty, fold=_sum_fold) == 9
+    os.makedirs(f"{store}/epoch=3")  # shadowed replay leftover
+    os.makedirs(f"{store}/garbage")  # stray
+    os.makedirs(f"{store}/.epoch=9.old")  # swap leftover
+    st = store_stats(spark, store)
+    assert st["base_upto"] == 9 and st["epochs"] == []
+    assert st["shadowed_epochs"] == ["epoch=3"]
+    assert st["stray"] == ["garbage"]
+    assert st["swap_leftovers"] == [".epoch=9.old"]
+    assert "recover first" in st["recommendation"]
