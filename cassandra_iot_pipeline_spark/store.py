@@ -113,10 +113,15 @@ def read_store(spark: SparkSession, path: str, empty: DataFrame) -> DataFrame:
 def delete_children_upto(
     spark: SparkSession, path: str, prefix: str, upto: int
 ) -> None:
-    """Delete every ``<prefix><n>`` child of ``path`` with n <= upto."""
+    """Delete every ``<prefix><n>`` child of ``path`` with n <= upto
+    (non-integer suffixes are skipped — the store_parts rule: stray
+    siblings must never crash maintenance)."""
     fs, Path = hadoop_fs(spark, path)
     for n in list_children(spark, path):
-        if n.startswith(prefix) and int(n.split("=", 1)[1]) <= upto:
+        if not n.startswith(prefix):
+            continue
+        suffix = n[len(prefix):]
+        if suffix.isdigit() and int(suffix) <= upto:
             fs.delete(Path(f"{path}/{n}"), True)
 
 
@@ -153,7 +158,9 @@ class IngestWatermark:
         recorded batch."""
         names = list_children(spark, self.wm_dir)
         epochs = sorted(
-            int(n.split("=", 1)[1]) for n in names if n.startswith("epoch=")
+            int(n[len("epoch="):])
+            for n in names
+            if n.startswith("epoch=") and n[len("epoch="):].isdigit()
         )
         if not epochs:
             return None
