@@ -177,3 +177,39 @@ class AttributionPipeline:
 
     def foreach_batch(self):
         return self.write_batch
+
+
+def streaming_attribution(
+    spark: SparkSession,
+    staged_events_dir: str,
+    events_schema: str,
+    base_dir: str,
+    checkpoint_dir: str,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    lookback_seconds: int = 7 * 86_400,
+    max_files_per_trigger: int = 1,
+    trigger: dict | None = None,
+    compact_every: int | None = None,
+):
+    """Wire a staged event-log directory through the attribution
+    maintainer (file order = ingest order, the streaming/dedup.py
+    convention). Returns the started StreamingQuery; read the live
+    credit table with ``AttributionPipeline(base_dir, ...).report``."""
+    pipe = AttributionPipeline(
+        base_dir,
+        conversion_type,
+        touch_types,
+        lookback_seconds,
+        compact_every=compact_every,
+        updates_schema=events_schema,
+    )
+    reader = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_events_dir)
+    )
+    writer = reader.writeStream.foreachBatch(pipe.foreach_batch()).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return writer.trigger(**(trigger or {"availableNow": True})).start()

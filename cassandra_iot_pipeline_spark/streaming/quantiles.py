@@ -138,3 +138,39 @@ class QuantilePipeline:
 
     def foreach_batch(self):
         return self.write_batch
+
+
+def streaming_quantiles(
+    spark: SparkSession,
+    staged_events_dir: str,
+    events_schema: str,
+    base_dir: str,
+    checkpoint_dir: str,
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    alpha: float = 0.01,
+    max_files_per_trigger: int = 1,
+    trigger: dict | None = None,
+    compact_every: int | None = None,
+):
+    """Wire a staged event-log directory through the quantile
+    maintainer (file order = ingest order, the streaming/dedup.py
+    convention). Returns the started StreamingQuery; read live
+    estimates with ``QuantilePipeline(base_dir, ...).quantiles``."""
+    pipe = QuantilePipeline(
+        base_dir,
+        group_cols,
+        value_col,
+        alpha,
+        compact_every=compact_every,
+        updates_schema=events_schema,
+    )
+    reader = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(staged_events_dir)
+    )
+    writer = reader.writeStream.foreachBatch(pipe.foreach_batch()).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return writer.trigger(**(trigger or {"availableNow": True})).start()

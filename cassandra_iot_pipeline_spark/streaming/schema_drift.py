@@ -244,3 +244,35 @@ class SchemaDriftPipeline:
 
     def foreach_batch(self):
         return self.write_batch
+
+
+def streaming_schema_drift(
+    spark: SparkSession,
+    staged_lines_dir: str,
+    base_dir: str,
+    checkpoint_dir: str,
+    declared_schema: str | StructType,
+    raw_col: str = "value",
+    max_files_per_trigger: int = 1,
+    trigger: dict | None = None,
+    compact_every: int | None = None,
+):
+    """Wire a staged raw-JSONL directory (text files, one JSON object
+    per line) through the schema monitor. Returns the started
+    StreamingQuery; read the series with
+    ``SchemaDriftPipeline(base_dir, ...).history``."""
+    pipe = SchemaDriftPipeline(
+        base_dir,
+        declared_schema,
+        raw_col=raw_col,
+        compact_every=compact_every,
+    )
+    reader = (
+        spark.readStream.schema(f"{raw_col} STRING")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(staged_lines_dir)
+    )
+    writer = reader.writeStream.foreachBatch(pipe.foreach_batch()).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    return writer.trigger(**(trigger or {"availableNow": True})).start()

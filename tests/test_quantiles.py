@@ -136,3 +136,53 @@ def test_fixture_grouped_quantiles(spark):
     sk = dd_sketch(events, ["event_type"], "value", alpha)
     per_group = sk.groupBy("event_type").count().agg(F.max("count")).first()[0]
     assert per_group < 2000  # log-gamma bounded, not value-proportional
+
+
+def test_streaming_wrapper_end_to_end(spark, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_iot_pipeline_spark.streaming.quantiles import (
+        streaming_quantiles,
+    )
+
+    rng = random.Random(11)
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [[rng.expovariate(0.2) for _ in range(200)] for _ in range(3)]
+    for i, vs in enumerate(batches):
+        table = pa.table(
+            {
+                "g": pa.array(["a"] * len(vs), pa.string()),
+                "value": pa.array(vs, pa.float64()),
+            }
+        )
+        path = str(src / f"b{i}.parquet")
+        pq.write_table(table, path)
+        os.utime(path, (1_700_000_000 + 10 * i,) * 2)
+    q = streaming_quantiles(
+        spark,
+        str(src),
+        "g STRING, value DOUBLE",
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        group_cols=["g"],
+        alpha=0.02,
+        compact_every=2,
+    )
+    q.awaitTermination()
+    pipe = QuantilePipeline(str(tmp_path / "store"), ["g"], "value", 0.02)
+    got = sorted(tuple(r) for r in pipe.quantiles(spark, QS).collect())
+    want = sorted(
+        tuple(r)
+        for r in dd_quantiles(
+            _frame(spark, [v for b in batches for v in b]),
+            ["g"],
+            "value",
+            QS,
+            0.02,
+        ).collect()
+    )
+    assert got == want

@@ -143,3 +143,39 @@ def test_type_drift_alerts_as_coercion(spark, tmp_path):
         for r in pipe.drift(spark).collect()
     }
     assert alerts == {("coercion", "doc_id", 2): 1.0}
+
+
+def test_streaming_wrapper_end_to_end(spark, tmp_path):
+    import os
+
+    from cassandra_iot_pipeline_spark.streaming.schema_drift import (
+        streaming_schema_drift,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [_clean(j) for j in range(5)],
+        [_clean(10 + j) for j in range(3)] + ['{"doc_id": 99, "lang": "en"}'],
+    ]
+    for i, lines in enumerate(batches):
+        path = str(src / f"b{i}.txt")
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.utime(path, (1_700_000_000 + 10 * i,) * 2)
+    q = streaming_schema_drift(
+        spark,
+        str(src),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        DECLARED,
+    )
+    q.awaitTermination()
+    pipe = SchemaDriftPipeline(str(tmp_path / "store"), DECLARED)
+    got = {
+        (r["epoch"], r["field"]): r["n_present"]
+        for r in pipe.history(spark).collect()
+    }
+    assert got[(0, "doc_id")] == 5 and got[(1, "doc_id")] == 4
+    assert got[(1, "lang")] == 1
+    assert (1, "text") in got and got[(1, "text")] == 3

@@ -121,3 +121,49 @@ def test_replay_and_compactions_invisible(spark, tmp_path):
     assert _report(pipe.report(spark)) == before
     assert pipe.compact(spark) == 2
     assert _report(pipe.report(spark)) == before
+
+
+def test_streaming_wrapper_end_to_end(spark, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_iot_pipeline_spark.streaming.attribution import (
+        streaming_attribution,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    thirds = [ROWS[:3], ROWS[3:6], ROWS[6:]]
+    for i, rows in enumerate(thirds):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        path = str(src / f"b{i}.parquet")
+        pq.write_table(table, path)
+        os.utime(path, (1_700_000_000 + 10 * i,) * 2)
+    q = streaming_attribution(
+        spark,
+        str(src),
+        SCHEMA,
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        "purchase",
+        ("view", "click"),
+        600,
+        compact_every=2,
+    )
+    q.awaitTermination()
+    pipe = AttributionPipeline(
+        str(tmp_path / "store"), "purchase", ("view", "click"), 600
+    )
+    want = _report(
+        attribution(_frame(spark, ROWS), "purchase", ("view", "click"), 600)
+    )
+    assert _report(pipe.report(spark)) == want
