@@ -184,27 +184,38 @@ def read_by_index(
     return spark.read.parquet(path).filter(F.col(index_col) == value)
 
 
-def zorder_value(a: "F.Column", b: "F.Column", bits: int = 16) -> "F.Column":
-    """Morton interleave of the low ``bits`` of two non-negative integer
-    columns — a space-filling curve that keeps rows close in BOTH
-    dimensions close in the 1-D sort order. Pure shift/and/or expression
-    tree (2·bits terms), fully inside codegen."""
+def zorder_value_k(cols: list["F.Column"], bits: int = 16) -> "F.Column":
+    """Morton interleave of the low ``bits`` of k non-negative integer
+    columns — bit i of dimension j lands at curve position i*k + j, so
+    rows close in EVERY dimension stay close in the 1-D sort order.
+    Pure shift/and/or expression tree (k·bits terms), fully inside
+    codegen. ``k * bits`` must fit a signed 63-bit key."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder needs at least 2 dimensions")
+    if k * bits > 63:
+        raise ValueError(
+            f"zorder: {k} dims x {bits} bits = {k * bits} curve bits "
+            "exceeds the 63-bit sort key — lower bits (quantize/rank "
+            "the dimensions first)"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z.bitwiseOR(
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
                 F.shiftleft(
-                    F.shiftrightunsigned(a.cast("long"), i).bitwiseAND(F.lit(1)),
-                    2 * i,
-                )
-            ).bitwiseOR(
-                F.shiftleft(
-                    F.shiftrightunsigned(b.cast("long"), i).bitwiseAND(F.lit(1)),
-                    2 * i + 1,
+                    F.shiftrightunsigned(c.cast("long"), i).bitwiseAND(
+                        F.lit(1)
+                    ),
+                    i * k + j,
                 )
             )
-        )
     return z
+
+
+def zorder_value(a: "F.Column", b: "F.Column", bits: int = 16) -> "F.Column":
+    """The 2-dim Morton curve (see :func:`zorder_value_k`)."""
+    return zorder_value_k([a, b], bits)
 
 
 def write_zordered(
@@ -215,13 +226,27 @@ def write_zordered(
     bits: int = 16,
     n_files: int | None = None,
 ) -> None:
+    """2-dim Z-ordered layout — see :func:`write_zordered_k` (this is
+    the k=2 form kept for the established call sites)."""
+    write_zordered_k(events, path, [col_a, col_b], bits, n_files)
+
+
+def write_zordered_k(
+    events: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
     """Z-ordered at-rest layout: range-partition + sort by the Morton
-    curve of two filter dimensions, so parquet row-group min/max stays
-    tight on BOTH columns and a predicate on EITHER prunes most files —
-    the multi-dimensional completion of the 1-D clustering story
-    (Cassandra clusters on one key sequence; a single-column sort gives
-    data skipping on that column only, while the curve gives it on both
-    at a modest widening of each).
+    curve of k filter dimensions, so parquet row-group min/max stays
+    tight on EVERY curve column and a predicate on ANY of them prunes
+    most files — the multi-dimensional completion of the 1-D
+    clustering story (Cassandra clusters on one key sequence; a
+    single-column sort gives data skipping on that column only, while
+    the curve gives it on all k at a modest widening of each; skipping
+    per dimension degrades as k grows — 2-4 dims is the useful range,
+    the same trade Delta/Iceberg OPTIMIZE ZORDER documents).
 
     The inputs must be non-negative integers that fit ``bits`` bits
     (quantize/rank first at scale — e.g. day-relative hour, bucketed
@@ -234,7 +259,7 @@ def write_zordered(
     # cap)
     lim = 1 << bits
     bad = None
-    for c in (col_a, col_b):
+    for c in cols:
         # isNull first: for a NULL dimension, (col < 0) | (col >= lim)
         # is NULL, F.when(NULL, raise) falls through, and the row would
         # slip past with a NULL Morton key — the silent-bad-layout
@@ -248,14 +273,14 @@ def write_zordered(
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"write_zordered: ({col_a}, {col_b}) value outside "
+                    f"write_zordered: ({', '.join(cols)}) value outside "
                     f"[0, {lim}) for bits={bits} — quantize/rank the "
                     "dimensions first"
                 )
             )
         ).cast("boolean"),
     ).otherwise(F.lit(True))
-    z = zorder_value(F.col(col_a), F.col(col_b), bits)
+    z = zorder_value_k([F.col(c) for c in cols], bits)
     zed = events.filter(guard).withColumn("__z", z)
     if n_files is None:
         # pin a real partition count: AQE happily coalesces a small

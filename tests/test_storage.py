@@ -326,3 +326,39 @@ def test_pruning_report_unknown_column_raises(spark, tmp_path):
     spark.range(10).write.parquet(p)
     with pytest.raises(ValueError, match="no column"):
         rowgroup_pruning_report(p, {"nope": (0, 1)})
+
+
+def test_zorder_k3_skips_on_all_three_dimensions(spark, tmp_path):
+    """The k-dim generalization: a 3-dim curve discriminates on EVERY
+    dimension where the 1-D time sort admits nearly every file on the
+    other two (structural assertions, the r8 flake lesson)."""
+    events = spark.range(100_000).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64(F.lit("u"), F.col("id")), F.lit(1024)).alias("user_id"),
+        F.pmod(F.xxhash64(F.lit("h"), F.col("id")), F.lit(1024)).alias("hour"),
+        F.pmod(F.xxhash64(F.lit("r"), F.col("id")), F.lit(1024)).alias("region"),
+    )
+    z_path = str(tmp_path / "z3")
+    t_path = str(tmp_path / "t")
+    storage.write_zordered_k(
+        events, z_path, ["user_id", "hour", "region"], bits=10, n_files=64
+    )
+    (
+        events.repartitionByRange(64, F.col("hour"))
+        .sortWithinPartitions("hour")
+        .write.mode("overwrite")
+        .parquet(t_path)
+    )
+    assert spark.read.parquet(z_path).count() == events.count()
+    for dim in ("user_id", "hour", "region"):
+        z_hit, z_total = _files_possibly_containing(z_path, dim, 7)
+        assert z_hit <= z_total * 3 // 4, (dim, z_hit, z_total)
+    for dim in ("user_id", "region"):
+        t_hit, t_total = _files_possibly_containing(t_path, dim, 7)
+        assert t_hit >= t_total * 9 // 10, (dim, t_hit)
+
+    with pytest.raises(ValueError, match="63-bit"):
+        storage.write_zordered_k(events, str(tmp_path / "bad"),
+                                 ["user_id", "hour", "region"], bits=22)
+    with pytest.raises(ValueError, match="at least 2"):
+        storage.zorder_value_k([F.col("user_id")], 8)
