@@ -88,6 +88,20 @@ def replace_store_dir(
     forgotten keys' contribution."""
     import os
 
+    # the on-disk layout contract is literal 'epoch=N' dir names
+    # (store_parts recognizes nothing else): partitionBy names dirs
+    # after the COLUMN, so a differently-named epoch column must be
+    # renamed before the write — otherwise the swapped-in store would
+    # list zero parts and read back silently empty
+    if epoch_col != "epoch":
+        if "epoch" in frame.columns:
+            raise ValueError(
+                f"replace_store_dir: frame already has an 'epoch' column "
+                f"alongside epoch_col={epoch_col!r} — the rename to the "
+                "store layout's literal 'epoch=' dirs would be ambiguous"
+            )
+        frame = frame.withColumnRenamed(epoch_col, "epoch")
+        epoch_col = "epoch"
     if os.path.exists(store_dir) or any(
         os.path.exists(p) for p in _swap_paths(store_dir)
     ):

@@ -49,11 +49,26 @@ def list_children(spark: SparkSession, path: str) -> list[str]:
 
 
 def store_parts(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, _recover: bool = True
 ) -> tuple[str | None, int, list[tuple[int, str]]]:
     """(base_path, base_upto, [(epoch, path) for epochs > upto]) — the
-    reader's view of a delta+base store directory."""
+    reader's view of a delta+base store directory.
+
+    If an interrupted :func:`compact_epochs` left a COMPLETE staged
+    tail fold behind (``.tailfold=M.compacting`` with ``_SUCCESS``),
+    the listing first finishes its commit — without this, a crash
+    between the commit's epoch deletes and its rename would leave
+    every reader silently undercounting until the next maintenance
+    pass. Incomplete stages are left alone here: they are invisible
+    to readers anyway, and a concurrent writer may still be producing
+    one (only :func:`compact_epochs` itself discards those)."""
     names = list_children(spark, path)
+    if _recover and any(
+        n.startswith(".tailfold=") and n.endswith(".compacting")
+        for n in names
+    ):
+        if recover_tail_fold(spark, path, discard_incomplete=False) is not None:
+            names = list_children(spark, path)
 
     def _num(name: str, prefix: str) -> int | None:
         # Only pure-integer suffixes are parts: stray siblings (swap
@@ -266,14 +281,23 @@ def _tail_tmp_name(m: int) -> str:
     return f".tailfold={m}.compacting"
 
 
-def recover_tail_fold(spark: SparkSession, path: str) -> int | None:
+def recover_tail_fold(
+    spark: SparkSession, path: str, discard_incomplete: bool = True
+) -> int | None:
     """Finish (or discard) an interrupted :func:`compact_epochs`.
     A COMPLETE staged fold (Spark's _SUCCESS marker present) contains
     every folded epoch's content, so recovery re-runs the commit —
     delete the folded epoch dirs, rename the stage in; an incomplete
     stage is discarded (the original epoch dirs are untouched until
     the commit starts, so nothing is lost either way). Returns the
-    committed fold's epoch label, or None."""
+    committed fold's epoch label, or None.
+
+    ``discard_incomplete=False`` is the READ-path mode
+    (:func:`store_parts` calls it on sight of a staged fold): it
+    commits complete stages but leaves incomplete ones untouched,
+    because a reader cannot distinguish a crashed partial stage from
+    a live writer's in-progress one — deleting the latter would race
+    the writer's own commit."""
     fs, Path = hadoop_fs(spark, path)
     for name in list_children(spark, path):
         if not (name.startswith(".tailfold=") and name.endswith(".compacting")):
@@ -281,13 +305,14 @@ def recover_tail_fold(spark: SparkSession, path: str) -> int | None:
         m = int(name[len(".tailfold=") : -len(".compacting")])
         tmp = f"{path}/{name}"
         if fs.exists(Path(f"{tmp}/_SUCCESS")):
-            _, upto, epochs = store_parts(spark, path)
+            _, upto, epochs = store_parts(spark, path, _recover=False)
             for e, p in epochs:
                 if e <= m:
                     fs.delete(Path(p), True)
             fs.rename(Path(tmp), Path(f"{path}/epoch={m}"))
             return m
-        fs.delete(Path(tmp), True)
+        if discard_incomplete:
+            fs.delete(Path(tmp), True)
     return None
 
 
@@ -318,9 +343,14 @@ def compact_epochs(
     staged dir carries every folded epoch's content; the commit is
     re-runnable). Returns M, or None when fewer than two epochs are
     foldable."""
+    if keep_recent < 0:
+        raise ValueError(f"keep_recent must be >= 0, got {keep_recent}")
     recover_tail_fold(spark, path)
     _, upto, epochs = store_parts(spark, path)
-    foldable = epochs[: len(epochs) - keep_recent] if keep_recent else epochs
+    # max(0, ...): keep_recent > len(epochs) must protect EVERY epoch
+    # (a negative slice bound would silently fold the oldest ones,
+    # defeating keep_recent's replay-protection purpose)
+    foldable = epochs[: max(0, len(epochs) - keep_recent)]
     if len(foldable) < 2:
         return None
     m = foldable[-1][0]
@@ -366,8 +396,10 @@ def store_stats(
     - a one-line ``recommendation``.
     """
     fs, Path = hadoop_fs(spark, path)
-    names = list_children(spark, path)
+    # store_parts first: it may commit a completed tail fold, which
+    # the subsequent listing must reflect (not report as a leftover)
     base_path, upto, epochs = store_parts(spark, path)
+    names = list_children(spark, path)
 
     def _num(name: str, prefix: str) -> int | None:
         suffix = name[len(prefix):]

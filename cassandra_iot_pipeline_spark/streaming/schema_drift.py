@@ -76,6 +76,7 @@ class SchemaDriftPipeline:
     # -- write path (foreachBatch) ---------------------------------------
     def _batch_report(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
         keys = batch_df.select(
+            F.col(self.raw_col).alias("_raw"),
             F.json_object_keys(F.col(self.raw_col)).alias("ks"),
             F.from_json(F.col(self.raw_col), self._struct).alias("p"),
         )
@@ -94,16 +95,25 @@ class SchemaDriftPipeline:
             .groupBy("field")
             .agg(F.count(F.lit(1)).alias("n_present"))
         )
-        # TYPE drift per declared field: present in the RAW object but
-        # nulled by schema coercion (Spark's permissive JSON parser
-        # nulls exactly the mismatched field — pinned in tests). One
-        # aggregated row, unpivoted driver-side (|declared| columns).
+        # TYPE drift per declared field: present in the RAW object with
+        # a NON-NULL raw value, but nulled by schema coercion (Spark's
+        # permissive JSON parser nulls exactly the mismatched field —
+        # pinned in tests). The raw-side get_json_object guard matters:
+        # a declared nullable field legitimately carrying JSON null
+        # ({"a": null}) parses to NULL too, and without the guard it
+        # would raise a perpetual false 'coercion' alert (declared
+        # field names must be plain identifiers for the $.name path —
+        # the JSONL contract's own rule). One aggregated row, unpivoted
+        # driver-side (|declared| columns).
         coerce_row = keys.agg(
             *[
                 F.count(
                     F.when(
                         F.array_contains(F.col("ks"), F.lit(d))
-                        & F.col(f"p.{d}").isNull(),
+                        & F.col(f"p.{d}").isNull()
+                        & F.get_json_object(
+                            F.col("_raw"), f"$.{d}"
+                        ).isNotNull(),
                         F.lit(1),
                     )
                 ).alias(d)

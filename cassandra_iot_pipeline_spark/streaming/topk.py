@@ -299,6 +299,7 @@ def streaming_topk(
     writer = reader.writeStream.foreachBatch(pipe.foreach_batch()).option(
         "checkpointLocation", checkpoint_dir
     )
-    if trigger:
-        writer = writer.trigger(**trigger)
-    return writer.start()
+    # drain-and-stop by default — the family convention (the sibling
+    # wrappers all default to availableNow; a caller relying on it
+    # must not get a never-terminating continuous query here)
+    return writer.trigger(**(trigger or {"availableNow": True})).start()

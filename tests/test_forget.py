@@ -253,3 +253,34 @@ def test_store_parts_skip_stray_siblings(spark, tmp_path):
     base_path, upto, epochs = store_parts(spark, pipe.pts_dir)
     assert base_path is None and upto == -1
     assert [e for e, _ in epochs] == [0, 1, 2]
+
+
+def test_replace_store_dir_renames_custom_epoch_col(spark, tmp_path):
+    """The store layout contract is literal 'epoch=N' dir names; a
+    frame whose epoch column is named differently must be renamed
+    before the partitioned write — otherwise store_parts sees zero
+    parts and the rebuilt store reads back silently empty."""
+    import pytest
+
+    from cassandra_iot_pipeline_spark.forget import replace_store_dir
+    from cassandra_iot_pipeline_spark.store import read_store, store_parts
+
+    store = str(tmp_path / "s")
+    frame = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 7), (1, 1, 3)], "batch BIGINT, k BIGINT, v BIGINT"
+    )
+    replace_store_dir(spark, store, frame, epoch_col="batch")
+    _, _, epochs = store_parts(spark, store)
+    assert [e for e, _ in epochs] == [0, 1]
+    got = sorted(
+        tuple(r)
+        for r in read_store(
+            spark, store, spark.createDataFrame([], "k BIGINT, v BIGINT")
+        ).collect()
+    )
+    assert got == [(1, 3), (1, 5), (2, 7)]
+
+    # a frame carrying BOTH names is ambiguous -> loud error
+    both = frame.withColumn("epoch", F.lit(0))
+    with pytest.raises(ValueError, match="ambiguous"):
+        replace_store_dir(spark, str(tmp_path / "s2"), both, epoch_col="batch")

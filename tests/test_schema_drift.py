@@ -145,6 +145,35 @@ def test_type_drift_alerts_as_coercion(spark, tmp_path):
     assert alerts == {("coercion", "doc_id", 2): 1.0}
 
 
+def test_genuine_json_nulls_are_not_coercion(spark, tmp_path):
+    """A declared nullable field legitimately carrying JSON null
+    ({"text": null}) parses to NULL exactly like a coercion-nulled one
+    — the raw-side guard must keep it OUT of the coerced count, or a
+    nullable field raises a perpetual false 'coercion' alert. A
+    re-typed field in the same batch still counts."""
+    pipe = SchemaDriftPipeline(str(tmp_path / "s"), DECLARED)
+    lines = [
+        f'{{"doc_id": {j}, "text": null, "source": "web"}}'
+        for j in range(8)
+    ] + [
+        # doc_id genuinely re-typed -> real coercion rows
+        f'{{"doc_id": "id-{j}", "text": "t{j}", "source": "web"}}'
+        for j in range(2)
+    ]
+    pipe.write_batch(_lines(spark, lines), epoch_id=0)
+    h = {
+        r["field"]: (r["n_present"], r["n_coerced"])
+        for r in pipe.history(spark).collect()
+    }
+    assert h["text"] == (10, 0)  # present (key exists), never coerced
+    assert h["doc_id"] == (10, 2)  # only the re-typed rows count
+    alerts = {
+        (r["kind"], r["field"]) for r in pipe.drift(spark).collect()
+    }
+    assert ("coercion", "text") not in alerts
+    assert ("coercion", "doc_id") in alerts
+
+
 def test_streaming_wrapper_end_to_end(spark, tmp_path):
     import os
 

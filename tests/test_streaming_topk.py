@@ -175,7 +175,8 @@ def test_fixture_events_topk(spark, tmp_path):
         group_cols=["event_type"],
         token_col="user_id",
         m=1000,
-        trigger={"availableNow": True},
+        # no trigger passed: the family-convention default must be
+        # availableNow (drain and stop) — a hang here is the bug
     )
     q.awaitTermination()
     pipe = TopKPipeline(

@@ -89,6 +89,63 @@ def test_keep_recent_leaves_newest_deltas(spark, tmp_path):
     ) is None
 
 
+def test_keep_recent_past_the_tail_is_a_noop(spark, tmp_path):
+    """keep_recent larger than the epoch count must protect EVERY
+    epoch (the negative-slice bound would silently fold the OLDEST
+    ones — the exact inversion of its replay-protection purpose)."""
+    store = str(tmp_path / "s")
+    _write_epochs(spark, store, BATCHES)
+    empty = spark.createDataFrame([], SCHEMA)
+    assert compact_epochs(
+        spark, store, empty, fold=_sum_fold, keep_recent=7
+    ) is None
+    _, _, epochs = store_parts(spark, store)
+    assert [e for e, _ in epochs] == [0, 1, 2, 3]
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_recent"):
+        compact_epochs(spark, store, empty, fold=_sum_fold, keep_recent=-1)
+
+
+def test_read_path_commits_a_complete_stage(spark, tmp_path):
+    """A crash BETWEEN compact_epochs' epoch deletes and its rename
+    must not leave readers undercounting: store_parts (hence every
+    read_store / pipeline read) finishes the commit on sight of the
+    complete stage — no explicit recovery call needed."""
+    store = str(tmp_path / "s")
+    _write_epochs(spark, store, BATCHES)
+    before = _folded_read(spark, store)
+    staged = _sum_fold(
+        spark.read.parquet(*[f"{store}/epoch={e}" for e in range(3)])
+    )
+    staged.write.mode("overwrite").parquet(f"{store}/.tailfold=2.compacting")
+    import shutil
+
+    shutil.rmtree(f"{store}/epoch=0")
+    shutil.rmtree(f"{store}/epoch=1")  # crash right before the rename
+    # a plain READ both sees the correct totals and heals the store
+    assert _folded_read(spark, store) == before
+    assert not os.path.exists(f"{store}/.tailfold=2.compacting")
+    _, _, epochs = store_parts(spark, store)
+    assert [e for e, _ in epochs] == [2, 3]
+
+
+def test_read_path_leaves_an_incomplete_stage_alone(spark, tmp_path):
+    """An incomplete stage (no _SUCCESS) may belong to a LIVE writer:
+    the read path must neither commit nor delete it — only
+    compact_epochs' own recovery discards it."""
+    store = str(tmp_path / "s")
+    _write_epochs(spark, store, BATCHES)
+    before = _folded_read(spark, store)
+    os.makedirs(f"{store}/.tailfold=2.compacting")
+    with open(f"{store}/.tailfold=2.compacting/part-000.parquet", "w") as fh:
+        fh.write("partial")
+    assert _folded_read(spark, store) == before
+    assert os.path.exists(f"{store}/.tailfold=2.compacting")
+    _, _, epochs = store_parts(spark, store)
+    assert [e for e, _ in epochs] == [0, 1, 2, 3]
+
+
 def test_recovery_completes_a_staged_fold(spark, tmp_path):
     """Crash AFTER the stage finished and SOME folded dirs were
     deleted: recovery re-runs the commit from the complete stage."""
