@@ -534,3 +534,89 @@ def dedup_lines_oracle(
         FROM marked
         GROUP BY doc_id
     """
+
+
+# --- per-key event capping ----------------------------------------------------
+
+
+def cap_events_per_key(
+    events: DataFrame,
+    max_events: int,
+    key_cols: Iterable[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """Deterministic per-key event cap — keep the EARLIEST
+    ``max_events`` rows of every ``key_cols`` group (earliest by
+    ``(ts_col, tie_col)``, a total order, so the survivor set is
+    identical under any partitioning — the dedup_lines
+    first-occurrence-keeper discipline) and drop the rest.
+
+    Why it exists: the engagement operators' per-key folds (funnel,
+    paths, sessionization — see operators/funnel.py's hot-key bound)
+    materialize each key's event list in one task; a bot key emitting
+    ~10^8 typed events is one-task-OOM territory there. This is the
+    curation rule that caps such keys UPSTREAM: group by (key,
+    event-type) by default, so a bot's flood is bounded per type while
+    every sane key (far under the cap) passes through untouched.
+
+    Scale path: ``salt_partitions = S > 0`` splits each group's sort
+    across S salt buckets first (salt = a pure hash of ``tie_col``, so
+    determinism survives) — each bucket keeps its earliest
+    ``max_events``, then one bounded window over the at most
+    ``S * max_events`` survivors per group picks the true earliest set
+    (the pigeonhole guarantee: the global earliest-N all live in some
+    bucket's earliest-N). The bot key's 10^8-row sort becomes S tasks
+    of 10^8/S rows each plus one task of S*N rows, instead of ONE task
+    of 10^8. Bitwise-equal to the unsalted path (pinned in tests).
+
+    Output: the input rows (original columns, unchanged values) of the
+    survivors."""
+    if max_events < 1:
+        raise ValueError(f"max_events must be >= 1, got {max_events}")
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc(), F.col(tie_col).asc()]
+    cols = events.columns
+    if salt_partitions > 0:
+        salt = F.pmod(
+            F.xxhash64(F.col(tie_col)), F.lit(salt_partitions)
+        ).alias("_salt")
+        w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+        pre = (
+            events.withColumn("_salt", salt)
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= max_events)
+            .drop("_salt", "_rn")
+        )
+    else:
+        pre = events
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        pre.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_events)
+        .select(*cols)
+    )
+
+
+def cap_events_per_key_oracle(
+    max_events: int,
+    key_cols: Iterable[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    columns: Iterable[str] = (
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ),
+    source_table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`cap_events_per_key`."""
+    keys = ", ".join(key_cols)
+    out = ", ".join(columns)
+    return f"""
+        SELECT {out} FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY {keys} ORDER BY {ts_col}, {tie_col}
+            ) AS rn
+            FROM {source_table}
+        ) WHERE rn <= {max_events}
+    """

@@ -38,6 +38,19 @@ probes two buckets and the exact range predicate filters after; no
 unbounded range explosion, no per-user collect. Then ONE window over
 conv_id (n, first/last keys ride the same exchange) and two bounded
 aggregations (rows are conversions x channels).
+
+Which form to call (all three bit-equal where they overlap, pinned):
+
+- :func:`asof_attribution` — the DEFAULT for real streams. The full
+  report (first/last/linear) pair-free: one user-keyed sort carrying
+  per-channel running counts, cost INDEPENDENT of the lookback
+  (measured flat 1 h -> 24 h, SCALE.md, vs 9 -> 80-125 s for the pair
+  path on the dense probe corpus).
+- :func:`attribution` (this pair path) — only when pairs-per-
+  conversion is known tiny (very short lookbacks / sparse users); its
+  cost is conversions x in-window touches.
+- :func:`first_last_attribution` — positional models only, with a
+  declared-channel zero-filled report shape.
 """
 
 from __future__ import annotations
@@ -235,6 +248,243 @@ def attribution_oracle(
     """
 
 
+def asof_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    lookback_seconds: int = 7 * 86_400,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """The PAIR-FREE full report — bit-identical to :func:`attribution`
+    (all five columns, pinned in tests on fixtures and a randomized
+    corpus), at a cost INDEPENDENT of the lookback.
+
+    Why linear credit needs no pairs: per conversion, each channel's
+    in-window touch count is a DIFFERENCE of that channel's running
+    touch count at the window's two edges —
+    ``|{tts < cts}| - |{tts < cts - lookback}|`` — so one user-keyed
+    sort that carries a running count per channel, read at two marker
+    rows per conversion, yields n and every per-channel count without
+    materializing a single (conversion, touch) pair. The two
+    positional models ride the SAME sort as as-of fills (the
+    first_last_attribution machinery): last touch = forward fill read
+    at the ``cts`` marker, first touch = backward fill read at the
+    ``cts - lookback`` marker, both window-checked. Markers (tag 0)
+    sort before same-microsecond touches (tag 1), which makes every
+    boundary exact: the running count at ``cts`` excludes
+    same-microsecond touches (strict <), the count at the left edge
+    excludes boundary touches from the SUBTRACTED total (so they are
+    in-window, >=), and the fills inherit the strict-< / >=-boundary
+    rules identically.
+
+    Plan shape: ONE user-keyed sort (both window frames share its
+    exchange), then one conv-keyed aggregation over 2 rows per
+    conversion, one bounded explode (|channels| rows per attributed
+    conversion), and two small aggregations — NO join anywhere
+    (pinned in the plan test; the pair path's equi-join and
+    per-conv_id window are gone). Channel cardinality is the declared
+    ``touch_types`` list (small, the module contract): each channel
+    adds one running-count column to the sort, not a row blow-up.
+
+    Cost law, measured (SCALE.md --attribution): the pair path is
+    conversions × in-window touches — 9.2 s at a 1 h lookback but
+    80-125 s at 24 h on the dense probe corpus; THIS form is flat in
+    the lookback. Use the pair path only when pairs-per-conversion is
+    known tiny; this form is the default recommendation for real
+    streams."""
+    touch_types = list(touch_types)
+    if not touch_types:
+        raise ValueError("attribution needs at least one touch type")
+    if conversion_type in touch_types:
+        raise ValueError(
+            "conversion_type must not be one of touch_types "
+            f"(got {conversion_type!r} in {touch_types})"
+        )
+    lb_us = lookback_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+
+    touches = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(key).alias("k"),
+        us.alias("t"),
+        F.lit(1).alias("tag"),
+        F.col(tie_col).cast("long").alias("tie"),
+        F.col(type_col).alias("touch"),
+        F.struct(
+            us.alias("tts"), F.col(type_col).alias("touch")
+        ).alias("pay"),
+    )
+    convs = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(key).alias("k"),
+        us.alias("cts"),
+        F.col(tie_col).alias("conv_id"),
+    )
+    pay_t = touches.schema["pay"].dataType
+    # two marker rows per conversion: kind 1 at cts (right edge),
+    # kind 0 at cts - lookback (left edge)
+    markers = convs.select(
+        "k",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cts").alias("t"), F.lit(1).alias("kind")
+                ),
+                F.struct(
+                    (F.col("cts") - lb_us).alias("t"),
+                    F.lit(0).alias("kind"),
+                ),
+            )
+        ).alias("m"),
+        "conv_id",
+        "cts",
+    ).select(
+        "k",
+        F.col("m.t").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("tie"),
+        F.lit(None).cast("string").alias("touch"),
+        F.lit(None).cast(pay_t).alias("pay"),
+        F.col("m.kind").alias("kind"),
+        "conv_id",
+        "cts",
+    )
+    tagged = touches.select(
+        "k",
+        "t",
+        "tag",
+        "tie",
+        "touch",
+        "pay",
+        F.lit(None).cast("int").alias("kind"),
+        F.lit(None).cast(convs.schema["conv_id"].dataType).alias("conv_id"),
+        F.lit(None).cast("long").alias("cts"),
+    ).unionByName(markers)
+
+    order = [F.col("t"), F.col("tag"), F.col("tie")]
+    w_fwd = (
+        Window.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    cums = [
+        F.sum(
+            F.when(F.col("touch") == F.lit(ch), F.lit(1))
+        ).over(w_fwd).alias(f"c{i}")
+        for i, ch in enumerate(touch_types)
+    ]
+    at_markers = (
+        tagged.select(
+            "*",
+            *cums,
+            F.last(F.col("pay"), ignorenulls=True).over(w_fwd).alias("lp"),
+            F.first(F.col("pay"), ignorenulls=True).over(w_bwd).alias("fp"),
+        )
+        .filter(F.col("tag") == 0)
+        .select(
+            "conv_id",
+            "kind",
+            *[F.coalesce(f"c{i}", F.lit(0)).alias(f"c{i}") for i in range(len(touch_types))],
+            # window-checked positional picks, evaluated AT the marker
+            F.when(
+                (F.col("kind") == 1)
+                & (F.col("lp.tts") >= F.col("cts") - lb_us),
+                F.col("lp.touch"),
+            ).alias("lt"),
+            F.when(
+                (F.col("kind") == 0) & (F.col("fp.tts") < F.col("cts")),
+                F.col("fp.touch"),
+            ).alias("ft"),
+        )
+    )
+    per_conv = at_markers.groupBy("conv_id").agg(
+        *[
+            (
+                F.max(F.when(F.col("kind") == 1, F.col(f"c{i}")))
+                - F.max(F.when(F.col("kind") == 0, F.col(f"c{i}")))
+            ).alias(f"cnt{i}")
+            for i in range(len(touch_types))
+        ],
+        F.max("lt").alias("lt"),
+        F.max("ft").alias("ft"),
+    )
+    n_expr = None
+    for i in range(len(touch_types)):
+        c = F.col(f"cnt{i}")
+        n_expr = c if n_expr is None else n_expr + c
+    per_conv = per_conv.withColumn("n", n_expr)
+
+    exploded = (
+        per_conv.filter(F.col("n") > 0)
+        .select(
+            "conv_id",
+            "n",
+            "ft",
+            "lt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(ch).alias("touch"),
+                            F.col(f"cnt{i}").alias("cnt"),
+                        )
+                        for i, ch in enumerate(touch_types)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select(
+            "conv_id",
+            "n",
+            "ft",
+            "lt",
+            F.col("e.touch").alias("touch"),
+            F.col("e.cnt").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    attributed = exploded.groupBy(F.col("touch").alias("touch_type")).agg(
+        F.count(F.when(F.col("ft") == F.col("touch"), F.lit(1))).alias(
+            "first_touch"
+        ),
+        F.count(F.when(F.col("lt") == F.col("touch"), F.lit(1))).alias(
+            "last_touch"
+        ),
+        # the identical micro-credit expression as attribution() — the
+        # bit-equality contract hangs on this being the same one
+        # correctly-rounded double division
+        F.sum(
+            F.round(F.lit(1_000_000) * F.col("cnt") / F.col("n")).cast(
+                "long"
+            )
+        ).alias("linear_units"),
+    )
+    unattributed = (
+        per_conv.filter(F.col("n") == 0)
+        .agg(F.count(F.lit(1)).alias("n_un"))
+        .select(
+            F.lit(None).cast("string").alias("touch_type"),
+            F.col("n_un").alias("first_touch"),
+            F.col("n_un").alias("last_touch"),
+            F.lit(0).cast("long").alias("linear_units"),
+        )
+        .filter(F.col("first_touch") > 0)
+    )
+    return attributed.unionByName(unattributed).select(
+        "touch_type",
+        "first_touch",
+        "last_touch",
+        "linear_units",
+        (F.col("linear_units") / F.lit(1_000_000.0)).alias("linear_credit"),
+    )
+
+
 def first_last_attribution(
     events: DataFrame,
     conversion_type: str = "purchase",
@@ -250,20 +500,16 @@ def first_last_attribution(
     :func:`attribution`'s first/last columns (pinned in tests), at a
     cost INDEPENDENT of the lookback.
 
-    Why it exists, and WHEN to use it (both measured, SCALE.md): the
-    full operator's cost is the conversion × in-window-touch pair
-    count — inherent to LINEAR credit, pure waste for first/last — and
-    grows with the lookback; this form costs two user-keyed sort
-    windows over the attribution-typed events, INDEPENDENT of the
-    lookback. The windows are not free: at short lookbacks (few pairs
-    per conversion) the pair path's hash join is CHEAPER (measured:
-    9 s vs 86 s at a 1h lookback on the dense probe corpus) — the
-    crossover sits where pairs-per-conversion grows past the sort's
-    per-row constant (~24h on the probe's ~70×-dense corpus; hours-
-    scale lookbacks on real streams). Use THIS form for long
-    lookbacks / bot-dense corpora; the full operator otherwise. Both
-    positional models are as-of questions and fold without
-    materializing any pair:
+    Why it exists (measured, SCALE.md): the pair path's cost is the
+    conversion × in-window-touch pair count — pure waste for
+    first/last — and grows with the lookback; this form costs two
+    user-keyed sort windows over the attribution-typed events,
+    INDEPENDENT of the lookback. Since r10, :func:`asof_attribution`
+    subsumes the old crossover guidance: it delivers the FULL report
+    (linear included) pair-free on one sort, so the only reason to
+    call THIS function is wanting the positional-only report with its
+    declared-channel zero-filled row shape. Both positional models
+    are as-of questions and fold without materializing any pair:
 
     - last touch  = the latest touch STRICTLY before the conversion
       (asof.py's union-tag forward fill; the conversion row sorts

@@ -40,9 +40,12 @@ tools/scale_probe.py ``--funnel-retrieval`` (the
 ``funnel_4step_skewed_hotkey_20pct`` row: one key absorbing 1-in-5 of
 20M events; SCALE.md records the uniform-vs-skewed delta).  The slice
 is step-TYPED (bounded in sane corpora); for corpora with bot devices
-emitting millions of funnel-typed events, cap them upstream with a
-time filter or per-key sample — the same caveat as any per-user
-sessionization, stated rather than hidden.
+emitting millions of funnel-typed events, cap them upstream with
+``functions.cleaning.cap_events_per_key`` (deterministic
+keep-earliest-N per (key, type); its salted scale path splits even the
+bot key's own sort) — measured in the same probe: the capped skewed
+corpus runs at the uniform corpus's speed. The same caveat as any
+per-user sessionization, now with the tool to act on it.
 """
 
 from __future__ import annotations

@@ -30,8 +30,10 @@ operators here): the per-key ordering window lands ALL of a key's
 events in one task. Unlike funnel's in-memory collect_list buffer,
 a window sort SPILLS (UnsafeExternalSorter), so a bot key degrades
 to one slow task rather than an OOM — but it still serializes that
-key's timeline; the same upstream cap/time-filter advice applies
-(measured context: SCALE.md's skewed-funnel probe row).
+key's timeline; cap such keys upstream with
+``functions.cleaning.cap_events_per_key`` (deterministic
+keep-earliest-N; measured context: SCALE.md's skewed-funnel probe
+rows, capped vs uncapped).
 """
 
 from __future__ import annotations

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..operators.attribution import attribution
+from ..operators.attribution import asof_attribution
 from ..store import compact_store, read_store
 
 
@@ -103,18 +103,22 @@ class AttributionPipeline:
         return raw.distinct()
 
     def report(self, spark: SparkSession) -> DataFrame:
-        """The live attribution table — the batch operator over the
-        point store (duplicate points collapse in the pre-distinct;
-        the operator itself counts rows, so the distinct is REQUIRED
-        correctness here, unlike the funnel's duplicate-tolerant
-        fold — which is why write_batch also distincts)."""
+        """The live attribution table — the pair-free batch operator
+        (``asof_attribution``, bit-equal to the pair path, pinned in
+        the batch tests) over the point store: the store accumulates a
+        LIFETIME of points, exactly the regime where the pair path's
+        conversions x touches cost explodes and the as-of sort stays
+        flat. Duplicate points collapse in the pre-distinct; the
+        operator counts rows, so the distinct is REQUIRED correctness
+        here, unlike the funnel's duplicate-tolerant fold — which is
+        why write_batch also distincts."""
         pts = self.points(spark).select(
             F.col("k").alias(self.key),
             F.timestamp_micros(F.col("us")).alias(self.ts_col),
             F.col("t").alias(self.type_col),
             F.col("tie").alias(self.tie_col),
         )
-        return attribution(
+        return asof_attribution(
             pts,
             self.conversion_type,
             self.touch_types,

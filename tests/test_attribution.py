@@ -102,6 +102,114 @@ def test_guards(spark):
         attribution(_frame(spark), "view", ("view", "click"))
 
 
+def _rows(df):
+    return sorted(
+        (
+            tuple(r)
+            for r in df.select(
+                "touch_type",
+                "first_touch",
+                "last_touch",
+                "linear_units",
+                "linear_credit",
+            ).collect()
+        ),
+        key=lambda t: ("" if t[0] is None else t[0], *t[1:]),
+    )
+
+
+def test_asof_attribution_bit_equal_on_hand_rows(spark):
+    """The pair-free FULL report (running-count differences at the
+    window edges) is bit-identical to the pair path on the constructed
+    timeline — every edge the fixture plants (strict-<, boundary
+    inclusion, unattributed NULL row, micro-credit rounding)."""
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        asof_attribution,
+    )
+
+    for lookback in (600, 1_200, 3_600):
+        want = _rows(
+            attribution(_frame(spark), "purchase", ("view", "click"), lookback)
+        )
+        got = _rows(
+            asof_attribution(
+                _frame(spark), "purchase", ("view", "click"), lookback
+            )
+        )
+        assert got == want, lookback
+
+
+def test_asof_attribution_bit_equal_on_fixture(spark):
+    """Same contract on the sf fixture's events table, two lookbacks,
+    three channels."""
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        asof_attribution,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    for lookback in (86_400, 7 * 86_400):
+        want = _rows(
+            attribution(events, "purchase", ("view", "click", "signup"), lookback)
+        )
+        got = _rows(
+            asof_attribution(
+                events, "purchase", ("view", "click", "signup"), lookback
+            )
+        )
+        assert got == want, lookback
+
+
+def test_asof_attribution_bit_equal_on_randomized_corpus(spark):
+    """Seeded random corpus (dense per-user timelines, microsecond
+    ties, conversions with zero/edge/full windows) — the bit-equality
+    must hold beyond constructed cases."""
+    import random
+
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        asof_attribution,
+    )
+
+    rng = random.Random(0xA77)
+    base = dt.datetime(2024, 3, 1)
+    types = ["view", "click", "signup", "purchase"]
+    rows = []
+    for eid in range(4_000):
+        u = rng.randrange(120)
+        # coarse second grid + frequent repeats force microsecond ties
+        ts = base + dt.timedelta(
+            seconds=rng.randrange(3 * 86_400),
+            microseconds=rng.choice([0, 0, 1, 500_000]),
+        )
+        rows.append((eid, ts, u, rng.choice(types)))
+    frame = spark.createDataFrame(rows, SCHEMA)
+    for lookback in (900, 21_600, 86_400):
+        want = _rows(
+            attribution(frame, "purchase", ("view", "click", "signup"), lookback)
+        )
+        got = _rows(
+            asof_attribution(
+                frame, "purchase", ("view", "click", "signup"), lookback
+            )
+        )
+        assert got == want, lookback
+
+
+def test_asof_attribution_plan_has_no_join(spark):
+    """Plan pin: the pair path's conversion x touch equi-join (and its
+    per-conv_id window over pair rows) is GONE — the whole report is
+    windows + aggregations; no Join operator of any kind appears."""
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        asof_attribution,
+    )
+    from cassandra_iot_pipeline_spark.plans import formatted_plan
+
+    plan = formatted_plan(
+        asof_attribution(_frame(spark), "purchase", ("view", "click"), 600)
+    )
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
 def test_first_last_fast_path_matches_full_operator(spark, duck):
     """The pair-free as-of form is bit-identical to the full
     operator's first/last columns — hand rows (window edges, strict-<,

@@ -317,3 +317,78 @@ def test_dedup_lines_hash_tier_identical_here(spark):
         ).collect()
     )
     assert exact == hashed
+
+
+# --- cap_events_per_key -------------------------------------------------------
+
+
+def test_cap_events_per_key_matches_oracle(spark, duck):
+    """Keep-earliest-N per (user, type) on the fixture events table —
+    exact DuckDB parity (value-level, both row set and row content)."""
+    from cassandra_iot_pipeline_spark.functions.cleaning import (
+        cap_events_per_key,
+        cap_events_per_key_oracle,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    got = cap_events_per_key(events, 5).orderBy("event_id").toPandas()
+    want = (
+        duck.sql(cap_events_per_key_oracle(5)).df().sort_values("event_id")
+    )
+    assert compare(got, want) == []
+    assert len(got) < events.count()  # the cap actually bit
+
+
+def test_cap_events_per_key_deterministic_and_salted_path_equal(spark):
+    """The survivor set is a pure function of the data: identical
+    under repartitioning, and the salted scale path is bitwise equal
+    to the unsalted one (the pigeonhole guarantee)."""
+    from cassandra_iot_pipeline_spark.functions.cleaning import (
+        cap_events_per_key,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+
+    def ids(df):
+        return sorted(r["event_id"] for r in df.select("event_id").collect())
+
+    plain = ids(cap_events_per_key(events, 3))
+    shuffled = ids(cap_events_per_key(events.repartition(17, "value"), 3))
+    salted = ids(cap_events_per_key(events, 3, salt_partitions=8))
+    assert plain == shuffled == salted
+
+
+def test_cap_events_per_key_caps_only_over_limit_keys(spark):
+    """A bot key floods one type; sane keys and the bot's OTHER types
+    pass untouched; survivors are the EARLIEST by (ts, tie)."""
+    import datetime as dt
+
+    from cassandra_iot_pipeline_spark.functions.cleaning import (
+        cap_events_per_key,
+    )
+
+    rows = [
+        # bot user 1: 10 clicks (to cap at 3 -> earliest ids 0,1,2)
+        *[
+            (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "click")
+            for i in range(10)
+        ],
+        # bot user 1, different type: 2 views (under cap, untouched)
+        (20, dt.datetime(2024, 1, 1, 1), 1, "view"),
+        (21, dt.datetime(2024, 1, 1, 2), 1, "view"),
+        # sane user 2
+        (30, dt.datetime(2024, 1, 1, 3), 2, "click"),
+    ]
+    frame = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    )
+    got = sorted(
+        r["event_id"]
+        for r in cap_events_per_key(frame, 3).select("event_id").collect()
+    )
+    assert got == [0, 1, 2, 20, 21, 30]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_events"):
+        cap_events_per_key(frame, 0)

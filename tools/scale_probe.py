@@ -1161,6 +1161,28 @@ def main() -> None:
             ),
             results,
         )
+        # r10 (r9 verdict #4): the executable mitigation. Cap the
+        # skewed corpus with the curation rule first (keep-earliest-N
+        # per (key, type), salted so even the bot key's own sort is
+        # split) — the claim under test is that the capped skewed
+        # corpus runs at ~the uniform corpus's speed (the +14% skew
+        # delta eliminated). The cap (10k/type) is far above any sane
+        # key's volume (~400 events/type here), so only the bot key
+        # loses rows.
+        from cassandra_iot_pipeline_spark.functions.cleaning import (
+            cap_events_per_key,
+        )
+
+        capped = cap_events_per_key(skewed, 10_000, salt_partitions=32)
+        timed(
+            "funnel_4step_skewed_capped_10k",
+            funnel(
+                capped,
+                ["signup", "view", "click", "purchase"],
+                horizon_seconds=7 * 86_400,
+            ),
+            results,
+        )
         timed("event_transitions", event_transitions(events), results)
         from cassandra_iot_pipeline_spark.operators.cohorts import (
             growth_accounting,
@@ -1504,6 +1526,7 @@ def main() -> None:
         # corpus is ~70x denser per user than a real event stream
         # (2000 events/user/month), so lookbacks sweep the pair count.
         from cassandra_iot_pipeline_spark.operators.attribution import (
+            asof_attribution,
             attribution,
             first_last_attribution,
         )
@@ -1524,6 +1547,20 @@ def main() -> None:
             timed(
                 f"first_last_attribution_{label}_lookback",
                 first_last_attribution(
+                    events,
+                    "purchase",
+                    ("view", "click", "signup"),
+                    lb,
+                ),
+                results,
+            )
+            # r10: the pair-free FULL report (linear included) — one
+            # user-keyed sort carrying per-channel running counts;
+            # the claim under test is lookback-independence of the
+            # COMPLETE model set (24h within ~1.5x of 1h)
+            timed(
+                f"asof_attribution_{label}_lookback",
+                asof_attribution(
                     events,
                     "purchase",
                     ("view", "click", "signup"),
