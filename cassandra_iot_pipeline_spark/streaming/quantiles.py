@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..operators.quantiles import dd_quantiles_from_sketch, dd_sketch
+from ..operators.quantiles import (
+    collapse_sketch,
+    dd_quantiles_from_sketch,
+    dd_sketch,
+)
 from ..store import compact_epochs, compact_store, read_store
 
 
@@ -67,12 +71,14 @@ class QuantilePipeline:
         alpha: float = 0.01,
         compact_every: int | None = None,
         updates_schema: str | StructType | None = None,
+        max_buckets: int | None = None,
     ) -> None:
         self.base_dir = base_dir
         self.group_cols = list(group_cols)
         self.value_col = value_col
         self.alpha = alpha
         self.compact_every = compact_every
+        self.max_buckets = max_buckets
         self.buckets_dir = f"{base_dir}/buckets"
         self.schema = _schema(self.group_cols, updates_schema)
 
@@ -81,7 +87,11 @@ class QuantilePipeline:
         if batch_df.isEmpty():
             return
         dd_sketch(
-            batch_df, self.group_cols, self.value_col, self.alpha
+            batch_df,
+            self.group_cols,
+            self.value_col,
+            self.alpha,
+            self.max_buckets,
         ).write.mode("overwrite").parquet(
             f"{self.buckets_dir}/epoch={epoch_id}"
         )
@@ -93,24 +103,31 @@ class QuantilePipeline:
 
     # -- reads ------------------------------------------------------------
     def sketch(self, spark: SparkSession) -> DataFrame:
-        """The folded per-group bucket counts (empty-safe)."""
+        """The folded per-group bucket counts (empty-safe); with
+        ``max_buckets`` set, the read-side fold collapses too —
+        merge invariance makes the result identical to collapsing the
+        full one-pass sketch (pinned in tests)."""
         raw = read_store(
             spark, self.buckets_dir, spark.createDataFrame([], self.schema)
         )
-        return raw.groupBy(*self.group_cols, "sgn", "idx").agg(
-            F.sum("cnt").alias("cnt")
-        )
+        return self._fold(raw)
 
     def quantiles(
         self, spark: SparkSession, qs: Sequence[float] = (0.5, 0.95, 0.99)
     ) -> DataFrame:
         """(group..., q, est): live estimates from the folded store."""
         return dd_quantiles_from_sketch(
-            self.sketch(spark), self.group_cols, qs, self.alpha
+            self.sketch(spark),
+            self.group_cols,
+            qs,
+            self.alpha,
+            self.max_buckets,
         )
 
     # -- maintenance ------------------------------------------------------
     def _fold(self, df: DataFrame) -> DataFrame:
+        if self.max_buckets is not None:
+            return collapse_sketch(df, self.group_cols, self.max_buckets)
         return df.groupBy(*self.group_cols, "sgn", "idx").agg(
             F.sum("cnt").alias("cnt")
         )
@@ -152,6 +169,7 @@ def streaming_quantiles(
     max_files_per_trigger: int = 1,
     trigger: dict | None = None,
     compact_every: int | None = None,
+    max_buckets: int | None = None,
 ):
     """Wire a staged event-log directory through the quantile
     maintainer (file order = ingest order, the streaming/dedup.py
@@ -164,6 +182,7 @@ def streaming_quantiles(
         alpha,
         compact_every=compact_every,
         updates_schema=events_schema,
+        max_buckets=max_buckets,
     )
     reader = (
         spark.readStream.schema(events_schema)

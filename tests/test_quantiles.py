@@ -186,3 +186,143 @@ def test_streaming_wrapper_end_to_end(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+# --- collapsing tier ----------------------------------------------------------
+
+
+def _adversarial(rng, n=3000):
+    """A poisoned long-tail: values spanning ~7 decades (the
+    broken-sensor regime the plain sketch's range-ratio bound loses
+    to), with most mass in the top two decades."""
+    vals = []
+    for _ in range(n):
+        if rng.random() < 0.15:
+            vals.append(rng.uniform(1e-3, 1.0))  # the junk tail
+        else:
+            vals.append(rng.uniform(1e3, 1e4))  # the real signal
+    return vals
+
+
+def test_collapse_bounds_buckets_and_keeps_alpha_above_floor(spark):
+    from cassandra_iot_pipeline_spark.operators.quantiles import (
+        collapse_sketch,
+    )
+
+    rng = random.Random(17)
+    vals = _adversarial(rng)
+    alpha, mb = 0.01, 64
+    frame = _frame(spark, vals)
+    plain = dd_sketch(frame, ["g"], "value", alpha)
+    n_plain = plain.count()
+    assert n_plain > mb  # the adversarial corpus actually overflows
+    capped = dd_sketch(frame, ["g"], "value", alpha, max_buckets=mb)
+    assert capped.count() == mb
+    # mass is conserved through the collapse
+    assert (
+        capped.agg(F.sum("cnt")).first()[0]
+        == plain.agg(F.sum("cnt")).first()[0]
+    )
+    got = {
+        r["q"]: (r["est"], r["collapsed_frac"])
+        for r in dd_quantiles(
+            frame, ["g"], "value", QS, alpha, max_buckets=mb
+        ).collect()
+    }
+    gamma = (1 + alpha) / (1 - alpha)
+    for q in QS:
+        est, cf = got[q]
+        assert 0.0 < cf < 0.5  # the junk tail collapsed, reported
+        if q > cf:  # rank clears the collapsed mass -> alpha holds
+            true = _exact(vals, q)
+            assert abs(est - true) <= alpha * abs(true) * gamma + 1e-12, q
+    # sanity: a q INSIDE the collapsed mass returns the floor estimate
+    # (a single bucket for ~15% of mass spanning 3 decades)
+    inside = {
+        r["q"]: r["est"]
+        for r in dd_quantiles(
+            frame, ["g"], "value", (0.001, 0.05), alpha, max_buckets=mb
+        ).collect()
+    }
+    assert inside[0.001] == inside[0.05]  # both land in the one floor
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_buckets"):
+        collapse_sketch(plain, ["g"], 1)
+
+
+def test_collapse_is_merge_invariant(spark):
+    """collapse(collapse(A) + B) == collapse(A + B) bitwise — the
+    property that lets collapsed epoch deltas fold in any tree."""
+    from cassandra_iot_pipeline_spark.operators.quantiles import (
+        collapse_sketch,
+    )
+
+    rng = random.Random(23)
+    a_vals = _adversarial(rng, 1500)
+    b_vals = [rng.lognormvariate(2, 3) for _ in range(1500)]
+    alpha, mb = 0.02, 32
+    a = dd_sketch(_frame(spark, a_vals), ["g"], "value", alpha)
+    b = dd_sketch(_frame(spark, b_vals), ["g"], "value", alpha)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = rows(collapse_sketch(a.unionByName(b), ["g"], mb))
+    got = rows(
+        collapse_sketch(
+            collapse_sketch(a, ["g"], mb).unionByName(b), ["g"], mb
+        )
+    )
+    both = rows(
+        collapse_sketch(
+            collapse_sketch(a, ["g"], mb).unionByName(
+                collapse_sketch(b, ["g"], mb)
+            ),
+            ["g"],
+            mb,
+        )
+    )
+    assert got == want and both == want
+
+
+def test_collapsed_stream_equals_collapsed_batch(spark, tmp_path):
+    """The full lifecycle with max_buckets on: collapsed epoch deltas,
+    a replay, tail compaction, full compaction — reads stay bitwise
+    equal to the one-pass collapsed batch sketch throughout."""
+    rng = random.Random(29)
+    batches = [_adversarial(rng, 700) for _ in range(3)]
+    mb = 48
+    pipe = QuantilePipeline(
+        str(tmp_path / "s"), ["g"], "value", alpha=0.02, max_buckets=mb
+    )
+    for i, vs in enumerate(batches):
+        pipe.write_batch(_frame(spark, vs), epoch_id=i)
+    all_vals = [v for b in batches for v in b]
+    want_sk = sorted(
+        tuple(r)
+        for r in dd_sketch(
+            _frame(spark, all_vals), ["g"], "value", 0.02, max_buckets=mb
+        ).collect()
+    )
+
+    def sk():
+        return sorted(tuple(r) for r in pipe.sketch(spark).collect())
+
+    assert sk() == want_sk
+    assert len(want_sk) == mb
+    pipe.write_batch(_frame(spark, batches[1]), epoch_id=1)  # replay
+    assert sk() == want_sk
+    assert pipe.compact_tail(spark, keep_recent=1) == 1
+    assert sk() == want_sk
+    assert pipe.compact(spark) == 2
+    assert sk() == want_sk
+    wq = sorted(
+        tuple(r)
+        for r in dd_quantiles(
+            _frame(spark, all_vals), ["g"], "value", QS, 0.02, max_buckets=mb
+        ).collect()
+    )
+    gq = sorted(tuple(r) for r in pipe.quantiles(spark, QS).collect())
+    assert gq == wq
