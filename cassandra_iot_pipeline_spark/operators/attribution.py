@@ -44,8 +44,8 @@ Which form to call (all three bit-equal where they overlap, pinned):
 - :func:`asof_attribution` — the DEFAULT for real streams. The full
   report (first/last/linear) pair-free: one user-keyed sort carrying
   per-channel running counts, cost INDEPENDENT of the lookback
-  (measured flat 1 h -> 24 h, SCALE.md, vs 9 -> 80-125 s for the pair
-  path on the dense probe corpus).
+  (measured 8.4 -> 13.3 s across 1 h -> 24 h, SCALE.md, vs
+  10.4 -> 153 s for the pair path on the dense probe corpus).
 - :func:`attribution` (this pair path) — only when pairs-per-
   conversion is known tiny (very short lookbacks / sparse users); its
   cost is conversions x in-window touches.
@@ -289,12 +289,12 @@ def asof_attribution(
     ``touch_types`` list (small, the module contract): each channel
     adds one running-count column to the sort, not a row blow-up.
 
-    Cost law, measured (SCALE.md --attribution): the pair path is
-    conversions × in-window touches — 9.2 s at a 1 h lookback but
-    80-125 s at 24 h on the dense probe corpus; THIS form is flat in
-    the lookback. Use the pair path only when pairs-per-conversion is
-    known tiny; this form is the default recommendation for real
-    streams."""
+    Cost law, measured (SCALE.md --attribution, quiet box): the pair
+    path is conversions × in-window touches — 10.4 s at a 1 h lookback
+    but 153 s at 24 h on the dense probe corpus; THIS form is flat
+    (8.4 -> 13.3 s over the same sweep). Use the pair path only when
+    pairs-per-conversion is known tiny; this form is the default
+    recommendation for real streams."""
     touch_types = list(touch_types)
     if not touch_types:
         raise ValueError("attribution needs at least one touch type")

@@ -132,34 +132,39 @@ def funnel(
     )
 
 
-def funnel_from_points(
+def user_hits(
     pts: DataFrame,
     steps: list[str],
     horizon_seconds: int | None = None,
 ) -> DataFrame:
-    """The funnel aggregation over (k, us, s) step points — see
-    :func:`funnel`.  Duplicate points are fine (the greedy fold fills
-    each slot once; a duplicate of a filled slot's event can never
-    beat the strict ``>``), so callers can feed raw projections or a
-    pre-distincted store."""
+    """(k, hits): each user's greedy-chain slot array — the per-user
+    FOLD RESULT, which is also the user's complete contribution to the
+    report (:func:`funnel_report` needs nothing else). Split out (r10)
+    so the streaming maintainer's horizon finalization can persist a
+    closed user as this ONE row instead of their whole point list."""
     _validate_steps(steps)
     k = len(steps)
     horizon_us = None if horizon_seconds is None else horizon_seconds * 1_000_000
-
-    per_user = (
+    return (
         pts.select(
             "k", F.struct(F.col("us"), F.col("s")).alias("ev")
         )
         .groupBy("k")
         .agg(F.sort_array(F.collect_list("ev")).alias("evs"))
-        .select(F.expr(_fold_expr(k, horizon_us)).alias("hits"))
+        .select("k", F.expr(_fold_expr(k, horizon_us)).alias("hits"))
     )
 
+
+def funnel_report(hits_df: DataFrame, steps: list[str]) -> DataFrame:
+    """The report aggregation over per-user ``hits`` arrays (from
+    :func:`user_hits`) — counts, conversion/step rates, exact
+    mean/median micros from each user's step-0 time."""
+    _validate_steps(steps)
     # hits[0] is the user's step-0 time whenever ANY slot is filled
     # (slot 0 gates the chain), so the per-user delta comes straight
     # from the array — no second per-user pass.
     reached = (
-        per_user.select(
+        hits_df.select(
             F.element_at("hits", 1).alias("t0"),
             F.posexplode("hits").alias("step_idx", "us"),
         )
@@ -179,7 +184,7 @@ def funnel_from_points(
         )
     )
 
-    spark = pts.sparkSession
+    spark = hits_df.sparkSession
     step_frame = spark.createDataFrame(
         [(i, name) for i, name in enumerate(steps)],
         "step_idx INT, step STRING",
@@ -213,6 +218,23 @@ def funnel_from_points(
             F.col("sum_delta").cast("double") / F.col("n_users"),
         ).alias("avg_micros_from_first"),
         F.col("med_delta").alias("median_micros_from_first"),
+    )
+
+
+def funnel_from_points(
+    pts: DataFrame,
+    steps: list[str],
+    horizon_seconds: int | None = None,
+) -> DataFrame:
+    """The funnel aggregation over (k, us, s) step points — see
+    :func:`funnel`.  Duplicate points are fine (the greedy fold fills
+    each slot once; a duplicate of a filled slot's event can never
+    beat the strict ``>``), so callers can feed raw projections or a
+    pre-distincted store. Composition of :func:`user_hits` and
+    :func:`funnel_report` (split in r10 for the streaming maintainer's
+    horizon finalization)."""
+    return funnel_report(
+        user_hits(pts, steps, horizon_seconds).select("hits"), steps
     )
 
 

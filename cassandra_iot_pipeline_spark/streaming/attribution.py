@@ -23,10 +23,27 @@ Store shape (the shared delta+base lifecycle, store.py):
 
 Scale: per-epoch write is one batch-local filter + distinct (zero
 store-side work); the store holds only attribution-TYPED events. The
-read is the batch operator's bucketed-range-join plan over that slice;
-like the funnel read, its cost grows with the stored point set (the
-minimal-statistic class, stated in streaming/funnel.py) — compaction
-keeps the constant small.
+read is the pair-free as-of plan over that slice; like the funnel
+read, its cost grows with the stored point set (the
+minimal-statistic class, stated in streaming/funnel.py) — UNLESS a
+lateness horizon is declared. :meth:`AttributionPipeline.finalize`
+(r10) is that opt-in tier: a conversion with ``cts <= max event time
+- lateness`` is provably closed (a horizon-respecting new touch has
+``t >= cutoff >= cts``, outside the strict-< window), so the
+finalized conversions' per-channel report rows — all ADDITIVE: the
+per-conversion micro-credit rounding splits cleanly across any
+partition of the conversion set — fold into the ``fin/`` store, the
+folded conversions and the touches no live window can reach
+(``us <= cutoff - lookback``) are garbage-collected, and the live
+store stays bounded by lookback + lateness instead of lifetime. The
+read filters live conversions by the watermark (so a crash between
+the fin write and the GC can never double-count) and SUMS the fin
+rows in — bitwise the full recompute for horizon-respecting streams
+(pinned in tests). Horizon violations are copied loudly to
+``quarantine/``, never silently dropped; a late-but-legal touch
+(over the watermark, or under it only as far as a live window
+reaches) still folds. Growth measured in tools/scale_probe.py
+``--finalize-stream`` (SCALE.md).
 """
 
 from __future__ import annotations
@@ -38,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..operators.attribution import asof_attribution
-from ..store import compact_store, read_store
+from ..store import compact_store, read_store, store_parts
 
 
 def _pts_schema(
@@ -92,7 +109,13 @@ class AttributionPipeline:
         self.tie_col = tie_col
         self.compact_every = compact_every
         self.pts_dir = f"{base_dir}/pts"
+        self.fin_dir = f"{base_dir}/fin"
+        self.q_dir = f"{base_dir}/quarantine"
         self.schema = _pts_schema(key, tie_col, updates_schema)
+        self.fin_schema = (
+            "wm BIGINT, touch_type STRING, first_touch BIGINT,"
+            " last_touch BIGINT, linear_units BIGINT"
+        )
 
     # -- reads ----------------------------------------------------------
     def points(self, spark: SparkSession) -> DataFrame:
@@ -101,6 +124,53 @@ class AttributionPipeline:
             spark, self.pts_dir, spark.createDataFrame([], self.schema)
         )
         return raw.distinct()
+
+    def _events(self, pts: DataFrame) -> DataFrame:
+        return pts.select(
+            F.col("k").alias(self.key),
+            F.timestamp_micros(F.col("us")).alias(self.ts_col),
+            F.col("t").alias(self.type_col),
+            F.col("tie").alias(self.tie_col),
+        )
+
+    def _report_over(self, pts: DataFrame) -> DataFrame:
+        return asof_attribution(
+            self._events(pts),
+            self.conversion_type,
+            self.touch_types,
+            self.lookback_seconds,
+            self.key,
+            self.ts_col,
+            self.type_col,
+            self.tie_col,
+        )
+
+    def _has_fin(self, spark: SparkSession) -> bool:
+        base_path, _, epochs = store_parts(spark, self.fin_dir)
+        return base_path is not None or bool(epochs)
+
+    def _fin(self, spark: SparkSession) -> DataFrame:
+        """The finalized report increments (wm, touch_type, counts),
+        folded by channel (empty-safe; sum fold — every column is
+        additive, wm folds by max)."""
+        raw = read_store(
+            spark, self.fin_dir, spark.createDataFrame([], self.fin_schema)
+        )
+        return raw.groupBy("touch_type").agg(
+            F.max("wm").alias("wm"),
+            F.sum("first_touch").alias("first_touch"),
+            F.sum("last_touch").alias("last_touch"),
+            F.sum("linear_units").alias("linear_units"),
+        )
+
+    def fin_watermark(self, spark: SparkSession) -> int | None:
+        """The latest finalization cutoff (microseconds), or None —
+        the live read's conversion boundary and the quarantine
+        boundary."""
+        if not self._has_fin(spark):
+            return None
+        wm = self._fin(spark).agg(F.max("wm")).first()[0]
+        return None if wm is None else int(wm)
 
     def report(self, spark: SparkSession) -> DataFrame:
         """The live attribution table — the pair-free batch operator
@@ -111,23 +181,118 @@ class AttributionPipeline:
         flat. Duplicate points collapse in the pre-distinct; the
         operator counts rows, so the distinct is REQUIRED correctness
         here, unlike the funnel's duplicate-tolerant fold — which is
-        why write_batch also distincts."""
-        pts = self.points(spark).select(
-            F.col("k").alias(self.key),
-            F.timestamp_micros(F.col("us")).alias(self.ts_col),
-            F.col("t").alias(self.type_col),
-            F.col("tie").alias(self.tie_col),
+        why write_batch also distincts. With finalized epochs present,
+        live conversions are the ones ABOVE the watermark (reading the
+        boundary from the fin store makes the fin-write the atomic
+        commit point — a crash before the GC can never double-count),
+        and the finalized per-channel rows sum in."""
+        wm = self.fin_watermark(spark)
+        pts = self.points(spark)
+        if wm is None:
+            return self._report_over(pts)
+        lb_us = self.lookback_seconds * 1_000_000
+        is_conv = F.col("t") == self.conversion_type
+        live = pts.filter(
+            (is_conv & (F.col("us") > wm))
+            | (~is_conv & (F.col("us") > wm - lb_us))
         )
-        return asof_attribution(
-            pts,
-            self.conversion_type,
-            self.touch_types,
-            self.lookback_seconds,
-            self.key,
-            self.ts_col,
-            self.type_col,
-            self.tie_col,
+        parts = self._report_over(live).select(
+            "touch_type", "first_touch", "last_touch", "linear_units"
+        ).unionByName(
+            self._fin(spark).select(
+                "touch_type", "first_touch", "last_touch", "linear_units"
+            )
         )
+        return (
+            parts.groupBy("touch_type")
+            .agg(
+                F.sum("first_touch").alias("first_touch"),
+                F.sum("last_touch").alias("last_touch"),
+                F.sum("linear_units").alias("linear_units"),
+            )
+            .select(
+                "touch_type",
+                "first_touch",
+                "last_touch",
+                "linear_units",
+                (F.col("linear_units") / F.lit(1_000_000.0)).alias(
+                    "linear_credit"
+                ),
+            )
+        )
+
+    def quarantine(self, spark: SparkSession) -> DataFrame:
+        """Horizon-violating points (k, us, t, tie) — arrivals with
+        event time under the finalization watermark, copied here
+        loudly (see the funnel store's identical contract)."""
+        return read_store(
+            spark, self.q_dir, spark.createDataFrame([], self.schema)
+        )
+
+    def quarantine_count(self, spark: SparkSession) -> int:
+        return self.quarantine(spark).count()
+
+    def finalize(
+        self, spark: SparkSession, lateness_seconds: int
+    ) -> dict:
+        """Declare an event-time lateness horizon: conversions at or
+        under ``cutoff = max event time - lateness`` are provably
+        closed (any horizon-respecting new touch lands at
+        ``t >= cutoff >= cts`` — outside the strict-< window), so
+        their per-channel report — additive across conversion sets,
+        the per-conversion micro-credit rounding included — folds into
+        one fin epoch carrying the watermark in every row (the write
+        IS the commit: reads switch their live boundary the moment it
+        lands). Then GC: folded conversions and the touches no live
+        window can reach (``us <= cutoff - lookback``) leave the point
+        store, which is thereafter bounded by lookback + lateness
+        instead of corpus lifetime. Returns
+        ``{"finalized_conversions": n, "watermark": cutoff_us | None}``.
+        """
+        pts = self.points(spark)
+        max_us = pts.agg(F.max("us")).first()[0]
+        prev = self.fin_watermark(spark)
+        if max_us is None:
+            return {"finalized_conversions": 0, "watermark": prev}
+        cutoff = int(max_us) - lateness_seconds * 1_000_000
+        if prev is not None and cutoff <= prev:
+            return {"finalized_conversions": 0, "watermark": prev}
+        lb_us = self.lookback_seconds * 1_000_000
+        is_conv = F.col("t") == self.conversion_type
+        # the conversions to fold: above the previous watermark (crash
+        # leftovers under it were already folded — never re-fold), at
+        # or under the new cutoff; ALL retained touches ride along
+        # (every window of these conversions is complete: a previous
+        # GC only removed touches no conversion above prev could need)
+        lower = prev if prev is not None else -(1 << 62)
+        closable = pts.filter(
+            (~is_conv)
+            | ((F.col("us") <= cutoff) & (F.col("us") > lower))
+        )
+        n = closable.filter(is_conv & (F.col("us") <= cutoff)).count()
+        if n == 0:
+            return {"finalized_conversions": 0, "watermark": prev}
+        inc = self._report_over(closable).select(
+            F.lit(cutoff).cast("long").alias("wm"),
+            "touch_type",
+            "first_touch",
+            "last_touch",
+            "linear_units",
+        )
+        _, upto, epochs = store_parts(spark, self.fin_dir)
+        nxt = max([upto] + [e for e, _ in epochs]) + 1
+        inc.write.mode("overwrite").parquet(f"{self.fin_dir}/epoch={nxt}")
+        # GC — reads already exclude everything this drops
+        keep = (is_conv & (F.col("us") > cutoff)) | (
+            ~is_conv & (F.col("us") > cutoff - lb_us)
+        )
+        compact_store(
+            spark,
+            self.pts_dir,
+            spark.createDataFrame([], self.schema),
+            fold=lambda df: df.distinct().filter(keep),
+        )
+        return {"finalized_conversions": int(n), "watermark": cutoff}
 
     # -- write path (foreachBatch) ---------------------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -144,6 +309,18 @@ class AttributionPipeline:
             )
             .distinct()
         )
+        # horizon violations are COPIED to quarantine (loud, never
+        # silently dropped); the pts epoch keeps the FULL batch so its
+        # content stays a stateless projection (replay-idempotent) —
+        # the read-side watermark filter is what freezes finalized
+        # conversions, and live windows still see late-legal touches
+        wm = self.fin_watermark(batch_df.sparkSession)
+        if wm is not None:
+            late = pts.filter(F.col("us") < wm)
+            if not late.isEmpty():
+                late.write.mode("overwrite").parquet(
+                    f"{self.q_dir}/epoch={epoch_id}"
+                )
         pts.write.mode("overwrite").parquet(
             f"{self.pts_dir}/epoch={epoch_id}"
         )

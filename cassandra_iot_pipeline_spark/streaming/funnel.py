@@ -29,21 +29,41 @@ one-exchange plan over that slice.
 READ-SCALING CLASS, stated honestly: :meth:`funnel` folds the FULL
 point store — cost grows with corpus lifetime (the point set times
 the batch plan), not base+recent-deltas like the sibling stores'
-reads. This is inherent, not an implementation gap: the point set is
-the proven minimal sufficient statistic for the non-monotone chain,
-so any reader must touch all of it. Compaction keeps the constant
-small (one distinct-collapsed base); the growth curve is measured in
-tools/scale_probe.py ``--funnel-stream`` (read seconds at 1x/3x/10x
-store growth, SCALE.md).
+reads. This is inherent ONLY under unbounded lateness: the point set
+is the proven minimal sufficient statistic for the non-monotone
+chain, so any reader must touch all of it — unless the operator
+DECLARES a lateness horizon. :meth:`finalize` is that opt-in tier
+(r10): with lateness ``H`` declared, a user whose chain window is
+provably closed (``anchor + horizon_seconds < max_event_time - H`` —
+no horizon-respecting arrival can re-anchor or extend it) folds into
+ONE ``(k, hits)`` row in the ``fin/`` side-store and their points are
+garbage-collected; the read becomes ``funnel_report`` over finalized
+hits rows plus the live fold — BITWISE equal to the full recompute
+for horizon-respecting streams (pinned in tests; the hits array is
+the user's complete report contribution, including the exact-median
+deltas a count histogram could not carry). A horizon-VIOLATING
+arrival (event time under the finalization watermark) is copied
+loudly to the ``quarantine/`` store — never silently dropped — and
+stays in the point store too, so live users' late points still fold;
+only already-finalized users' results are frozen (their row is the
+declared-horizon contract). Growth curves measured in
+tools/scale_probe.py ``--funnel-stream`` (unbounded) and
+``--finalize-stream`` (finalized, ~flat), SCALE.md.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..operators.funnel import funnel_from_points, step_points
-from ..store import compact_store, read_store
+from ..operators.funnel import (
+    funnel_from_points,
+    funnel_report,
+    step_points,
+    user_hits,
+)
+from ..store import compact_store, read_store, store_parts
 
 
 def _pts_schema(key: str, updates_schema: str | StructType | None) -> str:
@@ -90,7 +110,11 @@ class FunnelPipeline:
         self.horizon_seconds = horizon_seconds
         self.compact_every = compact_every
         self.pts_dir = f"{base_dir}/pts"
+        self.fin_dir = f"{base_dir}/fin"
+        self.q_dir = f"{base_dir}/quarantine"
         self.schema = _pts_schema(key, updates_schema)
+        ktype = self.schema.split(",", 1)[0][len("k "):]
+        self.fin_schema = f"wm BIGINT, k {ktype}, hits ARRAY<BIGINT>"
 
     # -- reads ----------------------------------------------------------
     def points(self, spark: SparkSession) -> DataFrame:
@@ -100,13 +124,121 @@ class FunnelPipeline:
         )
         return raw.distinct()
 
+    def _has_fin(self, spark: SparkSession) -> bool:
+        base_path, _, epochs = store_parts(spark, self.fin_dir)
+        return base_path is not None or bool(epochs)
+
+    def _fin(self, spark: SparkSession) -> DataFrame:
+        """The finalized-user rows (wm, k, hits), folded (empty-safe)."""
+        return read_store(
+            spark, self.fin_dir, spark.createDataFrame([], self.fin_schema)
+        ).distinct()
+
+    def fin_watermark(self, spark: SparkSession) -> int | None:
+        """The latest finalization cutoff (microseconds), or None
+        before the first finalize — the quarantine boundary."""
+        if not self._has_fin(spark):
+            return None
+        wm = self._fin(spark).agg(F.max("wm")).first()[0]
+        return None if wm is None else int(wm)
+
+    def live_points(self, spark: SparkSession) -> DataFrame:
+        """The point store minus finalized users' points — finalized
+        users' results are frozen in ``fin/``; any of their points
+        still on disk (post-finalization arrivals, or a crash between
+        the fin write and the GC) must not re-enter the fold."""
+        fin_keys = self._fin(spark).select("k").distinct()
+        return self.points(spark).join(fin_keys, "k", "anti")
+
     def funnel(self, spark: SparkSession) -> DataFrame:
         """The live funnel — the batch aggregation over the point
         store (the fold is duplicate-tolerant, so the pre-distinct is
-        free correctness, not a required pass)."""
-        return funnel_from_points(
-            self.points(spark), self.steps, self.horizon_seconds
+        free correctness, not a required pass). With finalized users
+        present, the report aggregates their persisted ``hits`` rows
+        together with the live fold — bitwise the full recompute for
+        horizon-respecting streams (the hits array is the user's
+        entire contribution, exact medians included)."""
+        if not self._has_fin(spark):
+            return funnel_from_points(
+                self.points(spark), self.steps, self.horizon_seconds
+            )
+        hits = user_hits(
+            self.live_points(spark), self.steps, self.horizon_seconds
+        ).select("hits").unionByName(self._fin(spark).select("hits"))
+        return funnel_report(hits, self.steps)
+
+    def quarantine(self, spark: SparkSession) -> DataFrame:
+        """The horizon-violating points (k, us, s) — arrivals whose
+        event time fell under the finalization watermark. Loud by
+        design: they are COPIED here (and counted via
+        :meth:`quarantine_count`) while also remaining in the point
+        store, so a live user's late point still folds; only a
+        finalized user's frozen result ignores it."""
+        return read_store(
+            spark, self.q_dir, spark.createDataFrame([], self.schema)
         )
+
+    def quarantine_count(self, spark: SparkSession) -> int:
+        return self.quarantine(spark).count()
+
+    def finalize(
+        self, spark: SparkSession, lateness_seconds: int
+    ) -> dict:
+        """Declare an event-time lateness horizon and fold every
+        provably-closed user into the ``fin/`` store: cutoff =
+        ``max live event time - lateness``; a user whose
+        ``anchor + horizon_seconds < cutoff`` can never be re-anchored
+        (a new step-0 point at ``t >= cutoff > anchor`` never beats
+        the earliest anchor) nor extended (slots close at
+        ``anchor + horizon_seconds < cutoff <= t``), so their hits
+        row is final. Their points are then garbage-collected from
+        the point store (one compact_store pass, crash-safe: the
+        read-side anti-join already excludes them the moment the fin
+        epoch lands). Requires ``horizon_seconds`` — an unbounded
+        chain window never closes. Returns
+        ``{"finalized_users": n, "watermark": cutoff_us | None}``."""
+        if self.horizon_seconds is None:
+            raise ValueError(
+                "finalize needs a declared funnel horizon_seconds: an "
+                "unbounded chain window can be extended by any future "
+                "event, so no user is ever provably closed"
+            )
+        live = self.live_points(spark)
+        max_us = live.agg(F.max("us")).first()[0]
+        prev = self.fin_watermark(spark)
+        if max_us is None:
+            return {"finalized_users": 0, "watermark": prev}
+        cutoff = int(max_us) - lateness_seconds * 1_000_000
+        if prev is not None and cutoff <= prev:
+            return {"finalized_users": 0, "watermark": prev}
+        h_us = self.horizon_seconds * 1_000_000
+        anchor = F.element_at("hits", 1)
+        newfin = (
+            user_hits(live, self.steps, self.horizon_seconds)
+            .filter(anchor.isNotNull() & (anchor + h_us < F.lit(cutoff)))
+            .select(F.lit(cutoff).cast("long").alias("wm"), "k", "hits")
+        )
+        n = newfin.count()
+        if n == 0:
+            # no fin row -> the watermark cannot advance (it rides fin
+            # rows so the fin epoch write is atomic with it); the
+            # quarantine boundary stays at the previous finalize
+            return {"finalized_users": 0, "watermark": prev}
+        _, upto, epochs = store_parts(spark, self.fin_dir)
+        nxt = max([upto] + [e for e, _ in epochs]) + 1
+        newfin.write.mode("overwrite").parquet(
+            f"{self.fin_dir}/epoch={nxt}"
+        )
+        # GC: every finalized user's points leave the store (also the
+        # post-finalization arrivals of PREVIOUSLY finalized users)
+        fin_keys = self._fin(spark).select("k").distinct()
+        compact_store(
+            spark,
+            self.pts_dir,
+            spark.createDataFrame([], self.schema),
+            fold=lambda df: df.distinct().join(fin_keys, "k", "anti"),
+        )
+        return {"finalized_users": int(n), "watermark": cutoff}
 
     # -- write path (foreachBatch) ---------------------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -115,6 +247,18 @@ class FunnelPipeline:
         pts = step_points(
             batch_df, self.steps, self.key, self.ts_col, self.type_col
         ).distinct()
+        # horizon violations (event time under the finalization
+        # watermark) are COPIED to quarantine — loud, never silently
+        # dropped — while the pts epoch keeps the FULL batch, so the
+        # pts content stays a stateless projection (replay-idempotent)
+        # and live users' late points still fold
+        wm = self.fin_watermark(batch_df.sparkSession)
+        if wm is not None:
+            late = pts.filter(F.col("us") < wm)
+            if not late.isEmpty():
+                late.write.mode("overwrite").parquet(
+                    f"{self.q_dir}/epoch={epoch_id}"
+                )
         # epoch-dir overwrite + stateless projection => replaying an
         # epoch rewrites identical content
         pts.write.mode("overwrite").parquet(

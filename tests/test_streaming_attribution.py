@@ -167,3 +167,134 @@ def test_streaming_wrapper_end_to_end(spark, tmp_path):
         attribution(_frame(spark, ROWS), "purchase", ("view", "click"), 600)
     )
     assert _report(pipe.report(spark)) == want
+
+
+# --- horizon finalization -----------------------------------------------------
+
+
+def _day(d: int, minute: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(days=d, minutes=minute)
+
+
+def _nsreport(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: ("" if t[0] is None else t[0], *t[1:]),
+    )
+
+
+def test_attribution_finalize_equals_full_recompute(spark, tmp_path):
+    """Closed conversions fold into additive fin rows, their points
+    and unreachable touches leave the store, and the report stays
+    BITWISE the full recompute — across further epochs and a second
+    finalize. The per-conversion micro-credit rounding is what makes
+    the fin rows additive."""
+    pipe = AttributionPipeline(
+        str(tmp_path / "s"), "purchase", ("view", "click"), 600
+    )
+
+    def cohort(d, uid, eid):
+        return [
+            (eid, _day(d, 0), uid, "view"),
+            (eid + 1, _day(d, 3), uid, "click"),
+            (eid + 2, _day(d, 5), uid, "purchase"),
+            (eid + 3, _day(d, 50), uid, "purchase"),  # unattributed
+        ]
+
+    batches = [cohort(d, 100 + d, 10 * d) for d in range(4)]
+    for i, rows in enumerate(batches):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    seen = [r for b in batches for r in b]
+    pts_before = pipe.points(spark).count()
+
+    out = pipe.finalize(spark, lateness_seconds=86_400)
+    # max us = day3+50min; cutoff = day2+50min: the day-0..2 cohorts'
+    # conversions (3 cohorts x 2) close, day 3 stays live
+    assert out["finalized_conversions"] == 6
+    assert pipe.points(spark).count() < pts_before
+    want = attribution(_frame(spark, seen), "purchase", ("view", "click"), 600)
+    assert _nsreport(pipe.report(spark)) == _nsreport(want)
+
+    batches2 = [cohort(d, 100 + d, 10 * d) for d in (4, 5)]
+    for j, rows in enumerate(batches2, start=4):
+        pipe.write_batch(_frame(spark, rows), epoch_id=j)
+    seen += [r for b in batches2 for r in b]
+    assert _nsreport(pipe.report(spark)) == _nsreport(
+        attribution(_frame(spark, seen), "purchase", ("view", "click"), 600)
+    )
+    out2 = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out2["finalized_conversions"] == 4
+    assert out2["watermark"] > out["watermark"]
+    assert _nsreport(pipe.report(spark)) == _nsreport(
+        attribution(_frame(spark, seen), "purchase", ("view", "click"), 600)
+    )
+    assert pipe.quarantine_count(spark) == 0
+
+
+def test_attribution_late_arrivals_quarantine_and_live_credit(
+    spark, tmp_path
+):
+    """After finalize: a conversion under the watermark is frozen out
+    of the report but counted loudly in quarantine; a touch under the
+    watermark still credits a LIVE conversion whose window reaches it
+    (and is copied to quarantine too — it violated the declared
+    lateness even though part of its effect applies)."""
+    pipe = AttributionPipeline(
+        str(tmp_path / "s"), "purchase", ("view", "click"), 600
+    )
+    rows0 = [
+        (1, _day(0, 0), 1, "view"),
+        (2, _day(0, 5), 1, "purchase"),
+        (3, _day(2, 5), 2, "view"),  # keeps day-2 event time in store
+    ]
+    pipe.write_batch(_frame(spark, rows0), epoch_id=0)
+    out = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out["finalized_conversions"] == 1
+    wm = out["watermark"]  # day1 05:00 in micros
+
+    # a live conversion just above the watermark whose 10-min window
+    # reaches BELOW it
+    live_rows = [(4, _day(1, 9), 3, "purchase")]
+    pipe.write_batch(_frame(spark, live_rows), epoch_id=1)
+    # its crediting touch arrives late, UNDER the watermark (day1 02:00)
+    late_touch = [(5, _day(1, 2), 3, "click")]
+    pipe.write_batch(_frame(spark, late_touch), epoch_id=2)
+    # a conversion arriving under the watermark: frozen out, loud
+    late_conv = [(6, _day(0, 30), 1, "purchase")]
+    pipe.write_batch(_frame(spark, late_conv), epoch_id=3)
+
+    got = {
+        r["touch_type"]: (r["first_touch"], r["last_touch"], r["linear_units"])
+        for r in pipe.report(spark).collect()
+    }
+    # finalized: u1 view-credited conversion; live: u3's conversion
+    # credited to the late-but-window-reachable click
+    assert got["view"] == (1, 1, 1_000_000)
+    assert got["click"] == (1, 1, 1_000_000)
+    assert None not in got  # the frozen-out late conv is NOT reported
+    q = sorted(r["tie"] for r in pipe.quarantine(spark).collect())
+    assert q == [5, 6]  # both violations counted, neither silently gone
+
+
+def test_attribution_finalize_noop_paths(spark, tmp_path):
+    pipe = AttributionPipeline(
+        str(tmp_path / "s"), "purchase", ("view", "click"), 600
+    )
+    assert pipe.finalize(spark, 60) == {
+        "finalized_conversions": 0,
+        "watermark": None,
+    }
+    pipe.write_batch(
+        _frame(spark, [(1, _t(0), 1, "view"), (2, _t(5), 1, "purchase")]),
+        epoch_id=0,
+    )
+    # lateness covering the whole span: nothing closes
+    out = pipe.finalize(spark, lateness_seconds=10 * 86_400)
+    assert out["finalized_conversions"] == 0
+    want = attribution(
+        _frame(spark, [(1, _t(0), 1, "view"), (2, _t(5), 1, "purchase")]),
+        "purchase",
+        ("view", "click"),
+        600,
+    )
+    assert _nsreport(pipe.report(spark)) == _nsreport(want)

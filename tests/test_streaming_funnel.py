@@ -154,3 +154,120 @@ def test_streaming_wrapper_end_to_end(spark, tmp_path):
     )
     want = funnel(_frame(spark, ALL), STEPS, horizon_seconds=HOUR)
     assert _fx(pipe.funnel(spark)) == _fx(want)
+
+
+# --- horizon finalization -----------------------------------------------------
+
+
+def test_finalize_equals_full_recompute(spark, tmp_path):
+    """Declared-horizon finalization: closed users fold into one
+    (k, hits) row each, their points leave the store, and the report
+    stays BITWISE the full recompute (counts, rates, exact medians)
+    for a horizon-respecting stream — across further epochs and a
+    second finalize."""
+    pipe = FunnelPipeline(
+        str(tmp_path / "store"), STEPS, horizon_seconds=HOUR
+    )
+    # an advancing stream: each epoch a fresh user cohort one day on
+    def cohort(day, users):
+        rows = []
+        for u in users:
+            base = day * 1440
+            rows.append((u, _t(base + 0), "a"))
+            rows.append((u, _t(base + 10), "b"))
+            if u % 2 == 0:
+                rows.append((u, _t(base + 20), "c"))
+        return rows
+
+    batches = [cohort(d, range(10 * d, 10 * d + 4)) for d in range(4)]
+    for i, rows in enumerate(batches):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    seen = [r for b in batches for r in b]
+    pts_before = pipe.points(spark).count()
+
+    # finalize with a 1-day lateness: day-0..1 cohorts close (anchor +
+    # 1h horizon < max_time - 1d), day-2..3 stay live
+    out = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out["finalized_users"] == 8
+    assert pipe.points(spark).count() < pts_before  # GC actually bit
+    want = funnel(_frame(spark, seen), STEPS, horizon_seconds=HOUR)
+    assert _fx(pipe.funnel(spark)) == _fx(want)
+
+    # more horizon-respecting epochs, then a second finalize
+    batches2 = [cohort(d, range(10 * d, 10 * d + 4)) for d in (4, 5)]
+    for j, rows in enumerate(batches2, start=4):
+        pipe.write_batch(_frame(spark, rows), epoch_id=j)
+    seen += [r for b in batches2 for r in b]
+    assert _fx(pipe.funnel(spark)) == _fx(
+        funnel(_frame(spark, seen), STEPS, horizon_seconds=HOUR)
+    )
+    out2 = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out2["finalized_users"] > 0
+    assert out2["watermark"] > out["watermark"]
+    assert _fx(pipe.funnel(spark)) == _fx(
+        funnel(_frame(spark, seen), STEPS, horizon_seconds=HOUR)
+    )
+    assert pipe.quarantine_count(spark) == 0  # nothing violated
+
+
+def test_finalized_user_late_arrival_is_quarantined_loudly(spark, tmp_path):
+    """A horizon-VIOLATING point (event time under the finalization
+    watermark) for a finalized user: the frozen report does not move,
+    but the point is counted in quarantine — never silently dropped.
+    A live user's late-but-legal point still folds."""
+    pipe = FunnelPipeline(
+        str(tmp_path / "store"), STEPS, horizon_seconds=HOUR
+    )
+    rows0 = [
+        (1, _t(0), "a"), (1, _t(10), "b"),          # user 1: old, will close
+        (2, _t(3 * 1440), "a"),                     # user 2: recent, live
+    ]
+    pipe.write_batch(_frame(spark, rows0), epoch_id=0)
+    out = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out["finalized_users"] == 1
+    frozen = _fx(pipe.funnel(spark))
+
+    # user 1's chain-completing 'c' arrives with an event time far
+    # under the watermark: a violation of the declared horizon
+    late = [(1, _t(20), "c")]
+    pipe.write_batch(_frame(spark, late), epoch_id=1)
+    assert _fx(pipe.funnel(spark)) == frozen  # frozen, not corrupted
+    q = pipe.quarantine(spark).collect()
+    assert len(q) == 1 and q[0]["k"] == 1 and q[0]["s"] == 2
+    assert pipe.quarantine_count(spark) == 1
+
+    # user 2's late 'b' is ABOVE the watermark: legal, folds normally
+    legal = [(2, _t(3 * 1440 + 10), "b")]
+    pipe.write_batch(_frame(spark, legal), epoch_id=2)
+    got = {r["step"]: r["n_users"] for r in pipe.funnel(spark).collect()}
+    assert got["b"] == 2  # user 1 (frozen) + user 2 (live late point)
+    assert pipe.quarantine_count(spark) == 1  # unchanged
+
+
+def test_finalize_guards_and_noop_paths(spark, tmp_path):
+    """finalize without a chain horizon raises; an empty store and a
+    non-advancing watermark are no-ops."""
+    nopipe = FunnelPipeline(str(tmp_path / "nh"), STEPS)
+    with pytest.raises(ValueError, match="horizon_seconds"):
+        nopipe.finalize(spark, lateness_seconds=60)
+
+    pipe = FunnelPipeline(
+        str(tmp_path / "store"), STEPS, horizon_seconds=HOUR
+    )
+    assert pipe.finalize(spark, 60) == {
+        "finalized_users": 0,
+        "watermark": None,
+    }
+    pipe.write_batch(
+        _frame(spark, [(1, _t(0), "a"), (1, _t(5), "b")]), epoch_id=0
+    )
+    out = pipe.finalize(spark, lateness_seconds=0)
+    # lateness 0: cutoff == max us == the 'b' time; anchor+1h >= cutoff
+    assert out["finalized_users"] == 0
+    # nothing finalized -> reads equal the plain fold
+    want = funnel(
+        _frame(spark, [(1, _t(0), "a"), (1, _t(5), "b")]),
+        STEPS,
+        horizon_seconds=HOUR,
+    )
+    assert _fx(pipe.funnel(spark)) == _fx(want)

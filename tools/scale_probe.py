@@ -1448,6 +1448,79 @@ def main() -> None:
                     file=sys.stderr, flush=True,
                 )
 
+    if "--finalize-stream" in sys.argv:
+        # r10 (r9 verdict #3 + #6): the lifetime-growing point stores'
+        # declared-horizon tier. An ADVANCING stream (each epoch's
+        # events shifted one 30-day month on) feeds two funnel stores
+        # and two attribution stores; the *_fin_on pipelines finalize
+        # (lateness = 1 day) before each measured read. Claims under
+        # test: the unfinalized read grows with stored points (the r8
+        # --funnel-stream law), the finalized read stays ~FLAT, and
+        # the attribution store (which previously had no growth row at
+        # all) gets both curves.
+        import tempfile
+
+        from cassandra_iot_pipeline_spark.streaming.attribution import (
+            AttributionPipeline,
+        )
+        from cassandra_iot_pipeline_spark.streaming.funnel import (
+            FunnelPipeline,
+        )
+
+        steps = ["signup", "view", "click", "purchase"]
+        fp_off = FunnelPipeline(
+            tempfile.mkdtemp(prefix="probe_ffin0_"), steps,
+            horizon_seconds=7 * 86_400,
+        )
+        fp_on = FunnelPipeline(
+            tempfile.mkdtemp(prefix="probe_ffin1_"), steps,
+            horizon_seconds=7 * 86_400,
+        )
+        ap_off = AttributionPipeline(
+            tempfile.mkdtemp(prefix="probe_afin0_"), "purchase",
+            ("view", "click", "signup"), 86_400,
+        )
+        ap_on = AttributionPipeline(
+            tempfile.mkdtemp(prefix="probe_afin1_"), "purchase",
+            ("view", "click", "signup"), 86_400,
+        )
+        per_epoch = max(200_000, n_events // 10)
+        month_us = 30 * 86_400 * 1_000_000
+        measure_after = {0, 2, 9}
+        for e in range(10):
+            batch = probe_events(
+                spark, per_epoch, n_devices, start=e * per_epoch
+            ).withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.unix_micros(F.col("ts")) + F.lit(e * month_us)
+                ),
+            )
+            for pipe in (fp_off, fp_on, ap_off, ap_on):
+                pipe.write_batch(batch, epoch_id=e)
+            if e in measure_after:
+                fp_off.compact(spark)
+                ap_off.compact(spark)
+                fp_on.finalize(spark, lateness_seconds=86_400)
+                ap_on.finalize(spark, lateness_seconds=86_400)
+                for name, reader in (
+                    (f"funnel_fin_off_read_{e + 1}x",
+                     lambda: fp_off.funnel(spark)),
+                    (f"funnel_fin_on_read_{e + 1}x",
+                     lambda: fp_on.funnel(spark)),
+                    (f"attr_fin_off_read_{e + 1}x",
+                     lambda: ap_off.report(spark)),
+                    (f"attr_fin_on_read_{e + 1}x",
+                     lambda: ap_on.report(spark)),
+                ):
+                    t0 = time.perf_counter()
+                    reader().write.format("noop").mode("overwrite").save()
+                    results[name] = round(time.perf_counter() - t0, 2)
+                    print(
+                        f"[probe] {name}: {results[name]}s",
+                        file=sys.stderr, flush=True,
+                    )
+
     if "--quantiles-lines" in sys.argv:
         # r9: DDSketch store write flatness + read cost, and the C4
         # line-dedup rule over a multi-line corpus (probe_documents is
