@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..store import compact_store, read_store
+from ..store import compact_epochs, compact_store, read_store
 from .similarity import (
     _centroid_ranked,
     _coarse_centroids,
@@ -248,6 +248,31 @@ class AnnIndexStore:
                 .write.mode("overwrite")
                 .parquet(f"{self.vectors_dir}/epoch={epoch_id}")
             )
+
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail compaction (store.compact_epochs): code and vector
+        deltas are plain-union folds — associative, probes unchanged;
+        the ``lst``-partitioned base stays byte-untouched (tail folds
+        land flat, exactly like the epochs they replace)."""
+        mode = self.meta(spark)["vector_mode"]
+        if mode != "none":
+            compact_epochs(
+                spark,
+                self.vectors_dir,
+                spark.createDataFrame(
+                    [],
+                    VECTORS_INT8_SCHEMA if mode == "int8" else VECTORS_SCHEMA,
+                ),
+                keep_recent=keep_recent,
+            )
+        return compact_epochs(
+            spark,
+            self.codes_dir,
+            spark.createDataFrame([], CODES_SCHEMA),
+            keep_recent=keep_recent,
+        )
 
     def compact(self, spark: SparkSession) -> int | None:
         """Fold code deltas into a ``base_upto=K`` partitioned by

@@ -615,6 +615,29 @@ class PostingsStore:
             self.compact(batch_df.sparkSession)
 
     # -- maintenance ------------------------------------------------------
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail compaction (store.compact_epochs): postings and stats
+        are distinct folds — associative, scores unchanged; the
+        ``grp``-partitioned base stays byte-untouched."""
+        from ..store import compact_epochs
+
+        compact_epochs(
+            spark,
+            self.stats_dir,
+            spark.createDataFrame([], self._stats_schema),
+            fold=lambda df: df.distinct(),
+            keep_recent=keep_recent,
+        )
+        return compact_epochs(
+            spark,
+            self.postings_dir,
+            spark.createDataFrame([], self._postings_schema),
+            fold=lambda df: df.distinct(),
+            keep_recent=keep_recent,
+        )
+
     def compact(self, spark: SparkSession) -> int | None:
         from ..store import compact_store
 

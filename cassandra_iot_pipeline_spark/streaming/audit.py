@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.expectations import Check, expectations_report
-from ..store import compact_store, read_store
+from ..store import compact_epochs, compact_store, read_store
 
 _SCHEMA = (
     "epoch BIGINT, check_name STRING, target STRING, metric DOUBLE,"
@@ -98,6 +98,21 @@ class AuditPipeline:
             self.compact(batch_df.sparkSession)
 
     # -- maintenance ------------------------------------------------------
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail compaction (store.compact_epochs): fold only the delta
+        tail, base byte-untouched — O(tail) maintenance; the fold is
+        associative, so reads are unchanged (the compact_epochs
+        contract; family-pinned in tests/test_tail_compaction.py)."""
+        return compact_epochs(
+            spark,
+            self.reports_dir,
+            spark.createDataFrame([], _SCHEMA),
+            fold=lambda df: df.distinct(),
+            keep_recent=keep_recent,
+        )
+
     def compact(self, spark: SparkSession) -> int | None:
         return compact_store(
             spark,

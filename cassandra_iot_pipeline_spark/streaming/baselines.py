@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..operators.exactmath import units
 from ..operators.stats import median_from_counts
-from ..store import compact_store, read_store
+from ..store import compact_epochs, compact_store, read_store
 
 # widening within this ladder is value-preserving; anything else must
 # be declared via key_type or the store would silently null the key on
@@ -234,6 +234,23 @@ class BaselinePipeline:
         )
         _, _, epochs = store_parts(spark, self.counts_dir)
         return {"epochs": len(epochs), "rows": raw.count()}
+
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail compaction (store.compact_epochs): fold only the delta
+        tail, base byte-untouched — O(tail) maintenance; the fold is
+        associative, so reads are unchanged (the compact_epochs
+        contract; family-pinned in tests/test_tail_compaction.py)."""
+        return compact_epochs(
+            spark,
+            self.counts_dir,
+            spark.createDataFrame([], self._schema),
+            fold=lambda df: df.groupBy("k", "hod", "u").agg(
+                F.sum("cnt").alias("cnt")
+            ),
+            keep_recent=keep_recent,
+        )
 
     def compact(self, spark: SparkSession) -> int | None:
         return compact_store(

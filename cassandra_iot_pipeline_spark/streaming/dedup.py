@@ -83,7 +83,12 @@ DOCUMENTS_STREAM_SCHEMA = (
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
 )
 
-from ..store import IngestWatermark, compact_store, read_store
+from ..store import (
+    IngestWatermark,
+    compact_epochs,
+    compact_store,
+    read_store,
+)
 
 
 class NearDedupPipeline:
@@ -265,6 +270,40 @@ class NearDedupPipeline:
             self.compact(spark)
 
     # -- maintenance ---------------------------------------------------
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> dict[str, int]:
+        """Tail compaction per store (store.compact_epochs): bands /
+        shingles / curated are plain-union folds, bucket stats re-sum
+        — all associative, so reads and future probe decisions are
+        unchanged; the base (and its band partitioning) stays
+        byte-untouched. Use ``keep_recent`` to shield the replayable
+        window (the compact_epochs replay caveat)."""
+        def fold_stats(df: DataFrame) -> DataFrame:
+            return df.groupBy("band", "bucket").agg(
+                F.sum("population").alias("population"),
+                F.min("min_doc").alias("min_doc"),
+            )
+
+        done: dict[str, int] = {}
+        for which, path, fold in (
+            ("bands", self.bands_dir, None),
+            ("shingles", self.shingles_dir, None),
+            ("bucket_stats", self.stats_dir, fold_stats),
+            ("curated", self.curated_dir, None),
+        ):
+            empty = (
+                spark.createDataFrame([], DOCUMENTS_STREAM_SCHEMA)
+                if which == "curated"
+                else self._empty_for(spark, which)
+            )
+            m = compact_epochs(
+                spark, path, empty, fold=fold, keep_recent=keep_recent
+            )
+            if m is not None:
+                done[which] = m
+        return done
+
     def compact(self, spark: SparkSession) -> dict[str, int]:
         """Fold every store's base + epoch deltas into a fresh
         ``base_upto=N``: bands band-partitioned (partition pruning for

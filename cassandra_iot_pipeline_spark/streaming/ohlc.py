@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..store import compact_store, read_store
+from ..store import compact_epochs, compact_store, read_store
 
 HOUR_SECONDS = 3600
 
@@ -173,6 +173,21 @@ class OhlcPipeline:
         )
 
     # -- maintenance ------------------------------------------------------
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail compaction (store.compact_epochs): fold only the delta
+        tail, base byte-untouched — O(tail) maintenance; the fold is
+        associative, so reads are unchanged (the compact_epochs
+        contract; family-pinned in tests/test_tail_compaction.py)."""
+        return compact_epochs(
+            spark,
+            self.bars_dir,
+            spark.createDataFrame([], self.schema),
+            fold=_merge_fold(self.group_cols),
+            keep_recent=keep_recent,
+        )
+
     def compact(self, spark: SparkSession) -> int | None:
         """Fold with the reader's own merge — reader-invisible by
         associativity (pinned in tests)."""

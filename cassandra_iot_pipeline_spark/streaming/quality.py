@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.sampling import thresholds_from_counts
-from ..store import compact_store, read_store
+from ..store import compact_epochs, compact_store, read_store
 
 DIST_SCHEMA = "s DOUBLE, c BIGINT"
 
@@ -101,6 +101,21 @@ class ScoreDistPipeline:
             self.compact(batch_df.sparkSession)
 
     # -- maintenance ------------------------------------------------------
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail compaction (store.compact_epochs): fold only the delta
+        tail, base byte-untouched — O(tail) maintenance; the fold is
+        associative, so reads are unchanged (the compact_epochs
+        contract; family-pinned in tests/test_tail_compaction.py)."""
+        return compact_epochs(
+            spark,
+            self.dist_dir,
+            spark.createDataFrame([], DIST_SCHEMA),
+            fold=lambda df: df.groupBy("s").agg(F.sum("c").alias("c")),
+            keep_recent=keep_recent,
+        )
+
     def compact(self, spark: SparkSession) -> int | None:
         return compact_store(
             spark,

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..functions.sampling import _uniform53
-from ..store import compact_store, read_store
+from ..store import compact_epochs, compact_store, read_store
 
 
 def _sample_schema(
@@ -183,6 +183,21 @@ class PrioritySamplePipeline:
         )
 
     # -- maintenance ----------------------------------------------------------
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail compaction (store.compact_epochs): fold only the delta
+        tail, base byte-untouched — O(tail) maintenance; the fold is
+        associative, so reads are unchanged (the compact_epochs
+        contract; family-pinned in tests/test_tail_compaction.py)."""
+        return compact_epochs(
+            spark,
+            self.res_dir,
+            spark.createDataFrame([], self.schema),
+            fold=self._fold,
+            keep_recent=keep_recent,
+        )
+
     def compact(self, spark: SparkSession) -> int | None:
         """Fold base + deltas with the reader's own fold — invisible
         by construction; the compacted base is k+1 rows per group."""

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..store import compact_store, read_store
+from ..store import compact_epochs, compact_store, read_store
 
 _SCHEMA = (
     "epoch BIGINT, field STRING, n_present BIGINT, n_rows BIGINT,"
@@ -244,6 +244,21 @@ class SchemaDriftPipeline:
         return undeclared.unionByName(vanishing).unionByName(coercion)
 
     # -- maintenance ------------------------------------------------------
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail compaction (store.compact_epochs): fold only the delta
+        tail, base byte-untouched — O(tail) maintenance; the fold is
+        associative, so reads are unchanged (the compact_epochs
+        contract; family-pinned in tests/test_tail_compaction.py)."""
+        return compact_epochs(
+            spark,
+            self.fields_dir,
+            spark.createDataFrame([], _SCHEMA),
+            fold=lambda df: df.distinct(),
+            keep_recent=keep_recent,
+        )
+
     def compact(self, spark: SparkSession) -> int | None:
         return compact_store(
             spark,

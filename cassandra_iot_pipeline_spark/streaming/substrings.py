@@ -62,7 +62,7 @@ from ..functions.substrings import (
     _merge_spans,
     cut_spans,
 )
-from ..store import compact_store, store_parts
+from ..store import compact_epochs, compact_store, store_parts
 
 GRAM_COUNTS_SCHEMA = "g BIGINT, cnt BIGINT"
 #: the approx tier's store rows: Count-Min counters (fast xxhash64
@@ -301,6 +301,35 @@ class SubstringDedupPipeline:
             self.compact(spark)
 
     # -- maintenance ------------------------------------------------------
+    def compact_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> dict[str, int]:
+        """Tail compaction (store.compact_epochs): gram counts re-sum,
+        curated output plain-union — associative, reads unchanged,
+        base byte-untouched."""
+        if self.counts == "exact":
+            def fold_counts(df: DataFrame) -> DataFrame:
+                return df.groupBy("g").agg(F.sum("cnt").alias("cnt"))
+        else:
+            def fold_counts(df: DataFrame) -> DataFrame:
+                return df.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+
+        done: dict[str, int] = {}
+        for which, path, fold, schema in (
+            ("grams", self.grams_dir, fold_counts, self._grams_schema),
+            ("curated", self.curated_dir, None, CURATED_SCHEMA),
+        ):
+            m = compact_epochs(
+                spark,
+                path,
+                spark.createDataFrame([], schema),
+                fold=fold,
+                keep_recent=keep_recent,
+            )
+            if m is not None:
+                done[which] = m
+        return done
+
     def compact(self, spark: SparkSession) -> dict[str, int]:
         """Fold the gram counts (sum-merge — associative, so future
         markings are unchanged) and the curated output (plain union)

@@ -303,3 +303,92 @@ def test_store_stats_doctor(spark, tmp_path):
     assert st["stray"] == ["garbage"]
     assert st["swap_leftovers"] == [".epoch=9.old"]
     assert "recover first" in st["recommendation"]
+
+
+def test_every_associative_family_compact_tails(spark, tmp_path):
+    """r9 verdict #7: every associative-fold store family exposes a
+    working compact_tail. Exercise the r10-wired ones end-to-end:
+    write epochs, tail-fold, assert the read is unchanged and the
+    epoch tail shrank. (funnel/cohorts/topk/quantiles/attribution/
+    cardinality were wired in r9 and are pinned above; SCD2 is the
+    documented exclusion — its write path reads strictly-older epoch
+    dirs by number.)"""
+    from cassandra_iot_pipeline_spark.streaming.baselines import (
+        BaselinePipeline,
+    )
+    from cassandra_iot_pipeline_spark.streaming.ohlc import OhlcPipeline
+    from cassandra_iot_pipeline_spark.streaming.quality import (
+        ScoreDistPipeline,
+    )
+    from cassandra_iot_pipeline_spark.streaming.sample import (
+        PrioritySamplePipeline,
+    )
+
+    def ev(i, h, v):
+        return (i, dt.datetime(2024, 1, 1, h, i % 60), 1 + i % 3, float(v))
+
+    sch = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    batches = [
+        [ev(1, 9, 5), ev(2, 9, 7), ev(3, 10, 1)],
+        [ev(4, 9, 6), ev(5, 11, 2)],
+        [ev(6, 10, 9), ev(7, 11, 3), ev(8, 9, 4)],
+    ]
+    bl = BaselinePipeline(str(tmp_path / "bl"))
+    oh = OhlcPipeline(str(tmp_path / "oh"))
+    sa = PrioritySamplePipeline(str(tmp_path / "sa"), k=3)
+    qd = ScoreDistPipeline(str(tmp_path / "qd"), score_col="value")
+    for i, rows in enumerate(batches):
+        frame = spark.createDataFrame(rows, sch)
+        for pipe in (bl, oh, sa, qd):
+            pipe.write_batch(frame, epoch_id=i)
+
+    reads = {
+        "bl": lambda: sorted(map(tuple, bl.baselines(spark).collect())),
+        "oh": lambda: sorted(map(tuple, oh.bars(spark).collect())),
+        "sa": lambda: sorted(map(tuple, sa.sample(spark).collect())),
+        "qd": lambda: sorted(
+            map(tuple, qd.threshold(spark, 0.5).collect())
+        ),
+    }
+    before = {name: read() for name, read in reads.items()}
+    for pipe, d in ((bl, bl.counts_dir), (oh, oh.bars_dir),
+                    (sa, sa.res_dir), (qd, qd.dist_dir)):
+        assert pipe.compact_tail(spark) == 2
+        _, _, epochs = store_parts(spark, d)
+        assert [e for e, _ in epochs] == [2]
+    assert {name: read() for name, read in reads.items()} == before
+
+
+def test_substring_and_postings_stores_compact_tail(spark, tmp_path):
+    """The multi-store families: substring gram counts (sum fold) and
+    the BM25 postings store (distinct fold, grp-partitioned base) —
+    tail folds leave marks/scores unchanged."""
+    from cassandra_iot_pipeline_spark.functions.retrieval import (
+        PostingsStore,
+    )
+    from cassandra_iot_pipeline_spark.streaming.substrings import (
+        SubstringDedupPipeline,
+    )
+
+    docs = [
+        [(1, "the quick brown fox jumps over the lazy dog today ok")],
+        [(2, "the quick brown fox jumps over the lazy dog today no")],
+        [(3, "an entirely different document with fresh words here")],
+    ]
+    sub = SubstringDedupPipeline(str(tmp_path / "sub"), k=8)
+    ps = PostingsStore(str(tmp_path / "ps"))
+    for i, rows in enumerate(docs):
+        frame = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        sub.write_batch(frame, epoch_id=i)
+        ps.write_batch(frame, epoch_id=i)
+
+    sub_before = sorted(map(tuple, sub.curated(spark).collect()))
+    ps_before = sorted(
+        map(tuple, ps.bm25_topk(spark, "quick brown fox", k=2).collect())
+    )
+    assert sub.compact_tail(spark)["grams"] == 2
+    assert ps.compact_tail(spark) == 2
+    assert sorted(map(tuple, sub.curated(spark).collect())) == sub_before
+    assert sorted(
+        map(tuple, ps.bm25_topk(spark, "quick brown fox", k=2).collect())
+    ) == ps_before
