@@ -1183,6 +1183,36 @@ def main() -> None:
             ),
             results,
         )
+        # a PATHOLOGICAL bot key (1-in-2 of the corpus on one key —
+        # one task sorts ~10M step events): the regime the cap is FOR
+        skewed50 = events.withColumn(
+            "user_id",
+            F.when(
+                F.pmod(
+                    F.xxhash64(F.lit("skew"), F.col("event_id")), F.lit(2)
+                )
+                == 0,
+                F.lit(0),
+            ).otherwise(F.col("user_id")),
+        )
+        timed(
+            "funnel_4step_skewed_hotkey_50pct",
+            funnel(
+                skewed50,
+                ["signup", "view", "click", "purchase"],
+                horizon_seconds=7 * 86_400,
+            ),
+            results,
+        )
+        timed(
+            "funnel_4step_skewed50_capped_10k",
+            funnel(
+                cap_events_per_key(skewed50, 10_000, salt_partitions=32),
+                ["signup", "view", "click", "purchase"],
+                horizon_seconds=7 * 86_400,
+            ),
+            results,
+        )
         timed("event_transitions", event_transitions(events), results)
         from cassandra_iot_pipeline_spark.operators.cohorts import (
             growth_accounting,
