@@ -98,7 +98,14 @@ class AttributionPipeline:
         tie_col: str = "event_id",
         compact_every: int | None = None,
         updates_schema: str | StructType | None = None,
+        finalize_every: int | None = None,
+        finalize_lateness_seconds: int | None = None,
     ) -> None:
+        if (finalize_every is None) != (finalize_lateness_seconds is None):
+            raise ValueError(
+                "finalize_every and finalize_lateness_seconds come "
+                "together: the cadence needs the declared lateness"
+            )
         self.base_dir = base_dir
         self.conversion_type = conversion_type
         self.touch_types = list(touch_types)
@@ -108,6 +115,8 @@ class AttributionPipeline:
         self.type_col = type_col
         self.tie_col = tie_col
         self.compact_every = compact_every
+        self.finalize_every = finalize_every
+        self.finalize_lateness_seconds = finalize_lateness_seconds
         self.pts_dir = f"{base_dir}/pts"
         self.fin_dir = f"{base_dir}/fin"
         self.q_dir = f"{base_dir}/quarantine"
@@ -329,6 +338,13 @@ class AttributionPipeline:
             and (epoch_id + 1) % self.compact_every == 0
         ):
             self.compact(batch_df.sparkSession)
+        if (
+            self.finalize_every is not None
+            and (epoch_id + 1) % self.finalize_every == 0
+        ):
+            self.finalize(
+                batch_df.sparkSession, self.finalize_lateness_seconds
+            )
 
     # -- maintenance ------------------------------------------------------
     def compact_tail(
@@ -372,6 +388,8 @@ def streaming_attribution(
     max_files_per_trigger: int = 1,
     trigger: dict | None = None,
     compact_every: int | None = None,
+    finalize_every: int | None = None,
+    finalize_lateness_seconds: int | None = None,
 ):
     """Wire a staged event-log directory through the attribution
     maintainer (file order = ingest order, the streaming/dedup.py
@@ -384,6 +402,8 @@ def streaming_attribution(
         lookback_seconds,
         compact_every=compact_every,
         updates_schema=events_schema,
+        finalize_every=finalize_every,
+        finalize_lateness_seconds=finalize_lateness_seconds,
     )
     reader = (
         spark.readStream.schema(events_schema)

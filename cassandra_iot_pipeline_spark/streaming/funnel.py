@@ -101,7 +101,14 @@ class FunnelPipeline:
         horizon_seconds: int | None = None,
         compact_every: int | None = None,
         updates_schema: str | StructType | None = None,
+        finalize_every: int | None = None,
+        finalize_lateness_seconds: int | None = None,
     ) -> None:
+        if (finalize_every is None) != (finalize_lateness_seconds is None):
+            raise ValueError(
+                "finalize_every and finalize_lateness_seconds come "
+                "together: the cadence needs the declared lateness"
+            )
         self.base_dir = base_dir
         self.steps = list(steps)
         self.key = key
@@ -109,6 +116,8 @@ class FunnelPipeline:
         self.type_col = type_col
         self.horizon_seconds = horizon_seconds
         self.compact_every = compact_every
+        self.finalize_every = finalize_every
+        self.finalize_lateness_seconds = finalize_lateness_seconds
         self.pts_dir = f"{base_dir}/pts"
         self.fin_dir = f"{base_dir}/fin"
         self.q_dir = f"{base_dir}/quarantine"
@@ -269,6 +278,13 @@ class FunnelPipeline:
             and (epoch_id + 1) % self.compact_every == 0
         ):
             self.compact(batch_df.sparkSession)
+        if (
+            self.finalize_every is not None
+            and (epoch_id + 1) % self.finalize_every == 0
+        ):
+            self.finalize(
+                batch_df.sparkSession, self.finalize_lateness_seconds
+            )
 
     # -- maintenance ------------------------------------------------------
     def compact_tail(
@@ -316,6 +332,8 @@ def streaming_funnel(
     max_files_per_trigger: int = 1,
     trigger: dict | None = None,
     compact_every: int | None = None,
+    finalize_every: int | None = None,
+    finalize_lateness_seconds: int | None = None,
 ):
     """Wire a staged event-log directory through the funnel maintainer
     (file order = ingest order, the streaming/dedup.py convention).
@@ -330,6 +348,8 @@ def streaming_funnel(
         horizon_seconds=horizon_seconds,
         compact_every=compact_every,
         updates_schema=events_schema,
+        finalize_every=finalize_every,
+        finalize_lateness_seconds=finalize_lateness_seconds,
     )
     stream = (
         spark.readStream.schema(events_schema)

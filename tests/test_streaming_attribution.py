@@ -298,3 +298,64 @@ def test_attribution_finalize_noop_paths(spark, tmp_path):
         600,
     )
     assert _nsreport(pipe.report(spark)) == _nsreport(want)
+
+
+def test_streaming_wrapper_with_finalize_cadence(spark, tmp_path):
+    """finalize_every through the real foreachBatch wiring: closed
+    conversions fold mid-stream and the drained report equals the
+    batch recompute; the mismatched-params guard raises."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from cassandra_iot_pipeline_spark.streaming.attribution import (
+        streaming_attribution,
+    )
+
+    with pytest.raises(ValueError, match="finalize_every"):
+        AttributionPipeline(str(tmp_path / "x"), finalize_every=2)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = []
+    for d in range(4):
+        rows = [
+            (10 * d, _day(d, 0), 100 + d, "view"),
+            (10 * d + 1, _day(d, 3), 100 + d, "click"),
+            (10 * d + 2, _day(d, 5), 100 + d, "purchase"),
+        ]
+        batches.append(rows)
+    for i, rows in enumerate(batches):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        path = str(src / f"b{i}.parquet")
+        pq.write_table(table, path)
+        os.utime(path, (1_700_000_000 + 10 * i,) * 2)
+    q = streaming_attribution(
+        spark,
+        str(src),
+        SCHEMA,
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        "purchase",
+        ("view", "click"),
+        600,
+        finalize_every=2,
+        finalize_lateness_seconds=86_400,
+    )
+    q.awaitTermination()
+    pipe = AttributionPipeline(
+        str(tmp_path / "store"), "purchase", ("view", "click"), 600
+    )
+    assert pipe.fin_watermark(spark) is not None
+    seen = [r for b in batches for r in b]
+    want = attribution(_frame(spark, seen), "purchase", ("view", "click"), 600)
+    assert _nsreport(pipe.report(spark)) == _nsreport(want)

@@ -271,3 +271,53 @@ def test_finalize_guards_and_noop_paths(spark, tmp_path):
         horizon_seconds=HOUR,
     )
     assert _fx(pipe.funnel(spark)) == _fx(want)
+
+
+def test_streaming_wrapper_with_finalize_cadence(spark, tmp_path):
+    """finalize_every wires the declared-horizon tier through the real
+    foreachBatch path (the compact_every pattern): after the drain,
+    closed users sit in fin/ and the report still equals the batch
+    recompute. The mismatched-params guard raises."""
+    with pytest.raises(ValueError, match="finalize_every"):
+        FunnelPipeline(str(tmp_path / "x"), STEPS, finalize_every=2)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = []
+    for d in range(4):
+        rows = []
+        for u in range(10 * d, 10 * d + 3):
+            base = d * 1440
+            rows.append((u, _t(base), "a"))
+            rows.append((u, _t(base + 10), "b"))
+        batches.append(rows)
+    for i, rows in enumerate(batches):
+        table = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        path = str(src / f"b{i}.parquet")
+        pq.write_table(table, path)
+        os.utime(path, (1_700_000_000 + 10 * i,) * 2)
+    q = streaming_funnel(
+        spark,
+        str(src),
+        SCHEMA,
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        STEPS,
+        horizon_seconds=HOUR,
+        finalize_every=2,
+        finalize_lateness_seconds=86_400,
+    )
+    q.awaitTermination()
+    pipe = FunnelPipeline(
+        str(tmp_path / "store"), STEPS, horizon_seconds=HOUR
+    )
+    assert pipe.fin_watermark(spark) is not None  # the cadence fired
+    seen = [r for b in batches for r in b]
+    want = funnel(_frame(spark, seen), STEPS, horizon_seconds=HOUR)
+    assert _fx(pipe.funnel(spark)) == _fx(want)

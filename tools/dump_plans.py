@@ -306,6 +306,24 @@ def _extras(spark, sf_dir):
             "channels bounded.",
             _attribution(spark, sf_dir),
         ),
+        "asof_attribution": (
+            "Pair-free FULL attribution (r10): NO join anywhere — one "
+            "user-keyed sort carries the per-channel running counts, "
+            "the forward last-touch fill, and the REVERSED-order "
+            "running fill standing in for first-touch (an unbounded-"
+            "FOLLOWING frame would re-scan to partition end per row); "
+            "then one conv-keyed aggregation over two marker rows per "
+            "conversion and a channel-bounded explode.",
+            _asof_attribution(spark, sf_dir),
+        ),
+        "cap_events_per_key": (
+            "Hot-key curation cap (r10): the salted two-stage "
+            "keep-earliest-N — stage one partitions (key, type, "
+            "hash-of-tie salt) so even a single bot key's sort splits "
+            "across tasks, stage two ranks the <= salt x N survivors "
+            "per group.",
+            _cap_events(spark, sf_dir),
+        ),
         "dedup_lines": (
             "Corpus-wide line dedup (r9): the line count is a "
             "map-side-combined hash aggregation (a boilerplate line "
@@ -416,6 +434,31 @@ def _attribution(spark, sf_dir):
         "purchase",
         ("view", "click", "signup"),
         86_400,
+    )
+
+
+def _asof_attribution(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        asof_attribution,
+    )
+
+    return asof_attribution(
+        load_table(spark, sf_dir, "events"),
+        "purchase",
+        ("view", "click", "signup"),
+        86_400,
+    )
+
+
+def _cap_events(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.functions.cleaning import (
+        cap_events_per_key,
+    )
+
+    return cap_events_per_key(
+        load_table(spark, sf_dir, "events"), 100, salt_partitions=8
     )
 
 
