@@ -1478,6 +1478,58 @@ def main() -> None:
                     file=sys.stderr, flush=True,
                 )
 
+    if "--ddsketch-collapse" in sys.argv:
+        # r10 (r9 verdict #5): the collapsing tier under an
+        # adversarial long-tail group. One poisoned group spans the
+        # FULL positive double range (~600 decades, 1e-300 .. 1e300 —
+        # a broken sensor emitting garbage bit patterns) — the plain
+        # sketch's range-ratio bound balloons to ~115 buckets/decade
+        # at alpha=1%; the collapse pins it at max_buckets with the
+        # alpha contract intact above the reported collapsed fraction.
+        from cassandra_iot_pipeline_spark.operators.quantiles import (
+            dd_quantiles,
+            dd_sketch,
+        )
+
+        poisoned = spark.range(0, n_events).select(
+            F.lit("sensor").alias("g"),
+            # log-uniform across 600 decades: 10^(-300 + 600 * u)
+            F.pow(
+                F.lit(10.0),
+                F.lit(-300.0)
+                + F.lit(600.0)
+                * (
+                    F.pmod(
+                        F.xxhash64(F.lit("v"), F.col("id")),
+                        F.lit(1_000_000),
+                    )
+                    / F.lit(1_000_000.0)
+                ),
+            ).alias("value"),
+        )
+        for mb, label in ((None, "plain"), (512, "collapse512")):
+            t0 = time.perf_counter()
+            n_buckets = dd_sketch(
+                poisoned, ["g"], "value", 0.01, max_buckets=mb
+            ).count()
+            results[f"ddsketch_{label}_buckets"] = n_buckets
+            results[f"ddsketch_{label}_sketch_sec"] = round(
+                time.perf_counter() - t0, 2
+            )
+            print(
+                f"[probe] ddsketch_{label}: {n_buckets} buckets, "
+                f"{results[f'ddsketch_{label}_sketch_sec']}s",
+                file=sys.stderr, flush=True,
+            )
+        timed(
+            "ddsketch_collapse512_read_p99",
+            dd_quantiles(
+                poisoned, ["g"], "value", (0.5, 0.99), 0.01,
+                max_buckets=512,
+            ),
+            results,
+        )
+
     if "--finalize-stream" in sys.argv:
         # r10 (r9 verdict #3 + #6): the lifetime-growing point stores'
         # declared-horizon tier. An ADVANCING stream (each epoch's
