@@ -295,6 +295,59 @@ def asof_attribution(
     (8.4 -> 13.3 s over the same sweep). Use the pair path only when
     pairs-per-conversion is known tiny; this form is the default
     recommendation for real streams."""
+    per_conv, exploded, touch_types = _asof_conversion_stats(
+        events,
+        conversion_type,
+        touch_types,
+        lookback_seconds,
+        key,
+        ts_col,
+        type_col,
+        tie_col,
+    )
+    attributed = exploded.groupBy(F.col("touch").alias("touch_type")).agg(
+        F.count(F.when(F.col("ft") == F.col("touch"), F.lit(1))).alias(
+            "first_touch"
+        ),
+        F.count(F.when(F.col("lt") == F.col("touch"), F.lit(1))).alias(
+            "last_touch"
+        ),
+        # the identical micro-credit expression as attribution() — the
+        # bit-equality contract hangs on this being the same one
+        # correctly-rounded double division
+        F.sum(
+            F.round(F.lit(1_000_000) * F.col("cnt") / F.col("n")).cast(
+                "long"
+            )
+        ).alias("linear_units"),
+    )
+    unattributed = _unattributed_row(per_conv)
+    return attributed.unionByName(unattributed).select(
+        "touch_type",
+        "first_touch",
+        "last_touch",
+        "linear_units",
+        (F.col("linear_units") / F.lit(1_000_000.0)).alias("linear_credit"),
+    )
+
+
+def _asof_conversion_stats(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    lookback_seconds: int,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    tie_col: str,
+):
+    """(per_conv, exploded, touch_types): the shared pair-free stage —
+    per conversion: n, first/last picks, per-channel in-window counts
+    (running-count differences at the window edges), plus the
+    channel-exploded (conv_id, n, ft, lt, touch, cnt > 0) rows. One
+    user-keyed sort; see :func:`asof_attribution` for the plan
+    argument. Consumed by asof_attribution (linear) and
+    position_attribution (U-shaped)."""
     touch_types = list(touch_types)
     if not touch_types:
         raise ValueError("attribution needs at least one touch type")
@@ -458,23 +511,11 @@ def asof_attribution(
         )
         .filter(F.col("cnt") > 0)
     )
-    attributed = exploded.groupBy(F.col("touch").alias("touch_type")).agg(
-        F.count(F.when(F.col("ft") == F.col("touch"), F.lit(1))).alias(
-            "first_touch"
-        ),
-        F.count(F.when(F.col("lt") == F.col("touch"), F.lit(1))).alias(
-            "last_touch"
-        ),
-        # the identical micro-credit expression as attribution() — the
-        # bit-equality contract hangs on this being the same one
-        # correctly-rounded double division
-        F.sum(
-            F.round(F.lit(1_000_000) * F.col("cnt") / F.col("n")).cast(
-                "long"
-            )
-        ).alias("linear_units"),
-    )
-    unattributed = (
+    return per_conv, exploded, touch_types
+
+
+def _unattributed_row(per_conv: DataFrame) -> DataFrame:
+    return (
         per_conv.filter(F.col("n") == 0)
         .agg(F.count(F.lit(1)).alias("n_un"))
         .select(
@@ -485,13 +526,195 @@ def asof_attribution(
         )
         .filter(F.col("first_touch") > 0)
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    lookback_seconds: int = 7 * 86_400,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+    w_first: float = 0.4,
+    w_last: float = 0.4,
+) -> DataFrame:
+    """(touch_type, first_touch, last_touch, position_units,
+    position_credit): U-shaped / position-based attribution — the
+    fourth standard model beside first/last/linear, pair-free on the
+    same one-sort machinery as :func:`asof_attribution`.
+
+    Credit per conversion with n in-window touch EVENTS (first/last =
+    the same composite (ts, tie)-ordered picks as every other model
+    here):
+
+    - n = 1: the single event's channel gets 1.0 (not w_first +
+      w_last — the standard single-touch rule);
+    - n = 2: 0.5 to the first event's channel, 0.5 to the last's;
+    - n >= 3: ``w_first`` to the first event, ``w_last`` to the last,
+      and the remaining ``1 - w_first - w_last`` split evenly across
+      the n - 2 middle events (a channel's middle count is its
+      in-window count minus its first/last memberships).
+
+    Exactness: per (conversion, channel) the credit is ONE
+    deterministic double expression rounded once to integer
+    MICRO-units (the module's exactmath rule, mirrored verbatim in
+    :func:`position_attribution_oracle`); sums are exact BIGINTs and
+    each attributed conversion's units total 1e6 ± one unit per
+    channel. Unattributed conversions are the NULL row."""
+    if not 0 <= w_first + w_last <= 1:
+        raise ValueError(
+            f"w_first + w_last must be in [0, 1], got {w_first + w_last}"
+        )
+    per_conv, exploded, touch_types = _asof_conversion_stats(
+        events,
+        conversion_type,
+        touch_types,
+        lookback_seconds,
+        key,
+        ts_col,
+        type_col,
+        tie_col,
+    )
+    is_f = (F.col("ft") == F.col("touch")).cast("int")
+    is_l = (F.col("lt") == F.col("touch")).cast("int")
+    w_mid = 1.0 - w_first - w_last
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(
+            F.col("n") == 2,
+            F.lit(0.5) * is_f + F.lit(0.5) * is_l,
+        )
+        .otherwise(
+            F.lit(w_first) * is_f
+            + F.lit(w_last) * is_l
+            + F.lit(w_mid)
+            * (F.col("cnt") - is_f - is_l)
+            / (F.col("n") - 2)
+        )
+    )
+    attributed = exploded.groupBy(F.col("touch").alias("touch_type")).agg(
+        F.count(F.when(F.col("ft") == F.col("touch"), F.lit(1))).alias(
+            "first_touch"
+        ),
+        F.count(F.when(F.col("lt") == F.col("touch"), F.lit(1))).alias(
+            "last_touch"
+        ),
+        F.sum(
+            F.round(F.lit(1_000_000) * credit).cast("long")
+        ).alias("position_units"),
+    )
+    unattributed = _unattributed_row(per_conv).withColumnRenamed(
+        "linear_units", "position_units"
+    )
     return attributed.unionByName(unattributed).select(
         "touch_type",
         "first_touch",
         "last_touch",
-        "linear_units",
-        (F.col("linear_units") / F.lit(1_000_000.0)).alias("linear_credit"),
+        "position_units",
+        (F.col("position_units") / F.lit(1_000_000.0)).alias(
+            "position_credit"
+        ),
     )
+
+
+def position_attribution_oracle(
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    lookback_seconds: int = 7 * 86_400,
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+    w_first: float = 0.4,
+    w_last: float = 0.4,
+) -> str:
+    """DuckDB twin of :func:`position_attribution` — the PAIR path
+    (conversions x touches range join), entirely independent of the
+    as-of machinery, with the identical single-rounding micro-unit
+    expression."""
+    touch_list = ", ".join(f"'{t}'" for t in touch_types)
+    lb_us = lookback_seconds * 1_000_000
+    w_mid = 1.0 - w_first - w_last
+    return f"""
+        WITH convs AS (
+            SELECT {key} AS k, epoch_us({ts_col}) AS cts,
+                   {tie_col} AS conv_id
+            FROM {table} WHERE {type_col} = '{conversion_type}'
+        ),
+        touches AS (
+            SELECT {key} AS k, epoch_us({ts_col}) AS tts,
+                   {type_col} AS touch, {tie_col} AS touch_id
+            FROM {table} WHERE {type_col} IN ({touch_list})
+        ),
+        pairs AS (
+            SELECT c.conv_id, t.touch,
+                   CAST(t.tts AS HUGEINT) * {_KEY_BASE} + t.touch_id
+                       AS ordkey
+            FROM convs c JOIN touches t
+              ON c.k = t.k
+             AND t.tts < c.cts AND t.tts >= c.cts - {lb_us}
+        ),
+        per_conv AS (
+            SELECT conv_id, COUNT(*) AS n,
+                   arg_min(touch, ordkey) AS ft,
+                   arg_max(touch, ordkey) AS lt
+            FROM pairs GROUP BY conv_id
+        ),
+        per_conv_type AS (
+            SELECT p.conv_id, p.touch, COUNT(*) AS cnt,
+                   ANY_VALUE(c.n) AS n, ANY_VALUE(c.ft) AS ft,
+                   ANY_VALUE(c.lt) AS lt
+            FROM pairs p JOIN per_conv c USING (conv_id)
+            GROUP BY p.conv_id, p.touch
+        ),
+        credited AS (
+            SELECT conv_id, touch, ft, lt,
+                   -- every literal CAST to DOUBLE: DuckDB parses a
+                   -- bare 0.4 as DECIMAL, whose exact arithmetic
+                   -- would diverge from Spark's IEEE doubles at the
+                   -- micro-unit rounding boundary
+                   CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                        WHEN n = 2 THEN
+                            CAST(0.5 AS DOUBLE)
+                              * (CASE WHEN ft = touch THEN 1 ELSE 0 END)
+                          + CAST(0.5 AS DOUBLE)
+                              * (CASE WHEN lt = touch THEN 1 ELSE 0 END)
+                        ELSE
+                            CAST({w_first!r} AS DOUBLE)
+                              * (CASE WHEN ft = touch THEN 1 ELSE 0 END)
+                          + CAST({w_last!r} AS DOUBLE)
+                              * (CASE WHEN lt = touch THEN 1 ELSE 0 END)
+                          + CAST({w_mid!r} AS DOUBLE) * (cnt
+                                - (CASE WHEN ft = touch THEN 1 ELSE 0 END)
+                                - (CASE WHEN lt = touch THEN 1 ELSE 0 END))
+                            / CAST(n - 2 AS DOUBLE)
+                   END AS credit
+            FROM per_conv_type
+        ),
+        attributed AS (
+            SELECT touch AS touch_type,
+                   COUNT(CASE WHEN ft = touch THEN 1 END) AS first_touch,
+                   COUNT(CASE WHEN lt = touch THEN 1 END) AS last_touch,
+                   CAST(SUM(CAST(ROUND(1000000 * credit) AS BIGINT))
+                        AS BIGINT) AS position_units
+            FROM credited GROUP BY touch
+        ),
+        unattributed AS (
+            SELECT CAST(NULL AS VARCHAR) AS touch_type,
+                   COUNT(*) AS first_touch, COUNT(*) AS last_touch,
+                   CAST(0 AS BIGINT) AS position_units
+            FROM convs
+            WHERE conv_id NOT IN (SELECT conv_id FROM pairs)
+            HAVING COUNT(*) > 0
+        )
+        SELECT touch_type, first_touch, last_touch, position_units,
+               position_units / 1000000.0 AS position_credit
+        FROM (SELECT * FROM attributed
+              UNION ALL SELECT * FROM unattributed)
+    """
 
 
 def first_last_attribution(

@@ -271,3 +271,112 @@ def test_first_last_fast_path_is_pair_free(spark):
     assert plan.count("Window") >= 2
     # no Generate/explode (the full operator's two-bucket probe)
     assert "Generate" not in plan
+
+
+# --- position-based (U-shaped) attribution ------------------------------------
+
+
+def test_position_attribution_hand_computed(spark):
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        position_attribution,
+    )
+
+    got = {
+        r["touch_type"]: (
+            r["first_touch"],
+            r["last_touch"],
+            r["position_units"],
+        )
+        for r in position_attribution(
+            _frame(spark), "purchase", ("view", "click"), 600
+        ).collect()
+    }
+    # user 1: n=3 (view, click, view; first=view, last=view) ->
+    #   view 0.4+0.4+0.2*(2-2)/1 = 0.8, click 0.2*1/1 = 0.2
+    # user 2: unattributed; user 3: single view -> 1.0
+    assert got == {
+        "view": (2, 2, 800_000 + 1_000_000),
+        "click": (0, 0, 200_000),
+        None: (1, 1, 0),
+    }
+
+
+def test_position_attribution_two_touch_and_conservation(spark):
+    """n=2 splits 50/50 (1.0 when both events share a channel); every
+    attributed conversion's units total 1e6 ± one per channel."""
+    import datetime as dt
+
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        position_attribution,
+    )
+
+    rows = [
+        # user 5: exactly two touches, different channels
+        (20, _t(1), 5, "view"),
+        (21, _t(2), 5, "click"),
+        (22, _t(5), 5, "purchase"),
+        # user 6: exactly two touches, SAME channel
+        (23, _t(1), 6, "click"),
+        (24, _t(2), 6, "click"),
+        (25, _t(5), 6, "purchase"),
+    ]
+    got = {
+        r["touch_type"]: r["position_units"]
+        for r in position_attribution(
+            spark.createDataFrame(rows, SCHEMA), "purchase", ("view", "click"), 600
+        ).collect()
+    }
+    assert got == {"view": 500_000, "click": 500_000 + 1_000_000}
+
+    rows_all = ROWS + rows
+    out = position_attribution(
+        spark.createDataFrame(rows_all, SCHEMA), "purchase", ("view", "click"), 600
+    ).collect()
+    total = sum(r["position_units"] for r in out)
+    n_attributed = 4  # users 1, 3, 5, 6
+    assert abs(total - n_attributed * 1_000_000) <= 2 * 4
+
+
+def test_position_attribution_fixture_duckdb_parity(spark, duck):
+    """The pair-path DuckDB twin (fully independent of the as-of
+    machinery) matches bitwise on the fixture at two lookbacks and a
+    non-default weight split."""
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        position_attribution,
+        position_attribution_oracle,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    for lookback, wf, wl in ((86_400, 0.4, 0.4), (7 * 86_400, 0.3, 0.5)):
+        got = position_attribution(
+            events, "purchase", ("view", "click", "signup"), lookback,
+            w_first=wf, w_last=wl,
+        ).toPandas()
+        want = duck.sql(
+            position_attribution_oracle(
+                "purchase", ("view", "click", "signup"), lookback,
+                w_first=wf, w_last=wl,
+            )
+        ).df()
+        assert compare(got, want) == [], (lookback, wf, wl)
+        assert len(got) >= 3
+
+    with pytest.raises(ValueError, match="w_first"):
+        position_attribution(
+            _frame(spark), "purchase", ("view", "click"), 600,
+            w_first=0.7, w_last=0.7,
+        )
+
+
+def test_asof_refactor_keeps_linear_bit_equality(spark):
+    """The r10 _asof_conversion_stats extraction must not move
+    asof_attribution by a bit (quick re-pin on the hand fixture)."""
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        asof_attribution,
+    )
+
+    want = _rows(attribution(_frame(spark), "purchase", ("view", "click"), 600))
+    got = _rows(
+        asof_attribution(_frame(spark), "purchase", ("view", "click"), 600)
+    )
+    assert got == want
