@@ -314,6 +314,149 @@ def funnel_oracle(
     """
 
 
+def funnel_trend(
+    events: DataFrame,
+    steps: list[str],
+    period_seconds: int = 86_400,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_seconds: int | None = None,
+) -> DataFrame:
+    """(period_start, step_idx, step, n_users, conversion): the funnel
+    TRENDED by the chain's anchor period — for each period (floor of
+    the user's step-0 time to ``period_seconds``, the exactmath
+    integer-floor alignment), how many users who anchored in it
+    reached each step, and the per-period conversion fraction. The
+    standard "is this week's funnel worse than last week's" view;
+    each user counts in exactly ONE period (their greedy anchor's),
+    so columns sum to the plain :func:`funnel` counts.
+
+    Plan: the same ONE user-keyed exchange as :func:`funnel`
+    (:func:`user_hits`), then a (period x step)-bounded aggregation;
+    the period/step grid is observed-anchor-periods x steps
+    (zero-filled — a period with anchors but no step-i completers
+    still shows its zero), broadcast on the step side. Exact BIGINT
+    counts; the conversion fraction is one IEEE division."""
+    _validate_steps(steps)
+    p_us = period_seconds * 1_000_000
+    pts = step_points(events, steps, key, ts_col, type_col)
+    hits = user_hits(pts, steps, horizon_seconds)
+    t0 = F.element_at("hits", 1)
+    anchored = hits.filter(t0.isNotNull()).select(
+        (t0 - F.pmod(t0, F.lit(p_us))).alias("pstart"),
+        "hits",
+    )
+    reached = (
+        anchored.select("pstart", F.posexplode("hits").alias("step_idx", "us"))
+        .filter(F.col("us").isNotNull())
+        .groupBy("pstart", "step_idx")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    spark = events.sparkSession
+    step_frame = spark.createDataFrame(
+        [(i, name) for i, name in enumerate(steps)],
+        "step_idx INT, step STRING",
+    )
+    grid = (
+        anchored.select("pstart")
+        .distinct()
+        .crossJoin(F.broadcast(step_frame))
+    )
+    joined = grid.join(reached, ["pstart", "step_idx"], "left").select(
+        "pstart",
+        "step_idx",
+        "step",
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
+    )
+    w_p = Window.partitionBy("pstart")
+    n0 = F.max(F.when(F.col("step_idx") == 0, F.col("n_users"))).over(w_p)
+    return joined.select(
+        F.timestamp_micros(F.col("pstart")).alias("period_start"),
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(
+            n0 > 0, F.col("n_users").cast("double") / n0
+        ).alias("conversion"),
+    )
+
+
+def funnel_trend_oracle(
+    steps: list[str],
+    period_seconds: int = 86_400,
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_seconds: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`funnel_trend` — the :func:`funnel_oracle`
+    CTE ladder grouped by the anchor's floored period (BIGINT ``%``
+    mirrors pmod on the non-negative fixture epochs)."""
+    k = len(steps)
+    p_us = period_seconds * 1_000_000
+    horizon_us = (
+        None if horizon_seconds is None else horizon_seconds * 1_000_000
+    )
+    ctes = [
+        f"""t0 AS (
+            SELECT {key} AS k, MIN(epoch_us({ts_col})) AS t,
+                   MIN(epoch_us({ts_col})) AS first_t
+            FROM {table} WHERE {type_col} = '{steps[0]}' GROUP BY 1
+        )"""
+    ]
+    for i in range(1, k):
+        horizon = (
+            ""
+            if horizon_us is None
+            else f" AND epoch_us(e.{ts_col}) <= p.first_t + {horizon_us}"
+        )
+        ctes.append(
+            f"""t{i} AS (
+                SELECT e.{key} AS k, MIN(epoch_us(e.{ts_col})) AS t,
+                       p.first_t AS first_t
+                FROM {table} e JOIN t{i - 1} p ON e.{key} = p.k
+                WHERE e.{type_col} = '{steps[i]}'
+                  AND epoch_us(e.{ts_col}) > p.t{horizon}
+                GROUP BY 1, 3
+            )"""
+        )
+    step_values = ", ".join(
+        f"({i}, '{name}')" for i, name in enumerate(steps)
+    )
+    count_selects = "\n UNION ALL ".join(
+        f"SELECT first_t - (first_t % {p_us}) AS pstart,"
+        f" {i} AS step_idx, COUNT(*) AS n_users FROM t{i} GROUP BY 1"
+        for i in range(k)
+    )
+    return f"""
+        WITH {",".join(ctes)},
+        counts AS ({count_selects}),
+        steps(step_idx, step) AS (VALUES {step_values}),
+        grid AS (
+            SELECT DISTINCT first_t - (first_t % {p_us}) AS pstart
+            FROM t0
+        ),
+        joined AS (
+            SELECT g.pstart, s.step_idx, s.step,
+                   COALESCE(c.n_users, 0) AS n_users
+            FROM grid g CROSS JOIN steps s
+            LEFT JOIN counts c
+              ON c.pstart = g.pstart AND c.step_idx = s.step_idx
+        )
+        SELECT make_timestamp(pstart) AS period_start, step_idx, step,
+               n_users,
+               CASE WHEN MAX(CASE WHEN step_idx = 0 THEN n_users END)
+                         OVER (PARTITION BY pstart) > 0
+                    THEN CAST(n_users AS DOUBLE)
+                         / MAX(CASE WHEN step_idx = 0 THEN n_users END)
+                           OVER (PARTITION BY pstart)
+               END AS conversion
+        FROM joined
+    """
+
+
 def funnel_segmented(
     events: DataFrame,
     steps: list[str],

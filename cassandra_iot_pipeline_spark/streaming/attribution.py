@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..operators.attribution import asof_attribution
+from ..operators.attribution import asof_attribution, position_attribution
 from ..store import compact_store, read_store, store_parts
 
 
@@ -100,6 +100,7 @@ class AttributionPipeline:
         updates_schema: str | StructType | None = None,
         finalize_every: int | None = None,
         finalize_lateness_seconds: int | None = None,
+        position_weights: tuple[float, float] = (0.4, 0.4),
     ) -> None:
         if (finalize_every is None) != (finalize_lateness_seconds is None):
             raise ValueError(
@@ -117,13 +118,18 @@ class AttributionPipeline:
         self.compact_every = compact_every
         self.finalize_every = finalize_every
         self.finalize_lateness_seconds = finalize_lateness_seconds
+        self.position_weights = tuple(position_weights)
         self.pts_dir = f"{base_dir}/pts"
         self.fin_dir = f"{base_dir}/fin"
         self.q_dir = f"{base_dir}/quarantine"
         self.schema = _pts_schema(key, tie_col, updates_schema)
+        # fin rows carry BOTH additive credit models (linear and
+        # position/U-shaped with this pipeline's position_weights
+        # baked in — changing weights means rebuild_from_source)
         self.fin_schema = (
             "wm BIGINT, touch_type STRING, first_touch BIGINT,"
-            " last_touch BIGINT, linear_units BIGINT"
+            " last_touch BIGINT, linear_units BIGINT,"
+            " position_units BIGINT"
         )
 
     # -- reads ----------------------------------------------------------
@@ -142,16 +148,53 @@ class AttributionPipeline:
             F.col("tie").alias(self.tie_col),
         )
 
-    def _report_over(self, pts: DataFrame) -> DataFrame:
-        return asof_attribution(
-            self._events(pts),
-            self.conversion_type,
-            self.touch_types,
-            self.lookback_seconds,
-            self.key,
-            self.ts_col,
-            self.type_col,
-            self.tie_col,
+    def _report_over(self, pts: DataFrame, model: str = "linear") -> DataFrame:
+        if model == "linear":
+            return asof_attribution(
+                self._events(pts),
+                self.conversion_type,
+                self.touch_types,
+                self.lookback_seconds,
+                self.key,
+                self.ts_col,
+                self.type_col,
+                self.tie_col,
+            )
+        if model == "position":
+            return position_attribution(
+                self._events(pts),
+                self.conversion_type,
+                self.touch_types,
+                self.lookback_seconds,
+                self.key,
+                self.ts_col,
+                self.type_col,
+                self.tie_col,
+                w_first=self.position_weights[0],
+                w_last=self.position_weights[1],
+            )
+        raise ValueError(f"unknown attribution model {model!r}")
+
+    def _both_reports(self, pts: DataFrame) -> DataFrame:
+        """(touch_type, first_touch, last_touch, linear_units,
+        position_units): the two additive models' rows, null-safe
+        joined — identical row sets by construction (same exploded
+        channel base; same NULL-row rule)."""
+        lin = self._report_over(pts, "linear").select(
+            "touch_type", "first_touch", "last_touch", "linear_units"
+        )
+        pos = self._report_over(pts, "position").select(
+            F.col("touch_type").alias("p_tt"),
+            "position_units",
+        )
+        return lin.join(
+            pos, F.col("touch_type").eqNullSafe(F.col("p_tt")), "left"
+        ).select(
+            "touch_type",
+            "first_touch",
+            "last_touch",
+            "linear_units",
+            F.coalesce("position_units", F.lit(0)).alias("position_units"),
         )
 
     def _has_fin(self, spark: SparkSession) -> bool:
@@ -170,6 +213,7 @@ class AttributionPipeline:
             F.sum("first_touch").alias("first_touch"),
             F.sum("last_touch").alias("last_touch"),
             F.sum("linear_units").alias("linear_units"),
+            F.sum("position_units").alias("position_units"),
         )
 
     def fin_watermark(self, spark: SparkSession) -> int | None:
@@ -181,7 +225,9 @@ class AttributionPipeline:
         wm = self._fin(spark).agg(F.max("wm")).first()[0]
         return None if wm is None else int(wm)
 
-    def report(self, spark: SparkSession) -> DataFrame:
+    def report(
+        self, spark: SparkSession, model: str = "linear"
+    ) -> DataFrame:
         """The live attribution table — the pair-free batch operator
         (``asof_attribution``, bit-equal to the pair path, pinned in
         the batch tests) over the point store: the store accumulates a
@@ -194,22 +240,29 @@ class AttributionPipeline:
         live conversions are the ones ABOVE the watermark (reading the
         boundary from the fin store makes the fin-write the atomic
         commit point — a crash before the GC can never double-count),
-        and the finalized per-channel rows sum in."""
+        and the finalized per-channel rows sum in. ``model`` picks the
+        credit algebra: ``"linear"`` (the default; 1/n per touch) or
+        ``"position"`` (U-shaped, this pipeline's position_weights) —
+        both additive, both carried by the fin rows."""
+        units = f"{model}_units" if model in ("linear", "position") else None
+        if units is None:
+            raise ValueError(f"unknown attribution model {model!r}")
+        credit = f"{model}_credit"
         wm = self.fin_watermark(spark)
         pts = self.points(spark)
         if wm is None:
-            return self._report_over(pts)
+            return self._report_over(pts, model)
         lb_us = self.lookback_seconds * 1_000_000
         is_conv = F.col("t") == self.conversion_type
         live = pts.filter(
             (is_conv & (F.col("us") > wm))
             | (~is_conv & (F.col("us") > wm - lb_us))
         )
-        parts = self._report_over(live).select(
-            "touch_type", "first_touch", "last_touch", "linear_units"
+        parts = self._report_over(live, model).select(
+            "touch_type", "first_touch", "last_touch", units
         ).unionByName(
             self._fin(spark).select(
-                "touch_type", "first_touch", "last_touch", "linear_units"
+                "touch_type", "first_touch", "last_touch", units
             )
         )
         return (
@@ -217,16 +270,14 @@ class AttributionPipeline:
             .agg(
                 F.sum("first_touch").alias("first_touch"),
                 F.sum("last_touch").alias("last_touch"),
-                F.sum("linear_units").alias("linear_units"),
+                F.sum(units).alias(units),
             )
             .select(
                 "touch_type",
                 "first_touch",
                 "last_touch",
-                "linear_units",
-                (F.col("linear_units") / F.lit(1_000_000.0)).alias(
-                    "linear_credit"
-                ),
+                units,
+                (F.col(units) / F.lit(1_000_000.0)).alias(credit),
             )
         )
 
@@ -281,12 +332,13 @@ class AttributionPipeline:
         n = closable.filter(is_conv & (F.col("us") <= cutoff)).count()
         if n == 0:
             return {"finalized_conversions": 0, "watermark": prev}
-        inc = self._report_over(closable).select(
+        inc = self._both_reports(closable).select(
             F.lit(cutoff).cast("long").alias("wm"),
             "touch_type",
             "first_touch",
             "last_touch",
             "linear_units",
+            "position_units",
         )
         _, upto, epochs = store_parts(spark, self.fin_dir)
         nxt = max([upto] + [e for e, _ in epochs]) + 1

@@ -225,3 +225,77 @@ def test_segmented_funnel(spark, duck):
             funnel_segmented_oracle(steps, horizon_seconds=hz)
         ).df()
         assert compare(spark_pdf, oracle_pdf) == [], steps
+
+
+# --- funnel_trend -------------------------------------------------------------
+
+
+def test_funnel_trend_hand_computed(spark):
+    """Users anchor in different days; each counts in exactly ONE
+    period (their greedy anchor's) and per-period columns sum to the
+    plain funnel's counts."""
+    import datetime as dt
+
+    from cassandra_iot_pipeline_spark.operators.funnel import (
+        funnel,
+        funnel_trend,
+    )
+
+    def t(day, minute):
+        return dt.datetime(2024, 1, 1 + day, 0, minute)
+
+    rows = [
+        # day 0: user 1 completes a->b; user 2 only a
+        (1, t(0, 0), "a"), (1, t(0, 10), "b"),
+        (2, t(0, 5), "a"),
+        # day 1: user 3 completes a->b
+        (3, t(1, 0), "a"), (3, t(1, 10), "b"),
+        # user 4 anchors day 0 but completes b on day 1: counts in
+        # day 0's period for BOTH steps (the anchor owns the chain)
+        (4, t(0, 50), "a"), (4, t(1, 30), "b"),
+        # user 5: b only -> no anchor, no period
+        (5, t(0, 20), "b"),
+    ]
+    frame = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_type STRING"
+    )
+    got = {
+        (r["period_start"].day, r["step"]): (r["n_users"], r["conversion"])
+        for r in funnel_trend(frame, ["a", "b"], 86_400).collect()
+    }
+    assert got == {
+        (1, "a"): (3, 1.0),
+        (1, "b"): (2, 2 / 3),
+        (2, "a"): (1, 1.0),
+        (2, "b"): (1, 1.0),
+    }
+    plain = {
+        r["step"]: r["n_users"]
+        for r in funnel(frame, ["a", "b"]).collect()
+    }
+    for s in ("a", "b"):
+        assert plain[s] == sum(
+            v[0] for (d, st), v in got.items() if st == s
+        )
+
+
+def test_funnel_trend_fixture_duckdb_parity(spark, duck):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.funnel import (
+        funnel_trend,
+        funnel_trend_oracle,
+    )
+    from tests.conftest import SF_DIR
+    from tools.oracle_check import compare
+
+    events = load_table(spark, SF_DIR, "events")
+    steps = ["signup", "view", "click", "purchase"]
+    for period, horizon in ((86_400, None), (7 * 86_400, 3 * 86_400)):
+        got = funnel_trend(
+            events, steps, period, horizon_seconds=horizon
+        ).toPandas()
+        want = duck.sql(
+            funnel_trend_oracle(steps, period, horizon_seconds=horizon)
+        ).df()
+        assert compare(got, want) == [], (period, horizon)
+        assert len(got) >= 8  # several periods x 4 steps

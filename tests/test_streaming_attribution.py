@@ -359,3 +359,52 @@ def test_streaming_wrapper_with_finalize_cadence(spark, tmp_path):
     seen = [r for b in batches for r in b]
     want = attribution(_frame(spark, seen), "purchase", ("view", "click"), 600)
     assert _nsreport(pipe.report(spark)) == _nsreport(want)
+
+
+def test_attribution_finalize_position_model(spark, tmp_path):
+    """The fin rows carry BOTH additive models: the position (U-shaped)
+    report over a finalized store equals position_attribution's full
+    recompute bitwise, across a finalize and further epochs."""
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        position_attribution,
+    )
+
+    pipe = AttributionPipeline(
+        str(tmp_path / "s"), "purchase", ("view", "click"), 600
+    )
+
+    def cohort(d, uid, eid):
+        return [
+            (eid, _day(d, 0), uid, "view"),
+            (eid + 1, _day(d, 2), uid, "view"),
+            (eid + 2, _day(d, 3), uid, "click"),
+            (eid + 3, _day(d, 5), uid, "purchase"),
+        ]
+
+    batches = [cohort(d, 100 + d, 10 * d) for d in range(4)]
+    for i, rows in enumerate(batches):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    out = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out["finalized_conversions"] == 3
+    seen = [r for b in batches for r in b]
+
+    def nsp(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: ("" if t[0] is None else t[0], *t[1:]),
+        )
+
+    want = position_attribution(
+        _frame(spark, seen), "purchase", ("view", "click"), 600
+    )
+    assert nsp(pipe.report(spark, model="position")) == nsp(want)
+    # and the linear view from the SAME fin rows still holds
+    want_lin = attribution(
+        _frame(spark, seen), "purchase", ("view", "click"), 600
+    )
+    assert _nsreport(pipe.report(spark)) == _nsreport(want_lin)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="model"):
+        pipe.report(spark, model="timedecay")
