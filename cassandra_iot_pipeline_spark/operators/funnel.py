@@ -338,12 +338,27 @@ def funnel_trend(
     (zero-filled — a period with anchors but no step-i completers
     still shows its zero), broadcast on the step side. Exact BIGINT
     counts; the conversion fraction is one IEEE division."""
+    pts = step_points(events, steps, key, ts_col, type_col)
+    return funnel_trend_report(
+        user_hits(pts, steps, horizon_seconds).select("hits"),
+        steps,
+        period_seconds,
+    )
+
+
+def funnel_trend_report(
+    hits_df: DataFrame,
+    steps: list[str],
+    period_seconds: int = 86_400,
+) -> DataFrame:
+    """The trend aggregation over per-user ``hits`` arrays — the
+    :func:`funnel_report` split applied to :func:`funnel_trend`, so
+    the streaming maintainer can serve the trend from live + finalized
+    hits rows alike."""
     _validate_steps(steps)
     p_us = period_seconds * 1_000_000
-    pts = step_points(events, steps, key, ts_col, type_col)
-    hits = user_hits(pts, steps, horizon_seconds)
     t0 = F.element_at("hits", 1)
-    anchored = hits.filter(t0.isNotNull()).select(
+    anchored = hits_df.filter(t0.isNotNull()).select(
         (t0 - F.pmod(t0, F.lit(p_us))).alias("pstart"),
         "hits",
     )
@@ -353,7 +368,7 @@ def funnel_trend(
         .groupBy("pstart", "step_idx")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    spark = events.sparkSession
+    spark = hits_df.sparkSession
     step_frame = spark.createDataFrame(
         [(i, name) for i, name in enumerate(steps)],
         "step_idx INT, step STRING",
@@ -488,17 +503,8 @@ def funnel_segmented(
     stage is untouched; rates come from windows over the
     (segments x k)-bounded matrix."""
     _validate_steps(steps)
-    k = len(steps)
-    horizon_us = (
-        None if horizon_seconds is None else horizon_seconds * 1_000_000
-    )
     pts = step_points(events, steps, key, ts_col, type_col)
-    per_user = (
-        pts.select("k", F.struct(F.col("us"), F.col("s")).alias("ev"))
-        .groupBy("k")
-        .agg(F.sort_array(F.collect_list("ev")).alias("evs"))
-        .select("k", F.expr(_fold_expr(k, horizon_us)).alias("hits"))
-    )
+    per_user = user_hits(pts, steps, horizon_seconds)
     seg = segments.select(
         F.col(key).alias("k"), F.col(segment_col).alias("segment")
     )

@@ -60,6 +60,7 @@ from pyspark.sql.types import StructType
 from ..operators.funnel import (
     funnel_from_points,
     funnel_report,
+    funnel_trend_report,
     step_points,
     user_hits,
 )
@@ -175,6 +176,24 @@ class FunnelPipeline:
             self.live_points(spark), self.steps, self.horizon_seconds
         ).select("hits").unionByName(self._fin(spark).select("hits"))
         return funnel_report(hits, self.steps)
+
+    def trend(
+        self, spark: SparkSession, period_seconds: int = 86_400
+    ) -> DataFrame:
+        """The per-anchor-period funnel (operators/funnel.py::
+        funnel_trend) served from the store — finalized users'
+        persisted hits rows carry their anchor, so the trend view
+        costs nothing extra over the finalized base (bitwise the
+        batch funnel_trend over the same events, pinned in tests)."""
+        live = user_hits(
+            self.live_points(spark), self.steps, self.horizon_seconds
+        ).select("hits")
+        hits = (
+            live.unionByName(self._fin(spark).select("hits"))
+            if self._has_fin(spark)
+            else live
+        )
+        return funnel_trend_report(hits, self.steps, period_seconds)
 
     def quarantine(self, spark: SparkSession) -> DataFrame:
         """The horizon-violating points (k, us, s) — arrivals whose

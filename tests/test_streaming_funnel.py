@@ -321,3 +321,37 @@ def test_streaming_wrapper_with_finalize_cadence(spark, tmp_path):
     seen = [r for b in batches for r in b]
     want = funnel(_frame(spark, seen), STEPS, horizon_seconds=HOUR)
     assert _fx(pipe.funnel(spark)) == _fx(want)
+
+
+def test_trend_served_from_store_and_fin_rows(spark, tmp_path):
+    """The per-anchor-period trend view served from the store equals
+    the batch funnel_trend over the concatenated events — before AND
+    after finalization (finalized hits rows carry their anchor)."""
+    from cassandra_iot_pipeline_spark.operators.funnel import funnel_trend
+
+    pipe = FunnelPipeline(
+        str(tmp_path / "store"), STEPS, horizon_seconds=HOUR
+    )
+
+    def cohort(day, users):
+        rows = []
+        for u in users:
+            base = day * 1440
+            rows.append((u, _t(base + 0), "a"))
+            rows.append((u, _t(base + 10), "b"))
+            if u % 2 == 0:
+                rows.append((u, _t(base + 20), "c"))
+        return rows
+
+    batches = [cohort(d, range(10 * d, 10 * d + 4)) for d in range(4)]
+    for i, rows in enumerate(batches):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    seen = [r for b in batches for r in b]
+    want = _fx(
+        funnel_trend(_frame(spark, seen), STEPS, 86_400, horizon_seconds=HOUR)
+    )
+    assert _fx(pipe.trend(spark, 86_400)) == want
+    assert pipe.finalize(spark, lateness_seconds=86_400)[
+        "finalized_users"
+    ] == 8
+    assert _fx(pipe.trend(spark, 86_400)) == want
