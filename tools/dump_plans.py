@@ -316,6 +316,14 @@ def _extras(spark, sf_dir):
             "conversion and a channel-bounded explode.",
             _asof_attribution(spark, sf_dir),
         ),
+        "funnel_trend": (
+            "Per-anchor-period funnel (r10): the SAME one user-keyed "
+            "exchange as the plain funnel (user_hits), then a "
+            "(period x step)-bounded aggregation against the "
+            "broadcast step frame — the trend view costs no extra "
+            "data-wide work.",
+            _funnel_trend(spark, sf_dir),
+        ),
         "cap_events_per_key": (
             "Hot-key curation cap (r10): the salted two-stage "
             "keep-earliest-N — stage one partitions (key, type, "
@@ -448,6 +456,18 @@ def _asof_attribution(spark, sf_dir):
         "purchase",
         ("view", "click", "signup"),
         86_400,
+    )
+
+
+def _funnel_trend(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.funnel import funnel_trend
+
+    return funnel_trend(
+        load_table(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+        86_400,
+        horizon_seconds=7 * 86_400,
     )
 
 

@@ -1214,6 +1214,20 @@ def main() -> None:
             results,
         )
         timed("event_transitions", event_transitions(events), results)
+        from cassandra_iot_pipeline_spark.operators.funnel import (
+            funnel_trend,
+        )
+
+        timed(
+            "funnel_trend_daily",
+            funnel_trend(
+                events,
+                ["signup", "view", "click", "purchase"],
+                86_400,
+                horizon_seconds=7 * 86_400,
+            ),
+            results,
+        )
         from cassandra_iot_pipeline_spark.operators.cohorts import (
             growth_accounting,
             rolling_active,
