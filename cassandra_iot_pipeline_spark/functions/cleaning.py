@@ -578,23 +578,34 @@ def cap_events_per_key(
     keys = list(key_cols)
     order = [F.col(ts_col).asc(), F.col(tie_col).asc()]
     cols = events.columns
+
+    # helper columns must not collide with the caller's: withColumn
+    # REPLACES a same-named input column, so a caller with their own
+    # "_rn" would get row numbers back in place of their data
+    def _free(base: str) -> str:
+        name = base
+        while name in cols:
+            name += "_"
+        return name
+
+    c_salt, c_rn = _free("_salt"), _free("_rn")
     if salt_partitions > 0:
         salt = F.pmod(
             F.xxhash64(F.col(tie_col)), F.lit(salt_partitions)
-        ).alias("_salt")
-        w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+        ).alias(c_salt)
+        w1 = Window.partitionBy(*keys, c_salt).orderBy(*order)
         pre = (
-            events.withColumn("_salt", salt)
-            .withColumn("_rn", F.row_number().over(w1))
-            .filter(F.col("_rn") <= max_events)
-            .drop("_salt", "_rn")
+            events.withColumn(c_salt, salt)
+            .withColumn(c_rn, F.row_number().over(w1))
+            .filter(F.col(c_rn) <= max_events)
+            .drop(c_salt, c_rn)
         )
     else:
         pre = events
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
-        pre.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_events)
+        pre.withColumn(c_rn, F.row_number().over(w))
+        .filter(F.col(c_rn) <= max_events)
         .select(*cols)
     )
 

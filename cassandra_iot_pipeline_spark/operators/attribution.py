@@ -563,6 +563,13 @@ def position_attribution(
     :func:`position_attribution_oracle`); sums are exact BIGINTs and
     each attributed conversion's units total 1e6 ± one unit per
     channel. Unattributed conversions are the NULL row."""
+    if w_first < 0 or w_last < 0:
+        # individually negative weights can slip past the sum check
+        # (w_first=-0.2, w_last=1.0) and yield negative credits
+        raise ValueError(
+            f"w_first and w_last must each be >= 0, got "
+            f"({w_first}, {w_last})"
+        )
     if not 0 <= w_first + w_last <= 1:
         raise ValueError(
             f"w_first + w_last must be in [0, 1], got {w_first + w_last}"

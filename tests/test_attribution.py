@@ -380,3 +380,20 @@ def test_asof_refactor_keeps_linear_bit_equality(spark):
         asof_attribution(_frame(spark), "purchase", ("view", "click"), 600)
     )
     assert got == want
+
+
+def test_position_attribution_rejects_negative_weights(spark):
+    """Individually negative weights must raise even when their sum
+    lands in [0, 1] — a negative w_first yields negative per-channel
+    credits."""
+    import pytest as _pytest
+
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        position_attribution,
+    )
+
+    frame = spark.createDataFrame([], SCHEMA)
+    with _pytest.raises(ValueError, match="each be >= 0"):
+        position_attribution(frame, w_first=-0.2, w_last=1.0)
+    with _pytest.raises(ValueError, match="each be >= 0"):
+        position_attribution(frame, w_first=1.0, w_last=-0.2)

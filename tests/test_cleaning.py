@@ -392,3 +392,38 @@ def test_cap_events_per_key_caps_only_over_limit_keys(spark):
 
     with _pytest.raises(ValueError, match="max_events"):
         cap_events_per_key(frame, 0)
+
+
+def test_cap_events_per_key_survives_helper_column_collision(spark):
+    """A caller whose frame already carries _rn / _salt columns gets
+    them back UNCHANGED — the helper names are generated
+    collision-free (an overwritten _rn would silently replace the
+    caller's data with row numbers)."""
+    import datetime as dt
+
+    from cassandra_iot_pipeline_spark.functions.cleaning import (
+        cap_events_per_key,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "click", 100 + i, 200 + i)
+        for i in range(6)
+    ] + [(10, dt.datetime(2024, 1, 1, 1), 2, "view", 777, 888)]
+    frame = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type STRING, _rn BIGINT, _salt BIGINT",
+    )
+    for salt in (0, 4):
+        got = {
+            r["event_id"]: (r["_rn"], r["_salt"])
+            for r in cap_events_per_key(
+                frame, 3, salt_partitions=salt
+            ).collect()
+        }
+        assert got == {
+            0: (100, 200),
+            1: (101, 201),
+            2: (102, 202),
+            10: (777, 888),
+        }
