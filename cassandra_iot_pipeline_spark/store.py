@@ -49,26 +49,29 @@ def list_children(spark: SparkSession, path: str) -> list[str]:
 
 
 def store_parts(
-    spark: SparkSession, path: str, _recover: bool = True
+    spark: SparkSession, path: str, _subst_stages: bool = True
 ) -> tuple[str | None, int, list[tuple[int, str]]]:
     """(base_path, base_upto, [(epoch, path) for epochs > upto]) — the
     reader's view of a delta+base store directory.
 
     If an interrupted :func:`compact_epochs` left a COMPLETE staged
-    tail fold behind (``.tailfold=M.compacting`` with ``_SUCCESS``),
-    the listing first finishes its commit — without this, a crash
-    between the commit's epoch deletes and its rename would leave
-    every reader silently undercounting until the next maintenance
-    pass. Incomplete stages are left alone here: they are invisible
-    to readers anyway, and a concurrent writer may still be producing
-    one (only :func:`compact_epochs` itself discards those)."""
+    tail fold behind (``.tailfold=M.compacting`` with ``_SUCCESS``, or
+    a mid-commit ``.tailfold=M.committing``), the listing SUBSTITUTES
+    the stage for the epochs it folded (every epoch <= M): the stage
+    contains exactly their content, so the read is correct however far
+    the crashed commit got — without this, a crash between the
+    commit's epoch deletes and its rename would leave every reader
+    silently undercounting until the next maintenance pass. The
+    substitution is NON-destructive: readers never rename or delete
+    (two concurrent destructive recoverers could interleave so one
+    deletes the other's freshly committed fold — the r10 read-path
+    commit had exactly that window); the actual commit happens only in
+    the maintenance path (:func:`compact_epochs` /
+    :func:`recover_tail_fold`). Incomplete stages are invisible to
+    readers and left alone — a concurrent writer may still be
+    producing one."""
     names = list_children(spark, path)
-    if _recover and any(
-        n.startswith(".tailfold=") and n.endswith(".compacting")
-        for n in names
-    ):
-        if recover_tail_fold(spark, path, discard_incomplete=False) is not None:
-            names = list_children(spark, path)
+    stage = _complete_stage(spark, path, names) if _subst_stages else None
 
     def _num(name: str, prefix: str) -> int | None:
         # Only pure-integer suffixes are parts: stray siblings (swap
@@ -97,7 +100,44 @@ def store_parts(
         )
         if e is not None
     )
-    return base_path, upto, [(e, p) for e, p in epochs if e > upto]
+    visible = [(e, p) for e, p in epochs if e > upto]
+    if stage is not None and stage[0] > upto:
+        m, spath = stage
+        visible = [(e, p) for e, p in visible if e > m] + [(m, spath)]
+        visible.sort()
+    return base_path, upto, visible
+
+
+def _complete_stage(
+    spark: SparkSession, path: str, names: list[str]
+) -> tuple[int, str] | None:
+    """The highest-numbered COMPLETE staged tail fold in ``names`` —
+    ``.tailfold=M.committing`` (complete by construction: the commit's
+    claim rename only ever moves a complete stage) or
+    ``.tailfold=M.compacting`` whose Spark write finished (``_SUCCESS``
+    present). Lower-numbered stages are ignored: under the
+    single-maintainer contract the highest stage's fold already
+    contains their source epochs' content (an uncommitted lower stage
+    leaves its sources in place, and compact_epochs recovers before
+    folding anew)."""
+    fs, Path = hadoop_fs(spark, path)
+    best: tuple[int, str] | None = None
+    for name in names:
+        if not name.startswith(".tailfold="):
+            continue
+        if name.endswith(".committing"):
+            m = name[len(".tailfold=") : -len(".committing")]
+        elif name.endswith(".compacting"):
+            m = name[len(".tailfold=") : -len(".compacting")]
+            if not fs.exists(Path(f"{path}/{name}/_SUCCESS")):
+                continue
+        else:
+            continue
+        if not m.isdigit():
+            continue
+        if best is None or int(m) > best[0]:
+            best = (int(m), f"{path}/{name}")
+    return best
 
 
 def read_store(spark: SparkSession, path: str, empty: DataFrame) -> DataFrame:
@@ -243,6 +283,10 @@ def compact_store(
     write (e.g. re-aggregate summary rows); ``partition_by`` lays the
     base out as partition directories (readers recover the column from
     the dir names; probes get partition pruning)."""
+    # maintenance path: commit any crashed tail fold FIRST, so the
+    # rewrite below folds real epoch dirs, not a substituted stage it
+    # would then leave behind as a duplicate
+    recover_tail_fold(spark, path)
     base_path, upto, epochs = store_parts(spark, path)
     if not epochs:
         if base_path is not None:
@@ -266,7 +310,13 @@ def compact_store(
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     dest = Path(f"{path}/base_upto={new_upto}")
     fs.delete(dest, True)  # crash leftover with the same upto
-    fs.rename(Path(tmp), dest)
+    if not fs.rename(Path(tmp), dest):
+        raise RuntimeError(
+            f"compact_store of {path} could not rename its staged "
+            f"base to base_upto={new_upto} — a concurrent maintenance "
+            "pass is rewriting the same store (stores are "
+            "single-maintainer: run one compaction at a time)"
+        )
     # committed — now drop the folded inputs
     if base_path is not None:
         fs.delete(Path(base_path), True)
@@ -281,39 +331,115 @@ def _tail_tmp_name(m: int) -> str:
     return f".tailfold={m}.compacting"
 
 
+def _tail_committing_name(m: int) -> str:
+    return f".tailfold={m}.committing"
+
+
+def _commit_tail_fold(
+    spark: SparkSession, path: str, m: int, stage_name: str
+) -> int:
+    """Commit one COMPLETE staged tail fold: claim it with an atomic
+    rename to ``.tailfold=M.committing`` (exactly one concurrent
+    committer can win — Hadoop rename fails when the source vanished),
+    delete the folded epoch dirs (<= M, re-listed fresh), rename the
+    claim to ``epoch=M``. Both renames CHECK their return: a false
+    re-lists and returns M only if a concurrent committer demonstrably
+    finished (``epoch=M`` present, no stage left); anything else
+    raises instead of silently proceeding past a half-commit. The one
+    residual window — two processes recovering the SAME crashed
+    ``.committing`` dir concurrently — is why maintenance is
+    single-maintainer by contract (readers never commit; see
+    :func:`store_parts`)."""
+    fs, Path = hadoop_fs(spark, path)
+    committing = _tail_committing_name(m)
+
+    def _try_rename(src, dst) -> bool:
+        # Hadoop FileSystem.rename signals "source vanished" as a
+        # false return on HDFS but an EXCEPTION on the local fs —
+        # both mean the same thing here: we did not get the rename
+        try:
+            return bool(fs.rename(Path(src), Path(dst)))
+        except Exception:
+            return False
+
+    def _finished() -> bool:
+        names = list_children(spark, path)
+        return (
+            f"epoch={m}" in names
+            and committing not in names
+            and stage_name not in names
+        )
+
+    if stage_name != committing:
+        if not _try_rename(f"{path}/{stage_name}", f"{path}/{committing}"):
+            if _finished():
+                return m
+            raise RuntimeError(
+                f"tail-fold commit of {path}/{stage_name} lost its "
+                "claim rename and no committed epoch is visible — a "
+                "concurrent maintenance pass is mid-commit on the "
+                "same store (stores are single-maintainer: run one "
+                "compaction/recovery at a time)"
+            )
+    # delete the folded inputs — re-listed NOW (never a cached list:
+    # a stale list could name a dir a concurrent pass already
+    # replaced), stages excluded so only real epoch dirs are touched
+    _, _, epochs = store_parts(spark, path, _subst_stages=False)
+    for e, p in epochs:
+        if e <= m:
+            fs.delete(Path(p), True)
+    if not _try_rename(f"{path}/{committing}", f"{path}/epoch={m}"):
+        if _finished():
+            return m
+        raise RuntimeError(
+            f"tail-fold commit of {path} could not rename "
+            f"{committing} to epoch={m} and no committed epoch is "
+            "visible — the store needs manual inspection (a "
+            "concurrent maintenance pass violated the "
+            "single-maintainer contract)"
+        )
+    return m
+
+
 def recover_tail_fold(
     spark: SparkSession, path: str, discard_incomplete: bool = True
 ) -> int | None:
-    """Finish (or discard) an interrupted :func:`compact_epochs`.
-    A COMPLETE staged fold (Spark's _SUCCESS marker present) contains
-    every folded epoch's content, so recovery re-runs the commit —
-    delete the folded epoch dirs, rename the stage in; an incomplete
-    stage is discarded (the original epoch dirs are untouched until
-    the commit starts, so nothing is lost either way). Returns the
-    committed fold's epoch label, or None.
-
-    ``discard_incomplete=False`` is the READ-path mode
-    (:func:`store_parts` calls it on sight of a staged fold): it
-    commits complete stages but leaves incomplete ones untouched,
-    because a reader cannot distinguish a crashed partial stage from
-    a live writer's in-progress one — deleting the latter would race
-    the writer's own commit."""
+    """MAINTENANCE-path recovery of an interrupted
+    :func:`compact_epochs`. A COMPLETE staged fold (``.committing``,
+    or ``.compacting`` with Spark's _SUCCESS marker) contains every
+    folded epoch's content, so recovery re-runs the commit
+    (:func:`_commit_tail_fold`); an incomplete ``.compacting`` stage
+    is discarded when ``discard_incomplete`` (the original epoch dirs
+    are untouched until a commit starts, so nothing is lost either
+    way) — pass False when a live writer might still be producing
+    one. Only the HIGHEST complete stage commits; lower complete
+    stages are discarded as duplicates (their source epochs fed the
+    higher fold — the :func:`_complete_stage` argument). Readers
+    don't need this: :func:`store_parts` substitutes complete stages
+    non-destructively on every read. Returns the committed fold's
+    epoch label, or None."""
     fs, Path = hadoop_fs(spark, path)
-    for name in list_children(spark, path):
-        if not (name.startswith(".tailfold=") and name.endswith(".compacting")):
+    names = list_children(spark, path)
+    best = _complete_stage(spark, path, names)
+    committed: int | None = None
+    if best is not None:
+        committed = _commit_tail_fold(
+            spark, path, best[0], best[1].rsplit("/", 1)[-1]
+        )
+    for name in names:
+        if not name.startswith(".tailfold="):
             continue
-        m = int(name[len(".tailfold=") : -len(".compacting")])
-        tmp = f"{path}/{name}"
-        if fs.exists(Path(f"{tmp}/_SUCCESS")):
-            _, upto, epochs = store_parts(spark, path, _recover=False)
-            for e, p in epochs:
-                if e <= m:
-                    fs.delete(Path(p), True)
-            fs.rename(Path(tmp), Path(f"{path}/epoch={m}"))
-            return m
-        if discard_incomplete:
-            fs.delete(Path(tmp), True)
-    return None
+        full = f"{path}/{name}"
+        if best is not None and full == best[1]:
+            continue
+        if name.endswith(".committing") or (
+            name.endswith(".compacting")
+            and fs.exists(Path(f"{full}/_SUCCESS"))
+        ):
+            fs.delete(Path(full), True)  # duplicate lower stage
+        elif name.endswith(".compacting") and discard_incomplete:
+            fs.delete(Path(full), True)
+    return committed
 
 
 def compact_epochs(
@@ -366,11 +492,9 @@ def compact_epochs(
     tmp = f"{path}/{_tail_tmp_name(m)}"
     fs.delete(Path(tmp), True)
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    # commit (re-runnable: recover_tail_fold performs this same walk)
-    for e, p in foldable:
-        fs.delete(Path(p), True)
-    fs.rename(Path(tmp), Path(f"{path}/epoch={m}"))
-    return m
+    # commit (re-runnable: recover_tail_fold performs this same walk;
+    # claim rename + checked renames guard against a concurrent pass)
+    return _commit_tail_fold(spark, path, m, _tail_tmp_name(m))
 
 
 # --- store doctor ------------------------------------------------------------
@@ -396,9 +520,12 @@ def store_stats(
     - a one-line ``recommendation``.
     """
     fs, Path = hadoop_fs(spark, path)
-    # store_parts first: it may commit a completed tail fold, which
-    # the subsequent listing must reflect (not report as a leftover)
-    base_path, upto, epochs = store_parts(spark, path)
+    # disk truth, not the substituted reader's view: an uncommitted
+    # tail-fold stage reports as a swap_leftover ("recover first"),
+    # while the visible parts below are the REAL dirs (the stage's
+    # folded-but-undeleted source epochs still hold the canonical
+    # bytes until a maintenance pass commits)
+    base_path, upto, epochs = store_parts(spark, path, _subst_stages=False)
     names = list_children(spark, path)
 
     def _num(name: str, prefix: str) -> int | None:
@@ -423,7 +550,7 @@ def store_stats(
         n
         for n in names
         if n.startswith(".")
-        and n.endswith((".compacting", ".old"))
+        and n.endswith((".compacting", ".committing", ".old"))
     )
     stray = sorted(
         n

@@ -107,11 +107,16 @@ def test_keep_recent_past_the_tail_is_a_noop(spark, tmp_path):
         compact_epochs(spark, store, empty, fold=_sum_fold, keep_recent=-1)
 
 
-def test_read_path_commits_a_complete_stage(spark, tmp_path):
+def test_read_path_substitutes_a_complete_stage_nondestructively(
+    spark, tmp_path
+):
     """A crash BETWEEN compact_epochs' epoch deletes and its rename
     must not leave readers undercounting: store_parts (hence every
-    read_store / pipeline read) finishes the commit on sight of the
-    complete stage — no explicit recovery call needed."""
+    read_store / pipeline read) SUBSTITUTES the complete stage for the
+    epochs it folded — correct totals however far the crashed commit
+    got — WITHOUT mutating the store (the r10 read-path commit let two
+    concurrent readers interleave destructively; readers are now
+    pure). The next maintenance pass commits."""
     store = str(tmp_path / "s")
     _write_epochs(spark, store, BATCHES)
     before = _folded_read(spark, store)
@@ -123,11 +128,82 @@ def test_read_path_commits_a_complete_stage(spark, tmp_path):
 
     shutil.rmtree(f"{store}/epoch=0")
     shutil.rmtree(f"{store}/epoch=1")  # crash right before the rename
-    # a plain READ both sees the correct totals and heals the store
+    # a plain READ sees the correct totals at EVERY crash point...
     assert _folded_read(spark, store) == before
-    assert not os.path.exists(f"{store}/.tailfold=2.compacting")
+    # ...and does NOT touch the store (non-destructive: the stage and
+    # the remaining source epoch are both still on disk)
+    assert os.path.exists(f"{store}/.tailfold=2.compacting")
+    assert os.path.exists(f"{store}/epoch=2")
     _, _, epochs = store_parts(spark, store)
     assert [e for e, _ in epochs] == [2, 3]
+    assert epochs[0][1].endswith(".tailfold=2.compacting")
+    # deeper crash: the last folded source epoch is gone too
+    shutil.rmtree(f"{store}/epoch=2")
+    assert _folded_read(spark, store) == before
+    # maintenance commits; reads unchanged bitwise
+    assert recover_tail_fold(spark, store) == 2
+    assert not os.path.exists(f"{store}/.tailfold=2.compacting")
+    assert _folded_read(spark, store) == before
+    _, _, epochs = store_parts(spark, store)
+    assert [(e, p.rsplit("/", 1)[-1]) for e, p in epochs] == [
+        (2, "epoch=2"),
+        (3, "epoch=3"),
+    ]
+
+
+def test_read_path_substitutes_a_mid_commit_claim(spark, tmp_path):
+    """A crash between the commit's claim rename and its final rename
+    leaves ``.tailfold=M.committing`` — complete by construction, so
+    reads substitute it exactly like a staged fold."""
+    store = str(tmp_path / "s")
+    _write_epochs(spark, store, BATCHES)
+    before = _folded_read(spark, store)
+    staged = _sum_fold(
+        spark.read.parquet(*[f"{store}/epoch={e}" for e in range(3)])
+    )
+    staged.write.mode("overwrite").parquet(f"{store}/.tailfold=2.committing")
+    import shutil
+
+    for e in range(3):
+        shutil.rmtree(f"{store}/epoch={e}")
+    assert _folded_read(spark, store) == before
+    assert os.path.exists(f"{store}/.tailfold=2.committing")
+    # maintenance finishes the crashed commit
+    assert recover_tail_fold(spark, store) == 2
+    assert _folded_read(spark, store) == before
+    assert not os.path.exists(f"{store}/.tailfold=2.committing")
+    assert os.path.exists(f"{store}/epoch=2")
+
+
+def test_commit_tolerates_a_finished_concurrent_committer(spark, tmp_path):
+    """_commit_tail_fold whose stage vanished: if the committed
+    epoch is visible the concurrent committer finished (return M);
+    if nothing is visible it must raise loudly, never proceed to the
+    delete loop (the r10 interleaving deleted the winner's freshly
+    committed fold and lost it)."""
+    import pytest
+
+    from cassandra_iot_pipeline_spark.store import _commit_tail_fold
+
+    store = str(tmp_path / "s")
+    _write_epochs(spark, store, BATCHES)
+    before = _folded_read(spark, store)
+    staged = _sum_fold(
+        spark.read.parquet(*[f"{store}/epoch={e}" for e in range(3)])
+    )
+    staged.write.mode("overwrite").parquet(f"{store}/.tailfold=2.compacting")
+    # winner commits
+    assert recover_tail_fold(spark, store) == 2
+    # loser wakes up with a stale view and tries to commit the (now
+    # vanished) stage: epoch=2 is visible -> graceful return
+    assert _commit_tail_fold(
+        spark, store, 2, ".tailfold=2.compacting"
+    ) == 2
+    assert _folded_read(spark, store) == before
+    assert os.path.exists(f"{store}/epoch=2")  # winner's fold intact
+    # no stage, no committed epoch -> loud failure
+    with pytest.raises(RuntimeError, match="single-maintainer"):
+        _commit_tail_fold(spark, store, 9, ".tailfold=9.compacting")
 
 
 def test_read_path_leaves_an_incomplete_stage_alone(spark, tmp_path):
