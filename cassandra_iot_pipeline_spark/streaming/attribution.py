@@ -27,22 +27,26 @@ read is the pair-free as-of plan over that slice; like the funnel
 read, its cost grows with the stored point set (the
 minimal-statistic class, stated in streaming/funnel.py) — UNLESS a
 lateness horizon is declared. :meth:`AttributionPipeline.finalize`
-(r10) is that opt-in tier: a conversion with ``cts <= max event time
+(r10) is that opt-in tier: a conversion with ``cts < max event time
 - lateness`` is provably closed (a horizon-respecting new touch has
-``t >= cutoff >= cts``, outside the strict-< window), so the
+``t >= cutoff > cts``, outside the strict-< window), so the
 finalized conversions' per-channel report rows — all ADDITIVE: the
 per-conversion micro-credit rounding splits cleanly across any
 partition of the conversion set — fold into the ``fin/`` store, the
-folded conversions and the touches no live window can reach
-(``us <= cutoff - lookback``) are garbage-collected, and the live
-store stays bounded by lookback + lateness instead of lifetime. The
+folded conversions and the touches no live-or-future window can
+reach (``us < cutoff - lookback``) are garbage-collected, and the
+live store stays bounded by lookback + lateness instead of lifetime.
+The watermark is EXCLUSIVE on the folded side and inclusive on the
+live side (r11: a legal arrival at exactly the watermark lands on
+exactly one side — the r10 boundary dropped it silently). The
 read filters live conversions by the watermark (so a crash between
 the fin write and the GC can never double-count) and SUMS the fin
 rows in — bitwise the full recompute for horizon-respecting streams
 (pinned in tests). Horizon violations are copied loudly to
-``quarantine/``, never silently dropped; a late-but-legal touch
-(over the watermark, or under it only as far as a live window
-reaches) still folds. Growth measured in tools/scale_probe.py
+``quarantine/`` (store.Quarantine: wm-stamped rows, count-preserving
+retention, tail folds), never silently dropped; a late-but-legal
+touch (at or over the watermark, or under it only as far as a live
+window reaches) still folds. Growth measured in tools/scale_probe.py
 ``--finalize-stream`` (SCALE.md).
 """
 
@@ -55,7 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..operators.attribution import asof_attribution, position_attribution
-from ..store import compact_store, read_store, store_parts
+from ..store import Quarantine, compact_store, read_store, store_parts
 
 
 def _pts_schema(
@@ -123,6 +127,7 @@ class AttributionPipeline:
         self.fin_dir = f"{base_dir}/fin"
         self.q_dir = f"{base_dir}/quarantine"
         self.schema = _pts_schema(key, tie_col, updates_schema)
+        self.quarantine_store = Quarantine(self.q_dir, self.schema)
         # fin rows carry BOTH additive credit models (linear and
         # position/U-shaped with this pipeline's position_weights
         # baked in — changing weights means rebuild_from_source)
@@ -237,7 +242,8 @@ class AttributionPipeline:
         operator counts rows, so the distinct is REQUIRED correctness
         here, unlike the funnel's duplicate-tolerant fold — which is
         why write_batch also distincts. With finalized epochs present,
-        live conversions are the ones ABOVE the watermark (reading the
+        live conversions are the ones AT or above the watermark
+        (reading the
         boundary from the fin store makes the fin-write the atomic
         commit point — a crash before the GC can never double-count),
         and the finalized per-channel rows sum in. ``model`` picks the
@@ -254,9 +260,15 @@ class AttributionPipeline:
             return self._report_over(pts, model)
         lb_us = self.lookback_seconds * 1_000_000
         is_conv = F.col("t") == self.conversion_type
+        # the watermark is EXCLUSIVE on the folded side (finalize folds
+        # us < wm, this read serves us >= wm): a legal arrival at
+        # exactly the watermark (the horizon contract admits t >= wm)
+        # must land on exactly one side — with > here and <= in the
+        # fold, a conversion arriving late at us == wm was silently
+        # lost (neither served, nor folded, nor quarantined)
         live = pts.filter(
-            (is_conv & (F.col("us") > wm))
-            | (~is_conv & (F.col("us") > wm - lb_us))
+            (is_conv & (F.col("us") >= wm))
+            | (~is_conv & (F.col("us") >= wm - lb_us))
         )
         parts = self._report_over(live, model).select(
             "touch_type", "first_touch", "last_touch", units
@@ -282,31 +294,58 @@ class AttributionPipeline:
         )
 
     def quarantine(self, spark: SparkSession) -> DataFrame:
-        """Horizon-violating points (k, us, t, tie) — arrivals with
-        event time under the finalization watermark, copied here
-        loudly (see the funnel store's identical contract)."""
-        return read_store(
-            spark, self.q_dir, spark.createDataFrame([], self.schema)
-        )
+        """Horizon-violating points (qwm, k, us, t, tie) — arrivals
+        with event time under the finalization watermark, copied here
+        loudly and stamped with the watermark that judged them (see
+        store.Quarantine for the replay/retention contract)."""
+        return self.quarantine_store.rows(spark)
 
     def quarantine_count(self, spark: SparkSession) -> int:
-        return self.quarantine(spark).count()
+        """Total violations ever seen — invariant across
+        :meth:`prune_quarantine` (pruned epochs live on as counts)."""
+        return self.quarantine_store.count(spark)
+
+    def prune_quarantine(self, spark: SparkSession, keep_recent: int = 4) -> dict:
+        """Age out detailed violation rows, count-preserving
+        (store.Quarantine.prune)."""
+        return self.quarantine_store.prune(spark, keep_recent)
+
+    def doctor(self, spark: SparkSession) -> dict:
+        """Operational report over all three sub-stores, with the
+        quarantine-growth finding (a persistently-late source appends
+        one violation epoch per micro-batch forever — the alarm
+        channel must not itself become a small-files store)."""
+        from ..store import store_stats
+
+        return {
+            "pts": store_stats(spark, self.pts_dir),
+            "fin": store_stats(spark, self.fin_dir),
+            "quarantine": self.quarantine_store.stats(spark),
+        }
 
     def finalize(
         self, spark: SparkSession, lateness_seconds: int
     ) -> dict:
-        """Declare an event-time lateness horizon: conversions at or
-        under ``cutoff = max event time - lateness`` are provably
-        closed (any horizon-respecting new touch lands at
-        ``t >= cutoff >= cts`` — outside the strict-< window), so
+        """Declare an event-time lateness horizon: conversions
+        STRICTLY under ``cutoff = max event time - lateness`` are
+        provably closed (any horizon-respecting new touch lands at
+        ``t >= cutoff > cts`` — outside the strict-< window), so
         their per-channel report — additive across conversion sets,
         the per-conversion micro-credit rounding included — folds into
         one fin epoch carrying the watermark in every row (the write
         IS the commit: reads switch their live boundary the moment it
-        lands). Then GC: folded conversions and the touches no live
-        window can reach (``us <= cutoff - lookback``) leave the point
-        store, which is thereafter bounded by lookback + lateness
-        instead of corpus lifetime. Returns
+        lands). The boundary is EXCLUSIVE on this folded side and
+        inclusive on the live side (``report`` serves ``us >= wm``):
+        a conversion at exactly the watermark — a legal arrival under
+        the ``t >= cutoff`` horizon contract — stays live and folds at
+        the NEXT advance, instead of falling between the two filters
+        (the r10 boundary leak: served only above, folded only above
+        the previous watermark, quarantined only below). Then GC:
+        folded conversions and the touches no live-or-future window
+        can reach (``us < cutoff - lookback``; a conversion at the
+        watermark needs touches down to ``wm - lookback`` INCLUSIVE)
+        leave the point store, which is thereafter bounded by
+        lookback + lateness instead of corpus lifetime. Returns
         ``{"finalized_conversions": n, "watermark": cutoff_us | None}``.
         """
         pts = self.points(spark)
@@ -319,17 +358,19 @@ class AttributionPipeline:
             return {"finalized_conversions": 0, "watermark": prev}
         lb_us = self.lookback_seconds * 1_000_000
         is_conv = F.col("t") == self.conversion_type
-        # the conversions to fold: above the previous watermark (crash
-        # leftovers under it were already folded — never re-fold), at
-        # or under the new cutoff; ALL retained touches ride along
+        # the conversions to fold: at or above the previous watermark
+        # (everything below prev was folded at prev — the previous
+        # fold's strict-< makes >= the exact complement), strictly
+        # under the new cutoff; ALL retained touches ride along
         # (every window of these conversions is complete: a previous
-        # GC only removed touches no conversion above prev could need)
+        # GC only removed touches no conversion at or above prev
+        # could need)
         lower = prev if prev is not None else -(1 << 62)
         closable = pts.filter(
             (~is_conv)
-            | ((F.col("us") <= cutoff) & (F.col("us") > lower))
+            | ((F.col("us") < cutoff) & (F.col("us") >= lower))
         )
-        n = closable.filter(is_conv & (F.col("us") <= cutoff)).count()
+        n = closable.filter(is_conv & (F.col("us") < cutoff)).count()
         if n == 0:
             return {"finalized_conversions": 0, "watermark": prev}
         inc = self._both_reports(closable).select(
@@ -343,9 +384,13 @@ class AttributionPipeline:
         _, upto, epochs = store_parts(spark, self.fin_dir)
         nxt = max([upto] + [e for e, _ in epochs]) + 1
         inc.write.mode("overwrite").parquet(f"{self.fin_dir}/epoch={nxt}")
-        # GC — reads already exclude everything this drops
-        keep = (is_conv & (F.col("us") > cutoff)) | (
-            ~is_conv & (F.col("us") > cutoff - lb_us)
+        # GC — reads already exclude everything this drops; the kept
+        # set mirrors the live read exactly: conversions at the
+        # watermark are live (>=), and their windows reach touches
+        # down to cutoff - lookback INCLUSIVE (window rule
+        # tts >= cts - lookback with cts == cutoff)
+        keep = (is_conv & (F.col("us") >= cutoff)) | (
+            ~is_conv & (F.col("us") >= cutoff - lb_us)
         )
         compact_store(
             spark,
@@ -375,13 +420,15 @@ class AttributionPipeline:
         # content stays a stateless projection (replay-idempotent) —
         # the read-side watermark filter is what freezes finalized
         # conversions, and live windows still see late-legal touches
+        # strict <: an arrival at exactly the watermark is legal
+        # (the horizon contract admits t >= wm) and is served by the
+        # live read's us >= wm side — only genuinely-under arrivals
+        # are violations
         wm = self.fin_watermark(batch_df.sparkSession)
         if wm is not None:
             late = pts.filter(F.col("us") < wm)
             if not late.isEmpty():
-                late.write.mode("overwrite").parquet(
-                    f"{self.q_dir}/epoch={epoch_id}"
-                )
+                self.quarantine_store.write_batch(late, epoch_id, wm)
         pts.write.mode("overwrite").parquet(
             f"{self.pts_dir}/epoch={epoch_id}"
         )

@@ -64,7 +64,7 @@ from ..operators.funnel import (
     step_points,
     user_hits,
 )
-from ..store import compact_store, read_store, store_parts
+from ..store import Quarantine, compact_store, read_store, store_parts
 
 
 def _pts_schema(key: str, updates_schema: str | StructType | None) -> str:
@@ -123,6 +123,7 @@ class FunnelPipeline:
         self.fin_dir = f"{base_dir}/fin"
         self.q_dir = f"{base_dir}/quarantine"
         self.schema = _pts_schema(key, updates_schema)
+        self.quarantine_store = Quarantine(self.q_dir, self.schema)
         ktype = self.schema.split(",", 1)[0][len("k "):]
         self.fin_schema = f"wm BIGINT, k {ktype}, hits ARRAY<BIGINT>"
 
@@ -196,18 +197,38 @@ class FunnelPipeline:
         return funnel_trend_report(hits, self.steps, period_seconds)
 
     def quarantine(self, spark: SparkSession) -> DataFrame:
-        """The horizon-violating points (k, us, s) — arrivals whose
-        event time fell under the finalization watermark. Loud by
-        design: they are COPIED here (and counted via
-        :meth:`quarantine_count`) while also remaining in the point
-        store, so a live user's late point still folds; only a
-        finalized user's frozen result ignores it."""
-        return read_store(
-            spark, self.q_dir, spark.createDataFrame([], self.schema)
-        )
+        """The horizon-violating points (qwm, k, us, s) — arrivals
+        whose event time fell under the finalization watermark,
+        stamped with the watermark that judged them. Loud by design:
+        they are COPIED here (and counted via :meth:`quarantine_count`)
+        while also remaining in the point store, so a live user's late
+        point still folds; only a finalized user's frozen result
+        ignores it. See store.Quarantine for the replay/retention
+        contract."""
+        return self.quarantine_store.rows(spark)
 
     def quarantine_count(self, spark: SparkSession) -> int:
-        return self.quarantine(spark).count()
+        """Total violations ever seen — invariant across
+        :meth:`prune_quarantine` (pruned epochs live on as counts)."""
+        return self.quarantine_store.count(spark)
+
+    def prune_quarantine(self, spark: SparkSession, keep_recent: int = 4) -> dict:
+        """Age out detailed violation rows, count-preserving
+        (store.Quarantine.prune)."""
+        return self.quarantine_store.prune(spark, keep_recent)
+
+    def doctor(self, spark: SparkSession) -> dict:
+        """Operational report over all three sub-stores, with the
+        quarantine-growth finding (a persistently-late source appends
+        one violation epoch per micro-batch forever — the alarm
+        channel must not itself become a small-files store)."""
+        from ..store import store_stats
+
+        return {
+            "pts": store_stats(spark, self.pts_dir),
+            "fin": store_stats(spark, self.fin_dir),
+            "quarantine": self.quarantine_store.stats(spark),
+        }
 
     def finalize(
         self, spark: SparkSession, lateness_seconds: int
@@ -280,13 +301,17 @@ class FunnelPipeline:
         # dropped — while the pts epoch keeps the FULL batch, so the
         # pts content stays a stateless projection (replay-idempotent)
         # and live users' late points still fold
+        # strict <: an arrival at exactly the watermark is
+        # horizon-respecting (the contract admits t >= wm) and can
+        # never affect a finalized user (their anchor + horizon < wm),
+        # so us == wm is NOT a violation — the funnel's boundary is
+        # consistent with the attribution pipeline's fold-exclusive /
+        # live-inclusive split by construction
         wm = self.fin_watermark(batch_df.sparkSession)
         if wm is not None:
             late = pts.filter(F.col("us") < wm)
             if not late.isEmpty():
-                late.write.mode("overwrite").parquet(
-                    f"{self.q_dir}/epoch={epoch_id}"
-                )
+                self.quarantine_store.write_batch(late, epoch_id, wm)
         # epoch-dir overwrite + stateless projection => replaying an
         # epoch rewrites identical content
         pts.write.mode("overwrite").parquet(

@@ -208,9 +208,12 @@ def test_attribution_finalize_equals_full_recompute(spark, tmp_path):
     pts_before = pipe.points(spark).count()
 
     out = pipe.finalize(spark, lateness_seconds=86_400)
-    # max us = day3+50min; cutoff = day2+50min: the day-0..2 cohorts'
-    # conversions (3 cohorts x 2) close, day 3 stays live
-    assert out["finalized_conversions"] == 6
+    # max us = day3+50min; cutoff = day2+50min: the fold is STRICT-<
+    # (r11 boundary rule: a conversion at exactly the watermark stays
+    # live and folds at the next advance), so day-0/1 close fully,
+    # day 2 closes its attributed purchase but its day2+50min
+    # unattributed purchase sits exactly AT the cutoff and stays live
+    assert out["finalized_conversions"] == 5
     assert pipe.points(spark).count() < pts_before
     want = attribution(_frame(spark, seen), "purchase", ("view", "click"), 600)
     assert _nsreport(pipe.report(spark)) == _nsreport(want)
@@ -223,6 +226,9 @@ def test_attribution_finalize_equals_full_recompute(spark, tmp_path):
         attribution(_frame(spark, seen), "purchase", ("view", "click"), 600)
     )
     out2 = pipe.finalize(spark, lateness_seconds=86_400)
+    # cutoff' = day4+50min: the day2+50min boundary straggler plus
+    # day 3's two plus day 4's attributed purchase fold; day 4's
+    # unattributed purchase sits AT the new cutoff and stays live
     assert out2["finalized_conversions"] == 4
     assert out2["watermark"] > out["watermark"]
     assert _nsreport(pipe.report(spark)) == _nsreport(
@@ -385,7 +391,9 @@ def test_attribution_finalize_position_model(spark, tmp_path):
     for i, rows in enumerate(batches):
         pipe.write_batch(_frame(spark, rows), epoch_id=i)
     out = pipe.finalize(spark, lateness_seconds=86_400)
-    assert out["finalized_conversions"] == 3
+    # cutoff = day2+5min: day-0/1 close; day 2's purchase sits exactly
+    # AT the cutoff and stays live (the r11 strict-< fold boundary)
+    assert out["finalized_conversions"] == 2
     seen = [r for b in batches for r in b]
 
     def nsp(df):
@@ -408,3 +416,227 @@ def test_attribution_finalize_position_model(spark, tmp_path):
 
     with pytest.raises(ValueError, match="model"):
         pipe.report(spark, model="timedecay")
+
+
+# --- watermark boundary exactness (r11) -----------------------------------
+
+
+def _us(micros: int) -> dt.datetime:
+    # epoch-anchored: the session timezone is pinned UTC, so this
+    # naive datetime's unix_micros equal ``micros`` exactly — the
+    # boundary tests reason in absolute microseconds
+    return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=micros)
+
+
+def test_conversion_arriving_exactly_at_watermark_is_served(spark, tmp_path):
+    """A legal late arrival at EXACTLY the watermark (the horizon
+    contract admits t >= wm) must land on exactly one side of the
+    boundary: served live now, folded at the next advance — the r10
+    filters (serve > wm, fold > prev, quarantine < wm) dropped it
+    silently between them."""
+    pipe = AttributionPipeline(
+        str(tmp_path / "s"), "purchase", ("view", "click"), 600
+    )
+    lb = 600 * 1_000_000
+    lateness = 100 * 1_000_000
+    # batch 0: one closed conversion well under the future cutoff,
+    # and a max-event-time row that pins cutoff exactly
+    hi = 10 * lb
+    pipe.write_batch(
+        _frame(
+            spark,
+            [
+                (1, _us(0), 1, "view"),
+                (2, _us(60 * 1_000_000), 1, "purchase"),
+                (3, _us(hi), 2, "view"),
+            ],
+        ),
+        epoch_id=0,
+    )
+    out = pipe.finalize(spark, lateness_seconds=100)
+    assert out["finalized_conversions"] == 1
+    wm = out["watermark"]
+    assert wm == hi - lateness
+
+    # late arrivals: a touch at exactly wm - lookback (the left GC
+    # boundary; UNDER the watermark, so it is loudly quarantined AND
+    # still credits the live window that reaches it) and a conversion
+    # at exactly wm (legal: the horizon contract admits t >= wm)
+    pipe.write_batch(
+        _frame(spark, [(4, _us(wm - lb), 3, "click")]), epoch_id=1
+    )
+    assert pipe.quarantine_count(spark) == 1
+    pipe.write_batch(_frame(spark, [(5, _us(wm), 3, "purchase")]), epoch_id=2)
+    got = {
+        r["touch_type"]: (r["first_touch"], r["last_touch"], r["linear_units"])
+        for r in pipe.report(spark).collect()
+    }
+    # the boundary conversion IS served, credited to the boundary touch
+    assert got["click"] == (1, 1, 1_000_000)
+    assert got["view"] == (1, 1, 1_000_000)
+    # the at-watermark conversion is NOT a violation
+    assert pipe.quarantine_count(spark) == 1
+    # the next advance folds the boundary conversion exactly once
+    pipe.write_batch(
+        _frame(spark, [(6, _us(hi + 10 * lb), 9, "view")]), epoch_id=3
+    )
+    out2 = pipe.finalize(spark, lateness_seconds=100)
+    assert out2["finalized_conversions"] == 1
+    got2 = {
+        r["touch_type"]: (r["first_touch"], r["last_touch"], r["linear_units"])
+        for r in pipe.report(spark).collect()
+    }
+    assert got2 == got
+
+
+def test_gc_boundary_touches_across_finalize_and_replay_cycles(
+    spark, tmp_path
+):
+    """Adversarial GC boundary (r10 verdict #6): touches straddling
+    exactly cutoff - lookback, conversions at cutoff and cutoff + 1us
+    arriving after multiple finalize/GC/replay cycles — the report
+    stays bitwise the full recompute over the horizon-respecting
+    events; a quarantined touch still credits a live conversion whose
+    window reaches it."""
+    pipe = AttributionPipeline(
+        str(tmp_path / "s"), "purchase", ("view", "click"), 600
+    )
+    lb = 600 * 1_000_000
+    hi = 10 * lb
+    lateness = 100
+    wm = hi - lateness * 1_000_000
+    batch0 = [
+        (11, _us(1_000), 1, "view"),        # a closed conversion pair
+        (12, _us(2_000), 1, "purchase"),    # (sets the watermark)
+        (1, _us(wm - lb), 4, "click"),      # exactly AT the left edge
+        (2, _us(wm - lb - 1), 5, "view"),   # 1us outside every window
+        (3, _us(hi), 2, "view"),            # pins the cutoff
+    ]
+    pipe.write_batch(_frame(spark, batch0), epoch_id=0)
+    out = pipe.finalize(spark, lateness_seconds=lateness)
+    assert out["watermark"] == wm
+    assert out["finalized_conversions"] == 1
+    # replay epoch 0 AFTER the watermark advanced: the pts epoch
+    # rewrite is idempotent, and the below-watermark rows are loudly
+    # (re-)quarantined with the CURRENT watermark stamped on them —
+    # the documented count-drift-with-diagnosable-stamps contract
+    pipe.write_batch(_frame(spark, batch0), epoch_id=0)
+    assert pipe.quarantine_count(spark) == 4
+    assert all(
+        r["qwm"] == wm for r in pipe.quarantine(spark).collect()
+    )
+    out_r = pipe.finalize(spark, lateness_seconds=lateness)
+    assert out_r["watermark"] == wm  # no advance on replayed data
+
+    # late legal conversions: user 4 at exactly wm (window reaches the
+    # wm - lb touch inclusively) and user 4 at wm + 1us
+    late1 = [(6, _us(wm), 4, "purchase")]
+    late2 = [(7, _us(wm + 1), 4, "purchase")]
+    pipe.write_batch(_frame(spark, late1), epoch_id=1)
+    pipe.write_batch(_frame(spark, late2), epoch_id=2)
+    assert pipe.quarantine_count(spark) == 4  # both arrivals legal
+
+    legal = batch0 + late1 + late2
+    want = _nsreport(
+        attribution(_frame(spark, legal), "purchase", ("view", "click"), 600)
+    )
+    assert _nsreport(pipe.report(spark)) == want
+
+    # advance the horizon; fold; replay the late epochs; fold again
+    pipe.write_batch(
+        _frame(spark, [(8, _us(hi + 5 * lb), 2, "view")]), epoch_id=3
+    )
+    legal = legal + [(8, _us(hi + 5 * lb), 2, "view")]
+    assert pipe.finalize(spark, lateness_seconds=lateness)[
+        "finalized_conversions"
+    ] == 2
+    pipe.write_batch(_frame(spark, late1), epoch_id=1)  # replay post-GC
+    pipe.write_batch(_frame(spark, late2), epoch_id=2)
+    pipe.finalize(spark, lateness_seconds=lateness)
+    assert _nsreport(pipe.report(spark)) == want
+    # the post-advance replays re-quarantined their now-under rows
+    assert pipe.quarantine_count(spark) == 6
+
+    # quarantined-touch-then-live-conversion: a touch UNDER the new
+    # watermark (violation, loud) whose window a live conversion reaches
+    wm2 = pipe.fin_watermark(spark)
+    pipe.write_batch(_frame(spark, [(9, _us(wm2 - 60), 6, "click")]), epoch_id=4)
+    assert pipe.quarantine_count(spark) == 7
+    pipe.write_batch(_frame(spark, [(10, _us(wm2 + 60), 6, "purchase")]), epoch_id=5)
+    got = {
+        r["touch_type"]: (r["first_touch"], r["last_touch"])
+        for r in pipe.report(spark).collect()
+    }
+    want_full = {
+        r["touch_type"]: (r["first_touch"], r["last_touch"])
+        for r in attribution(
+            _frame(
+                spark,
+                legal + [(9, _us(wm2 - 60), 6, "click"), (10, _us(wm2 + 60), 6, "purchase")],
+            ),
+            "purchase",
+            ("view", "click"),
+            600,
+        ).collect()
+    }
+    assert got == want_full
+
+
+# --- quarantine retention / doctor (r11) -----------------------------------
+
+
+def test_quarantine_retention_count_preserving_and_doctor(spark, tmp_path):
+    """The quarantine store's growth levers (r10 verdict #2): tail
+    folds are reader-invisible, prune() ages out detail rows while the
+    count survives, the doctor flags a planted growing quarantine, and
+    rows carry the watermark that judged them."""
+    pipe = AttributionPipeline(
+        str(tmp_path / "s"), "purchase", ("view", "click"), 600
+    )
+    pipe.write_batch(
+        _frame(
+            spark,
+            [
+                (1, _day(0, 0), 1, "view"),
+                (2, _day(0, 5), 1, "purchase"),  # closes -> sets the wm
+                (3, _day(2, 0), 2, "view"),
+            ],
+        ),
+        epoch_id=0,
+    )
+    out = pipe.finalize(spark, lateness_seconds=86_400)
+    wm = out["watermark"]
+    assert wm is not None
+
+    # a persistently-late source: five micro-batches of violations
+    for i in range(5):
+        pipe.write_batch(
+            _frame(spark, [(10 + i, _day(0, 1 + i), 3 + i, "click")]),
+            epoch_id=1 + i,
+        )
+    assert pipe.quarantine_count(spark) == 5
+    rows = sorted(tuple(r) for r in pipe.quarantine(spark).collect())
+    assert all(r[0] == wm for r in rows)  # wm-stamped
+
+    # doctor flags the growth
+    doc = pipe.doctor(spark)
+    assert doc["quarantine"]["growing"]
+    assert "quarantine growing" in doc["quarantine"]["store"]["recommendation"]
+
+    # tail fold: reader-invisible
+    assert pipe.quarantine_store.compact_tail(spark, keep_recent=1) is not None
+    assert sorted(tuple(r) for r in pipe.quarantine(spark).collect()) == rows
+
+    # prune: detail ages out, the count is invariant
+    pruned = pipe.prune_quarantine(spark, keep_recent=1)
+    assert pruned["pruned_rows"] == 4
+    assert pipe.quarantine_count(spark) == 5
+    live = pipe.quarantine(spark).collect()
+    assert len(live) == 1
+    assert pipe.quarantine_store.pruned_total(spark) == 4
+    # prune is re-runnable / idempotent
+    again = pipe.prune_quarantine(spark, keep_recent=1)
+    assert again["pruned_rows"] == 0
+    assert pipe.quarantine_count(spark) == 5
+    # doctor no longer reports growth after retention
+    assert not pipe.doctor(spark)["quarantine"]["growing"]
