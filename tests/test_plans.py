@@ -221,3 +221,64 @@ def test_frequent_tokens_routes_sliver_not_population(spark):
     # exists to avoid). The CM-bound Filter sits below it.
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "Filter" in plan
+
+
+# --- unbounded-FOLLOWING frame lint (r11, verdict #5) ---------------------
+
+
+def test_frame_lint_flags_a_planted_offender(spark):
+    """The lint recognizes the O(rows^2) frame class: a moving lower
+    bound under an unboundedfollowing upper (WindowExec re-scans to
+    the partition end per row) — and does NOT flag the one-pass
+    whole-partition frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cassandra_iot_pipeline_spark.plans import (
+        unbounded_following_frames,
+    )
+
+    df = spark.range(10).select("id", (F.col("id") % 3).alias("g"))
+    w_bad = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    planted = df.select(F.last("id").over(w_bad).alias("x"))
+    assert unbounded_following_frames(planted)
+    w_ok = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    whole = df.select(F.max("id").over(w_ok).alias("x"))
+    assert unbounded_following_frames(whole) == []
+
+
+def test_no_unbounded_following_frames_in_plan_corpus(spark):
+    """DESIGN.md's r10 rule made executable (r10 verdict #5): walk the
+    PLANS.md corpus (the showcase registry queries + every library
+    extra) and fail on any WindowExec whose frame re-scans to the
+    partition end per row. The 85.6 s -> 7.8 s as-of fill find came
+    from ONE such frame; nothing but this lint stops the next one.
+    (No allowlist entries yet — add one here WITH a justification
+    comment if a whole-partition-scan-per-row frame is ever truly
+    required.)"""
+    import __spark_entry__ as entrymod
+    from tools.dump_plans import SHOWCASE, _extras
+
+    from cassandra_iot_pipeline_spark.plans import (
+        unbounded_following_frames,
+    )
+
+    qs = entrymod.queries()
+    offenders = {}
+    for name in SHOWCASE:
+        bad = unbounded_following_frames(qs[name](spark, SF_DIR))
+        if bad:
+            offenders[name] = bad
+    for name, (_, df) in _extras(spark, SF_DIR).items():
+        bad = unbounded_following_frames(df)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}
