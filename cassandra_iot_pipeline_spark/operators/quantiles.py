@@ -102,6 +102,7 @@ def collapse_sketch(
     sketch: DataFrame,
     group_cols: Sequence[str],
     max_buckets: int,
+    extra_sums: Sequence[str] = (),
 ) -> DataFrame:
     """The paper's collapsing tier: fold the sketch, then merge each
     group's LOWEST-value buckets into one floor bucket so at most
@@ -124,12 +125,19 @@ def collapse_sketch(
     were never touched by any earlier collapse and the mass below it
     sums identically however it was previously grouped. That is what
     lets the streaming store land collapsed epoch deltas, tail-fold
-    them, and still read bitwise-equal to the one-pass batch sketch."""
+    them, and still read bitwise-equal to the one-pass batch sketch.
+
+    ``extra_sums`` names additional per-bucket SUM columns that ride
+    the collapse (e.g. the additive funnel tier's exact per-bucket
+    ``sum_delta``): collapse only ever re-groups rows, so any additive
+    column folds under the identical regrouping and the
+    merge-invariance argument above applies to it verbatim."""
     if max_buckets < 2:
         raise ValueError(f"max_buckets must be >= 2, got {max_buckets}")
     groups = list(group_cols)
+    extras = [F.sum(c).alias(c) for c in extra_sums]
     folded = sketch.groupBy(*groups, "sgn", "idx").agg(
-        F.sum("cnt").alias("cnt")
+        F.sum("cnt").alias("cnt"), *extras
     )
     ordk = (
         F.col("sgn").cast("long") * F.lit(2**40)
@@ -139,7 +147,9 @@ def collapse_sketch(
     w_all = w_rn.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ranked = folded.select(*groups, "sgn", "idx", "cnt", ordk).select(
+    ranked = folded.select(
+        *groups, "sgn", "idx", "cnt", *extra_sums, ordk
+    ).select(
         "*",
         F.row_number().over(w_rn).alias("rn"),
         # the floor label = the max_buckets-th highest (NULL when the
@@ -158,9 +168,13 @@ def collapse_sketch(
                 "idx"
             ),
             "cnt",
+            *extra_sums,
         )
         .groupBy(*groups, "sgn", "idx")
-        .agg(F.sum("cnt").alias("cnt"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            *[F.sum(c).alias(c) for c in extra_sums],
+        )
     )
 
 

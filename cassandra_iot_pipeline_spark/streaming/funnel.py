@@ -46,9 +46,25 @@ arrival (event time under the finalization watermark) is copied
 loudly to the ``quarantine/`` store — never silently dropped — and
 stays in the point store too, so live users' late points still fold;
 only already-finalized users' results are frozen (their row is the
-declared-horizon contract). Growth curves measured in
-tools/scale_probe.py ``--funnel-stream`` (unbounded) and
-``--finalize-stream`` (finalized, ~flat), SCALE.md.
+declared-horizon contract).
+
+TWO FINALIZATION TIERS (r11): ``fin_mode="user"`` (default) persists
+one ``(k, hits)`` row per closed user — reads flat in POINTS but
+linear in the ever-closed user POPULATION (exact medians require the
+per-user rows; the GC anti-join shuffles the fin-key set every
+finalize). ``fin_mode="additive"`` folds closed users into
+per-(anchor-period, step, DDSketch-latency-bucket) counts + exact
+delta sums: reads are O(periods x steps + buckets) — flat in the
+population — the GC anti-joins only each pass's newly-closed keys,
+and live reads take the watermark COMPLEMENT (``anchor + horizon >=
+wm``) instead of a key anti-join. Counts/rates/means stay bitwise the
+exact tier; medians become DDSketch alpha-bounded; the unit of
+account becomes the JOURNEY (a closed user re-entering with a new
+step-0 at ``t >= wm`` counts again) — trades stated in
+:meth:`FunnelPipeline._finalize_additive`, growth measured in
+tools/scale_probe.py ``--finalize-stream`` (SCALE.md: exact-tier
+reads grow with the user population, additive-tier reads flat).
+Growth curves for the unbounded store in ``--funnel-stream``.
 """
 
 from __future__ import annotations
@@ -60,7 +76,10 @@ from pyspark.sql.types import StructType
 from ..operators.funnel import (
     funnel_from_points,
     funnel_report,
+    funnel_report_additive,
     funnel_trend_report,
+    funnel_trend_report_additive,
+    hits_to_additive_rows,
     step_points,
     user_hits,
 )
@@ -104,11 +123,19 @@ class FunnelPipeline:
         updates_schema: str | StructType | None = None,
         finalize_every: int | None = None,
         finalize_lateness_seconds: int | None = None,
+        fin_mode: str = "user",
+        fin_period_seconds: int = 86_400,
+        fin_alpha: float = 0.01,
+        fin_max_buckets: int | None = None,
     ) -> None:
         if (finalize_every is None) != (finalize_lateness_seconds is None):
             raise ValueError(
                 "finalize_every and finalize_lateness_seconds come "
                 "together: the cadence needs the declared lateness"
+            )
+        if fin_mode not in ("user", "additive"):
+            raise ValueError(
+                f"fin_mode must be 'user' or 'additive', got {fin_mode!r}"
             )
         self.base_dir = base_dir
         self.steps = list(steps)
@@ -119,13 +146,23 @@ class FunnelPipeline:
         self.compact_every = compact_every
         self.finalize_every = finalize_every
         self.finalize_lateness_seconds = finalize_lateness_seconds
+        self.fin_mode = fin_mode
+        self.fin_period_seconds = fin_period_seconds
+        self.fin_alpha = fin_alpha
+        self.fin_max_buckets = fin_max_buckets
         self.pts_dir = f"{base_dir}/pts"
         self.fin_dir = f"{base_dir}/fin"
         self.q_dir = f"{base_dir}/quarantine"
         self.schema = _pts_schema(key, updates_schema)
         self.quarantine_store = Quarantine(self.q_dir, self.schema)
         ktype = self.schema.split(",", 1)[0][len("k "):]
-        self.fin_schema = f"wm BIGINT, k {ktype}, hits ARRAY<BIGINT>"
+        if fin_mode == "user":
+            self.fin_schema = f"wm BIGINT, k {ktype}, hits ARRAY<BIGINT>"
+        else:
+            self.fin_schema = (
+                "wm BIGINT, pstart BIGINT, step_idx INT, sgn INT,"
+                " idx BIGINT, cnt BIGINT, sum_delta BIGINT"
+            )
 
     # -- reads ----------------------------------------------------------
     def points(self, spark: SparkSession) -> DataFrame:
@@ -139,18 +176,24 @@ class FunnelPipeline:
         base_path, _, epochs = store_parts(spark, self.fin_dir)
         return base_path is not None or bool(epochs)
 
-    def _fin(self, spark: SparkSession) -> DataFrame:
-        """The finalized-user rows (wm, k, hits), folded (empty-safe)."""
+    def _fin_raw(self, spark: SparkSession) -> DataFrame:
         return read_store(
             spark, self.fin_dir, spark.createDataFrame([], self.fin_schema)
-        ).distinct()
+        )
+
+    def _fin(self, spark: SparkSession) -> DataFrame:
+        """The finalized-user rows (wm, k, hits), folded (empty-safe).
+        User mode only — the additive tier's rows are SUM-folded, so
+        a distinct would corrupt them (readers consume `_fin_raw`)."""
+        assert self.fin_mode == "user"
+        return self._fin_raw(spark).distinct()
 
     def fin_watermark(self, spark: SparkSession) -> int | None:
         """The latest finalization cutoff (microseconds), or None
         before the first finalize — the quarantine boundary."""
         if not self._has_fin(spark):
             return None
-        wm = self._fin(spark).agg(F.max("wm")).first()[0]
+        wm = self._fin_raw(spark).agg(F.max("wm")).first()[0]
         return None if wm is None else int(wm)
 
     def live_points(self, spark: SparkSession) -> DataFrame:
@@ -161,14 +204,57 @@ class FunnelPipeline:
         fin_keys = self._fin(spark).select("k").distinct()
         return self.points(spark).join(fin_keys, "k", "anti")
 
+    def _live_hits_additive(self, spark: SparkSession) -> DataFrame:
+        """Additive-mode live hits: the watermark COMPLEMENT of every
+        fold — a user whose chain closed under the watermark
+        (``anchor + horizon < wm``) is by definition in the fin rows
+        (each fold took ``[prev_wm, wm)`` of the closure line), so the
+        live side serves exactly the rest. This replaces the exact
+        tier's fin-key anti-join: no lifetime key set anywhere."""
+        hits = user_hits(
+            self.points(spark), self.steps, self.horizon_seconds
+        )
+        wm = self.fin_watermark(spark)
+        if wm is None:
+            return hits
+        h_us = self.horizon_seconds * 1_000_000
+        anchor = F.element_at("hits", 1)
+        return hits.filter(
+            anchor.isNull() | (anchor + h_us >= F.lit(wm))
+        )
+
+    def _additive_rows(self, spark: SparkSession) -> DataFrame:
+        """fin rows + the live fold's additive projection — every
+        column additive, so the union IS the merge."""
+        live = hits_to_additive_rows(
+            self._live_hits_additive(spark).select("hits"),
+            self.steps,
+            self.fin_period_seconds,
+            self.fin_alpha,
+        )
+        fin = self._fin_raw(spark).select(
+            "pstart", "step_idx", "sgn", "idx", "cnt", "sum_delta"
+        )
+        return live.unionByName(fin)
+
     def funnel(self, spark: SparkSession) -> DataFrame:
         """The live funnel — the batch aggregation over the point
         store (the fold is duplicate-tolerant, so the pre-distinct is
         free correctness, not a required pass). With finalized users
-        present, the report aggregates their persisted ``hits`` rows
-        together with the live fold — bitwise the full recompute for
-        horizon-respecting streams (the hits array is the user's
-        entire contribution, exact medians included)."""
+        present, the report aggregates their persisted rows together
+        with the live fold. User mode: one ``hits`` row per finalized
+        user — bitwise the full recompute, exact medians included.
+        Additive mode: per-(period, step, latency-bucket) counts —
+        counts/rates/means bitwise, medians DDSketch alpha-bounded,
+        reads flat in the user population (the tier trade, routed in
+        the class docstring)."""
+        if self.fin_mode == "additive":
+            return funnel_report_additive(
+                self._additive_rows(spark),
+                self.steps,
+                self.fin_alpha,
+                self.fin_max_buckets,
+            )
         if not self._has_fin(spark):
             return funnel_from_points(
                 self.points(spark), self.steps, self.horizon_seconds
@@ -183,9 +269,18 @@ class FunnelPipeline:
     ) -> DataFrame:
         """The per-anchor-period funnel (operators/funnel.py::
         funnel_trend) served from the store — finalized users'
-        persisted hits rows carry their anchor, so the trend view
-        costs nothing extra over the finalized base (bitwise the
-        batch funnel_trend over the same events, pinned in tests)."""
+        persisted rows carry their anchor (period), so the trend view
+        costs nothing extra over the finalized base. User mode is
+        bitwise the batch funnel_trend at ANY period; additive mode
+        serves exact counts at any MULTIPLE of its baked
+        ``fin_period_seconds`` (it traded per-user anchors away)."""
+        if self.fin_mode == "additive":
+            return funnel_trend_report_additive(
+                self._additive_rows(spark),
+                self.steps,
+                period_seconds,
+                self.fin_period_seconds,
+            )
         live = user_hits(
             self.live_points(spark), self.steps, self.horizon_seconds
         ).select("hits")
@@ -252,6 +347,8 @@ class FunnelPipeline:
                 "unbounded chain window can be extended by any future "
                 "event, so no user is ever provably closed"
             )
+        if self.fin_mode == "additive":
+            return self._finalize_additive(spark, lateness_seconds)
         live = self.live_points(spark)
         max_us = live.agg(F.max("us")).first()[0]
         prev = self.fin_watermark(spark)
@@ -286,6 +383,92 @@ class FunnelPipeline:
             self.pts_dir,
             spark.createDataFrame([], self.schema),
             fold=lambda df: df.distinct().join(fin_keys, "k", "anti"),
+        )
+        return {"finalized_users": int(n), "watermark": cutoff}
+
+    def _finalize_additive(
+        self, spark: SparkSession, lateness_seconds: int
+    ) -> dict:
+        """The population-scale finalization tier: a provably-closed
+        user folds into per-(anchor-period, step, DDSketch-bucket)
+        COUNTS plus exact delta sums instead of a per-user hits row —
+        the fin store is O(periods x steps x buckets), flat in the
+        ever-closed population, and the GC anti-joins only THIS pass's
+        newly-closed keys (batch-bounded) plus a time floor
+        (``us >= cutoff - horizon``: every live user's chain-relevant
+        point is at or above their anchor ``>= cutoff - horizon``;
+        points below are closed users' leftovers or junk below any
+        reachable anchor). Each fold takes the half-open closure
+        interval ``prev_wm <= anchor + horizon < cutoff`` (the r11
+        boundary partition rule), so live reads serve exactly the
+        complement via the watermark filter — no fin-key set, no
+        lifetime shuffle.
+
+        THE TRADES, stated: (1) medians become DDSketch alpha-bounded
+        (counts/rates/means stay bitwise); (2) the unit of account
+        becomes the JOURNEY — a finalized user who re-enters the
+        funnel with a NEW step-0 at ``t >= wm`` counts again (the
+        exact tier's fin-key anti-join would freeze them). Route
+        accordingly: exact tier for lifetime-user semantics, additive
+        tier for billion-user populations.
+
+        Crash windows, covered without the key set: a crash between
+        the fin write and the GC leaves the folded users' points on
+        disk — the live read's watermark complement excludes their
+        rebuilt chains (``anchor + horizon < wm``), bitwise (pinned
+        with the GC monkeypatched out). A replay of any PRE-finalize
+        epoch after the GC is SHADOWED outright: the GC's
+        compact_store committed ``base_upto = max epoch``, and the
+        store ignores re-created epoch dirs at or under the base's
+        upto — so a partial replay cannot re-surface a folded user's
+        secondary step-0 as a spurious journey (pinned)."""
+        pts = self.points(spark)
+        max_us = pts.agg(F.max("us")).first()[0]
+        prev = self.fin_watermark(spark)
+        if max_us is None:
+            return {"finalized_users": 0, "watermark": prev}
+        cutoff = int(max_us) - lateness_seconds * 1_000_000
+        if prev is not None and cutoff <= prev:
+            return {"finalized_users": 0, "watermark": prev}
+        h_us = self.horizon_seconds * 1_000_000
+        hits = user_hits(pts, self.steps, self.horizon_seconds)
+        anchor = F.element_at("hits", 1)
+        lower = prev if prev is not None else -(1 << 62)
+        closable = hits.filter(
+            anchor.isNotNull()
+            & (anchor + h_us < F.lit(cutoff))
+            & (anchor + h_us >= F.lit(lower))
+        )
+        n = closable.count()
+        if n == 0:
+            return {"finalized_users": 0, "watermark": prev}
+        newfin = hits_to_additive_rows(
+            closable.select("hits"),
+            self.steps,
+            self.fin_period_seconds,
+            self.fin_alpha,
+        ).select(
+            F.lit(cutoff).cast("long").alias("wm"),
+            "pstart",
+            "step_idx",
+            "sgn",
+            "idx",
+            "cnt",
+            "sum_delta",
+        )
+        _, upto, epochs = store_parts(spark, self.fin_dir)
+        nxt = max([upto] + [e for e, _ in epochs]) + 1
+        newfin.write.mode("overwrite").parquet(f"{self.fin_dir}/epoch={nxt}")
+        # GC: this pass's newly-closed keys (batch-bounded anti-join —
+        # never the lifetime key set) + the time floor
+        new_keys = closable.select("k").distinct()
+        compact_store(
+            spark,
+            self.pts_dir,
+            spark.createDataFrame([], self.schema),
+            fold=lambda df: df.distinct()
+            .join(new_keys, "k", "anti")
+            .filter(F.col("us") >= F.lit(cutoff - h_us)),
         )
         return {"finalized_users": int(n), "watermark": cutoff}
 
@@ -378,6 +561,9 @@ def streaming_funnel(
     compact_every: int | None = None,
     finalize_every: int | None = None,
     finalize_lateness_seconds: int | None = None,
+    fin_mode: str = "user",
+    fin_period_seconds: int = 86_400,
+    fin_alpha: float = 0.01,
 ):
     """Wire a staged event-log directory through the funnel maintainer
     (file order = ingest order, the streaming/dedup.py convention).
@@ -394,6 +580,9 @@ def streaming_funnel(
         updates_schema=events_schema,
         finalize_every=finalize_every,
         finalize_lateness_seconds=finalize_lateness_seconds,
+        fin_mode=fin_mode,
+        fin_period_seconds=fin_period_seconds,
+        fin_alpha=fin_alpha,
     )
     stream = (
         spark.readStream.schema(events_schema)

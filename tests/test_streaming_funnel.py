@@ -355,3 +355,283 @@ def test_trend_served_from_store_and_fin_rows(spark, tmp_path):
         "finalized_users"
     ] == 8
     assert _fx(pipe.trend(spark, 86_400)) == want
+
+
+# --- additive finalization tier (r11, verdict #1) ------------------------
+
+
+def _cohort(day, users, complete_mod=2):
+    rows = []
+    for u in users:
+        base = day * 1440
+        rows.append((u, _t(base + 0), "a"))
+        rows.append((u, _t(base + 10), "b"))
+        if u % complete_mod == 0:
+            rows.append((u, _t(base + 20), "c"))
+    return rows
+
+
+def _rank_median(deltas):
+    import math
+
+    s = sorted(deltas)
+    return s[max(1, math.ceil(0.5 * len(s))) - 1]
+
+
+def _step_deltas(spark, rows, steps=STEPS, horizon=HOUR):
+    """Per-step micros-from-first deltas of the full recompute — the
+    additive tier's median contract is against the rank convention
+    over exactly these."""
+    from pyspark.sql import functions as F
+
+    from cassandra_iot_pipeline_spark.operators.funnel import (
+        step_points,
+        user_hits,
+    )
+
+    hits = user_hits(
+        step_points(_frame(spark, rows), steps), steps, horizon
+    )
+    out = {}
+    for r in (
+        hits.select(
+            F.element_at("hits", 1).alias("t0"),
+            F.posexplode("hits").alias("step_idx", "us"),
+        )
+        .filter("us IS NOT NULL")
+        .select("step_idx", (F.col("us") - F.col("t0")).alias("d"))
+        .collect()
+    ):
+        out.setdefault(r["step_idx"], []).append(r["d"])
+    return out
+
+
+def test_additive_tier_counts_bitwise_medians_within_alpha(spark, tmp_path):
+    """fin_mode='additive': counts, conversion/step rates and means
+    are BITWISE the full recompute across two finalizes; medians are
+    DDSketch estimates within alpha of the exact rank-median; the fin
+    store holds bucket rows (bounded by periods x steps x buckets),
+    not per-user rows; trend() serves exact counts at multiples of
+    the baked period and refuses others."""
+    alpha = 0.01
+    pipe = FunnelPipeline(
+        str(tmp_path / "store"),
+        STEPS,
+        horizon_seconds=HOUR,
+        fin_mode="additive",
+        fin_alpha=alpha,
+    )
+    batches = [_cohort(d, range(10 * d, 10 * d + 4)) for d in range(4)]
+    for i, rows in enumerate(batches):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    seen = [r for b in batches for r in b]
+    pts_before = pipe.points(spark).count()
+    out = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out["finalized_users"] == 8
+    assert pipe.points(spark).count() < pts_before  # GC bit
+
+    batches2 = [_cohort(d, range(10 * d, 10 * d + 4)) for d in (4, 5)]
+    for j, rows in enumerate(batches2, start=4):
+        pipe.write_batch(_frame(spark, rows), epoch_id=j)
+    seen += [r for b in batches2 for r in b]
+    out2 = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out2["finalized_users"] > 0
+    assert out2["watermark"] > out["watermark"]
+
+    want = funnel(_frame(spark, seen), STEPS, horizon_seconds=HOUR)
+    got_rows = sorted(
+        (tuple(r) for r in pipe.funnel(spark).collect())
+    )
+    want_rows = sorted((tuple(r) for r in want.collect()))
+    # columns 0..5 (idx, step, n_users, conversion, step_rate, avg):
+    # bitwise; column 6 (median): within the alpha contract vs the
+    # rank-median of the true delta set
+    assert [r[:6] for r in got_rows] == [r[:6] for r in want_rows]
+    deltas = _step_deltas(spark, seen)
+    for r in got_rows:
+        step_idx, est = r[0], r[6]
+        if r[2] == 0:
+            assert est is None
+            continue
+        true = _rank_median(deltas[step_idx])
+        if true == 0:
+            assert est == 0.0
+        else:
+            assert abs(est - true) <= alpha * true, (step_idx, est, true)
+
+    # fin store: bucket rows, not per-user rows (cohort deltas are
+    # identical, so one bucket per (period, step))
+    fin_rows = pipe._fin_raw(spark).count()
+    closed = out["finalized_users"] + out2["finalized_users"]
+    assert fin_rows < closed * len(STEPS)
+
+    # trend: exact counts at the baked period; a non-multiple refuses
+    from cassandra_iot_pipeline_spark.operators.funnel import funnel_trend
+
+    want_tr = funnel_trend(
+        _frame(spark, seen), STEPS, 86_400, horizon_seconds=HOUR
+    )
+    assert _fx(pipe.trend(spark, 86_400)) == _fx(want_tr)
+    assert _fx(pipe.trend(spark, 2 * 86_400)) == _fx(
+        funnel_trend(
+            _frame(spark, seen), STEPS, 2 * 86_400, horizon_seconds=HOUR
+        )
+    )
+    with pytest.raises(ValueError, match="multiples"):
+        pipe.trend(spark, 3600)
+
+
+def test_additive_tier_full_replay_after_gc_stays_bitwise(spark, tmp_path):
+    """Crash-equivalent state: every pre-finalize epoch replayed AFTER
+    the fin write + GC (all folded points back on disk alongside the
+    fin rows). The watermark-complement live filter must exclude the
+    folded users' rebuilt chains — counts stay bitwise."""
+    pipe = FunnelPipeline(
+        str(tmp_path / "store"),
+        STEPS,
+        horizon_seconds=HOUR,
+        fin_mode="additive",
+    )
+    batches = [_cohort(d, range(10 * d, 10 * d + 4)) for d in range(4)]
+    for i, rows in enumerate(batches):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    seen = [r for b in batches for r in b]
+    pipe.finalize(spark, lateness_seconds=86_400)
+    before = [
+        r[:6]
+        for r in sorted(tuple(x) for x in pipe.funnel(spark).collect())
+    ]
+    for i, rows in enumerate(batches):  # full replay, post-GC
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    after = [
+        r[:6]
+        for r in sorted(tuple(x) for x in pipe.funnel(spark).collect())
+    ]
+    assert after == before
+    # and a re-run finalize is a no-op (watermark cannot advance)
+    out = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out["finalized_users"] == 0
+
+
+def test_additive_tier_journey_semantics_divergence_pinned(spark, tmp_path):
+    """THE STATED TRADE: a finalized user re-entering the funnel with
+    a NEW step-0 at t >= wm counts as a new JOURNEY in the additive
+    tier; the exact tier's fin-key anti-join freezes them. Both
+    behaviors pinned side by side."""
+    mk = lambda mode, d: FunnelPipeline(  # noqa: E731
+        str(tmp_path / d),
+        STEPS,
+        horizon_seconds=HOUR,
+        fin_mode=mode,
+    )
+    exact, add = mk("user", "e"), mk("additive", "a")
+    rows0 = [
+        (1, _t(0), "a"),
+        (1, _t(10), "b"),
+        (2, _t(3 * 1440), "a"),  # keeps the stream's max time ahead
+    ]
+    for p in (exact, add):
+        p.write_batch(_frame(spark, rows0), epoch_id=0)
+        out = p.finalize(spark, lateness_seconds=86_400)
+        assert out["finalized_users"] == 1
+
+    # user 1 re-enters ABOVE the watermark: a legal arrival
+    re_entry = [(1, _t(3 * 1440 + 5), "a"), (1, _t(3 * 1440 + 6), "b")]
+    for p in (exact, add):
+        p.write_batch(_frame(spark, re_entry), epoch_id=1)
+    n_exact = {r["step"]: r["n_users"] for r in exact.funnel(spark).collect()}
+    n_add = {r["step"]: r["n_users"] for r in add.funnel(spark).collect()}
+    assert n_exact["a"] == 2  # users 1 (frozen) and 2
+    assert n_add["a"] == 3    # user 1's SECOND journey counts again
+    assert n_add["b"] == 2    # both of user 1's journeys reached b
+
+
+def test_additive_tier_partial_replay_is_shadowed_by_the_gc_base(
+    spark, tmp_path
+):
+    """A replay of ONE pre-finalize epoch after the GC could in
+    principle re-surface a folded user's SECONDARY step-0 as a
+    spurious live journey (its true anchor's epoch is not replayed,
+    so the rebuilt chain anchors late enough to pass the watermark
+    complement). It cannot: the GC's compact_store committed
+    ``base_upto = max epoch``, and the store ignores re-created epoch
+    dirs at or under it — the replayed dir is SHADOWED, counts stay
+    exact."""
+    pipe = FunnelPipeline(
+        str(tmp_path / "store"),
+        STEPS,
+        horizon_seconds=HOUR,
+        fin_mode="additive",
+    )
+    # user 1: true anchor at t0, a SECOND step-0 late in the same day
+    # (chosen so the rebuilt chain alone would pass the wm complement)
+    rows0 = [(1, _t(0), "a"), (1, _t(10), "b")]
+    rows1 = [(1, _t(23 * 60), "a")]           # secondary anchor
+    rows2 = [(2, _t(2 * 1440), "a")]          # advances the stream
+    pipe.write_batch(_frame(spark, rows0), epoch_id=0)
+    pipe.write_batch(_frame(spark, rows1), epoch_id=1)
+    pipe.write_batch(_frame(spark, rows2), epoch_id=2)
+    out = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out["finalized_users"] == 1
+    a_count = {r["step"]: r["n_users"] for r in pipe.funnel(spark).collect()}
+    assert a_count["a"] == 2  # folded user 1 + live user 2
+
+    # partial replay of ONLY the secondary-anchor epoch: shadowed
+    pipe.write_batch(_frame(spark, rows1), epoch_id=1)
+    from cassandra_iot_pipeline_spark.store import store_parts
+
+    _, upto, _ = store_parts(spark, pipe.pts_dir)
+    assert upto >= 1  # the GC's base covers the replayed epoch
+    after = {r["step"]: r["n_users"] for r in pipe.funnel(spark).collect()}
+    assert after == a_count  # no spurious journey
+
+
+def test_additive_tier_fin_written_gc_crashed_stays_bitwise(
+    spark, tmp_path, monkeypatch
+):
+    """The real crash window: fin epoch committed, GC never ran (the
+    folded users' FULL point sets still on disk). The live read's
+    watermark complement must exclude their rebuilt chains — counts
+    bitwise — and the next finalize must not re-fold them."""
+    import cassandra_iot_pipeline_spark.streaming.funnel as sfmod
+
+    pipe = FunnelPipeline(
+        str(tmp_path / "store"),
+        STEPS,
+        horizon_seconds=HOUR,
+        fin_mode="additive",
+    )
+    batches = [_cohort(d, range(10 * d, 10 * d + 4)) for d in range(4)]
+    for i, rows in enumerate(batches):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    seen = [r for b in batches for r in b]
+    pts_before = pipe.points(spark).count()
+    monkeypatch.setattr(sfmod, "compact_store", lambda *a, **k: None)
+    out = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out["finalized_users"] == 8
+    monkeypatch.undo()
+    assert pipe.points(spark).count() == pts_before  # GC really skipped
+
+    want = funnel(_frame(spark, seen), STEPS, horizon_seconds=HOUR)
+    got = sorted(tuple(r) for r in pipe.funnel(spark).collect())
+    assert [r[:6] for r in got] == [
+        r[:6] for r in sorted(tuple(x) for x in want.collect())
+    ]
+    # the next advance folds ONLY the [prev, cutoff') interval — the
+    # crash-window leftovers are never re-folded
+    pipe.write_batch(
+        _frame(spark, _cohort(5, range(50, 54))), epoch_id=4
+    )
+    seen += _cohort(5, range(50, 54))
+    out2 = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out2["finalized_users"] == 8  # day-2..3 cohorts, not day-0..1
+    got2 = sorted(tuple(r) for r in pipe.funnel(spark).collect())
+    assert [r[:6] for r in got2] == [
+        r[:6]
+        for r in sorted(
+            tuple(x)
+            for x in funnel(
+                _frame(spark, seen), STEPS, horizon_seconds=HOUR
+            ).collect()
+        )
+    ]
