@@ -888,3 +888,488 @@ def first_last_attribution(
     return out.filter(
         F.col("touch_type").isNotNull() | (F.col("first_touch") > 0)
     )
+
+
+# --- time-decay (half-life) attribution ----------------------------------------
+
+
+def _decay_buckets(lookback_seconds: int, half_life_seconds: int) -> int:
+    """K = lookback / half_life decay buckets. The contract demands an
+    integer K (markers sit at cts - j*half_life; the j = K marker IS
+    the window's left edge) and K <= 52 (per-channel scaled weights
+    are exact BIGINTs: sum of counts x 2^(K-1-j) stays far under
+    2^63, and every weight ratio is exactly representable)."""
+    if half_life_seconds <= 0:
+        raise ValueError(
+            f"half_life_seconds must be > 0, got {half_life_seconds}"
+        )
+    if lookback_seconds % half_life_seconds != 0:
+        raise ValueError(
+            "time-decay attribution needs lookback divisible by the "
+            f"half-life (got {lookback_seconds}s / {half_life_seconds}s): "
+            "the j-th decay marker sits at cts - j*half_life and the "
+            "last one must BE the window's left edge"
+        )
+    k = lookback_seconds // half_life_seconds
+    if not 1 <= k <= 52:
+        raise ValueError(
+            f"lookback/half_life = {k} decay buckets outside [1, 52] — "
+            "above 52 the scaled dyadic weights leave the exact-BIGINT "
+            "range (and a touch 52 half-lives old carries < 2^-52 "
+            "credit: widen the half-life instead)"
+        )
+    return k
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    lookback_seconds: int = 7 * 86_400,
+    half_life_seconds: int = 86_400,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(touch_type, first_touch, last_touch, decay_units,
+    decay_credit): half-life time-decay attribution — the fifth
+    standard model, pair-free on the as-of machinery, with an EXACT
+    dyadic-weight contract.
+
+    Semantics: a touch at age ``cts - tts`` in bucket
+    ``j = ceil(age / half_life) - 1`` (age in ``(j*H, (j+1)*H]`` —
+    integer microseconds, so ``j = (age - 1) div H`` exactly in both
+    engines) carries raw weight ``2^-j``: under one half-life old →
+    1, one-to-two half-lives → 1/2, and so on. Per conversion, each
+    channel's credit share is its raw-weight sum over the total —
+    normalized, so every attributed conversion distributes exactly
+    1e6 micro-units (± one per channel from the single rounding).
+
+    Exactness (the DESIGN.md dyadic criterion): scaling by
+    ``2^(K-1)`` (K = lookback/half_life <= 52) turns every raw-weight
+    sum into an exact BIGINT ``S_c = sum_j cnt_{c,j} * 2^(K-1-j)``
+    (bit-shift arithmetic, no floating point); the share is then ONE
+    double division of two exact integers and the micro-units ONE
+    round — ``ROUND(1e6 * (S_c / S))`` — the identical
+    correctly-rounded expression in the DuckDB twin (every literal
+    CAST to DOUBLE, the r10 exactness rule). Additive per conversion:
+    each conversion's channel units are a pure function of its own
+    window, so report rows sum across any partition of the conversion
+    set (pinned — the fin-store additivity criterion).
+
+    Plan shape: the asof_attribution argument generalized — ONE
+    user-keyed sort carrying a running count per channel, read at
+    K+1 marker rows per conversion (``cts - j*H``, j = 0..K; the
+    j = K marker is the left edge, so the two positional fills ride
+    the same rows); bucket counts are running-count DIFFERENCES of
+    adjacent markers. NO join; rows grow by (K-1) x conversions over
+    the 2-marker linear form — still lookback-INDEPENDENT in touch
+    volume, the property that beats the pair path's conversions x
+    in-window-touches blow-up (SCALE.md --attribution law)."""
+    touch_types = list(touch_types)
+    if not touch_types:
+        raise ValueError("attribution needs at least one touch type")
+    if conversion_type in touch_types:
+        raise ValueError(
+            "conversion_type must not be one of touch_types "
+            f"(got {conversion_type!r} in {touch_types})"
+        )
+    kbuckets = _decay_buckets(lookback_seconds, half_life_seconds)
+    h_us = half_life_seconds * 1_000_000
+    lb_us = lookback_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+
+    touches = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(key).alias("k"),
+        us.alias("t"),
+        F.lit(1).alias("tag"),
+        F.col(tie_col).cast("long").alias("tie"),
+        F.col(type_col).alias("touch"),
+        F.struct(
+            us.alias("tts"), F.col(type_col).alias("touch")
+        ).alias("pay"),
+    )
+    convs = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(key).alias("k"),
+        us.alias("cts"),
+        F.col(tie_col).alias("conv_id"),
+    )
+    pay_t = touches.schema["pay"].dataType
+    # K+1 markers per conversion: kind j at cts - j*half_life
+    markers = convs.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cts") - j * h_us).alias("t"),
+                        F.lit(j).alias("kind"),
+                    )
+                    for j in range(kbuckets + 1)
+                ]
+            )
+        ).alias("m"),
+        "conv_id",
+        "cts",
+    ).select(
+        "k",
+        F.col("m.t").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("tie"),
+        F.lit(None).cast("string").alias("touch"),
+        F.lit(None).cast(pay_t).alias("pay"),
+        F.col("m.kind").alias("kind"),
+        "conv_id",
+        "cts",
+    )
+    tagged = touches.select(
+        "k",
+        "t",
+        "tag",
+        "tie",
+        "touch",
+        "pay",
+        F.lit(None).cast("int").alias("kind"),
+        F.lit(None).cast(convs.schema["conv_id"].dataType).alias("conv_id"),
+        F.lit(None).cast("long").alias("cts"),
+    ).unionByName(markers)
+
+    order = [F.col("t"), F.col("tag"), F.col("tie")]
+    w_fwd = (
+        Window.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # backward fill as a RUNNING fill over the REVERSED sort — the
+    # unbounded-FOLLOWING frame is the linted O(rows^2) class
+    w_rev = (
+        Window.partitionBy("k")
+        .orderBy(
+            F.col("t").desc(), F.col("tag").desc(), F.col("tie").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = [
+        F.sum(
+            F.when(F.col("touch") == F.lit(ch), F.lit(1))
+        ).over(w_fwd).alias(f"c{i}")
+        for i, ch in enumerate(touch_types)
+    ]
+    at_markers = (
+        tagged.select(
+            "*",
+            *cums,
+            F.last(F.col("pay"), ignorenulls=True).over(w_fwd).alias("lp"),
+            F.last(F.col("pay"), ignorenulls=True).over(w_rev).alias("fp"),
+        )
+        .filter(F.col("tag") == 0)
+        .select(
+            "conv_id",
+            "kind",
+            *[
+                F.coalesce(f"c{i}", F.lit(0)).alias(f"c{i}")
+                for i in range(len(touch_types))
+            ],
+            # positional picks at the window edges (kind 0 = cts,
+            # kind K = left edge), window-checked as in the 2-marker
+            # machinery
+            F.when(
+                (F.col("kind") == 0)
+                & (F.col("lp.tts") >= F.col("cts") - lb_us),
+                F.col("lp.touch"),
+            ).alias("lt"),
+            F.when(
+                (F.col("kind") == kbuckets)
+                & (F.col("fp.tts") < F.col("cts")),
+                F.col("fp.touch"),
+            ).alias("ft"),
+        )
+    )
+    # per conversion: per-channel PER-BUCKET counts as adjacent-marker
+    # differences, immediately folded into the exact scaled weight
+    # S_i = sum_j cnt_{i,j} * 2^(K-1-j)  (BIGINT bit-shifts)
+    cnt_at = {
+        (i, j): F.max(
+            F.when(F.col("kind") == j, F.col(f"c{i}"))
+        )
+        for i in range(len(touch_types))
+        for j in range(kbuckets + 1)
+    }
+    s_exprs = []
+    n_exprs = []
+    for i in range(len(touch_types)):
+        s_i = None
+        for j in range(kbuckets):
+            d = (cnt_at[(i, j)] - cnt_at[(i, j + 1)]).cast("long")
+            term = d * F.lit(1 << (kbuckets - 1 - j)).cast("long")
+            s_i = term if s_i is None else s_i + term
+        s_exprs.append(s_i.alias(f"s{i}"))
+        n_exprs.append(
+            (cnt_at[(i, 0)] - cnt_at[(i, kbuckets)]).cast("long")
+        )
+    n_expr = None
+    for e in n_exprs:
+        n_expr = e if n_expr is None else n_expr + e
+    per_conv = at_markers.groupBy("conv_id").agg(
+        *s_exprs,
+        n_expr.alias("n"),
+        F.max("lt").alias("lt"),
+        F.max("ft").alias("ft"),
+    )
+    s_total = None
+    for i in range(len(touch_types)):
+        c = F.col(f"s{i}")
+        s_total = c if s_total is None else s_total + c
+    per_conv = per_conv.withColumn("s", s_total)
+
+    exploded = (
+        per_conv.filter(F.col("n") > 0)
+        .select(
+            "conv_id",
+            "n",
+            "s",
+            "ft",
+            "lt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(ch).alias("touch"),
+                            F.col(f"s{i}").alias("sc"),
+                        )
+                        for i, ch in enumerate(touch_types)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select(
+            "conv_id",
+            "n",
+            "s",
+            "ft",
+            "lt",
+            F.col("e.touch").alias("touch"),
+            F.col("e.sc").alias("sc"),
+        )
+        .filter(F.col("sc") > 0)
+    )
+    # ONE double division of two exact BIGINTs, ONE round — mirrored
+    # verbatim (operand order included) in the DuckDB twin
+    units = F.round(
+        F.lit(1_000_000.0)
+        * (F.col("sc").cast("double") / F.col("s").cast("double"))
+    ).cast("long")
+    attributed = exploded.groupBy(F.col("touch").alias("touch_type")).agg(
+        F.count(F.when(F.col("ft") == F.col("touch"), F.lit(1))).alias(
+            "first_touch"
+        ),
+        F.count(F.when(F.col("lt") == F.col("touch"), F.lit(1))).alias(
+            "last_touch"
+        ),
+        F.sum(units).alias("decay_units"),
+    )
+    unattributed = _unattributed_row(per_conv).withColumnRenamed(
+        "linear_units", "decay_units"
+    )
+    return attributed.unionByName(unattributed).select(
+        "touch_type",
+        "first_touch",
+        "last_touch",
+        "decay_units",
+        (F.col("decay_units") / F.lit(1_000_000.0)).alias("decay_credit"),
+    )
+
+
+def time_decay_attribution_pairs(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    lookback_seconds: int = 7 * 86_400,
+    half_life_seconds: int = 86_400,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Brute-force PAIR-path twin of :func:`time_decay_attribution` —
+    materializes every (conversion, in-window touch) pair and buckets
+    each age directly (``j = (age - 1) div H``), entirely independent
+    of the marker algebra; the bit-equality pin between the two is
+    what proves the running-count differences compute the same bucket
+    histogram. Costs conversions x in-window touches — a test/oracle
+    twin, not the routed form."""
+    touch_types = list(touch_types)
+    if not touch_types:
+        raise ValueError("attribution needs at least one touch type")
+    kbuckets = _decay_buckets(lookback_seconds, half_life_seconds)
+    h_us = half_life_seconds * 1_000_000
+    lb_us = lookback_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+
+    convs = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(key).alias("k"),
+        us.alias("cts"),
+        F.col(tie_col).alias("conv_id"),
+    )
+    touches = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(key).alias("k"),
+        us.alias("tts"),
+        F.col(type_col).alias("touch"),
+        F.col(tie_col).alias("touch_id"),
+        F.expr(f"(unix_micros({ts_col})) div {lb_us}").alias("b"),
+    )
+    probes = convs.select(
+        "k",
+        "cts",
+        "conv_id",
+        F.explode(
+            F.array(
+                F.expr(f"cts div {lb_us}"), F.expr(f"cts div {lb_us}") - 1
+            )
+        ).alias("b"),
+    )
+    pairs = probes.join(touches, ["k", "b"]).filter(
+        (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - lb_us)
+    )
+    from decimal import Decimal
+
+    ckey = (
+        F.col("tts").cast("decimal(38,0)") * F.lit(Decimal(_KEY_BASE))
+        + F.col("touch_id")
+    ).alias("ordkey")
+    weighted = pairs.select(
+        "conv_id",
+        "touch",
+        ckey,
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({kbuckets - 1}"
+            f" - ((cts - tts - 1) div {h_us}) AS INT))"
+        ).alias("w"),
+    )
+    w = Window.partitionBy("conv_id")
+    enriched = weighted.select(
+        "conv_id",
+        "touch",
+        "w",
+        F.min_by("touch", "ordkey").over(w).alias("ft"),
+        F.max_by("touch", "ordkey").over(w).alias("lt"),
+        F.sum("w").over(w).alias("s"),
+    )
+    per_ct = enriched.groupBy("conv_id", "touch").agg(
+        F.sum("w").alias("sc"),
+        F.first("s").alias("s"),
+        F.first("ft").alias("ft"),
+        F.first("lt").alias("lt"),
+    )
+    units = F.round(
+        F.lit(1_000_000.0)
+        * (F.col("sc").cast("double") / F.col("s").cast("double"))
+    ).cast("long")
+    attributed = per_ct.groupBy(F.col("touch").alias("touch_type")).agg(
+        F.count(F.when(F.col("ft") == F.col("touch"), F.lit(1))).alias(
+            "first_touch"
+        ),
+        F.count(F.when(F.col("lt") == F.col("touch"), F.lit(1))).alias(
+            "last_touch"
+        ),
+        F.sum(units).alias("decay_units"),
+    )
+    unattributed = (
+        convs.join(pairs.select("conv_id").distinct(), "conv_id", "anti")
+        .agg(F.count(F.lit(1)).alias("n_un"))
+        .select(
+            F.lit(None).cast("string").alias("touch_type"),
+            F.col("n_un").alias("first_touch"),
+            F.col("n_un").alias("last_touch"),
+            F.lit(0).cast("long").alias("decay_units"),
+        )
+        .filter(F.col("first_touch") > 0)
+    )
+    return attributed.unionByName(unattributed).select(
+        "touch_type",
+        "first_touch",
+        "last_touch",
+        "decay_units",
+        (F.col("decay_units") / F.lit(1_000_000.0)).alias("decay_credit"),
+    )
+
+
+def time_decay_attribution_oracle(
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    lookback_seconds: int = 7 * 86_400,
+    half_life_seconds: int = 86_400,
+    table: str = "events",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`time_decay_attribution` — the pair path
+    with pure-integer bucket arithmetic (``(age - 1) // H``), exact
+    BIGINT bit-shift weights, and the identical single-rounded
+    micro-unit expression with every literal CAST to DOUBLE (the r10
+    exactness rule)."""
+    kbuckets = _decay_buckets(lookback_seconds, half_life_seconds)
+    touch_list = ", ".join(f"'{t}'" for t in touch_types)
+    lb_us = lookback_seconds * 1_000_000
+    h_us = half_life_seconds * 1_000_000
+    return f"""
+        WITH convs AS (
+            SELECT {key} AS k, epoch_us({ts_col}) AS cts,
+                   {tie_col} AS conv_id
+            FROM {table} WHERE {type_col} = '{conversion_type}'
+        ),
+        touches AS (
+            SELECT {key} AS k, epoch_us({ts_col}) AS tts,
+                   {type_col} AS touch, {tie_col} AS touch_id
+            FROM {table} WHERE {type_col} IN ({touch_list})
+        ),
+        pairs AS (
+            SELECT c.conv_id, t.touch,
+                   CAST(t.tts AS HUGEINT) * {_KEY_BASE} + t.touch_id
+                       AS ordkey,
+                   CAST(1 AS BIGINT) << CAST(
+                       {kbuckets - 1} - (c.cts - t.tts - 1) // {h_us}
+                       AS INT) AS w
+            FROM convs c JOIN touches t
+              ON c.k = t.k
+             AND t.tts < c.cts AND t.tts >= c.cts - {lb_us}
+        ),
+        per_conv AS (
+            SELECT conv_id, SUM(w) AS s,
+                   arg_min(touch, ordkey) AS ft,
+                   arg_max(touch, ordkey) AS lt
+            FROM pairs GROUP BY conv_id
+        ),
+        per_conv_type AS (
+            SELECT p.conv_id, p.touch, SUM(p.w) AS sc,
+                   ANY_VALUE(c.s) AS s, ANY_VALUE(c.ft) AS ft,
+                   ANY_VALUE(c.lt) AS lt
+            FROM pairs p JOIN per_conv c USING (conv_id)
+            GROUP BY p.conv_id, p.touch
+        ),
+        attributed AS (
+            SELECT touch AS touch_type,
+                   COUNT(CASE WHEN ft = touch THEN 1 END) AS first_touch,
+                   COUNT(CASE WHEN lt = touch THEN 1 END) AS last_touch,
+                   CAST(SUM(CAST(ROUND(CAST(1000000.0 AS DOUBLE)
+                        * (CAST(sc AS DOUBLE) / CAST(s AS DOUBLE)))
+                        AS BIGINT)) AS BIGINT) AS decay_units
+            FROM per_conv_type GROUP BY touch
+        ),
+        unattributed AS (
+            SELECT CAST(NULL AS VARCHAR) AS touch_type,
+                   COUNT(*) AS first_touch, COUNT(*) AS last_touch,
+                   CAST(0 AS BIGINT) AS decay_units
+            FROM convs
+            WHERE conv_id NOT IN (SELECT conv_id FROM pairs)
+            HAVING COUNT(*) > 0
+        )
+        SELECT touch_type, first_touch, last_touch, decay_units,
+               decay_units / 1000000.0 AS decay_credit
+        FROM (SELECT * FROM attributed
+              UNION ALL SELECT * FROM unattributed)
+    """

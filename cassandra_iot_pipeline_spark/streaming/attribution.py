@@ -58,7 +58,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..operators.attribution import asof_attribution, position_attribution
+from ..operators.attribution import (
+    asof_attribution,
+    position_attribution,
+    time_decay_attribution,
+)
 from ..store import Quarantine, compact_store, read_store, store_parts
 
 
@@ -105,12 +109,17 @@ class AttributionPipeline:
         finalize_every: int | None = None,
         finalize_lateness_seconds: int | None = None,
         position_weights: tuple[float, float] = (0.4, 0.4),
+        decay_half_life_seconds: int | None = None,
     ) -> None:
         if (finalize_every is None) != (finalize_lateness_seconds is None):
             raise ValueError(
                 "finalize_every and finalize_lateness_seconds come "
                 "together: the cadence needs the declared lateness"
             )
+        if decay_half_life_seconds is not None:
+            from ..operators.attribution import _decay_buckets
+
+            _decay_buckets(lookback_seconds, decay_half_life_seconds)
         self.base_dir = base_dir
         self.conversion_type = conversion_type
         self.touch_types = list(touch_types)
@@ -123,18 +132,21 @@ class AttributionPipeline:
         self.finalize_every = finalize_every
         self.finalize_lateness_seconds = finalize_lateness_seconds
         self.position_weights = tuple(position_weights)
+        self.decay_half_life_seconds = decay_half_life_seconds
         self.pts_dir = f"{base_dir}/pts"
         self.fin_dir = f"{base_dir}/fin"
         self.q_dir = f"{base_dir}/quarantine"
         self.schema = _pts_schema(key, tie_col, updates_schema)
         self.quarantine_store = Quarantine(self.q_dir, self.schema)
-        # fin rows carry BOTH additive credit models (linear and
+        # fin rows carry EVERY additive credit model (linear,
         # position/U-shaped with this pipeline's position_weights
-        # baked in — changing weights means rebuild_from_source)
+        # baked in, and — when a half-life is configured — time-decay
+        # with its dyadic buckets; changing weights or half-life means
+        # rebuild_from_source). decay_units is 0 when unconfigured.
         self.fin_schema = (
             "wm BIGINT, touch_type STRING, first_touch BIGINT,"
             " last_touch BIGINT, linear_units BIGINT,"
-            " position_units BIGINT"
+            " position_units BIGINT, decay_units BIGINT"
         )
 
     # -- reads ----------------------------------------------------------
@@ -178,13 +190,32 @@ class AttributionPipeline:
                 w_first=self.position_weights[0],
                 w_last=self.position_weights[1],
             )
+        if model == "decay":
+            if self.decay_half_life_seconds is None:
+                raise ValueError(
+                    "decay model needs decay_half_life_seconds set on "
+                    "the pipeline (the half-life is baked into the fin "
+                    "rows — changing it means rebuild_from_source)"
+                )
+            return time_decay_attribution(
+                self._events(pts),
+                self.conversion_type,
+                self.touch_types,
+                self.lookback_seconds,
+                self.decay_half_life_seconds,
+                self.key,
+                self.ts_col,
+                self.type_col,
+                self.tie_col,
+            )
         raise ValueError(f"unknown attribution model {model!r}")
 
     def _both_reports(self, pts: DataFrame) -> DataFrame:
         """(touch_type, first_touch, last_touch, linear_units,
-        position_units): the two additive models' rows, null-safe
-        joined — identical row sets by construction (same exploded
-        channel base; same NULL-row rule)."""
+        position_units, decay_units): every configured additive
+        model's rows, null-safe joined — identical row sets by
+        construction (same exploded channel base; same NULL-row
+        rule). decay_units is 0 when no half-life is configured."""
         lin = self._report_over(pts, "linear").select(
             "touch_type", "first_touch", "last_touch", "linear_units"
         )
@@ -192,7 +223,7 @@ class AttributionPipeline:
             F.col("touch_type").alias("p_tt"),
             "position_units",
         )
-        return lin.join(
+        out = lin.join(
             pos, F.col("touch_type").eqNullSafe(F.col("p_tt")), "left"
         ).select(
             "touch_type",
@@ -200,6 +231,22 @@ class AttributionPipeline:
             "last_touch",
             "linear_units",
             F.coalesce("position_units", F.lit(0)).alias("position_units"),
+        )
+        if self.decay_half_life_seconds is None:
+            return out.withColumn("decay_units", F.lit(0).cast("long"))
+        dec = self._report_over(pts, "decay").select(
+            F.col("touch_type").alias("d_tt"),
+            "decay_units",
+        )
+        return out.join(
+            dec, F.col("touch_type").eqNullSafe(F.col("d_tt")), "left"
+        ).select(
+            "touch_type",
+            "first_touch",
+            "last_touch",
+            "linear_units",
+            "position_units",
+            F.coalesce("decay_units", F.lit(0)).alias("decay_units"),
         )
 
     def _has_fin(self, spark: SparkSession) -> bool:
@@ -219,6 +266,7 @@ class AttributionPipeline:
             F.sum("last_touch").alias("last_touch"),
             F.sum("linear_units").alias("linear_units"),
             F.sum("position_units").alias("position_units"),
+            F.sum("decay_units").alias("decay_units"),
         )
 
     def fin_watermark(self, spark: SparkSession) -> int | None:
@@ -250,9 +298,18 @@ class AttributionPipeline:
         credit algebra: ``"linear"`` (the default; 1/n per touch) or
         ``"position"`` (U-shaped, this pipeline's position_weights) —
         both additive, both carried by the fin rows."""
-        units = f"{model}_units" if model in ("linear", "position") else None
+        units = (
+            f"{model}_units"
+            if model in ("linear", "position", "decay")
+            else None
+        )
         if units is None:
             raise ValueError(f"unknown attribution model {model!r}")
+        if model == "decay" and self.decay_half_life_seconds is None:
+            raise ValueError(
+                "decay model needs decay_half_life_seconds set on the "
+                "pipeline (the half-life is baked into the fin rows)"
+            )
         credit = f"{model}_credit"
         wm = self.fin_watermark(spark)
         pts = self.points(spark)
@@ -380,6 +437,7 @@ class AttributionPipeline:
             "last_touch",
             "linear_units",
             "position_units",
+            "decay_units",
         )
         _, upto, epochs = store_parts(spark, self.fin_dir)
         nxt = max([upto] + [e for e, _ in epochs]) + 1

@@ -397,3 +397,227 @@ def test_position_attribution_rejects_negative_weights(spark):
         position_attribution(frame, w_first=-0.2, w_last=1.0)
     with _pytest.raises(ValueError, match="each be >= 0"):
         position_attribution(frame, w_first=1.0, w_last=-0.2)
+
+
+# --- time-decay (half-life) attribution (r11, verdict #4) ------------------
+
+
+def test_time_decay_hand_computed_and_boundary_bucket(spark):
+    """Pins the dyadic bucket contract: age in (j*H, (j+1)*H] carries
+    2^-j — a touch at EXACTLY one half-life old is still bucket 0
+    (weight 1); the normalized micro-units are one rounded division of
+    exact scaled BIGINTs."""
+    import datetime as dt
+
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        (1, t(10, 30), 1, "click"),  # age 90min -> j=1, w=4 (K=4)
+        (2, t(11, 0), 1, "click"),   # age EXACTLY 1h -> j=0, w=8
+        (3, t(11, 30), 1, "view"),   # age 30min -> j=0, w=8
+        (4, t(12, 0), 1, "purchase"),
+    ]
+    got = {
+        r["touch_type"]: (
+            r["first_touch"],
+            r["last_touch"],
+            r["decay_units"],
+        )
+        for r in time_decay_attribution(
+            spark.createDataFrame(rows, SCHEMA),
+            "purchase",
+            ("view", "click"),
+            lookback_seconds=4 * 3600,
+            half_life_seconds=3600,
+        ).collect()
+    }
+    # click S = 4 + 8 = 12, view S = 8, total 20
+    assert got == {
+        "click": (1, 0, 600_000),
+        "view": (0, 1, 400_000),
+    }
+
+
+def test_time_decay_marker_form_equals_pair_twin_and_duckdb(spark, duck):
+    """The marker-algebra form, the brute-force pair twin, and the
+    DuckDB oracle agree BITWISE on the fixture at two half-life
+    settings (the r10 exactness rule: every literal in the twin CAST
+    to DOUBLE, buckets in pure integer arithmetic)."""
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        time_decay_attribution,
+        time_decay_attribution_oracle,
+        time_decay_attribution_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    for lb, hl in ((86_400, 3_600), (7 * 86_400, 86_400)):
+        kw = dict(
+            conversion_type="purchase",
+            touch_types=("view", "click"),
+            lookback_seconds=lb,
+            half_life_seconds=hl,
+        )
+        key = lambda t: ("" if t[0] is None else t[0])  # noqa: E731
+        a = sorted(
+            (tuple(r) for r in time_decay_attribution(ev, **kw).collect()),
+            key=key,
+        )
+        b = sorted(
+            (
+                tuple(r)
+                for r in time_decay_attribution_pairs(ev, **kw).collect()
+            ),
+            key=key,
+        )
+        o = sorted(
+            (
+                tuple(r)
+                for r in duck.sql(
+                    time_decay_attribution_oracle(**kw)
+                ).fetchall()
+            ),
+            key=key,
+        )
+        assert a == b, (lb, hl)
+        assert a == o, (lb, hl)
+
+
+def test_time_decay_randomized_corpus(spark):
+    """Marker algebra == pair path bitwise on a randomized corpus
+    (dense same-microsecond collisions included)."""
+    import datetime as dt
+    import random
+
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        time_decay_attribution,
+        time_decay_attribution_pairs,
+    )
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for eid in range(600):
+        uid = rng.randrange(12)
+        secs = rng.randrange(0, 3 * 86_400)
+        etype = rng.choice(["view", "click", "view", "click", "purchase"])
+        rows.append((eid, base + dt.timedelta(seconds=secs), uid, etype))
+    frame = spark.createDataFrame(rows, SCHEMA)
+    kw = dict(
+        conversion_type="purchase",
+        touch_types=("view", "click"),
+        lookback_seconds=6 * 3600,
+        half_life_seconds=1_800,
+    )
+    key = lambda t: ("" if t[0] is None else t[0])  # noqa: E731
+    a = sorted(
+        (tuple(r) for r in time_decay_attribution(frame, **kw).collect()),
+        key=key,
+    )
+    b = sorted(
+        (
+            tuple(r)
+            for r in time_decay_attribution_pairs(frame, **kw).collect()
+        ),
+        key=key,
+    )
+    assert a == b
+
+
+def test_time_decay_additive_across_conversion_partitions(spark):
+    """The fin-store additivity criterion (DESIGN.md): each
+    conversion's channel units are a pure function of its own window,
+    so the report over ANY partition of the conversion set sums
+    bitwise to the whole-set report — the property that lets a
+    streaming finalize fold closed conversions incrementally."""
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    kw = dict(
+        conversion_type="purchase",
+        touch_types=("view", "click"),
+        lookback_seconds=86_400,
+        half_life_seconds=3_600,
+    )
+    is_conv = F.col("event_type") == "purchase"
+    half_a = ev.filter(~is_conv | (F.col("event_id") % 2 == 0))
+    half_b = ev.filter(~is_conv | (F.col("event_id") % 2 == 1))
+
+    def as_map(df):
+        return {
+            r["touch_type"]: (
+                r["first_touch"],
+                r["last_touch"],
+                r["decay_units"],
+            )
+            for r in df.collect()
+        }
+
+    whole = as_map(time_decay_attribution(ev, **kw))
+    pa = as_map(time_decay_attribution(half_a, **kw))
+    pb = as_map(time_decay_attribution(half_b, **kw))
+    summed = {
+        ch: tuple(
+            pa.get(ch, (0, 0, 0))[i] + pb.get(ch, (0, 0, 0))[i]
+            for i in range(3)
+        )
+        for ch in set(pa) | set(pb)
+    }
+    assert summed == whole
+
+
+def test_time_decay_validation(spark):
+    import pytest as _pytest
+
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+
+    frame = spark.createDataFrame([], SCHEMA)
+    with _pytest.raises(ValueError, match="divisible"):
+        time_decay_attribution(
+            frame, lookback_seconds=100, half_life_seconds=33
+        )
+    with _pytest.raises(ValueError, match="half_life_seconds"):
+        time_decay_attribution(
+            frame, lookback_seconds=100, half_life_seconds=0
+        )
+    with _pytest.raises(ValueError, match="outside"):
+        time_decay_attribution(
+            frame, lookback_seconds=60 * 3600, half_life_seconds=3600
+        )
+
+
+def test_time_decay_plan_has_no_join_and_no_unbounded_frame(spark):
+    """Plan pins for the routed marker form: no Join anywhere (the
+    K+1 markers ride the one user-keyed sort), and no
+    unbounded-FOLLOWING frame (the r11 lint class — the backward fill
+    runs over the reversed sort)."""
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+    from cassandra_iot_pipeline_spark.plans import (
+        formatted_plan,
+        unbounded_following_frames,
+    )
+
+    df = time_decay_attribution(
+        _frame(spark),
+        "purchase",
+        ("view", "click"),
+        lookback_seconds=600,
+        half_life_seconds=60,
+    )
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+    assert unbounded_following_frames(df) == []

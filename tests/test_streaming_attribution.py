@@ -640,3 +640,75 @@ def test_quarantine_retention_count_preserving_and_doctor(spark, tmp_path):
     assert pipe.quarantine_count(spark) == 5
     # doctor no longer reports growth after retention
     assert not pipe.doctor(spark)["quarantine"]["growing"]
+
+
+def test_attribution_finalize_decay_model(spark, tmp_path):
+    """The fin rows carry the time-decay model when a half-life is
+    configured: report(model='decay') over a finalized store equals
+    time_decay_attribution's full recompute bitwise, across a
+    finalize and further epochs; unconfigured pipelines refuse the
+    model."""
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+
+    pipe = AttributionPipeline(
+        str(tmp_path / "s"),
+        "purchase",
+        ("view", "click"),
+        600,
+        decay_half_life_seconds=60,
+    )
+
+    def cohort(d, uid, eid):
+        return [
+            (eid, _day(d, 0), uid, "view"),
+            (eid + 1, _day(d, 2), uid, "view"),
+            (eid + 2, _day(d, 3), uid, "click"),
+            (eid + 3, _day(d, 5), uid, "purchase"),
+        ]
+
+    batches = [cohort(d, 100 + d, 10 * d) for d in range(4)]
+    for i, rows in enumerate(batches):
+        pipe.write_batch(_frame(spark, rows), epoch_id=i)
+    out = pipe.finalize(spark, lateness_seconds=86_400)
+    assert out["finalized_conversions"] == 2
+    batches2 = [cohort(d, 100 + d, 10 * d) for d in (4, 5)]
+    for j, rows in enumerate(batches2, start=4):
+        pipe.write_batch(_frame(spark, rows), epoch_id=j)
+    seen = [r for b in (batches + batches2) for r in b]
+
+    def nsd(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: ("" if t[0] is None else t[0], *t[1:]),
+        )
+
+    want = time_decay_attribution(
+        _frame(spark, seen),
+        "purchase",
+        ("view", "click"),
+        lookback_seconds=600,
+        half_life_seconds=60,
+    )
+    assert nsd(pipe.report(spark, model="decay")) == nsd(want)
+    # the linear view from the SAME fin rows still holds
+    assert _nsreport(pipe.report(spark)) == _nsreport(
+        attribution(_frame(spark, seen), "purchase", ("view", "click"), 600)
+    )
+
+    import pytest
+
+    bare = AttributionPipeline(
+        str(tmp_path / "bare"), "purchase", ("view", "click"), 600
+    )
+    with pytest.raises(ValueError, match="decay_half_life_seconds"):
+        bare.report(spark, model="decay")
+    with pytest.raises(ValueError, match="divisible"):
+        AttributionPipeline(
+            str(tmp_path / "bad"),
+            "purchase",
+            ("view", "click"),
+            600,
+            decay_half_life_seconds=77,
+        )

@@ -73,6 +73,15 @@ def _extras(spark, sf_dir):
             "aggregate, with map-side partial distinct).",
             cleaning.contamination_overlap(docs, bench),
         ),
+        "time_decay_attribution": (
+            "Half-life time-decay attribution (r11): K+1 marker rows "
+            "per conversion ride ONE user-keyed sort (forward + "
+            "reversed running fills — no unbounded-FOLLOWING frame, "
+            "the linted O(rows^2) class); bucket counts are "
+            "running-count differences, weights exact BIGINT "
+            "bit-shifts. No Join anywhere.",
+            _time_decay(spark, sf_dir),
+        ),
         "pack_concat": (
             "Concat-and-chunk packing layout: the running-offset "
             "window partitions by shard — hashpartitioning Exchange, "
@@ -359,6 +368,21 @@ def _extras(spark, sf_dir):
             _bpe_pairs(spark, sf_dir),
         ),
     }
+
+
+def _time_decay(spark, sf_dir):
+    from cassandra_iot_pipeline_spark.catalog import load_table
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+
+    return time_decay_attribution(
+        load_table(spark, sf_dir, "events"),
+        "purchase",
+        ("view", "click"),
+        lookback_seconds=86_400,
+        half_life_seconds=3_600,
+    )
 
 
 def _ohlc(spark, sf_dir):

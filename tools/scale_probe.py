@@ -1617,6 +1617,237 @@ def main() -> None:
                         file=sys.stderr, flush=True,
                     )
 
+    if "--finalize-pass" in sys.argv:
+        # r11 (r10 verdict #3 + #1): (A) the finalize() MAINTENANCE
+        # pass itself — first-finalize cost over a 1x/3x/10x
+        # accumulated store, steady-state per-call cost at
+        # finalize_every in {4, 16}, and the GC compact_store share —
+        # for both point-store pipelines; (B) the additive funnel
+        # tier's population law: a GROWING ever-closed user population
+        # (10k -> 100k -> 1M) with exact-tier reads expected to grow
+        # and additive-tier reads expected ~flat.
+        import tempfile
+
+        import cassandra_iot_pipeline_spark.streaming.attribution as samod
+        import cassandra_iot_pipeline_spark.streaming.funnel as sfmod
+        from cassandra_iot_pipeline_spark.streaming.attribution import (
+            AttributionPipeline,
+        )
+        from cassandra_iot_pipeline_spark.streaming.funnel import (
+            FunnelPipeline,
+        )
+
+        steps = ["signup", "view", "click", "purchase"]
+        month_us = 30 * 86_400 * 1_000_000
+        per_epoch = max(200_000, n_events // 100)
+
+        def adv_batch(e):
+            return probe_events(
+                spark, per_epoch, n_devices, start=e * per_epoch
+            ).withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.unix_micros(F.col("ts")) + F.lit(e * month_us)
+                ),
+            )
+
+        def mk_funnel(tag, **kw):
+            return FunnelPipeline(
+                tempfile.mkdtemp(prefix=f"probe_fp_{tag}_"), steps,
+                horizon_seconds=7 * 86_400, **kw,
+            )
+
+        def mk_attr(tag):
+            return AttributionPipeline(
+                tempfile.mkdtemp(prefix=f"probe_ap_{tag}_"), "purchase",
+                ("view", "click", "signup"), 86_400,
+            )
+
+        # -- (A1) first-finalize cost over an accumulated store -------
+        gc_secs = {"v": 0.0}
+        real_cs = {"funnel": sfmod.compact_store, "attr": samod.compact_store}
+
+        def timing_cs(mod, key):
+            def wrapped(*a, **k):
+                t0 = time.perf_counter()
+                out = real_cs[key](*a, **k)
+                gc_secs["v"] += time.perf_counter() - t0
+                return out
+            return wrapped
+
+        sfmod.compact_store = timing_cs(sfmod, "funnel")
+        samod.compact_store = timing_cs(samod, "attr")
+        try:
+            for acc in (1, 3, 10):
+                fp, ap = mk_funnel(f"first{acc}"), mk_attr(f"first{acc}")
+                for e in range(acc):
+                    b = adv_batch(e)
+                    fp.write_batch(b, epoch_id=e)
+                    ap.write_batch(b, epoch_id=e)
+                for key, pipe in (("funnel", fp), ("attr", ap)):
+                    gc_secs["v"] = 0.0
+                    t0 = time.perf_counter()
+                    pipe.finalize(spark, lateness_seconds=86_400)
+                    total = round(time.perf_counter() - t0, 2)
+                    results[f"{key}_first_finalize_{acc}x"] = total
+                    results[f"{key}_first_finalize_{acc}x_gc"] = round(
+                        gc_secs["v"], 2
+                    )
+                    print(
+                        f"[probe] {key}_first_finalize_{acc}x: {total}s "
+                        f"(gc {results[f'{key}_first_finalize_{acc}x_gc']}s)",
+                        file=sys.stderr, flush=True,
+                    )
+
+            # -- (A2) steady-state per-call cost at two cadences -------
+            for every in (4, 16):
+                fp, ap = mk_funnel(f"cad{every}"), mk_attr(f"cad{every}")
+                calls: dict[str, list[float]] = {"funnel": [], "attr": []}
+                gcs: dict[str, list[float]] = {"funnel": [], "attr": []}
+                for e in range(16):
+                    b = adv_batch(e)
+                    fp.write_batch(b, epoch_id=e)
+                    ap.write_batch(b, epoch_id=e)
+                    if (e + 1) % every == 0:
+                        for key, pipe in (("funnel", fp), ("attr", ap)):
+                            gc_secs["v"] = 0.0
+                            t0 = time.perf_counter()
+                            pipe.finalize(spark, lateness_seconds=86_400)
+                            calls[key].append(time.perf_counter() - t0)
+                            gcs[key].append(gc_secs["v"])
+                for key in ("funnel", "attr"):
+                    cs = calls[key]
+                    steady = cs[1:] if len(cs) > 1 else cs
+                    results[f"{key}_finalize_every{every}_percall"] = round(
+                        sum(steady) / len(steady), 2
+                    )
+                    results[f"{key}_finalize_every{every}_gc_share"] = round(
+                        sum(gcs[key]) / max(sum(cs), 1e-9), 2
+                    )
+                    print(
+                        f"[probe] {key}_finalize_every{every}: "
+                        f"per-call {results[f'{key}_finalize_every{every}_percall']}s, "
+                        f"gc share {results[f'{key}_finalize_every{every}_gc_share']}",
+                        file=sys.stderr, flush=True,
+                    )
+        finally:
+            sfmod.compact_store = real_cs["funnel"]
+            samod.compact_store = real_cs["attr"]
+
+        # -- (B) growing ever-closed population: exact vs additive ----
+        fsteps = ["signup", "view", "purchase"]
+        ex = FunnelPipeline(
+            tempfile.mkdtemp(prefix="probe_pop_ex_"), fsteps,
+            horizon_seconds=3_600,
+        )
+        ad = FunnelPipeline(
+            tempfile.mkdtemp(prefix="probe_pop_ad_"), fsteps,
+            horizon_seconds=3_600, fin_mode="additive",
+        )
+
+        def pop_cohort(n_users, start_user, base_us):
+            # 3 funnel events per user, per-user jittered latencies so
+            # the additive sketch sees a realistic bucket spread
+            u = spark.range(n_users).select(
+                (F.col("id") + start_user).alias("user_id")
+            )
+            evs = u.select(
+                "user_id",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("signup").alias("event_type"),
+                            F.lit(0).cast("long").alias("off"),
+                        ),
+                        F.struct(
+                            F.lit("view").alias("event_type"),
+                            F.lit(60_000_000).cast("long").alias("off"),
+                        ),
+                        F.struct(
+                            F.lit("purchase").alias("event_type"),
+                            F.lit(120_000_000).cast("long").alias("off"),
+                        ),
+                    )
+                ).alias("e"),
+            )
+            return evs.select(
+                "user_id",
+                F.col("e.event_type").alias("event_type"),
+                F.timestamp_micros(
+                    F.lit(base_us)
+                    + F.col("e.off")
+                    + F.pmod(F.col("user_id"), F.lit(997)) * F.lit(13_001)
+                ).alias("ts"),
+            )
+
+        # the LAW rows are the CONSTANT-WORK probes at each population
+        # level: a tiny (1k-user) cohort finalize and a read — any
+        # growth left in them is population-dependent cost (the exact
+        # tier's fin-key anti-join + fin-row fold), not batch cost
+        # (each stage's own bulk fold is batch-proportional in BOTH
+        # tiers and would mask the law)
+        epoch_no = 0
+        start_user = 0
+        cum = 0
+        for si, n_users in enumerate((10_000, 90_000, 900_000)):
+            base_us = (si + 1) * 3 * month_us
+            for chunk0 in range(0, n_users, 300_000):
+                n_chunk = min(300_000, n_users - chunk0)
+                b = pop_cohort(n_chunk, start_user + chunk0, base_us)
+                ex.write_batch(b, epoch_id=epoch_no)
+                ad.write_batch(b, epoch_id=epoch_no)
+                epoch_no += 1
+            start_user += n_users
+            cum += n_users
+            # a pin epoch a month on closes the whole stage (far-away
+            # user ids so pins never merge into a real stage's chains)
+            pin = pop_cohort(
+                10, 10_000_000 + 100 * si, base_us + month_us
+            )
+            ex.write_batch(pin, epoch_id=epoch_no)
+            ad.write_batch(pin, epoch_id=epoch_no)
+            epoch_no += 1
+            for key, pipe in (("exact", ex), ("additive", ad)):
+                t0 = time.perf_counter()
+                out = pipe.finalize(spark, lateness_seconds=86_400)
+                fsec = round(time.perf_counter() - t0, 2)
+                results[f"pop_{key}_bulkfinalize_{cum}u"] = fsec
+                print(
+                    f"[probe] pop {key} bulk at {cum} users: "
+                    f"finalize {fsec}s (closed {out['finalized_users']})",
+                    file=sys.stderr, flush=True,
+                )
+            # constant-work probes at this population level
+            tiny = pop_cohort(
+                1_000, 20_000_000 + 10_000 * si, base_us + month_us + 86_400_000_000
+            )
+            pin2 = pop_cohort(
+                10, 30_000_000 + 100 * si, base_us + 2 * month_us
+            )
+            ex.write_batch(tiny, epoch_id=epoch_no)
+            ad.write_batch(tiny, epoch_id=epoch_no)
+            epoch_no += 1
+            ex.write_batch(pin2, epoch_id=epoch_no)
+            ad.write_batch(pin2, epoch_id=epoch_no)
+            epoch_no += 1
+            for key, pipe in (("exact", ex), ("additive", ad)):
+                t0 = time.perf_counter()
+                out = pipe.finalize(spark, lateness_seconds=86_400)
+                fsec = round(time.perf_counter() - t0, 2)
+                results[f"pop_{key}_tinyfinalize_{cum}u"] = fsec
+                t0 = time.perf_counter()
+                pipe.funnel(spark).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                rsec = round(time.perf_counter() - t0, 2)
+                results[f"pop_{key}_read_{cum}u"] = rsec
+                print(
+                    f"[probe] pop {key} at {cum} users: CONSTANT-WORK "
+                    f"finalize {fsec}s (closed {out['finalized_users']}),"
+                    f" read {rsec}s",
+                    file=sys.stderr, flush=True,
+                )
+
     if "--quantiles-lines" in sys.argv:
         # r9: DDSketch store write flatness + read cost, and the C4
         # line-dedup rule over a multi-line corpus (probe_documents is
