@@ -62,9 +62,15 @@ exact tier; medians become DDSketch alpha-bounded; the unit of
 account becomes the JOURNEY (a closed user re-entering with a new
 step-0 at ``t >= wm`` counts again) — trades stated in
 :meth:`FunnelPipeline._finalize_additive`, growth measured in
-tools/scale_probe.py ``--finalize-stream`` (SCALE.md: exact-tier
-reads grow with the user population, additive-tier reads flat).
-Growth curves for the unbounded store in ``--funnel-stream``.
+tools/scale_probe.py ``--finalize-pass`` (SCALE.md: at 1M ever-closed
+users the exact tier's constant-work finalize is 2.1x its 10k cost —
+the fin-key anti-join — and its reads grow monotonically, while the
+additive tier is flat on both; the additive tier's fixed DDSketch
+read overhead makes it the SLOWER choice below ~1M users — route
+exact for small/medium populations, additive when the closed
+population is the scaling dimension). Growth curves for the unbounded
+store in ``--funnel-stream``, finalized-read curves in
+``--finalize-stream``.
 """
 
 from __future__ import annotations
