@@ -529,6 +529,42 @@ class AttributionPipeline:
             fold=lambda df: df.distinct(),
         )
 
+    def compact_fin_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail-fold the fin store's epoch deltas (one per finalize —
+        unbounded on a long-lived stream without this): the fin rows
+        are per-channel ADDITIVE sums with the watermark read as a
+        max, so the regroup fold is associative and reader-invisible
+        (pinned in tests); it also contracts the store to one row per
+        channel, doubling as the deep clean."""
+        from ..store import compact_epochs
+
+        return compact_epochs(
+            spark,
+            self.fin_dir,
+            spark.createDataFrame([], self.fin_schema),
+            fold=lambda df: df.groupBy("touch_type")
+            .agg(
+                F.max("wm").alias("wm"),
+                F.sum("first_touch").alias("first_touch"),
+                F.sum("last_touch").alias("last_touch"),
+                F.sum("linear_units").alias("linear_units"),
+                F.sum("position_units").alias("position_units"),
+                F.sum("decay_units").alias("decay_units"),
+            )
+            .select(
+                "wm",
+                "touch_type",
+                "first_touch",
+                "last_touch",
+                "linear_units",
+                "position_units",
+                "decay_units",
+            ),
+            keep_recent=keep_recent,
+        )
+
     def foreach_batch(self):
         return self.write_batch
 

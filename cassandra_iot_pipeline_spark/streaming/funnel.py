@@ -547,6 +547,44 @@ class FunnelPipeline:
             fold=lambda df: df.distinct(),
         )
 
+    def _fin_fold(self):
+        """The fin store's associative fold: user mode is distinct
+        (one row per closed user; replays overwrite); additive mode is
+        the regroup-sum (cnt/sum_delta additive, wm by max — the
+        watermark only ever reads as a max, so folding epochs with
+        different wm stamps is reader-invisible)."""
+        if self.fin_mode == "user":
+            return lambda df: df.distinct()
+        return lambda df: df.groupBy(
+            "pstart", "step_idx", "sgn", "idx"
+        ).agg(
+            F.max("wm").alias("wm"),
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_delta").alias("sum_delta"),
+        ).select(
+            "wm", "pstart", "step_idx", "sgn", "idx", "cnt", "sum_delta"
+        )
+
+    def compact_fin_tail(
+        self, spark: SparkSession, keep_recent: int = 0
+    ) -> int | None:
+        """Tail-fold the fin store's epoch deltas — one epoch lands
+        per finalize, so a long-lived stream accumulates them without
+        bound; both fin folds are associative (see :meth:`_fin_fold`),
+        making the tail fold reader-invisible (pinned in tests). The
+        additive mode's fold also CONTRACTS the store (bucket rows
+        from different finalizes merge), so it doubles as the fin
+        store's deep clean."""
+        from ..store import compact_epochs
+
+        return compact_epochs(
+            spark,
+            self.fin_dir,
+            spark.createDataFrame([], self.fin_schema),
+            fold=self._fin_fold(),
+            keep_recent=keep_recent,
+        )
+
     def foreach_batch(self):
         return self.write_batch
 

@@ -712,3 +712,53 @@ def test_attribution_finalize_decay_model(spark, tmp_path):
             600,
             decay_half_life_seconds=77,
         )
+
+
+def test_attribution_fin_store_tail_fold_is_reader_invisible(
+    spark, tmp_path
+):
+    """compact_fin_tail folds the per-finalize fin epochs with the
+    additive regroup (wm by max): every model's report is unchanged
+    bitwise and the store contracts to one row per channel."""
+    pipe = AttributionPipeline(
+        str(tmp_path / "s"),
+        "purchase",
+        ("view", "click"),
+        600,
+        decay_half_life_seconds=60,
+    )
+
+    def cohort(d, uid, eid):
+        return [
+            (eid, _day(d, 0), uid, "view"),
+            (eid + 1, _day(d, 3), uid, "click"),
+            (eid + 2, _day(d, 5), uid, "purchase"),
+        ]
+
+    epoch = 0
+    for d in (0, 2, 4):
+        pipe.write_batch(
+            _frame(spark, cohort(d, 100 + d, 10 * d)), epoch_id=epoch
+        )
+        epoch += 1
+        pipe.write_batch(
+            _frame(spark, cohort(d + 1, 200 + d, 100 + 10 * d)),
+            epoch_id=epoch,
+        )
+        epoch += 1
+        pipe.finalize(spark, lateness_seconds=86_400)
+    from cassandra_iot_pipeline_spark.store import store_parts
+
+    _, _, fin_epochs = store_parts(spark, pipe.fin_dir)
+    assert len(fin_epochs) >= 2
+    before = {
+        m: _nsreport(pipe.report(spark, model=m))
+        for m in ("linear", "position", "decay")
+    }
+    wm_before = pipe.fin_watermark(spark)
+    assert pipe.compact_fin_tail(spark) is not None
+    for m in ("linear", "position", "decay"):
+        assert _nsreport(pipe.report(spark, model=m)) == before[m], m
+    assert pipe.fin_watermark(spark) == wm_before
+    _, _, fin_epochs2 = store_parts(spark, pipe.fin_dir)
+    assert len(fin_epochs2) == 1

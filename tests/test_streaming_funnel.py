@@ -635,3 +635,46 @@ def test_additive_tier_fin_written_gc_crashed_stays_bitwise(
             ).collect()
         )
     ]
+
+
+def test_fin_store_tail_fold_is_reader_invisible_both_modes(spark, tmp_path):
+    """One fin epoch lands per finalize — unbounded on a long stream.
+    compact_fin_tail folds the tail with each mode's associative fold
+    (distinct / regroup-sum): reads and the watermark are unchanged
+    bitwise, and the additive fold CONTRACTS the store."""
+    for mode in ("user", "additive"):
+        pipe = FunnelPipeline(
+            str(tmp_path / mode),
+            STEPS,
+            horizon_seconds=HOUR,
+            fin_mode=mode,
+        )
+        epoch = 0
+        for d in (0, 2, 4):  # three finalizes -> three fin epochs
+            pipe.write_batch(
+                _frame(spark, _cohort(d, range(10 * d, 10 * d + 4))),
+                epoch_id=epoch,
+            )
+            epoch += 1
+            pipe.write_batch(
+                _frame(spark, _cohort(d + 1, range(100 + d, 104 + d))),
+                epoch_id=epoch,
+            )
+            epoch += 1
+            pipe.finalize(spark, lateness_seconds=86_400)
+        from cassandra_iot_pipeline_spark.store import store_parts
+
+        _, _, fin_epochs = store_parts(spark, pipe.fin_dir)
+        assert len(fin_epochs) >= 2
+        before = sorted(tuple(r) for r in pipe.funnel(spark).collect())
+        wm_before = pipe.fin_watermark(spark)
+        rows_before = pipe._fin_raw(spark).count()
+        assert pipe.compact_fin_tail(spark) is not None
+        assert sorted(
+            tuple(r) for r in pipe.funnel(spark).collect()
+        ) == before, mode
+        assert pipe.fin_watermark(spark) == wm_before
+        _, _, fin_epochs2 = store_parts(spark, pipe.fin_dir)
+        assert len(fin_epochs2) == 1
+        if mode == "additive":
+            assert pipe._fin_raw(spark).count() <= rows_before
