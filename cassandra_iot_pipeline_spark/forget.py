@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .storage import _swap_paths, commit_swap, recover_swap
-from .store import store_parts
+from .store import recover_tail_fold, store_parts
 
 
 def _keyset(keys: DataFrame, key_cols: Sequence[str]) -> DataFrame:
@@ -174,6 +174,11 @@ def forget_keys_in_store(
     are always written flat, matching how the pipelines land them."""
     key_cols = list(key_cols)
     recover_store_swaps(store_dir)
+    # a maintenance op: commit any crashed tail fold FIRST so the
+    # rewrite below targets real epoch dirs, never a substituted stage
+    # (a reader's store_parts view may include one — rewriting it in
+    # place would race its eventual commit)
+    recover_tail_fold(spark, store_dir)
     base_path, _, epochs = store_parts(spark, store_dir)
     parts: list[tuple[str, str, bool]] = []
     if base_path is not None:

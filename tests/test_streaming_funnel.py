@@ -678,3 +678,26 @@ def test_fin_store_tail_fold_is_reader_invisible_both_modes(spark, tmp_path):
         assert len(fin_epochs2) == 1
         if mode == "additive":
             assert pipe._fin_raw(spark).count() <= rows_before
+
+
+def test_additive_tier_collapsed_read_with_fin_max_buckets(spark, tmp_path):
+    """fin_max_buckets bounds the median read's per-step bucket fold
+    (the DDSketch collapse tier): counts stay bitwise, the median
+    estimate stays within alpha for ranks above the collapsed mass —
+    here the cap exceeds the populated buckets, so the read is
+    bitwise the uncapped one."""
+    mk = lambda d, cap: FunnelPipeline(  # noqa: E731
+        str(tmp_path / d),
+        STEPS,
+        horizon_seconds=HOUR,
+        fin_mode="additive",
+        fin_max_buckets=cap,
+    )
+    capped, plain = mk("c", 64), mk("p", None)
+    batches = [_cohort(d, range(10 * d, 10 * d + 4)) for d in range(3)]
+    for i, rows in enumerate(batches):
+        capped.write_batch(_frame(spark, rows), epoch_id=i)
+        plain.write_batch(_frame(spark, rows), epoch_id=i)
+    for p in (capped, plain):
+        p.finalize(spark, lateness_seconds=86_400)
+    assert _fx(capped.funnel(spark)) == _fx(plain.funnel(spark))

@@ -468,3 +468,48 @@ def test_substring_and_postings_stores_compact_tail(spark, tmp_path):
     assert sorted(
         map(tuple, ps.bm25_topk(spark, "quick brown fox", k=2).collect())
     ) == ps_before
+
+
+def test_multiple_complete_stages_max_wins_lower_discarded(spark, tmp_path):
+    """Out-of-contract but defended: TWO complete stages (a lower one
+    whose commit never started, then a higher one folded from a
+    listing that still included the lower's source epochs). Readers
+    substitute only the MAX stage (its fold subsumes the lower's
+    sources); recovery commits the max and discards the lower as a
+    duplicate; the doctor reports both as swap leftovers before the
+    recovery."""
+    from cassandra_iot_pipeline_spark.store import store_stats
+
+    store = str(tmp_path / "s")
+    _write_epochs(spark, store, BATCHES)
+    before = _folded_read(spark, store)
+    low = _sum_fold(
+        spark.read.parquet(*[f"{store}/epoch={e}" for e in range(2)])
+    )
+    low.write.mode("overwrite").parquet(f"{store}/.tailfold=1.compacting")
+    high = _sum_fold(
+        spark.read.parquet(*[f"{store}/epoch={e}" for e in range(3)])
+    )
+    high.write.mode("overwrite").parquet(f"{store}/.tailfold=2.committing")
+    # reads: only the max stage substitutes
+    assert _folded_read(spark, store) == before
+    _, _, epochs = store_parts(spark, store)
+    assert [e for e, _ in epochs] == [2, 3]
+    assert epochs[0][1].endswith(".tailfold=2.committing")
+    # doctor sees both leftovers (disk truth, not the reader's view)
+    st = store_stats(spark, store)
+    assert st["swap_leftovers"] == [
+        ".tailfold=1.compacting",
+        ".tailfold=2.committing",
+    ]
+    assert "recover first" in st["recommendation"]
+    # recovery: max commits, lower is discarded as a duplicate
+    assert recover_tail_fold(spark, store) == 2
+    assert not os.path.exists(f"{store}/.tailfold=1.compacting")
+    assert not os.path.exists(f"{store}/.tailfold=2.committing")
+    assert _folded_read(spark, store) == before
+    _, _, epochs = store_parts(spark, store)
+    assert [(e, p.rsplit("/", 1)[-1]) for e, p in epochs] == [
+        (2, "epoch=2"),
+        (3, "epoch=3"),
+    ]
