@@ -1968,6 +1968,39 @@ def main() -> None:
                 ),
                 results,
             )
+            # r11: time-decay on the same machinery with K+1 markers
+            # per conversion (K = lookback/half_life) vs its pair
+            # twin — the claim is that the marker fan-out (25 rows per
+            # conversion at 24h/1h) still beats pairs-per-conversion,
+            # and the form inherits the lookback-flatness law
+            hl = 360 if lb == 3600 else 3600
+            from cassandra_iot_pipeline_spark.operators.attribution import (
+                time_decay_attribution,
+                time_decay_attribution_pairs,
+            )
+
+            timed(
+                f"time_decay_{label}_lookback_k{lb // hl}",
+                time_decay_attribution(
+                    events,
+                    "purchase",
+                    ("view", "click", "signup"),
+                    lb,
+                    hl,
+                ),
+                results,
+            )
+            timed(
+                f"time_decay_pairs_{label}_lookback_k{lb // hl}",
+                time_decay_attribution_pairs(
+                    events,
+                    "purchase",
+                    ("view", "click", "signup"),
+                    lb,
+                    hl,
+                ),
+                results,
+            )
 
     if "--topk" in sys.argv:
         # r9: the Misra-Gries heavy-hitters store. Claims under test:
