@@ -963,10 +963,20 @@ def time_decay_attribution(
     K+1 marker rows per conversion (``cts - j*H``, j = 0..K; the
     j = K marker is the left edge, so the two positional fills ride
     the same rows); bucket counts are running-count DIFFERENCES of
-    adjacent markers. NO join; rows grow by (K-1) x conversions over
-    the 2-marker linear form — still lookback-INDEPENDENT in touch
-    volume, the property that beats the pair path's conversions x
-    in-window-touches blow-up (SCALE.md --attribution law)."""
+    adjacent markers. NO join.
+
+    ROUTING, measured (SCALE.md round-11, 20M-event probe corpus):
+    this form's cost is the (K+1) x conversions marker fan-out
+    through the user sort — K-proportional, lookback-INDEPENDENT in
+    touch volume; the pair twin's cost is conversions x in-window
+    touches — lookback-proportional, K-independent. At the DEFAULT
+    config (7-day lookback / 1-day half-life, K=7) this form measured
+    21.6 s vs 416 s for pairs (~19x): windows hold hundreds of
+    touches and K is small. The pair twin wins only when K exceeds
+    the per-window touch count — short-lookback fine-half-life
+    configs (1h/6min K=10: pairs 8 s vs 72 s; 24h/1h K=24: pairs
+    47 s vs 149 s). Rule of thumb: call THIS form when in-window
+    touches per conversion >> K, the pair twin otherwise."""
     touch_types = list(touch_types)
     if not touch_types:
         raise ValueError("attribution needs at least one touch type")
@@ -1088,7 +1098,18 @@ def time_decay_attribution(
     )
     # per conversion: per-channel PER-BUCKET counts as adjacent-marker
     # differences, immediately folded into the exact scaled weight
-    # S_i = sum_j cnt_{i,j} * 2^(K-1-j)  (BIGINT bit-shifts)
+    # S_i = sum_j cnt_{i,j} * 2^(K-1-j)  (BIGINT bit-shifts).
+    # Plan note (measured, SCALE.md --attribution): this
+    # channels x (K+1) conditional-max aggregation partial-
+    # aggregates MAP-SIDE (one row per conversion crosses the
+    # exchange) and beat both alternatives tried — a lead()-over-
+    # kind window (forfeits the partial aggregation: every marker
+    # row shuffles) and a collect_list + aggregate() lambda fold
+    # (same shuffle win but slower codegen than the flat
+    # conditional maxes at these K) — the operator is dominated
+    # by the (K+1) x conversions marker fan-out through the
+    # user-keyed sort either way, which is what the pair-path
+    # routing below is for.
     cnt_at = {
         (i, j): F.max(
             F.when(F.col("kind") == j, F.col(f"c{i}"))
