@@ -110,6 +110,7 @@ class AttributionPipeline:
         finalize_lateness_seconds: int | None = None,
         position_weights: tuple[float, float] = (0.4, 0.4),
         decay_half_life_seconds: int | None = None,
+        quarantine_prune_every: int | None = None,
     ) -> None:
         if (finalize_every is None) != (finalize_lateness_seconds is None):
             raise ValueError(
@@ -131,6 +132,7 @@ class AttributionPipeline:
         self.compact_every = compact_every
         self.finalize_every = finalize_every
         self.finalize_lateness_seconds = finalize_lateness_seconds
+        self.quarantine_prune_every = quarantine_prune_every
         self.position_weights = tuple(position_weights)
         self.decay_half_life_seconds = decay_half_life_seconds
         self.pts_dir = f"{base_dir}/pts"
@@ -502,6 +504,14 @@ class AttributionPipeline:
             self.finalize(
                 batch_df.sparkSession, self.finalize_lateness_seconds
             )
+        if (
+            self.quarantine_prune_every is not None
+            and (epoch_id + 1) % self.quarantine_prune_every == 0
+        ):
+            # retention cadence for the alarm channel: detail rows
+            # age out, the violation COUNT survives forever
+            # (store.Quarantine.prune's invariant)
+            self.prune_quarantine(batch_df.sparkSession)
 
     # -- maintenance ------------------------------------------------------
     def compact_tail(

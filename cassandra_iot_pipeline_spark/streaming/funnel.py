@@ -133,6 +133,7 @@ class FunnelPipeline:
         fin_period_seconds: int = 86_400,
         fin_alpha: float = 0.01,
         fin_max_buckets: int | None = None,
+        quarantine_prune_every: int | None = None,
     ) -> None:
         if (finalize_every is None) != (finalize_lateness_seconds is None):
             raise ValueError(
@@ -152,6 +153,7 @@ class FunnelPipeline:
         self.compact_every = compact_every
         self.finalize_every = finalize_every
         self.finalize_lateness_seconds = finalize_lateness_seconds
+        self.quarantine_prune_every = quarantine_prune_every
         self.fin_mode = fin_mode
         self.fin_period_seconds = fin_period_seconds
         self.fin_alpha = fin_alpha
@@ -518,6 +520,14 @@ class FunnelPipeline:
             self.finalize(
                 batch_df.sparkSession, self.finalize_lateness_seconds
             )
+        if (
+            self.quarantine_prune_every is not None
+            and (epoch_id + 1) % self.quarantine_prune_every == 0
+        ):
+            # retention cadence for the alarm channel: detail rows
+            # age out, the violation COUNT survives forever
+            # (store.Quarantine.prune's invariant)
+            self.prune_quarantine(batch_df.sparkSession)
 
     # -- maintenance ------------------------------------------------------
     def compact_tail(

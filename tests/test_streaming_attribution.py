@@ -762,3 +762,39 @@ def test_attribution_fin_store_tail_fold_is_reader_invisible(
     assert pipe.fin_watermark(spark) == wm_before
     _, _, fin_epochs2 = store_parts(spark, pipe.fin_dir)
     assert len(fin_epochs2) == 1
+
+
+def test_quarantine_prune_cadence_runs_in_write_batch(spark, tmp_path):
+    """quarantine_prune_every wires the retention cadence into the
+    write path: detail epochs age out automatically, the violation
+    count survives (the Quarantine.prune invariant)."""
+    pipe = AttributionPipeline(
+        str(tmp_path / "s"),
+        "purchase",
+        ("view", "click"),
+        600,
+        quarantine_prune_every=4,
+    )
+    pipe.write_batch(
+        _frame(
+            spark,
+            [
+                (1, _day(0, 0), 1, "view"),
+                (2, _day(0, 5), 1, "purchase"),
+                (3, _day(2, 0), 2, "view"),
+            ],
+        ),
+        epoch_id=0,
+    )
+    pipe.finalize(spark, lateness_seconds=86_400)
+    # epochs 1..7: persistently-late source; the cadence prunes at
+    # epochs 3 and 7 (keep_recent=4 detail epochs survive each pass)
+    for i in range(1, 8):
+        pipe.write_batch(
+            _frame(spark, [(10 + i, _day(0, 1 + i), 3 + i, "click")]),
+            epoch_id=i,
+        )
+    assert pipe.quarantine_count(spark) == 7
+    assert pipe.quarantine_store.pruned_total(spark) > 0
+    live_epochs = pipe.doctor(spark)["quarantine"]["live_epochs"]
+    assert len(live_epochs) <= 4
