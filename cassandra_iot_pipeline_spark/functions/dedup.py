@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..parallel import fan_out_scan, shuffle_width
 from .text import _oracle_tokens, tokens
 
 SHINGLE_N = 5
@@ -215,8 +216,10 @@ def _lsh_block_pairs(
     # groupBy(doc_id) is partition-local and the join sides' required
     # hash(doc_id) distribution is already satisfied — exchange reuse
     # runs the scan+tokenize+shuffle once per query instead of once per
-    # consumer (was 3 full corpus scans)
-    base = docs.repartition("doc_id")
+    # consumer (was 3 full corpus scans). Explicit width (r12): the
+    # keyed-only form was AQE-coalescible and folded the signature fold
+    # onto one task at small scale.
+    base = docs.repartition(shuffle_width(docs), "doc_id")
     exploded = base.select(
         "doc_id",
         "lang",
@@ -337,7 +340,12 @@ def blocked_jaccard_pairs(
     every (lang, source, band, bucket) population staying under
     :data:`LSH_MAX_BUCKET`; now the assumption is caller-visible and
     stated in the oracle docstring."""
-    docs = documents.select(
+    # fan out the narrow scan first (r12, parallel.fan_out_scan): the
+    # quadratic in-block intersect stage runs on side a's partitioning
+    # (the b side broadcasts), so a single-split input serialized the
+    # whole pair stage onto one task; the projection sits above the
+    # repartition, so tokenization parallelizes too
+    docs = fan_out_scan(documents, "doc_id").select(
         "doc_id",
         "lang",
         "source",
@@ -446,8 +454,18 @@ def shingle_rows(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     canonicalization regexp is re-evaluated per element (and Catalyst's
     CollapseProject re-inlines any attempt to pre-project it); through
     Generate it runs once per document — measured ~10x faster on the
-    shingle scan at sf0.1."""
-    canon_df = documents.select("doc_id", canonical(F.col("text")).alias("canon"))
+    shingle scan at sf0.1.
+
+    The input fans out across the session's cores first (r12,
+    parallel.fan_out_scan): the shingle explosion plus the downstream
+    64-permutation signature fold is the dedup family's dominant CPU,
+    and on a narrow scan (the single-split fixture files) it all ran in
+    ONE task (~2.3 s single-task CPU measured at sf0.1). Keyed by
+    doc_id, so the per-doc aggregations above stay partition-local; a
+    no-op once the scan is wide (the at-scale case)."""
+    canon_df = fan_out_scan(documents, "doc_id").select(
+        "doc_id", canonical(F.col("text")).alias("canon")
+    )
     idx = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length("canon") - (n - 1), F.lit(1)))
     )
@@ -775,6 +793,15 @@ def _capped_bucket_pairs(
             f"{hot_bucket_mode!r}"
         )
     key_cols = list(keys)
+    # pin the bucket-key exchange at the session's shuffle width (r12):
+    # the stage above it expands buckets into pairs — output quadratic
+    # in bucket population under the cap — so AQE's byte-proportional
+    # coalescing (which folded this small-byte exchange to ONE task at
+    # fixture scale) mis-models its cost. An explicit keyed repartition
+    # (REPARTITION_BY_NUM, AQE-exempt) replaces the window/groupBy's
+    # implicit exchange 1:1 at the width it would have had pre-coalesce,
+    # so this is width-neutral at scale.
+    banded = banded.repartition(shuffle_width(banded), *key_cols)
     salt_mode = hot_bucket_mode == "subshard" or (
         hot_bucket_mode == "auto" and "salt" in banded.columns
     )
@@ -1061,7 +1088,11 @@ def simhash64(documents: DataFrame, hash_family: str = "sha256") -> DataFrame:
         h = F.shiftleft(hi, 32).bitwiseOR(lo)
     else:  # pragma: no cover - guarded API
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    tok = documents.select(
+    # fan out the narrow scan before the per-token hash work (r12,
+    # parallel.fan_out_scan): the sha256-per-token + packed-counter fold
+    # otherwise runs single-task on single-split inputs; keyed by doc_id
+    # so the packed groupBy below stays partition-local
+    tok = fan_out_scan(documents, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
     ).select("doc_id", h.alias("h"))
 
@@ -1148,8 +1179,13 @@ def simhash_near_dup_pairs(
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # hamming filter BELOW the pair distinct (r12, guide §2.3):
+        # hamming is a function of the pair, so filtering first is
+        # result-identical — and the distinct's exchange now carries
+        # only matching pairs instead of every chunk-sharing candidate
+        # (at web scale the candidate set is the far larger of the two)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -261,8 +261,21 @@ def avro_roundtrip_rollup(events: DataFrame) -> DataFrame:
     header strip -> binary decode -> hourly rollup. Must equal the same
     rollup computed directly on the fixture (the oracle), so any codec
     bug — varint, zigzag, float byte order, header math — fails the
-    value hash."""
-    decoded = decode_sensor_events(encode_events_as_frames(events))
+    value hash.
+
+    The scan fans out across cores first (r12, parallel.fan_out_scan):
+    the encode->decode Python chain inherits the scan's partitioning
+    (mapInPandas preserves it — a property the streaming staging test
+    relies on, so the fan-out lives HERE, not inside the encoder), and
+    on the single-split fixture files the whole codec ran in ONE Python
+    worker (~0.8 s of the query, measured at sf0.1). Keyed by event_id
+    so placement is deterministic; results are placement-independent
+    (per-row codec, exact-integer rollup); no-op on wide inputs."""
+    from ..parallel import fan_out_scan
+
+    decoded = decode_sensor_events(
+        encode_events_as_frames(fan_out_scan(events, "event_id"))
+    )
     temp_units = F.round(F.col("temperature").cast("double") * 100).cast("long")
     return (
         decoded.groupBy(
