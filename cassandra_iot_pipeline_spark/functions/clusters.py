@@ -174,8 +174,10 @@ def connected_components_routed(
         rv = find(v)
         root_min[rv] = min(root_min.get(rv, v), v)
     rows = [(v, root_min[find(v)]) for v in sorted(parent)]
-    return pairs.sparkSession.createDataFrame(
-        rows, "doc_id BIGINT, cluster_id BIGINT"
+    from ..litframe import literal_frame
+
+    return literal_frame(
+        pairs.sparkSession, rows, "doc_id BIGINT, cluster_id BIGINT"
     )
 
 

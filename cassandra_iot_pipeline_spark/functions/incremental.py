@@ -388,8 +388,10 @@ def incremental_near_dedup(
                 dropped.append(v)
         seen = {v for v in seen if batch_of(v) > k}
     spark = documents.sparkSession
-    dropped_df = spark.createDataFrame(
-        [(int(d),) for d in dropped], "doc_id BIGINT"
+    from ..litframe import literal_frame
+
+    dropped_df = literal_frame(
+        spark, [(int(d),) for d in dropped], "doc_id BIGINT"
     )
     return (
         documents.join(F.broadcast(dropped_df), "doc_id", "left_anti")

@@ -144,7 +144,12 @@ def _sketch_arrays_row(sketch: DataFrame, width: int, depth: int):
         arrays[r["j"]][r["bucket"]] = r["c"]
     n_total = sum(arrays[0])
     spark = sketch.sparkSession
-    row_df = spark.createDataFrame(
+    # literal_frame, not createDataFrame: the pickled-RDD form planned
+    # a defaultParallelism-task Python scan for this ONE row (r12)
+    from ..litframe import literal_frame
+
+    row_df = literal_frame(
+        spark,
         [tuple(arrays)],
         ", ".join(f"row{j} ARRAY<BIGINT>" for j in range(depth)),
     )

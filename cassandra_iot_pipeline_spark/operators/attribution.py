@@ -869,8 +869,10 @@ def first_last_attribution(
     # channel list, zero-filled, plus the NULL unattributed row),
     # null-safe joins: the unattributed key IS NULL on both sides
     spark = events.sparkSession
-    channels = spark.createDataFrame(
-        [(t,) for t in touch_types] + [(None,)], "ct STRING"
+    from ..litframe import literal_frame
+
+    channels = literal_frame(
+        spark, [(t,) for t in touch_types] + [(None,)], "ct STRING"
     )
     joined = (
         channels.join(

@@ -53,6 +53,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..litframe import literal_frame
+
 
 def _fold_expr(k: int, horizon_us: int | None) -> str:
     """SQL for the greedy slot-filling fold over the sorted event
@@ -185,7 +187,8 @@ def funnel_report(hits_df: DataFrame, steps: list[str]) -> DataFrame:
     )
 
     spark = hits_df.sparkSession
-    step_frame = spark.createDataFrame(
+    step_frame = literal_frame(
+        spark,
         [(i, name) for i, name in enumerate(steps)],
         "step_idx INT, step STRING",
     )
@@ -369,7 +372,8 @@ def funnel_trend_report(
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
     spark = hits_df.sparkSession
-    step_frame = spark.createDataFrame(
+    step_frame = literal_frame(
+        spark,
         [(i, name) for i, name in enumerate(steps)],
         "step_idx INT, step STRING",
     )
@@ -516,7 +520,8 @@ def funnel_segmented(
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
     spark = pts.sparkSession
-    step_frame = spark.createDataFrame(
+    step_frame = literal_frame(
+        spark,
         [(i, name) for i, name in enumerate(steps)],
         "step_idx INT, step STRING",
     )
@@ -718,7 +723,8 @@ def funnel_report_additive(
     ).select("step_idx", F.col("est").alias("med_delta"))
 
     spark = rows.sparkSession
-    step_frame = spark.createDataFrame(
+    step_frame = literal_frame(
+        spark,
         [(i, name) for i, name in enumerate(steps)],
         "step_idx INT, step STRING",
     )
@@ -790,7 +796,8 @@ def funnel_trend_report_additive(
         .agg(F.sum("cnt").alias("n_users"))
     )
     spark = rows.sparkSession
-    step_frame = spark.createDataFrame(
+    step_frame = literal_frame(
+        spark,
         [(i, name) for i, name in enumerate(steps)],
         "step_idx INT, step STRING",
     )
