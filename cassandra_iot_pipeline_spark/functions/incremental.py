@@ -307,35 +307,35 @@ def incremental_near_dedup(
     from .dedup import candidate_pairs_from_bands, verify_jaccard_pairs
 
     bound = MAX_DRIVER_PAIRS if max_driver_pairs is None else max_driver_pairs
-    # Both branches build on the SAME shingle checkpoint: the probe's
-    # pair plan is candidate+verify over it (identical signatures, band
-    # geometry, and verification as minhash_lsh_pairs — same
-    # construction, shared code), so exceeding the bound wastes nothing:
-    # the fallback replay reuses the materialized shingles instead of
-    # re-shingling the corpus. Block release: the fast path's result
-    # depends only on `documents` + the driver-built dropped list, so
-    # its checkpoint blocks are released EXPLICITLY before return
-    # (blocks.py — deterministic, not ContextCleaner timing); the
-    # fallback's survivors frame reads the checkpointed partitions, so
-    # there release stays with the ContextCleaner once the caller
-    # drops the result.
-    sh_all = shingled_docs(documents).localCheckpoint(eager=True)
-    # band rows stay LAZY on the fast path: the pair probe reads them
-    # exactly once, so an eager checkpoint would only add a
-    # materialize-and-read-back job the fast path never amortizes
-    # (the signature aggregation runs inside the probe job either
-    # way); the fallback — whose per-step consumers DO reuse them —
-    # checkpoints on entry
-    bands_lazy = banded_rows(sh_all)
+    # The probe's pair plan is candidate+verify over the shingle sets
+    # (identical signatures, band geometry, and verification as
+    # minhash_lsh_pairs — same construction, shared code). Since r12
+    # the fast path runs it WITHOUT an eager checkpoint: runtime
+    # exchange reuse already collapses the three shingle subtrees to
+    # one execution inside the probe job (the minhash_lsh_pairs
+    # property), so the checkpoint bought no recompute saving — it only
+    # added a materialize-and-read-back job plus a release round trip,
+    # and the fast path's serial job count (max_id, checkpoint, probe
+    # collect, final anti-join) made this the bench's most
+    # stall-sensitive query. The fallback — whose per-step consumers DO
+    # reuse the frames across many jobs — checkpoints on entry instead,
+    # re-running the shingle aggregation once; those blocks stay
+    # ContextCleaner-owned because the returned survivors frame reads
+    # them lazily.
+    sh_all = shingled_docs(documents)
     pairs = verify_jaccard_pairs(
-        candidate_pairs_from_bands(bands_lazy), sh_all, sh_all, threshold
+        candidate_pairs_from_bands(banded_rows(sh_all)),
+        sh_all,
+        sh_all,
+        threshold,
     ).select("doc_a", "doc_b")
     head = pairs.limit(bound + 1).collect()
     if len(head) > bound:
-        bands_all = bands_lazy.localCheckpoint(eager=True)
+        sh_ck = sh_all.localCheckpoint(eager=True)
+        bands_all = banded_rows(sh_ck).localCheckpoint(eager=True)
         batches = [documents.filter(batch_col == k) for k in range(n_batches)]
         precomputed = [
-            (sh_all.filter(batch_col == k), bands_all.filter(batch_col == k))
+            (sh_ck.filter(batch_col == k), bands_all.filter(batch_col == k))
             for k in range(n_batches)
         ]
         out = near_dedup_replay(
@@ -347,10 +347,6 @@ def incremental_near_dedup(
                 f"CAST((doc_id * {n_batches}) DIV {n} AS INT)"
             ).alias("batch"),
         )
-
-    from ..blocks import release_local_checkpoint
-
-    release_local_checkpoint(sh_all)
 
     def batch_of(d: int) -> int:
         return (d * n_batches) // n

@@ -64,9 +64,10 @@ def test_release_helper_roundtrip(spark):
 
 def test_incremental_replays_do_not_grow_storage(spark):
     """Several incremental_near_dedup replays in one session: the fast
-    path releases its two per-corpus checkpoints on return, so cached
-    RDD storage returns to its baseline after every corpus instead of
-    growing by two blocks per replay."""
+    path is checkpoint-free since r12 (exchange reuse already collapses
+    the shingle subtrees inside the probe job), so cached RDD storage
+    returns to its baseline after every corpus instead of growing per
+    replay."""
     baseline = cached_rdd_count(spark)
     for seed in range(3):
         out = incremental_near_dedup(_corpus(spark, seed), threshold=0.8)

@@ -25,12 +25,22 @@ def main() -> None:
     qs = entrymod.queries()
     for n in names:
         qs[n](spark, WARM).write.format("noop").mode("overwrite").save()
+    def pyloop() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(10_000_000):
+            s += i
+        return time.perf_counter() - t0
+
     results = {n: [] for n in names}
+    calibs = []
     for r in range(reps):
+        calibs.append(pyloop())
         for n in names:
             t0 = time.perf_counter()
             qs[n](spark, SF).write.format("noop").mode("overwrite").save()
             results[n].append(time.perf_counter() - t0)
+    print("calib pyloop per rep:", ", ".join(f"{c:.2f}" for c in calibs))
     for n in names:
         rs = ", ".join(f"{t:.3f}" for t in results[n])
         print(f"{min(results[n]):7.3f}  {n}  [{rs}]")
