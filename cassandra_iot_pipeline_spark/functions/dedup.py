@@ -351,6 +351,32 @@ def blocked_jaccard_pairs(
         "source",
         F.array_distinct(tokens(F.col("text"))).alias("tok"),
     )
+    if threshold > 0:
+        # Align every tier's inferred scan predicates on the shared base
+        # so all of its exchange subtrees canonicalize EQUAL and runtime
+        # exchange reuse scans+tokenizes the corpus once (guide §2.1).
+        # Without this the exact tier's subtrees carry the join-inferred
+        # IsNotNull(lang/source/doc_id) while the routed LSH tier's
+        # carry explode-inferred size(tok)>0 — three distinct canonical
+        # forms, each executing its own scan+fan-out exchange (measured
+        # at sf0.1: three identical 0.91 MB single-task exchange writes
+        # per warm run, two of them for the empty routed tier that AQE
+        # submits before empty-propagation kills it). Result-identical
+        # for threshold > 0: a null-keyed or empty-token document can
+        # never produce a pair with jaccard >= threshold (its
+        # intersection is empty and comparisons with null keys fail),
+        # on either side of either tier.
+        # the explicit isnotnull(tok) looks implied by size(tok) > 0,
+        # but Catalyst's constraint inference does not derive it for the
+        # nested expression — the routed tier's explode would re-infer
+        # it on its subtrees alone and split the canonical form again
+        docs = docs.filter(
+            F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+            & F.col("doc_id").isNotNull()
+            & (F.size("tok") > 0)
+            & F.col("tok").isNotNull()
+        )
     if max_block_size is None:
         return _exact_block_pairs(docs, threshold)
     # sizes is a column-pruned (lang, source) scan + tiny agg; joining it
@@ -531,6 +557,35 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES) -> DataFr
     )
 
 
+def pinned_shingle_sets(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sh) shingle sets behind ONE canonical exchange, for
+    operators that consume the sets from several plan branches
+    (candidate generation + both verification sides of the pair
+    operators).
+
+    The one ingredient is the null-key prefilter: the verification
+    joins infer ``IsNotNull(doc_id)`` on their build subtrees and push
+    it to the scan, which made those subtrees non-canonical with the
+    candidates branch — the scan + fan-out exchange executed once per
+    distinct subtree, and the duplicated sibling stages ran
+    concurrently against each other (measured at sf0.1: warm task time
+    54.2 s → 24.1 s, executor CPU 24.4 s → 11.6 s, warm wall
+    5.03 → 3.36 s once the branches share one canonical exchange;
+    guide §2.1 — remove redundant computation). Filtering the shared
+    base instead makes every branch carry the same filter, so the
+    inferred one is subsumed and runtime exchange reuse fires.
+    Result-identical: a null doc_id can never survive the verification
+    joins, so no pair output changes.
+
+    (An explicit repartition above the set aggregation — to share the
+    whole collect_set computation, not just the scan — was tried and is
+    NOT here: the input is already doc_id-hash-partitioned at the same
+    width, so Catalyst removes the redundant exchange before it can
+    become a reuse point.)
+    """
+    return shingled_docs(documents.filter(F.col("doc_id").isNotNull()), n)
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float = 0.8,
@@ -556,12 +611,15 @@ def minhash_lsh_pairs(
     in-join work exceeds the cap (boilerplate-skew guard — see
     :data:`LSH_MAX_BUCKET`) — the standard near-linear web-dedup plan
     (Broder-style MinHash + LSH).
-    One corpus scan total: signatures are re-derived from the shingle-set
-    frame (MIN is duplicate-insensitive, so sets lose nothing), so the
-    banding path and both verification joins all sit above ``sh_df``'s
-    single doc_id exchange and exchange reuse collapses them — the
-    earlier formulation re-scanned and re-shingled the corpus three
-    times.
+    One corpus scan — and one shingle computation — total: signatures
+    are re-derived from the shingle-set frame (MIN is
+    duplicate-insensitive, so sets lose nothing), and the banding path
+    and both verification joins all hang off
+    :func:`pinned_shingle_sets`' single canonical doc_id exchange, so
+    runtime exchange reuse executes the scan→shingle→collect_set
+    pipeline once — the earlier formulations re-scanned and
+    re-shingled the corpus up to three times (the verify branches'
+    inferred null filters made their subtrees non-canonical).
 
     ``hot_bucket_mode``: ``"star"`` (default) hub-routes oversized
     buckets; ``"subshard"`` salts them on a secondary signature and
@@ -569,7 +627,7 @@ def minhash_lsh_pairs(
     corpora whose hot buckets are diverse rather than boilerplate
     (see :func:`_capped_bucket_pairs` for the exact semantics).
     """
-    sh_df = shingled_docs(documents)
+    sh_df = pinned_shingle_sets(documents)
     candidates = _candidates_from_sets(
         sh_df, n_hashes, bands, max_bucket_size, hot_bucket_mode
     )

@@ -304,16 +304,21 @@ def incremental_near_dedup(
     # paths are pinned equal in tests/test_incremental.py (the
     # fallback forced via max_driver_pairs=0).
     from .clusters import MAX_DRIVER_PAIRS
-    from .dedup import candidate_pairs_from_bands, verify_jaccard_pairs
+    from .dedup import (
+        candidate_pairs_from_bands,
+        pinned_shingle_sets,
+        verify_jaccard_pairs,
+    )
 
     bound = MAX_DRIVER_PAIRS if max_driver_pairs is None else max_driver_pairs
     # The probe's pair plan is candidate+verify over the shingle sets
     # (identical signatures, band geometry, and verification as
     # minhash_lsh_pairs — same construction, shared code). Since r12
-    # the fast path runs it WITHOUT an eager checkpoint: runtime
-    # exchange reuse already collapses the three shingle subtrees to
-    # one execution inside the probe job (the minhash_lsh_pairs
-    # property), so the checkpoint bought no recompute saving — it only
+    # the fast path runs it WITHOUT an eager checkpoint: the branches
+    # hang off pinned_shingle_sets' one canonical exchange, so runtime
+    # exchange reuse collapses the three shingle subtrees to one
+    # execution inside the probe job (the minhash_lsh_pairs
+    # property) and the checkpoint bought no recompute saving — it only
     # added a materialize-and-read-back job plus a release round trip,
     # and the fast path's serial job count (max_id, checkpoint, probe
     # collect, final anti-join) made this the bench's most
@@ -322,7 +327,7 @@ def incremental_near_dedup(
     # re-running the shingle aggregation once; those blocks stay
     # ContextCleaner-owned because the returned survivors frame reads
     # them lazily.
-    sh_all = shingled_docs(documents)
+    sh_all = pinned_shingle_sets(documents)
     pairs = verify_jaccard_pairs(
         candidate_pairs_from_bands(banded_rows(sh_all)),
         sh_all,
