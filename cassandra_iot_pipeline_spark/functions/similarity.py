@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..parallel import fan_out_scan, shuffle_width
+
 QUANT = 1_000_000  # 1e-6 grid; 64 * (0.6e6)^2 ≈ 2.3e13 << 2^53: exact
 
 
@@ -54,7 +56,12 @@ def cosine_topk(
     Plan shape: broadcast(queries) x candidates -> scored -> window
     row_number <= k. The candidate side never shuffles until the final
     per-query ranking (keyed on query_id, n_queries groups)."""
-    base = embeddings.select("vec_id", _quantized(F.col("embedding")).alias("q"))
+    # the scoring join evaluates n_queries 64-dim integer dots per
+    # candidate row in codegen — spread the narrow fixture scan first
+    # (no-op at scale, where the scan arrives as many splits)
+    base = fan_out_scan(embeddings, "vec_id").select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    )
     norms = base.withColumn("n2", _dot(F.col("q"), F.col("q")))
     queries = norms.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -213,6 +220,18 @@ def lsh_bucketed_ann(
             out.append(row.astype("int64"))
         return pd.Series(out)
 
+    # pin ONE (tbl, sig) exchange below the query/candidate split: both
+    # join branches differ only by their vec_id filter, so without the
+    # shared exchange each branch re-executes the scan + signature
+    # chain (measured: twice per run). REPARTITION_BY_NUM at the
+    # session's shuffle width is AQE-exempt — the per-bucket codegen
+    # re-rank above it then runs at bucket parallelism instead of the
+    # one task AQE's byte-proportional model folds ~2 MB to — and is
+    # exactly the width the bucket join's implicit exchange would have
+    # had: width-neutral at scale. The signature UDF itself stays on
+    # the scan's own splits (fanning a Python-facing stage wide opens
+    # one Arrow worker channel per partition — measured net-negative on
+    # narrow fixtures).
     base = embeddings.select(
         "vec_id", _quantized(F.col("embedding")).alias("q")
     ).select(
@@ -224,22 +243,50 @@ def lsh_bucketed_ann(
         "n2",
         F.posexplode(F.col("sigs")).alias("tbl", "sig"),
     )
-    queries = tabled.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qv"),
-        F.col("n2").alias("qn2"),
-        "tbl",
-        "sig",
+    tabled = tabled.repartition(
+        shuffle_width(tabled), F.col("tbl"), F.col("sig")
     )
-    cands = tabled.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("q").alias("cv"),
-        F.col("n2").alias("cn2"),
-        "tbl",
-        "sig",
+    # hot-bucket formulation (the dedup family's r4 idiom,
+    # candidate_pairs_from_bands): ONE bucket aggregation with
+    # conditional collect_lists, then array pair expansion — no join.
+    # The query/candidate split as two filtered branches of a join
+    # re-executed the scan + signature chain once per branch (Catalyst
+    # pushes the complementary vec_id filters below any shared
+    # exchange, splitting the canonical subtrees so runtime exchange
+    # reuse never fires; measured twice per run). A single aggregation
+    # computes the chain once by construction. collect_list drops the
+    # NULLs the unmet `when` produces, so each bucket carries exactly
+    # its query rows and candidate rows; pair expansion and the
+    # (query_id, cand_id) dedup are unchanged semantics.
+    bucketed = (
+        tabled.groupBy("tbl", "sig")
+        .agg(
+            F.collect_list(
+                F.when(
+                    F.col("vec_id") < n_queries,
+                    F.struct("vec_id", "q", "n2"),
+                )
+            ).alias("qs"),
+            F.collect_list(
+                F.when(
+                    F.col("vec_id") >= n_queries,
+                    F.struct("vec_id", "q", "n2"),
+                )
+            ).alias("cs"),
+        )
+        .filter((F.size("qs") > 0) & (F.size("cs") > 0))
     )
     pairs = (
-        queries.join(cands, ["tbl", "sig"])
+        bucketed.select(F.explode("qs").alias("qr"), "cs")
+        .select("qr", F.explode("cs").alias("cr"))
+        .select(
+            F.col("qr.vec_id").alias("query_id"),
+            F.col("qr.q").alias("qv"),
+            F.col("qr.n2").alias("qn2"),
+            F.col("cr.vec_id").alias("cand_id"),
+            F.col("cr.q").alias("cv"),
+            F.col("cr.n2").alias("cn2"),
+        )
         .dropDuplicates(["query_id", "cand_id"])
     )
     dot = _dot(F.col("qv"), F.col("cv"))
@@ -343,6 +390,7 @@ def gemm_self_topk(
     vec_col: str,
     k: int,
     block_size: int = 1024,
+    expected_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine top-k over a set of integer-quantized
     vectors (``vec_col``: array<long>), GEMM-tiled.
@@ -372,6 +420,22 @@ def gemm_self_topk(
         .withColumn("block", F.expr(f"rn DIV {block_size}"))
         .drop("rn")
     )
+    # ``expected_rows`` (a cardinality hint, exactness never affects
+    # results — only stage width) sizes an AQE-exempt hash(block)
+    # exchange to the true block count, so the per-block-pair matmul +
+    # lexsort stage runs at block parallelism instead of the ONE task
+    # AQE's byte-proportional model folds this ~1 MB exchange to
+    # (measured 0.86 s single-task at sf0.1). Capped at the session
+    # shuffle width; never wider than the blocks themselves — an empty
+    # partition under a Python-facing stage still opens an Arrow worker
+    # channel, which is why a blanket width-32 pin measured SLOWER than
+    # single-task on fixture fleets. Without a hint the plan is left to
+    # AQE (single-task GEMM — fine for small fleets, the no-hint case).
+    if expected_rows is not None:
+        n_blocks = max(1, -(-expected_rows // block_size))
+        width = min(shuffle_width(base), n_blocks)
+        if width > 1:
+            base = base.repartition(width, F.col("block"))
     grouped = base.groupBy("block").agg(
         F.collect_list(F.struct("sid", "sv")).alias("rows")
     )
@@ -541,6 +605,14 @@ def _blocked_vectors(
         bits = (mat @ planes.T) >= 0
         return pd.Series((bits * (1 << np.arange(16))).sum(axis=1).astype("int64"))
 
+    # NOT fanned out (r12, measured): every stage of this chain is
+    # Python-facing (pandas UDF signatures, mapInPandas summarize/GEMM),
+    # and an explicit-width repartition makes each such stage open one
+    # Arrow worker channel per partition — mostly for EMPTY partitions
+    # at fixture block counts (17.9 s of task time, 0.38 s of CPU at
+    # width 32). The single-task form is bounded by block count, which
+    # the exact-tier cap already bounds; AQE's coalescing is the right
+    # behavior for Python-facing stages at this scale.
     base = embeddings.select(
         "vec_id",
         _quantized(F.col("embedding")).alias("q"),
@@ -786,7 +858,10 @@ def ivf_topk(
     )
 
     if assignment == "exact":
-        ranked = _centroid_ranked(embeddings, cent_rows)
+        # every row scores n_centroids 64-dim integer dots in codegen —
+        # spread the narrow fixture scan first (no-op at scale); the
+        # shared helper stays untouched for its streaming/store callers
+        ranked = _centroid_ranked(fan_out_scan(embeddings, "vec_id"), cent_rows)
         cands = ranked.filter(
             (F.col("vec_id") >= n_queries) & (F.col("crank") == 1)
         ).select(

@@ -92,7 +92,9 @@ def similar_devices(
             F.approx_count_distinct("user_id").alias("n")
         ).first()["n"]
     if fleet <= exact_fleet_cap:
-        ranked = gemm_self_topk(profiles, "user_id", "profile", k)
+        ranked = gemm_self_topk(
+            profiles, "user_id", "profile", k, expected_rows=fleet
+        )
     else:
         ranked = lsh_self_topk(profiles, "user_id", "profile", k, dims=24)
     return ranked.select(

@@ -204,6 +204,32 @@ def test_capped_lsh_candidates_no_self_join(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_lsh_bucketed_ann_single_chain_no_join(spark):
+    """r12 hot-bucket formulation: the query/candidate split is ONE
+    (tbl, sig) bucket aggregation with conditional collect_lists plus
+    array pair expansion — no join, so the scan + signature chain
+    appears (and executes) exactly once. The bucket exchange is pinned
+    at explicit width (REPARTITION_BY_NUM, AQE-exempt) so the
+    per-bucket pair expansion and codegen re-rank keep their
+    parallelism instead of being byte-coalesced to one task."""
+    from cassandra_iot_pipeline_spark.functions.similarity import (
+        lsh_bucketed_ann,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = formatted_plan(lsh_bucketed_ann(emb))
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    # one scan, one signature chain — the two-branch join form planned
+    # (and ran) both twice (each node appears once as a "(n) Name"
+    # detail entry; the tree listing above repeats the names)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
 def test_frequent_tokens_routes_sliver_not_population(spark):
     """The CMS-routed exact heavy hitters must keep the sketch-routed
     shape: the candidate filter sits UNDER the exact aggregation (only
