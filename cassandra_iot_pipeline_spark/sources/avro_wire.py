@@ -263,18 +263,29 @@ def avro_roundtrip_rollup(events: DataFrame) -> DataFrame:
     bug — varint, zigzag, float byte order, header math — fails the
     value hash.
 
-    The scan fans out across cores first (r12, parallel.fan_out_scan):
-    the encode->decode Python chain inherits the scan's partitioning
-    (mapInPandas preserves it — a property the streaming staging test
-    relies on, so the fan-out lives HERE, not inside the encoder), and
-    on the single-split fixture files the whole codec ran in ONE Python
-    worker (~0.8 s of the query, measured at sf0.1). Keyed by event_id
-    so placement is deterministic; results are placement-independent
-    (per-row codec, exact-integer rollup); no-op on wide inputs."""
+    The scan fans out BELOW full core width (r12, parallel.fan_out_scan
+    at a quarter of the session's parallelism): the encode->decode
+    Python chain inherits the scan's partitioning (mapInPandas preserves
+    it — a property the streaming staging test relies on, so the
+    fan-out lives HERE, not inside the encoder), and on the single-split
+    fixture files the whole codec ran in ONE Python worker (~0.8 s of
+    the query, measured at sf0.1). But the chain holds TWO Arrow
+    workers per task (encoder and decoder pipelined inside one stage),
+    so a full 32-way fan-out meant 64 concurrent Python workers — the
+    Python-facing fan-out failure mode this round's embedding_near_dups
+    negative result documented: interleaved A/B at sf0.1 measured
+    width 32 at median 1.86 s with 3.6-8.8 s spin-up-storm modes (the
+    in-bench 8-9 s regression this fixes), while widths 6-12 sit at
+    median 0.89 s — the codec CPU is spread, and the worker count stays
+    at or below the core count. Width = defaultParallelism/4 (8 on the
+    bench host); keyed by event_id so placement is deterministic;
+    results are placement-independent (per-row codec, exact-integer
+    rollup); no-op on wide inputs (the at-scale case)."""
     from ..parallel import fan_out_scan
 
+    width = max(2, events.sparkSession.sparkContext.defaultParallelism // 4)
     decoded = decode_sensor_events(
-        encode_events_as_frames(fan_out_scan(events, "event_id"))
+        encode_events_as_frames(fan_out_scan(events, "event_id", target=width))
     )
     temp_units = F.round(F.col("temperature").cast("double") * 100).cast("long")
     return (

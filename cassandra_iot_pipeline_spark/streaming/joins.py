@@ -150,9 +150,12 @@ def streaming_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(out_dir, "conversions"),
         pk=("view_event_id", "purchase_event_id"),
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # INNER join: pairs emit in the batch where both sides are present,
+    # so the trailing no-data batch (buffer eviction only) is skipped —
+    # see pipeline.bounded_replay_confs for measurement + safety.
+    from .pipeline import bounded_replay_confs
+
+    with bounded_replay_confs(spark, skip_no_data_batch=True):
         q = conversion_join_query(
             read_event_stream(spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER),
             read_event_stream(spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER),
@@ -160,8 +163,6 @@ def streaming_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out_dir, "ckpt"),
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not sink.exists():
         # no qualifying pairs at this scale — return an empty frame with
         # the contract schema

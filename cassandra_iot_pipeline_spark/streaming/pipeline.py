@@ -72,6 +72,54 @@ DEFAULT_TRIGGER: dict = {"availableNow": True}
 REPLAY_FILES_PER_TRIGGER = 32
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def bounded_replay_confs(
+    spark: SparkSession,
+    state_partitions: int = 8,
+    skip_no_data_batch: bool = False,
+):
+    """Session confs for the bounded driver-facing replays, restored on
+    exit.
+
+    ``state_partitions`` sizes the stateful shuffle (state-store commits
+    are per partition per batch — the dominant cost at fixture scale).
+
+    ``skip_no_data_batch`` disables the trailing empty micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled=false``) — ONLY
+    valid for queries whose final no-data batch provably emits nothing:
+    update-mode aggregation (all groups already emitted in their data
+    batch; watermark advance only evicts state), arrival-time
+    ``dropDuplicatesWithinWatermark`` (rows emit on first arrival), and
+    INNER stream-stream joins (pairs emit when matched; only outer
+    joins emit at eviction). NOT for operators that emit on watermark
+    advance (e.g. the sessionizer closes sessions in that batch, and
+    append-mode windowed aggregation finalizes there). Measured at
+    sf0.1 (interleaved A/B, min-of-3): hourly rollup 2.88 → 2.28 s,
+    raw passthrough 3.66 → 2.90 s, conversion pairs medians 5.6 → 3.7 s
+    — the no-data batch costs a full trigger execution (state-store
+    load + commit per partition) and buys these queries nothing. Row
+    sets verified identical here and bitwise via the oracle gate."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if skip_no_data_batch:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
+
+
 def raw_passthrough_query(
     stream: DataFrame,
     sink: ParquetUpsertSink,
@@ -162,6 +210,14 @@ def run_pipeline(
     setting (e.g. on a real cluster)."""
     out_dir = out_dir or tempfile.mkdtemp(prefix="spark_graft_pipeline_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # Query 1 is stateless (no watermark — never gets a no-data batch);
+    # query 2 is the update-mode aggregation, whose trailing no-data
+    # batch only evicts state (every group already emitted in its data
+    # batch) — skip it, same as streaming_hourly_rollup below.
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     raw_sink = ParquetUpsertSink(
@@ -189,6 +245,9 @@ def run_pipeline(
         q2.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     return {
         "raw": raw_sink,
         "agg": agg_sink,
@@ -300,17 +359,16 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = ParquetUpsertSink(
         os.path.join(out_dir, "hourly_aggregates"), pk=("device_id", "hour_bucket")
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # update mode: every group is emitted in its data batch, so the
+    # trailing no-data batch (state eviction only) is skipped — see
+    # bounded_replay_confs for the measurement and the safety argument.
+    with bounded_replay_confs(spark, skip_no_data_batch=True):
         q = hourly_agg_query(
             read_event_stream(spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER),
             sink,
             os.path.join(out_dir, "ckpt"),
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink.read(spark)
 
 
@@ -333,16 +391,24 @@ def streaming_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = ParquetUpsertSink(
         os.path.join(out_dir, "sensor_events"), pk=("user_id", "ts", "event_id")
     )
-    q = raw_passthrough_query(
-        dedup_within_watermark(
-            double_delivery(
-                spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER
-            )
-        ),
-        sink,
-        os.path.join(out_dir, "ckpt"),
-    )
-    q.awaitTermination()
+    # arrival-time dedup: rows emit on first arrival, so the trailing
+    # no-data batch (state eviction only) is skipped — see
+    # bounded_replay_confs. State partitions pinned at 8 like the other
+    # bounded replays (this entry alone had been running its dedup
+    # state at the session's 32 — 32 RocksDB opens+commits per batch;
+    # interleaved A/B at sf0.1: w8 min 2.84 / med 3.57 vs w32 min 5.14
+    # / med 10.08).
+    with bounded_replay_confs(spark, skip_no_data_batch=True):
+        q = raw_passthrough_query(
+            dedup_within_watermark(
+                double_delivery(
+                    spark, staged, max_files_per_trigger=REPLAY_FILES_PER_TRIGGER
+                )
+            ),
+            sink,
+            os.path.join(out_dir, "ckpt"),
+        )
+        q.awaitTermination()
     return sink.read(spark).select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),

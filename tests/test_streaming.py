@@ -52,6 +52,35 @@ def test_full_pipeline_parity(spark, staged, tmp_path):
     want = hourly_rollup(events)
     assert _rows_sorted(got) == _rows_sorted(want)
 
+    # r12: the replay skips the trailing no-data micro-batch (update
+    # mode emits every group in its data batch; the extra batch only
+    # evicted state) — every recorded batch must carry input rows, the
+    # session conf must be restored, and the parity asserts above are
+    # the proof the skip changes nothing.
+    assert all(b["input_rows"] > 0 for b in sinks["progress"]["agg"])
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        == "true"
+    )
+
+
+def test_replay_entries_skip_no_data_batch_with_identical_results(
+    spark, tmp_path
+):
+    """r12 optimization pin: streaming_hourly_rollup (update mode +
+    skip_no_data_batch) equals the batch rollup bit-for-bit, through
+    the driver-facing entry itself."""
+    from cassandra_iot_pipeline_spark.streaming.pipeline import (
+        streaming_hourly_rollup,
+    )
+
+    got = streaming_hourly_rollup(spark, SF_DIR).select(
+        "device_id", "hour_bucket", "avg_value", "max_value", "min_value",
+        "event_count",
+    )
+    want = hourly_rollup(load_table(spark, SF_DIR, "events"))
+    assert _rows_sorted(got) == _rows_sorted(want)
+
 
 def test_sliding_streaming_equals_batch_sliding_rollup(spark, staged, tmp_path):
     """W2 extension: the hopping-window streaming aggregation reaches
