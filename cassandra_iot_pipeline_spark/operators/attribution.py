@@ -515,14 +515,38 @@ def _asof_conversion_stats(
 
 
 def _unattributed_row(per_conv: DataFrame) -> DataFrame:
+    # The guard aggregates reference EVERY per_conv column (dropped by
+    # the select below, so the output row is unchanged): without them,
+    # column pruning strips the positional-fill windows (and, for the
+    # decay model, the scaled-weight sums) from this branch's copy of
+    # the per-conversion aggregation, the conv_id exchange child then
+    # canonicalizes DIFFERENT from the attributed branch's, and the
+    # whole scan -> user-keyed sort -> window pipeline executes twice
+    # per report (measured at sf0.01: two input-scanning sort stages
+    # per model; the r12 finding-3 duplicate-subtree class). With the
+    # branches canonical, runtime exchange reuse executes it once —
+    # at 100 TB that is one full pass over the events saved per model
+    # (guide §2.1, remove redundant computation).
+    # zero_guard is EXACTLY 0 on every input (min(hash)*0 is 0 on any
+    # row set, NULL on the empty set, coalesced to 0) but Catalyst
+    # cannot fold it away (x*0 is not constant-foldable under NULL
+    # semantics), so the reference to every column survives pruning.
+    zero_guard = F.coalesce(
+        F.min(F.xxhash64(*[F.col(c) for c in per_conv.columns]))
+        * F.lit(0),
+        F.lit(0),
+    ).cast("long")
     return (
         per_conv.filter(F.col("n") == 0)
-        .agg(F.count(F.lit(1)).alias("n_un"))
+        .agg(
+            F.count(F.lit(1)).alias("n_un"),
+            zero_guard.alias("_zero"),
+        )
         .select(
             F.lit(None).cast("string").alias("touch_type"),
             F.col("n_un").alias("first_touch"),
             F.col("n_un").alias("last_touch"),
-            F.lit(0).cast("long").alias("linear_units"),
+            F.col("_zero").alias("linear_units"),
         )
         .filter(F.col("first_touch") > 0)
     )

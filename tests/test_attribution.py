@@ -621,3 +621,37 @@ def test_time_decay_plan_has_no_join_and_no_unbounded_frame(spark):
     assert "Join" not in plan
     assert plan.count("Window") >= 1
     assert unbounded_following_frames(df) == []
+
+
+def test_unattributed_branch_stays_canonical_with_attributed(spark):
+    """r12 optimization pin: the unattributed-row branch must carry the
+    SAME per-conversion aggregation subtree as the attributed branch —
+    if column pruning strips the positional-fill windows (or the decay
+    model's scaled-weight sums) from it, the two union branches stop
+    canonicalizing equal and the scan -> user-keyed sort -> window
+    pipeline executes twice per report (measured 2 scan-stage
+    executions before the _unattributed_row zero-guard, 1 after).
+    Pinned structurally: the optimized plan must evaluate the fill
+    windows in BOTH branches (4 last(pay) occurrences, 2 per branch),
+    for every model."""
+    from cassandra_iot_pipeline_spark.operators.attribution import (
+        asof_attribution,
+        position_attribution,
+        time_decay_attribution,
+    )
+
+    for df in (
+        asof_attribution(_frame(spark), "purchase", ("view", "click"), 600),
+        position_attribution(
+            _frame(spark), "purchase", ("view", "click"), 600
+        ),
+        time_decay_attribution(
+            _frame(spark),
+            "purchase",
+            ("view", "click"),
+            lookback_seconds=600,
+            half_life_seconds=60,
+        ),
+    ):
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert optimized.count("last(pay") == 4, optimized
