@@ -23,7 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cassandra_iot_pipeline_spark.catalog import load_table
+from cassandra_iot_pipeline_spark.catalog import load_table, table_rows
 from cassandra_iot_pipeline_spark.functions import (
     dedup,
     incremental,
@@ -258,8 +258,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": lambda s, d: dedup.simhash_near_dup_pairs(
             _t("documents")(s, d), SIMHASH_MAX_HAMMING
         ),
+        # expected_rows: exact cardinality from the parquet footer (no
+        # Spark job) sizes the block exchange to data-bearing width —
+        # results are hint-independent (see _blocked_vectors)
         "embedding_near_dups": lambda s, d: similarity.embedding_near_dups(
-            _t("embeddings")(s, d), EMB_DUP_THRESHOLD
+            _t("embeddings")(s, d),
+            EMB_DUP_THRESHOLD,
+            expected_rows=table_rows(d, "embeddings"),
         ),
         # --- similarity search ---
         "cosine_topk": lambda s, d: similarity.cosine_topk(

@@ -43,6 +43,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a fixture table from parquet FOOTER metadata —
+    a cardinality hint source that costs no Spark job (a few KB of
+    footer per file, read driver-side). Used to size data-bearing-width
+    exchange pins (e.g. embedding_near_dups' block exchange); exactness
+    never affects results, only stage width, so ``None`` on any failure
+    is always a safe answer (callers fall back to AQE's sizing)."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def ensure_session_configs(spark: SparkSession) -> None:
     """Make any SparkSession able to run this engine correctly.
 

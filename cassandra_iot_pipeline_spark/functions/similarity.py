@@ -584,7 +584,10 @@ _BOUND_MARGIN = 1e-6
 
 
 def _blocked_vectors(
-    embeddings: DataFrame, block_size: int, sort_by_signature: bool
+    embeddings: DataFrame,
+    block_size: int,
+    sort_by_signature: bool,
+    expected_rows: int | None = None,
 ) -> DataFrame:
     """(block, rows, centroid, radius): vectors grouped into GEMM tiles
     with an exact per-block angular summary.
@@ -625,6 +628,24 @@ def _blocked_vectors(
         .withColumn("block", F.expr(f"rn DIV {block_size}"))
         .drop("rn", "sig")
     )
+    # ``expected_rows`` (cardinality hint; never affects results, only
+    # stage width — the gemm_self_topk pattern): size an AQE-exempt
+    # hash(block) exchange to the TRUE block count so the summarize
+    # mapInPandas (and, through the broadcast join above it, the GEMM
+    # stage) runs at block parallelism instead of the one task AQE's
+    # byte-model folds this small exchange to. Capped at min(shuffle
+    # width, n_blocks): every pinned partition is data-bearing, which is
+    # the rule for Python-facing stages (an EMPTY partition still opens
+    # an Arrow worker channel — the r12 negative result that reverted a
+    # blanket width-32 pin here). The >= 4 floor is measured (r13,
+    # interleaved min-of-4 at 64 dims): 2 blocks is a wash (the exchange
+    # + extra Arrow channels cost what 2-way GEMM parallelism buys);
+    # 4/8/16 blocks win -16%/-22%/-55%.
+    if expected_rows is not None:
+        n_blocks = max(1, -(-expected_rows // block_size))
+        width = min(shuffle_width(blocked), n_blocks)
+        if width >= 4:
+            blocked = blocked.repartition(width, F.col("block"))
     grouped = blocked.groupBy("block").agg(
         F.collect_list(F.struct("vec_id", "q")).alias("rows")
     )
@@ -672,6 +693,7 @@ def candidate_block_pairs(
     block_size: int = 1024,
     sort_by_signature: bool = True,
     prefilter: bool = True,
+    expected_rows: int | None = None,
 ) -> DataFrame:
     """Block pairs that can possibly contain a cosine >= threshold pair.
 
@@ -681,7 +703,9 @@ def candidate_block_pairs(
     is skipped only when cos(max(θ - r_A - r_B, 0)) < threshold minus a
     float-safety margin. Exactness of the final result is therefore
     independent of the prefilter; only the fan-out shrinks."""
-    blocks = _blocked_vectors(embeddings, block_size, sort_by_signature)
+    blocks = _blocked_vectors(
+        embeddings, block_size, sort_by_signature, expected_rows
+    )
     a = blocks.alias("a")
     b = blocks.alias("b")
     pairs = a.join(F.broadcast(b), F.col("a.block") <= F.col("b.block"))
@@ -711,6 +735,7 @@ def embedding_near_dups(
     block_size: int = 1024,
     sort_by_signature: bool = True,
     prefilter: bool = True,
+    expected_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector tier of the
     dedup suite (text tiers live in functions/dedup.py).
@@ -736,7 +761,8 @@ def embedding_near_dups(
     import numpy as np
 
     pairs = candidate_block_pairs(
-        embeddings, threshold, block_size, sort_by_signature, prefilter
+        embeddings, threshold, block_size, sort_by_signature, prefilter,
+        expected_rows,
     ).select("block_a", "block_b", "rows_a", "rows_b")
     out_schema = T.StructType(
         [

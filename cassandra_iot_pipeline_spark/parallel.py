@@ -25,19 +25,80 @@ An explicit number (REPARTITION_BY_NUM) is exempt from coalescing.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf string ("134217728", "128MB", "4m")."""
+    s = v.strip().lower().rstrip("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def _estimated_scan_splits(df: DataFrame, files: list[str]) -> int:
+    """Estimate how many input splits the file scan plans, from file
+    metadata alone — Spark's own sizing formula
+    (``FilePartition.maxSplitBytes``: split files at
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum)),
+    then greedy-pack), evaluated driver-side without touching
+    ``df.rdd`` (r12's probe — which forced a full analysis + physical
+    planning pass AND built a Python RDD chain per call, ~45-60 ms warm
+    / >1 s cold, on the hot path of 8+ queries)."""
+    spark = df.sparkSession
+    conf = spark.conf
+    max_part = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    min_num = conf.get("spark.sql.files.minPartitionNum", None) or conf.get(
+        "spark.sql.leafNodeDefaultParallelism", None
+    )
+    min_part_num = int(min_num) if min_num else spark.sparkContext.defaultParallelism
+
+    def _size(uri: str) -> int:
+        p = urlparse(uri)
+        if p.scheme in ("", "file"):
+            try:
+                return os.path.getsize(unquote(p.path))
+            except OSError:
+                return 0
+        # remote filesystem: one metadata call per file (only reached
+        # when the file count alone could not decide, i.e. < target)
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+        return int(fs.getFileStatus(path).getLen())
+
+    total = sum(_size(f) + open_cost for f in files)
+    bytes_per_core = total // max(min_part_num, 1)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    return max(1, -(-total // max(max_split, 1)))
 
 
 def fan_out_scan(df: DataFrame, *keys: str, target: int | None = None) -> DataFrame:
     """Spread a narrow scan across the session's cores before CPU-heavy
-    per-row work. No-op when ``df`` already has >= ``target`` partitions
+    per-row work. No-op when ``df`` already scans >= ``target`` splits
     (the at-scale case). Keyed (hash) when ``keys`` are given — fully
     deterministic row placement; otherwise round-robin (deterministic
     under retries via Spark's sort-before-repartition, and only used
-    where downstream results are partition-order-independent)."""
+    where downstream results are partition-order-independent).
+
+    The width probe is file-source metadata only (``df.inputFiles()`` +
+    size stats, ~8 ms) — never a planning pass; non-file sources fall
+    back to the RDD probe."""
     sc = df.sparkSession.sparkContext
     n = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    files = df.inputFiles()
+    if len(files) >= n:
+        return df
+    if files:
+        width = _estimated_scan_splits(df, files)
+    else:  # non-file source (memory, RDD-backed): the exact probe
+        width = df.rdd.getNumPartitions()
+    if width >= n:
         return df
     if keys:
         from pyspark.sql import functions as F

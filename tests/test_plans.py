@@ -230,6 +230,32 @@ def test_lsh_bucketed_ann_single_chain_no_join(spark):
     assert "REPARTITION_BY_NUM" in plan, plan
 
 
+def test_embedding_near_dups_expected_rows_pins_block_width(spark):
+    """r13: the ``expected_rows`` cardinality hint sizes an AQE-exempt
+    hash(block) exchange to the true block count, so the summarize +
+    GEMM Python stages run at block parallelism (measured -16%/-22%/-55%
+    at 4/8/16 blocks). Below 4 data-bearing blocks the pin is a measured
+    wash and must NOT fire (the r12 lesson: empty/near-empty partitions
+    under Python-facing stages each open an Arrow worker channel)."""
+    from cassandra_iot_pipeline_spark.functions.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # 500 fixture vectors, block_size 64 -> 8 data-bearing blocks
+    plan = formatted_plan(
+        embedding_near_dups(emb, 0.3, block_size=64, expected_rows=500)
+    )
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # no hint -> plan left to AQE (no pin) — and below the 4-block
+    # floor (2 blocks) the pin must not fire either
+    for q in (
+        embedding_near_dups(emb, 0.3, block_size=64),
+        embedding_near_dups(emb, 0.3, block_size=256, expected_rows=500),
+    ):
+        assert "REPARTITION_BY_NUM" not in formatted_plan(q)
+
+
 def test_frequent_tokens_routes_sliver_not_population(spark):
     """The CMS-routed exact heavy hitters must keep the sketch-routed
     shape: the candidate filter sits UNDER the exact aggregation (only
