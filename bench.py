@@ -38,28 +38,67 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def host_calibration(spark) -> dict[str, float]:
-    """Fixed-work reference timings so cross-round comparisons can
-    separate engine changes from host-speed changes (measured: the same
-    commit's query times vary ~1.5-2x between driver rounds on
-    different/noisy hosts). Two probes: a pure-Python arithmetic loop
-    (CPU clock) and a fixed 50M-row JVM aggregation (Spark fixed costs +
-    JVM throughput). Both are data-independent."""
-    t0 = time.perf_counter()
-    s = 0
-    for i in range(10_000_000):
-        s += i
-    py_sec = time.perf_counter() - t0
+#: jvm_agg_50m historical quiet floor is 0.23-0.30 s across driver
+#: rounds (BENCH_r11 0.295; r12's contaminated run read 0.765 — 2.6x —
+#: and invalidated the whole round-over-round comparison). 1.8x the
+#: floor's top end separates every clean window seen so far (<= 0.5)
+#: from the contaminated one.
+DEGRADED_JVM_AGG_SEC = 0.54
+#: how long to wait for a contended co-tenant burst to pass before
+#: re-probing, and how many times to try before giving up and flagging.
+CALIB_RETRY_SLEEP_S = 15
+CALIB_MAX_ATTEMPTS = 4
+
+
+def _jvm_agg_probe(spark) -> float:
+    """Fixed 50M-row multi-core JVM aggregation (Spark fixed costs + JVM
+    throughput) — the probe that caught the r12 host contamination."""
     from pyspark.sql import functions as F
 
     t0 = time.perf_counter()
     spark.range(50_000_000).select(
         F.sum(F.col("id") * 2).alias("s")
     ).write.format("noop").mode("overwrite").save()
-    jvm_sec = time.perf_counter() - t0
+    return time.perf_counter() - t0
+
+
+def host_calibration(spark) -> dict[str, float]:
+    """Fixed-work reference timings so cross-round comparisons can
+    separate engine changes from host-speed changes (measured: the same
+    commit's query times vary ~1.5-2x between driver rounds on
+    different/noisy hosts). Two probes: a pure-Python arithmetic loop
+    (CPU clock) and a fixed 50M-row JVM aggregation (Spark fixed costs +
+    JVM throughput). Both are data-independent.
+
+    Self-defense (r12 verdict item #1): the r12 driver run measured the
+    jvm_agg probe at 2.6x its floor — multi-core host contamination
+    that made 36 untouched queries read as "regressed". When the probe
+    reads degraded, wait out the burst and re-probe (up to
+    CALIB_MAX_ATTEMPTS), and report the outcome as ``host_degraded`` in
+    the JSON line (additive key) so a reader can discount the run
+    instead of guessing."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    py_sec = time.perf_counter() - t0
+
+    jvm_sec = min(_jvm_agg_probe(spark), _jvm_agg_probe(spark))
+    attempts = 1
+    while jvm_sec > DEGRADED_JVM_AGG_SEC and attempts < CALIB_MAX_ATTEMPTS:
+        print(
+            f"[bench] calibration degraded (jvm_agg {jvm_sec:.3f}s > "
+            f"{DEGRADED_JVM_AGG_SEC}); waiting {CALIB_RETRY_SLEEP_S}s "
+            "for the host to quiet down",
+            file=sys.stderr,
+        )
+        time.sleep(CALIB_RETRY_SLEEP_S)
+        jvm_sec = min(jvm_sec, _jvm_agg_probe(spark), _jvm_agg_probe(spark))
+        attempts += 1
     return {
         "calib_python_loop_sec": round(py_sec, 3),
         "calib_jvm_agg_50m_sec": round(jvm_sec, 3),
+        "calib_attempts": attempts,
     }
 
 
@@ -238,6 +277,14 @@ def main() -> None:
     # delta is the host's disk, the way calib_jvm_* does for CPU.
     med_progress = progresses[runs.index(med)]
     io_calib = io_calibration(spark)
+    # close the contamination window: re-probe AFTER the timed work (the
+    # r12 burst hit mid-run, after a clean pre-probe). Degraded on
+    # either side flags the whole run.
+    jvm_post = round(min(_jvm_agg_probe(spark), _jvm_agg_probe(spark)), 3)
+    host_degraded = (
+        calib["calib_jvm_agg_50m_sec"] > DEGRADED_JVM_AGG_SEC
+        or jvm_post > DEGRADED_JVM_AGG_SEC
+    )
 
     # The driver records only the LAST 2000 chars of bench output
     # (r6 verdict item #3: the r6 JSON overflowed the capture and 17
@@ -261,6 +308,8 @@ def main() -> None:
         "pipeline_batches": med_progress,
         **calib,
         **io_calib,
+        "calib_jvm_agg_post_sec": jvm_post,
+        "host_degraded": host_degraded,
     }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json"

@@ -337,9 +337,17 @@ def incremental_near_dedup(
         sh_all,
         threshold,
     ).select("doc_a", "doc_b")
+    # inheritable_thread_target: the background action inherits the
+    # caller's JVM-thread-local properties (job group/description, pool),
+    # so job-group cancellation reaches it and no paired JVM thread
+    # leaks under pinned-thread mode (ADVICE r12).
+    from pyspark.util import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         max_id_fut = pool.submit(
-            lambda: documents.agg(F.max("doc_id")).first()[0]
+            inheritable_thread_target(
+                lambda: documents.agg(F.max("doc_id")).first()[0]
+            )
         )
         head = pairs.limit(bound + 1).collect()
         max_id = max_id_fut.result()

@@ -171,7 +171,10 @@ def streaming_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, view_event_id long, purchase_event_id long, "
             "view_us long, purchase_us long, gap_s long, purchase_value double",
         )
-    return sink.read(spark).select(
+    # an INNER stream-stream join emits each matched (view, purchase)
+    # pair exactly once, so epochs are PK-unique: single-epoch reads
+    # skip the reconcile window (sinks.read falls back on multi-epoch).
+    return sink.read(spark, unique_within_epoch=True).select(
         "user_id",
         "view_event_id",
         "purchase_event_id",

@@ -235,10 +235,15 @@ def run_pipeline(
         raw_sink,
         os.path.join(out_dir, "ckpt_raw"),
     )
+    # output_mode pinned HERE, next to the no-data-batch conf above: the
+    # skip is only safe because update mode emits every group in its
+    # data batch (append mode finalizes on watermark advance and would
+    # silently drop final rows — ADVICE r12). Keep the two coupled.
     q2 = hourly_agg_query(
         read_event_stream(spark, staged_dir, max_files_per_trigger),
         agg_sink,
         os.path.join(out_dir, "ckpt_agg"),
+        output_mode="update",
     )
     try:
         q1.awaitTermination()
@@ -369,7 +374,10 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out_dir, "ckpt"),
         )
         q.awaitTermination()
-    return sink.read(spark)
+    # update-mode aggregation emits each group at most once per batch,
+    # so the single-epoch replay read can skip the reconcile window
+    # (multi-epoch replays keep it — sinks.read falls back by itself).
+    return sink.read(spark, unique_within_epoch=True)
 
 
 def streaming_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +417,10 @@ def streaming_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out_dir, "ckpt"),
         )
         q.awaitTermination()
-    return sink.read(spark).select(
+    # the in-stream arrival-time dedup guarantees each PK appears once
+    # in the whole replay (a fortiori once per epoch): single-epoch
+    # reads skip the reconcile window.
+    return sink.read(spark, unique_within_epoch=True).select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
         "user_id",

@@ -50,6 +50,11 @@ class ParquetUpsertSink:
         # storage-tier metadata (e.g. {"consistency_level": "QUORUM"});
         # pass-through only, like the reference's connector options.
         self.sink_options = dict(sink_options or {})
+        # epochs this INSTANCE landed (foreachBatch runs on the driver,
+        # so this is exact for the owning query). Read-path metadata
+        # only: with a single written epoch and per-epoch-unique PKs the
+        # reconcile window is the identity (see read()).
+        self.epochs_written: set[int] = set()
 
     # -- write path (called from foreachBatch) --------------------------
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -70,6 +75,7 @@ class ParquetUpsertSink:
                 .write.mode("append")
                 .parquet(self.path)
             )
+            self.epochs_written.add(int(epoch_id))
         finally:
             batch_df.unpersist()
 
@@ -82,9 +88,30 @@ class ParquetUpsertSink:
             f.endswith(".parquet") for f in os.listdir(self.path)
         )
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Reconciled view: latest row per PK (last-write-wins)."""
+    def read(
+        self, spark: SparkSession, unique_within_epoch: bool = False
+    ) -> DataFrame:
+        """Reconciled view: latest row per PK (last-write-wins).
+
+        ``unique_within_epoch`` is a caller-supplied semantic guarantee
+        — "each epoch I wrote carries at most one row per PK" — which
+        holds by query shape for every parquet-sink replay in this
+        engine: update-mode aggregation emits each group once per
+        batch, the arrival-time dedup passthrough emits each PK once
+        total, and an INNER stream-stream join emits each (left, right)
+        pair once. Under that guarantee, when this instance landed a
+        SINGLE epoch the reconcile window is the identity, so the read
+        skips the hash exchange + sort + row_number pass entirely (r12
+        measured the four bounded replays' floor at ~8.5 s; the
+        post-query reconcile re-scan was a visible slice of it). With
+        several epochs written — or when this instance wrote nothing,
+        e.g. a reader attached to a pre-existing log — the full window
+        runs, producing the identical result the guarantee implies.
+        Last-write-wins semantics for re-delivered PKs across epochs
+        are unchanged."""
         log = spark.read.parquet(self.path)
+        if unique_within_epoch and len(self.epochs_written) == 1:
+            return log.drop("__epoch")
         return latest_by_pk(log, pk=self.pk, version_col="__epoch").drop("__epoch")
 
     def read_log(self, spark: SparkSession) -> DataFrame:

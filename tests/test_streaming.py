@@ -124,6 +124,41 @@ def test_upsert_sink_last_write_wins(spark, tmp_path):
     assert {r.k: r.v for r in sink.read(spark).collect()} == got
 
 
+def test_single_epoch_unique_read_skips_reconcile_window(spark, tmp_path):
+    """r13: with ONE written epoch and the caller's per-epoch-PK-unique
+    guarantee, read() skips the reconcile window (no Window/Exchange in
+    the plan) and returns the identical rows; a second epoch falls back
+    to the full last-write-wins reconcile."""
+    sink = ParquetUpsertSink(str(tmp_path / "t"), pk=("k",))
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sink.write_batch(b1, epoch_id=0)
+    fast = sink.read(spark, unique_within_epoch=True)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan, plan
+    assert {r.k: r.v for r in fast.collect()} == {1: "a", 2: "b"}
+    assert fast.columns == sink.read(spark).columns
+    # second epoch: the fast path must disengage and reconcile LWW
+    b2 = spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string")
+    sink.write_batch(b2, epoch_id=1)
+    again = sink.read(spark, unique_within_epoch=True)
+    plan2 = again._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan2, plan2
+    assert {r.k: r.v for r in again.collect()} == {1: "a", 2: "b2", 3: "c"}
+    # an empty-batch epoch writes nothing and must not count
+    sink2 = ParquetUpsertSink(str(tmp_path / "t2"), pk=("k",))
+    sink2.write_batch(spark.createDataFrame([], "k long, v string"), epoch_id=0)
+    sink2.write_batch(b1, epoch_id=1)
+    assert len(sink2.epochs_written) == 1
+    # a reader that wrote nothing (fresh instance over an existing log)
+    # must keep the full reconcile regardless of the flag
+    reader = ParquetUpsertSink(str(tmp_path / "t"), pk=("k",))
+    rplan = (
+        reader.read(spark, unique_within_epoch=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in rplan, rplan
+
+
 def test_empty_batch_guard(spark, tmp_path):
     sink = ParquetUpsertSink(str(tmp_path / "t"), pk=("k",))
     empty = spark.createDataFrame([], "k long, v string")

@@ -2,6 +2,13 @@
 dropDuplicatesWithinWatermark state (8 vs session default 32).
 Each variant uses a fresh checkpoint (the checkpoint pins the width at
 first start). Interleaved reps.
+
+HISTORICAL (r12 pre-change comparison only): since the fix landed,
+streaming_raw_passthrough pins its state width to 8 internally via
+bounded_replay_confs, so BOTH arms of this tool now measure width 8 —
+re-running it reports a false null result. To reproduce the original
+measurement, build raw_passthrough_query directly with the session
+width set per arm (ADVICE r12).
 """
 
 from __future__ import annotations
