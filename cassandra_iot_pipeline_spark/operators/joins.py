@@ -68,13 +68,19 @@ def revenue_by_nation(
 ) -> DataFrame:
     """Fact-to-fact shuffle join + broadcast dims + grouped aggregation —
     the TPC-H Q5 shape. Exercises the full join pipeline the engine must
-    sustain at scale: lineitem⋈orders shuffles on orderkey; customer and
-    nation broadcast; revenue in exact integer cents.
+    sustain at scale: lineitem⋈orders shuffles on orderkey; nation (25
+    rows at every scale) broadcast by hint; customer broadcast by the
+    planner's size estimate. customer deliberately carries NO hint: it
+    scales with the data (~15 B rows at 100 TB, far over the 8 GB /
+    512 M-row broadcast cap), so a forced broadcast would fail the
+    query at scale — the estimate picks BHJ at fixture scale (plan
+    verified identical) and falls back to a shuffle join when customer
+    outgrows spark.sql.autoBroadcastJoinThreshold.
     """
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(

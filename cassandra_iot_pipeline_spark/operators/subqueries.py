@@ -103,7 +103,16 @@ def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     their part. Expressed as the decorrelated plan Catalyst would
     produce: per-part aggregate -> broadcast join -> filter -> global
     exact sum. The per-part threshold uses integer-units avg so the
-    comparison is bit-identical across engines."""
+    comparison is bit-identical across engines.
+
+    Neither join side carries a broadcast hint (r13): both scale with
+    part's cardinality (~2 B rows at 100 TB — over the broadcast cap),
+    so a forced broadcast would fail at scale. The planner's size
+    estimate picks BHJ at fixture scale (plan verified identical); at
+    scale the joins become shuffle joins and the selective p_brand
+    filter makes brand_parts the creation side of a runtime Bloom
+    filter on l_partkey (session.py bloom confs; §3.2) that drops
+    ~24/25ths of lineitem before its shuffle."""
     per_part = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
         (
             exact_sum(F.col("l_quantity"), 2)
@@ -114,10 +123,8 @@ def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
     brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     return (
-        lineitem.join(
-            F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
-        )
-        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        lineitem.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(exact_sum(F.col("l_extendedprice"), 2).alias("rev_units"))
         .select(

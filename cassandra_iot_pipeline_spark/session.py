@@ -50,6 +50,45 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas_udf / toPandas path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime Bloom-filter join pre-filtering (guide §3.2,
+        # SPARK-32268): when a shuffle join's creation side carries a
+        # selective filter, inject might_contain(bloom_filter_agg(key))
+        # into the big side's scan so non-matching rows drop BEFORE the
+        # exchange. Inert at fixture scale by construction — injection
+        # additionally requires a shuffle join and an application-side
+        # scan over applicationSideScanSizeThreshold (10 GB default,
+        # deliberately untouched), and every sf0.1 join is broadcast —
+        # so local plans and bench are byte-identical. At 100 TB the
+        # TPC joins become shuffle joins and the defaults are wrong in
+        # two places, both env-overridable: the creation side (e.g.
+        # shipping_priority's date-filtered orders, ~18 GB projected at
+        # 100 TB) far exceeds the 10 MB creationSideThreshold, and 1 M
+        # expectedNumItems/4 M maxNumItems would saturate the filter
+        # into uselessness against ~1.5 B creation-side keys.
+        # tools/r13_bloom_scale_demo.py captures the injected plan with
+        # broadcast disabled (scale-mode stand-in) as evidence.
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            os.environ.get("SPARK_GRAFT_BLOOM_CREATION_SIDE", "32GB"),
+        )
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+            os.environ.get("SPARK_GRAFT_BLOOM_EXPECTED_ITEMS", "100000000"),
+        )
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+            os.environ.get("SPARK_GRAFT_BLOOM_MAX_ITEMS", "1000000000"),
+        )
+        # default 64 Mbit (8 MB) saturates against >~10 M keys; 1 Gbit
+        # (128 MB broadcast) holds ~1 % fpp at the 100 M expected items
+        # above — the guide's ~9.6 bits/item costing.
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+            os.environ.get("SPARK_GRAFT_BLOOM_MAX_BITS", "1073741824"),
+        )
         # The driver-generated fixtures store TIMESTAMP(NANOS), which
         # Spark's parquet reader rejects by default; read as epoch-nanos
         # long and convert in the catalog (see catalog.load_events).
