@@ -14,6 +14,26 @@ from cassandra_iot_pipeline_spark.session import build_session  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# r13 fast lane (see pytest.ini): node IDs recorded slower than 5 s in
+# a full timed run are marked slow and excluded from the default
+# (driver) invocation. Exact-match only: a renamed/repametrized test
+# silently falls back into the default lane — coverage can only grow.
+_SLOW_MANIFEST = Path(__file__).resolve().parent / "slow_manifest.txt"
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        slow_ids = {
+            line.strip()
+            for line in _SLOW_MANIFEST.read_text().splitlines()
+            if line.strip() and not line.startswith("#")
+        }
+    except OSError:
+        return
+    for item in items:
+        if item.nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
