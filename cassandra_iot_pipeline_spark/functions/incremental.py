@@ -337,15 +337,16 @@ def incremental_near_dedup(
         sh_all,
         threshold,
     ).select("doc_a", "doc_b")
-    # inheritable_thread_target: the background action inherits the
-    # caller's JVM-thread-local properties (job group/description, pool),
-    # so job-group cancellation reaches it and no paired JVM thread
-    # leaks under pinned-thread mode (ADVICE r12).
+    # inheritable_thread_target(session): the background action inherits
+    # the caller's JVM-thread-local properties (job group/description,
+    # pool) AND session tags, so job-group cancellation reaches it and no
+    # paired JVM thread leaks under pinned-thread mode (ADVICE r12; the
+    # bare-callable form warns and skips tag inheritance).
     from pyspark.util import inheritable_thread_target
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         max_id_fut = pool.submit(
-            inheritable_thread_target(
+            inheritable_thread_target(documents.sparkSession)(
                 lambda: documents.agg(F.max("doc_id")).first()[0]
             )
         )

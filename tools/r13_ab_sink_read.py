@@ -7,9 +7,8 @@ guarantee (always run the full last-write-wins window) — the pre-r13
 read path, on identical replay machinery.
 
 Times the full registered entry (replay + read + noop materialize),
-exactly the bench's unit. Also prints the per-batch durationMs phase
-breakdown of the last rep of each arm so the remaining machinery floor
-is attributable (VERDICT-r12 #6).
+exactly the bench's unit. (The per-batch durationMs machinery-floor
+breakdown lives in tools/r12_stream_phases.py.)
 
 Usage: python tools/r13_ab_sink_read.py [reps]
 """
