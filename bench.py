@@ -44,6 +44,12 @@ def materialize(df) -> None:
 #: floor's top end separates every clean window seen so far (<= 0.5)
 #: from the contaminated one.
 DEGRADED_JVM_AGG_SEC = 0.54
+#: the CPU probe alone misses DISK-side contamination (measured r13:
+#: back-to-back runs read jvm_agg 0.12-0.16 — quiet — while
+#: calib_state_commit degraded 5.2 -> 9.7 and the shuffle/checkpoint-
+#: heavy queries regressed 25-90%). Historical state-commit floor:
+#: driver r11 3.12 s, builder quiet windows 3.5-4.2 s.
+DEGRADED_STATE_COMMIT_SEC = 6.0
 #: how long to wait for a contended co-tenant burst to pass before
 #: re-probing, and how many times to try before giving up and flagging.
 CALIB_RETRY_SLEEP_S = 15
@@ -284,6 +290,8 @@ def main() -> None:
     host_degraded = (
         calib["calib_jvm_agg_50m_sec"] > DEGRADED_JVM_AGG_SEC
         or jvm_post > DEGRADED_JVM_AGG_SEC
+        or io_calib["calib_state_commit_8batch_sec"]
+        > DEGRADED_STATE_COMMIT_SEC
     )
 
     # The driver records only the LAST 2000 chars of bench output
