@@ -56,6 +56,19 @@ CALIB_RETRY_SLEEP_S = 15
 CALIB_MAX_ATTEMPTS = 4
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — the direct measure of
+    hypervisor co-tenant interference. Short fixed-work probes can dodge
+    steal bursts entirely (measured r13: probes read quiet while a
+    sustained 32-core burn showed 13.8% steal and the 32-wide query
+    stages ran 1.5-2x slow), so the bench records the steal fraction
+    across its own timed region instead of inferring it."""
+    parts = open("/proc/stat").readline().split()[1:]
+    vals = [int(v) for v in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def _jvm_agg_probe(spark) -> float:
     """Fixed 50M-row multi-core JVM aggregation (Spark fixed costs + JVM
     throughput) — the probe that caught the r12 host contamination."""
@@ -218,6 +231,7 @@ def main() -> None:
     # and a query whose two passes disagree by >40% gets a third pass —
     # the cheap escalation form of "re-run what looks noisy".
     runs_by_query: dict[str, list[float]] = {n: [] for n in names}
+    steal0, total0 = _cpu_jiffies()
 
     def timed(name: str) -> float:
         t0 = time.perf_counter()
@@ -287,11 +301,14 @@ def main() -> None:
     # r12 burst hit mid-run, after a clean pre-probe). Degraded on
     # either side flags the whole run.
     jvm_post = round(min(_jvm_agg_probe(spark), _jvm_agg_probe(spark)), 3)
+    steal1, total1 = _cpu_jiffies()
+    steal_pct = round(100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2)
     host_degraded = (
         calib["calib_jvm_agg_50m_sec"] > DEGRADED_JVM_AGG_SEC
         or jvm_post > DEGRADED_JVM_AGG_SEC
         or io_calib["calib_state_commit_8batch_sec"]
         > DEGRADED_STATE_COMMIT_SEC
+        or steal_pct > 3.0
     )
 
     # The driver records only the LAST 2000 chars of bench output
@@ -317,6 +334,7 @@ def main() -> None:
         **calib,
         **io_calib,
         "calib_jvm_agg_post_sec": jvm_post,
+        "steal_pct_timed_region": steal_pct,
         "host_degraded": host_degraded,
     }
     full_path = os.path.join(
